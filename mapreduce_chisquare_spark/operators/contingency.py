@@ -1,0 +1,78 @@
+"""Contingency-table aggregations + joins (SURVEY.md §2.4 A1-A4, §2.5 J1-J3).
+
+The reference simulates these joins by funnelling every count through
+ONE reducer (chi_square.py:46-62 — quirk Q5, the single-node memory
+ceiling) or by fragile metadata re-keying (run_chi:95-131). Here each
+count is a distributed hash aggregate with automatic map-side partial
+aggregation, and the "joins" are:
+
+- df_t  (J1): a window sum over the term partition — reuses the
+  groupBy(term, category) shuffle, so NO extra shuffle for the
+  per-term totals.
+- df_c  (J2): broadcast hash join (category cardinality is tiny).
+- N     (J3): broadcast cross join with a 1-row aggregate.
+
+Two shuffles total for the whole χ² relation; scales linearly in
+tokens with no single-partition funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import chi2_expr
+
+
+def term_cat_counts(tokens: DataFrame) -> DataFrame:
+    """A1: df_tc — docs per (term, category). Input tokens are already
+    distinct per doc (X3), so count(*) is a document frequency
+    (chi_square.py:40-41,61-62)."""
+    return tokens.groupBy("term", "category").agg(F.count("*").alias("df_tc"))
+
+
+def term_counts(term_cat: DataFrame) -> DataFrame:
+    """A2: df_t — re-aggregate A1 rather than re-scan tokens
+    (chi_square.py:61: term totals are summed from pair counts)."""
+    return term_cat.groupBy("term").agg(F.sum("df_tc").alias("df_t"))
+
+
+def cat_counts(docs: DataFrame, cat_col: str = "category") -> DataFrame:
+    """A3: df_c — docs per category (chi_square.py:44)."""
+    return docs.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("df_c")
+    )
+
+
+def total_count(docs: DataFrame) -> DataFrame:
+    """A4: N as a 1-row DataFrame (kept lazy; broadcast-cross-joined
+    instead of collected, so the plan is one job)."""
+    return docs.agg(F.count("*").alias("n_docs"))
+
+
+def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
+    """A1+J1+J2+J3+X4/X5 → (category, term, chi2).
+
+    `docs` must be the same filtered document set `tokens` came from
+    (one row per doc, with a `category` column).
+    """
+    df_tc = term_cat_counts(tokens)
+    # J1 as a window sum: partitions are already hashed by (term, cat);
+    # re-partitioning by term alone is the only extra exchange, and AQE
+    # coalesces it. Saves the self-join shuffle (SURVEY.md §2.5 J1).
+    df_tc = df_tc.withColumn(
+        "df_t", F.sum("df_tc").over(Window.partitionBy("term"))
+    )
+    enriched = (
+        df_tc.join(F.broadcast(cat_counts(docs)), "category")
+        .join(F.broadcast(total_count(docs)))
+    )
+    a = F.col("df_tc")
+    b = F.col("df_t") - a
+    c = F.col("df_c") - a
+    d = F.col("n_docs") - a - b - c
+    return enriched.select(
+        "category",
+        "term",
+        chi2_expr(a, b, c, d, F.col("n_docs")).alias("chi2"),
+    )

@@ -1,0 +1,352 @@
+"""queries()/oracle_sql() registry — text + χ² surface (SURVEY.md §2).
+
+Each entry pairs a Spark DataFrame builder `(spark, sf_dir) -> DF` with
+the equivalent DuckDB SQL. Column names/aliases are identical on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import (
+    DELIM_REGEX,
+    MAX_TOKEN_LEN,
+    MIN_TOKEN_LEN,
+    STOPWORDS,
+    TOP_K,
+)
+from ..functions.text import nonempty_documents, tokens_relation
+from ..operators.contingency import (
+    cat_counts,
+    chi_square_relation,
+    term_cat_counts,
+    term_counts,
+    total_count,
+)
+from ..operators.report import format_report, merged_dict
+from ..operators.topk import topk_per_group
+from ..plans.chisquare import chi_square_top_terms
+from ..sources.readers import reviews_from_documents, scan_parquet
+from .oracle_common import (
+    CHI2_CTES,
+    COUNTS_CTES,
+    SQL_DELIM,
+    SQL_STOPWORDS,
+    TOPK_CTES,
+    with_text_ctes,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4-filtered fixture-A docs: (doc_id, category, text[lowercased])."""
+    d = scan_parquet(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang AS category", "text"
+    )
+    return nonempty_documents(d).withColumn("text", F.lower(F.col("text")))
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scan_parquet(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", "lang AS category"
+    )
+    return tokens_relation(d, STOPWORDS)
+
+
+def _raw_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 only: lowercase, split, drop empties — with multiplicity,
+    before stopword/length/dedup steps."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "category",
+        F.explode(F.split(F.col("text"), DELIM_REGEX)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+_RAW_TERMS_CTE = (
+    "raw AS (SELECT docs.doc_id, docs.category, u.term "
+    f"FROM docs, UNNEST(regexp_split_to_array(docs.text, '{SQL_DELIM}')) AS u(term) "
+    "WHERE u.term <> '')"
+)
+
+
+# --- S/F/X: scans, filters, scalar text ops -------------------------------
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: early projection of the two used fields (chi_square.py:32-33)."""
+    return reviews_from_documents(scan_parquet(spark, sf_dir, "documents"))
+
+
+SQL_PROJECT = "SELECT doc_id, text AS reviewText, lang AS category FROM documents"
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (JSON-in-column flavour): parse events.props with a real JSON
+    path, not string hacks (reference parses whole-line JSON,
+    chi_square.py:31)."""
+    ev = scan_parquet(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events"
+)
+
+
+def q_nonempty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: doc ids surviving the null/empty text+category filter."""
+    return _docs(spark, sf_dir).select("doc_id", "category")
+
+
+SQL_NONEMPTY_FILTER = "WITH " + ", ".join(
+    [
+        "docs AS (SELECT doc_id, lang AS category FROM documents "
+        "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '')"
+    ]
+) + " SELECT doc_id, category FROM docs"
+
+
+def q_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: casefold-first semantics (run_chi:66, quirk Q1)."""
+    return _docs(spark, sf_dir).select("doc_id", F.col("text").alias("text_lc"))
+
+
+SQL_CASEFOLD = (
+    "SELECT doc_id, lower(text) AS text_lc FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''"
+)
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: delimiter-class split; term frequencies with multiplicity."""
+    return _raw_terms(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+SQL_TOKENIZE = (
+    "WITH "
+    + "docs AS (SELECT doc_id, lang AS category, lower(text) AS text FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''), "
+    + _RAW_TERMS_CTE
+    + " SELECT term, CAST(count(*) AS BIGINT) AS tf FROM raw GROUP BY term"
+)
+
+
+def q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 via array_except (set-minus form, chi_square.py:37)."""
+    return (
+        _raw_terms(spark, sf_dir)
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_STOPWORD_FILTER = (
+    "WITH "
+    + "docs AS (SELECT doc_id, lang AS category, lower(text) AS text FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''), "
+    + _RAW_TERMS_CTE
+    + f" SELECT term, CAST(count(*) AS BIGINT) AS tf FROM raw WHERE term NOT IN ({SQL_STOPWORDS}) GROUP BY term"
+)
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: 1 < len(term) < 50 (run_chi:67, quirk Q3)."""
+    return (
+        _raw_terms(spark, sf_dir)
+        .filter(
+            (F.length("term") >= MIN_TOKEN_LEN)
+            & (F.length("term") <= MAX_TOKEN_LEN)
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_LENGTH_FILTER = (
+    "WITH "
+    + "docs AS (SELECT doc_id, lang AS category, lower(text) AS text FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''), "
+    + _RAW_TERMS_CTE
+    + f" SELECT term, CAST(count(*) AS BIGINT) AS tf FROM raw "
+    f"WHERE length(term) >= {MIN_TOKEN_LEN} AND length(term) <= {MAX_TOKEN_LEN} GROUP BY term"
+)
+
+
+def q_dedup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-document distinct → document frequency (chi_square.py:37)."""
+    return _toks(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_terms")
+    )
+
+
+SQL_DEDUP_TERMS = with_text_ctes() + (
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_terms "
+    "FROM toks GROUP BY doc_id"
+)
+
+
+def q_anti_join_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: stopword removal as an explicit broadcast left-anti join —
+    the alternative physical form of F2."""
+    spark_stop = spark.createDataFrame(
+        [(s,) for s in STOPWORDS], "term string"
+    )
+    return (
+        _raw_terms(spark, sf_dir)
+        .join(F.broadcast(spark_stop), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+# --- A: aggregations -------------------------------------------------------
+
+def q_count_term_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: df_tc."""
+    return term_cat_counts(_toks(spark, sf_dir))
+
+
+SQL_COUNT_TERM_CAT = with_text_ctes() + (
+    " SELECT term, category, CAST(count(*) AS BIGINT) AS df_tc "
+    "FROM toks GROUP BY term, category"
+)
+
+
+def q_count_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: df_t (re-aggregated from A1, chi_square.py:61)."""
+    return term_counts(term_cat_counts(_toks(spark, sf_dir)))
+
+
+SQL_COUNT_TERM = with_text_ctes() + (
+    " SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM toks GROUP BY term"
+)
+
+
+def q_count_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: df_c."""
+    return cat_counts(_docs(spark, sf_dir))
+
+
+SQL_COUNT_CAT = (
+    "SELECT lang AS category, CAST(count(*) AS BIGINT) AS df_c FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '' "
+    "GROUP BY lang"
+)
+
+
+def q_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: N."""
+    return total_count(_docs(spark, sf_dir))
+
+
+SQL_COUNT_TOTAL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''"
+)
+
+
+# --- J: joins --------------------------------------------------------------
+
+def q_join_term_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: df_tc enriched with df_t — here as the window-sum rewrite
+    (reuses the A1 shuffle; SURVEY.md §2.5 J1)."""
+    df_tc = term_cat_counts(_toks(spark, sf_dir))
+    return df_tc.withColumn(
+        "df_t", F.sum("df_tc").over(Window.partitionBy("term"))
+    )
+
+
+SQL_JOIN_TERM_TOTALS = with_text_ctes(COUNTS_CTES.split(", df_c")[0]) + (
+    " SELECT tc.term, tc.category, tc.df_tc, t.df_t "
+    "FROM df_tc tc JOIN df_t t USING (term)"
+)
+
+
+def q_join_cat_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast hash join against the tiny category dimension."""
+    df_tc = term_cat_counts(_toks(spark, sf_dir))
+    return df_tc.join(F.broadcast(cat_counts(_docs(spark, sf_dir))), "category").select(
+        "term", "category", "df_tc", "df_c"
+    )
+
+
+SQL_JOIN_CAT_TOTALS = with_text_ctes(COUNTS_CTES) + (
+    " SELECT tc.term, tc.category, tc.df_tc, c.df_c "
+    "FROM df_tc tc JOIN df_c c USING (category)"
+)
+
+
+# --- chi² / top-k / report -------------------------------------------------
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5: full (category, term, chi2) relation."""
+    return chi_square_relation(_toks(spark, sf_dir), _docs(spark, sf_dir))
+
+
+SQL_CHI_SQUARE = with_text_ctes(CHI2_CTES) + (
+    " SELECT category, term, chi2 FROM chi"
+)
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: top-75 per category, total order (chi2 DESC, term ASC)."""
+    docs = scan_parquet(spark, sf_dir, "documents")
+    return chi_square_top_terms(reviews_from_documents(docs), STOPWORDS, TOP_K)
+
+
+SQL_TOPK_PER_GROUP = with_text_ctes(TOPK_CTES) + (
+    f" SELECT category, term, chi2, rank FROM ranked WHERE rank <= {TOP_K}"
+)
+
+
+def q_format_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/T2: the reference's per-category report lines."""
+    return format_report(q_topk_per_group(spark, sf_dir))
+
+
+SQL_FORMAT_REPORT = with_text_ctes(TOPK_CTES) + (
+    f" SELECT concat(category, ' ', string_agg(printf('%s:%.4f', term, chi2), ' ' ORDER BY rank)) AS line "
+    f"FROM ranked WHERE rank <= {TOP_K} GROUP BY category ORDER BY category"
+)
+
+
+def q_merged_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/T3: merged dictionary line (chi_square.py:99-103)."""
+    return merged_dict(q_topk_per_group(spark, sf_dir))
+
+
+SQL_MERGED_DICT = with_text_ctes(TOPK_CTES) + (
+    f" SELECT string_agg(DISTINCT term, ' ' ORDER BY term) AS line "
+    f"FROM ranked WHERE rank <= {TOP_K}"
+)
+
+
+TEXT_QUERIES = {
+    "project": (q_project, SQL_PROJECT),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "nonempty_filter": (q_nonempty_filter, SQL_NONEMPTY_FILTER),
+    "casefold": (q_casefold, SQL_CASEFOLD),
+    "tokenize": (q_tokenize, SQL_TOKENIZE),
+    "stopword_filter": (q_stopword_filter, SQL_STOPWORD_FILTER),
+    "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
+    "dedup_terms": (q_dedup_terms, SQL_DEDUP_TERMS),
+    "anti_join_stopwords": (q_anti_join_stopwords, SQL_STOPWORD_FILTER),
+    "count_term_cat": (q_count_term_cat, SQL_COUNT_TERM_CAT),
+    "count_term": (q_count_term, SQL_COUNT_TERM),
+    "count_cat": (q_count_cat, SQL_COUNT_CAT),
+    "count_total": (q_count_total, SQL_COUNT_TOTAL),
+    "join_term_totals": (q_join_term_totals, SQL_JOIN_TERM_TOTALS),
+    "join_cat_totals": (q_join_cat_totals, SQL_JOIN_CAT_TOTALS),
+    "chi_square": (q_chi_square, SQL_CHI_SQUARE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "format_report": (q_format_report, SQL_FORMAT_REPORT),
+    "merged_dict": (q_merged_dict, SQL_MERGED_DICT),
+}

@@ -1,0 +1,58 @@
+"""Sources: parquet/NDJSON scans and side-file loads (SURVEY.md §2.1).
+
+Replaces the reference's three input paths — mrjob stdin framing
+(chi_square.py:30), `hadoop fs -cat` subprocess (multi_jobs_hdfs.py:23-37),
+and local open() — with Spark's native readers, which speak local, HDFS,
+and object-store URIs uniformly and push column pruning / predicate
+filters into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..constants import STOPWORDS
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """S6: schema-pinned parquet scan of a driver table."""
+    return spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(
+        f"{sf_dir}/{table}.parquet"
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: scan_parquet(spark, sf_dir, n) for n in names}
+
+
+def scan_json_reviews(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: NDJSON scan of the reference's native reviews input.
+
+    PERMISSIVE mode skips malformed lines (the tolerant reference
+    behaviour, multi_jobs_hdfs.py:92-94) instead of crashing like the
+    strict variant (chi_square.py:31-32). Schema is supplied, never
+    inferred, so extra JSON fields are pruned at parse time — the
+    reference's "early projection" (chi_square.py:32-33) for free.
+    """
+    return (
+        spark.read.schema(schemas.REVIEWS)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def reviews_from_documents(documents: DataFrame) -> DataFrame:
+    """FIXTURES.md fixture-A mapping: documents(text, lang) → reviews."""
+    return documents.selectExpr(
+        "doc_id", "text AS reviewText", "lang AS category"
+    )
+
+
+def load_stopwords(spark: SparkSession, path: str | None = None) -> list[str]:
+    """S3: side-file load (chi_square.py:21-28). Driver-side read of a
+    provably-tiny relation; callers broadcast it (literal array or
+    broadcast anti-join) — never a shuffle."""
+    if path is None:
+        return list(STOPWORDS)
+    return [r.value.strip() for r in spark.read.text(path).collect() if r.value.strip()]
