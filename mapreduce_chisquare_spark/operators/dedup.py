@@ -1,0 +1,173 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference (which has no dedup), these are the standard
+LLM-corpus dedup family, each expressed as pure DataFrame ops so they
+distribute: exact (hash groupBy), MinHash+LSH (shingle → k min-hashes
+→ banded bucket join), SimHash (bitwise majority over term hashes),
+and exact n-gram Jaccard for candidate verification.
+
+Cross-engine determinism: all hashing is md5 (identical in Spark and
+DuckDB); MinHash "values" are md5 hex strings compared as strings, so
+min() agrees everywhere without bigint conversions.
+
+Scale posture: every step is a hash aggregate or an equi-join on a
+bucket key. The LSH bucket join carries a bucket-size guard
+(2..MAX_BUCKET) — a mega-bucket (degenerate shingle) is a quadratic
+skew bomb at 100 TB; dropping it is both the standard practice and a
+documented semantic choice mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import DELIM_REGEX
+
+NUM_HASHES = 16
+NUM_BANDS = 8  # rows per band = NUM_HASHES // NUM_BANDS = 2
+MAX_BUCKET = 100
+SHINGLE_N = 3
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; one shuffle on the hash.
+    Returns (text_hash, n_dupes, keep_doc_id) for groups of size >= 2
+    (keep = smallest doc_id, the conventional survivor rule)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dupes") >= 2)
+    )
+
+
+def _word_array(text: Column) -> Column:
+    toks = F.split(F.lower(text), DELIM_REGEX)
+    return F.filter(toks, lambda t: t != "")
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles in document order."""
+    arr = _word_array(F.col(text_col))
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
+    """One hash-agg pass: k seeded md5 min-hashes per doc (columns
+    h0..h{k-1}, md5 hex strings)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, bands: int = NUM_BANDS, k: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, band, key): concat each band's hash rows into a bucket key."""
+    rows = k // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.key")
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash+LSH near-dup candidates: (doc_a, doc_b, n_bands) for
+    pairs sharing >= 1 band bucket (bucket size guarded)."""
+    bands = lsh_bands(minhash_signatures(shingles(docs, text_col)))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= MAX_BUCKET))
+        .select("band", "key")
+    )
+    guarded = bands.join(F.broadcast(buckets), ["band", "key"])
+    a = guarded.select(
+        "band", "key", F.col("doc_id").alias("doc_a")
+    )
+    b = guarded.select(
+        "band", "key", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    (doc_a, doc_b, jaccard). Intersection via a doc-keyed join, union
+    by inclusion-exclusion — no cross product over the corpus."""
+    sh = shingles(docs, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            ["doc_b"],
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(tokens: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over the per-doc distinct term set: (doc_id, simhash).
+
+    Term hash = first 8 hex chars of md5 (32-bit uint). Each bit
+    contributes +1/-1 per term; the doc's bit is the sign of the sum.
+    One hash aggregate with `bits` sums — no UDF, fully codegen'd.
+    """
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    t = tokens.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = t.groupBy("doc_id").agg(*aggs)
+    val = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return per_doc.select("doc_id", val.cast("long").alias("simhash"))

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as `binary` columns with a small metadata
+struct; decode/feature-extraction runs as Arrow-batched mapInPandas.
+The media libraries are not in this container, so the real decoder is
+a clearly-marked stub (NotImplementedError) and a deterministic fake
+decoder exercises the full Spark-side plumbing — schema, batch
+iteration, partitioning — which IS real and tested.
+
+At scale: binary columns stay columnar in parquet, mapInPandas
+processes Arrow batches (no per-row Python), and decode parallelism is
+partition parallelism — repartition by size buckets before decoding to
+even out skew from large blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def binarize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in media table: (doc_id, payload binary, kind, n_bytes).
+    Real pipelines read binary columns straight from parquet."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_media(blob: bytes, kind: str):  # pragma: no cover - stub
+    """REAL decoder stub: would dispatch to PIL/libav/ffmpeg.
+
+    Not available in this container; the plumbing uses
+    fake_decode_batch below, which is deterministic and schema-
+    identical, so swapping in this function is a one-line change.
+    """
+    raise NotImplementedError(
+        "media codecs (PIL/av) not installed; use fake_decode_batch"
+    )
+
+
+def fake_decode_batch(batches):
+    """Deterministic fake decode: metadata derived from payload bytes.
+    Arrow-batched — the hot loop is vectorized pandas, not per-row."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        n = pdf["payload"].str.len()
+        first = pdf["payload"].str[:1].apply(
+            lambda b: b[0] if len(b) else 0
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int64"),
+                "width": (16 + first % 16).astype("int32"),
+                "height": (16 + n % 16).astype("int32"),
+                "n_frames": (1 + (pdf["doc_id"] % 8)).astype("int32"),
+            }
+        )
+
+
+def decode_documents(media: DataFrame) -> DataFrame:
+    """mapInPandas over the binary column → typed metadata relation."""
+    return media.select("doc_id", "payload").mapInPandas(
+        fake_decode_batch, DECODED_SCHEMA
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus a random-
+hyperplane LSH bucketing as the scale path (bucket first, then search
+within buckets — turns O(N*Q) into O(N*Q/2^p) probes).
+
+No Python UDFs: the dot product is F.aggregate/F.zip_with, which
+Catalyst evaluates JVM-side. Summation is sequential left-to-right,
+matching the oracle's expression order, so cosines are bit-identical
+doubles (float32 inputs widen exactly to double).
+
+Hyperplanes are deterministic ±1 vectors derived from md5 at import
+time — identical literals are embedded in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import topk_per_group
+
+DIM = 64
+NUM_PLANES = 8
+
+
+def _plane(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 hyperplane: sign of md5 bit per (plane, dim)."""
+    signs = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+        signs.append(1 if int(h[0], 16) % 2 == 0 else -1)
+    return signs
+
+
+HYPERPLANES = [_plane(p) for p in range(NUM_PLANES)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbours for each query vector (vec_id <
+    n_queries): (query_id, vec_id, cos, rank). Queries are broadcast;
+    the corpus is scanned once — the right shape when Q << N."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding near-dup pairs within the same label partition:
+    (vec_a, vec_b, cos) with cos >= threshold. Blocking on label keeps
+    the pair space linear-ish; at scale the label is any cheap
+    partitioner (shard, cluster id from k-means, LSH bucket)."""
+    a = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_bucket(emb_col: Column) -> Column:
+    """LSH bucket id: sign bits of NUM_PLANES fixed hyperplane dots."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(HYPERPLANES):
+        d = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(s)) for s in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): the ANN pre-partitioning. At scale, search
+    probes only matching (or neighbouring-bit) buckets."""
+    return emb.select(
+        "vec_id", hyperplane_bucket(F.col("embedding")).alias("bucket")
+    )
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """ANN variant of cosine_topk: candidates restricted to the query's
+    hyperplane bucket, then exact cosine within it."""
+    with_b = emb.withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        with_b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    return topk_per_group(scored, "query_id", "cos", "vec_id", k)

@@ -1,0 +1,124 @@
+"""Text-analysis operators for corpus curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All built-in Catalyst expressions (no UDFs). Ratios are single IEEE
+divisions of exact integer counts, and composite scores are sums of
+those — deterministic across engines when written in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import DELIM_REGEX, STOPWORDS
+
+# Tiny per-language marker profiles (n-gram-heuristic stand-in; real
+# deployments would ship fastText-style models via a pandas_udf).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "en": ("the", "and", "of", "is", "was", "not"),
+    "es": ("el", "la", "los", "es", "que", "no"),
+    "fr": ("le", "la", "les", "est", "et", "pas"),
+    "zh": ("de", "shi", "le", "bu", "wo", "ta"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single symbols.
+BPE_REGEX = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def _words(text_col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, score): argmax of profile-marker hits, ties
+    broken by language code; 'und' when nothing matches."""
+    words = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("w")
+    )
+    rows = [
+        (lang, w) for lang, ws in sorted(LANG_PROFILES.items()) for w in ws
+    ]
+    profiles = words.sparkSession.createDataFrame(
+        rows, "lang string, w string"
+    )
+    hits = (
+        words.join(F.broadcast(profiles), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lang")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_distinct, stop_ratio, ttr, score).
+
+    score = stop_ratio + ttr (type-token ratio): crude but the shape
+    (cheap per-doc columnar metrics feeding a filter) is what a 100 TB
+    curation pass runs.
+    """
+    words = _words(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(words))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    ttr = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        (stop_ratio + ttr).alias("score"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws, n_bpe): whitespace tokens vs BPE-ish pre-tokens."""
+    return docs.select(
+        "doc_id",
+        F.size(_words(text_col)).cast("long").alias("n_ws"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", gram: int = 5) -> DataFrame:
+    """(doc_id, content_md5, min_gram_hash): whole-content hash + the
+    minimum rolling character-5-gram md5 (winnowing-style robust
+    fingerprint — stable under small edits)."""
+    text = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(text) >= gram,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (gram - 1)),
+            lambda i: F.md5(text.substr(i, F.lit(gram))),
+        ),
+    ).otherwise(F.array(F.md5(text)))
+    return docs.select(
+        "doc_id",
+        F.md5(text).alias("content_md5"),
+        F.array_min(grams).alias("min_gram_hash"),
+    )

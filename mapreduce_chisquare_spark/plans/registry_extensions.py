@@ -1,0 +1,487 @@
+"""queries()/oracle_sql() registry — LLM-data-pipeline extensions:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + hyperplane LSH), text analysis, event-time
+windows (tumbling/sliding/session), as-of join, multimodal plumbing,
+and the Structured Streaming twin of the tumbling window.
+
+Oracle SQL for hash-heavy operators is *generated* from the same
+Python constants as the Spark plans (seeds, hyperplanes, band layout),
+so both engines express byte-identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import DELIM_REGEX, STOPWORDS
+from ..operators import dedup as dd
+from ..operators import simsearch as ss
+from ..operators import textstats as tx
+from ..operators.asof import asof_join
+from ..operators.multimodal import binarize_documents, decode_documents
+from ..sources.readers import scan_parquet
+from ..streaming.windows import tumbling_counts_stream
+from .oracle_common import SQL_DELIM, SQL_STOPWORDS, with_text_ctes
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, "documents")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_relation
+
+    d = _docs(spark, sf_dir).selectExpr("doc_id", "text", "lang AS category")
+    return tokens_relation(d, STOPWORDS)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, "embeddings")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, "events")
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dupes,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+"""
+
+# Shared shingle/minhash CTE chain (mirrors operators/dedup.py exactly).
+_SH_CTES = (
+    "docsr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    f"'{SQL_DELIM}'), x -> x <> '') AS arr FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle "
+    "FROM docsr, UNNEST(range(1, len(arr) - 1)) AS r(i))"
+)
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(dd.NUM_HASHES)
+)
+_ROWS_PER_BAND = dd.NUM_HASHES // dd.NUM_BANDS
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+        b=b,
+        key=" || ".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dd.NUM_BANDS)
+)
+_PAIR_CTES = (
+    _SH_CTES + ", "
+    f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id), "
+    f"bands AS ({_BAND_SELECTS}), "
+    "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
+    f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
+    "g AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN buckets USING (band, key)), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands "
+    "FROM g a JOIN g b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id)"
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH " + _PAIR_CTES + " SELECT doc_a, doc_b, n_bands FROM pairs"
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return dd.ngram_jaccard(docs, dd.minhash_candidate_pairs(docs))
+
+
+SQL_DEDUP_JACCARD = (
+    "WITH " + _PAIR_CTES + ", "
+    "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
+    "JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b) "
+    "SELECT p.doc_a, p.doc_b, "
+    "CAST(coalesce(i.n_inter, 0) AS DOUBLE) / "
+    "CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard "
+    "FROM pairs p "
+    "LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+    "JOIN sz sa ON sa.doc_id = p.doc_a "
+    "JOIN sz sb ON sb.doc_id = p.doc_b"
+)
+
+# SimHash: 32-bit hash from md5 hex via digit arithmetic (works in
+# both engines; Spark uses conv(), the oracle expands the digit sum).
+_SIMHASH_BITS = 32
+_HEXVAL = "(strpos('0123456789abcdef', substr(md5(term), {i}, 1)) - 1)"
+_HEX_SUM = " + ".join(
+    _HEXVAL.format(i=i + 1) + f" * {16 ** (8 - i - 1)}" for i in range(8)
+)
+_BIT_SUMS = ", ".join(
+    f"sum(2 * ((h // {2 ** j}) % 2) - 1) AS s{j}" for j in range(_SIMHASH_BITS)
+)
+_BIT_RECOMBINE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_toks(spark, sf_dir).select("doc_id", "term"))
+
+
+SQL_DEDUP_SIMHASH = with_text_ctes(
+    f"hh AS (SELECT doc_id, ({_HEX_SUM}) AS h FROM toks), "
+    f"s AS (SELECT doc_id, {_BIT_SUMS} FROM hh GROUP BY doc_id)"
+) + f" SELECT doc_id, CAST({_BIT_RECOMBINE} AS BIGINT) AS simhash FROM s"
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+def _dot_sql(a: str, b: str, dim: int = ss.DIM) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.cosine_topk(_emb(spark, sf_dir))
+
+
+SQL_SIMSEARCH_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos_sql('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.cosine_neardup_pairs(_emb(spark, sf_dir))
+
+
+SQL_EMBED_NEARDUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+"""
+
+_BUCKET_SQL = " + ".join(
+    "(CASE WHEN ({dot}) > 0 THEN {pw} ELSE 0 END)".format(
+        dot=" + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {float(s)}"
+            for d, s in enumerate(plane)
+        ),
+        pw=2**p,
+    )
+    for p, plane in enumerate(ss.HYPERPLANES)
+)
+
+
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.lsh_buckets(_emb(spark, sf_dir))
+
+
+SQL_SIMSEARCH_LSH = (
+    f"SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings"
+)
+
+
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.lsh_topk(_emb(spark, sf_dir))
+
+
+SQL_SIMSEARCH_LSH_TOPK = f"""
+WITH wb AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM wb WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos_sql('q.q_emb', 'e.embedding')} AS cos
+  FROM wb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, ws in sorted(tx.LANG_PROFILES.items())
+    for w in ws
+)
+
+SQL_LANG_ID = f"""
+WITH words AS (
+  SELECT doc_id, u.w FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+    FROM documents) t, UNNEST(arr) AS u(w)),
+profiles AS (SELECT * FROM (VALUES {_PROFILE_VALUES}) AS t(lang, w)),
+hits AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS score
+         FROM words JOIN profiles USING (w) GROUP BY doc_id, lang),
+best AS (SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         FROM hits)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents),
+m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(len(arr) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(arr, x -> list_contains({_STOP_LIST}, x))) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct
+      FROM t)
+SELECT doc_id, n_chars, n_tokens, n_distinct,
+  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS ttr,
+  (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END)
+  + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) AS score
+FROM m
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+  CAST(len(regexp_extract_all(lower(text), '{tx.BPE_REGEX}')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = """
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (SELECT doc_id, min(md5(substr(t, CAST(i AS INTEGER), 5))) AS mg
+      FROM lt, UNNEST(range(1, length(t) - 3)) AS r(i) GROUP BY doc_id)
+SELECT lt.doc_id, md5(t) AS content_md5, coalesce(g.mg, md5(t)) AS min_gram_hash
+FROM lt LEFT JOIN g USING (doc_id)
+"""
+
+
+# =========================================================================
+# Event-time windows (batch) + streaming twin + as-of join
+# =========================================================================
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "600 seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "600 seconds", "300 seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+SQL_WINDOW_SLIDING = """
+WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s0 FROM events),
+w AS (SELECT event_type, cents, s0 AS win_start FROM b
+      UNION ALL
+      SELECT event_type, cents, s0 - 300 FROM b)
+SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1, 2
+"""
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "300 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+SQL_WINDOW_SESSION = """
+WITH l AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 300000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+SELECT user_id, CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS sess_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.unix_micros("ts").alias("click_us"))
+    )
+    return asof_join(purchases, clicks, "user_id", "ts", "click_us").select(
+        "event_id", "user_id", F.col("asof_click_us")
+    )
+
+
+SQL_ASOF = """
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS asof_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts_stream(spark, sf_dir)
+
+
+# =========================================================================
+# Multimodal plumbing
+# =========================================================================
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = binarize_documents(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("content_md5"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_documents(binarize_documents(_docs(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(16 + (CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) % 16 AS INTEGER) AS width,
+  CAST(16 + octet_length(encode(text)) % 16 AS INTEGER) AS height,
+  CAST(1 + doc_id % 8 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+EXTENSION_QUERIES = {
+    "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
+    "simsearch_topk": (simsearch_topk, SQL_SIMSEARCH_TOPK),
+    "embed_neardup": (embed_neardup, SQL_EMBED_NEARDUP),
+    "simsearch_lsh": (simsearch_lsh, SQL_SIMSEARCH_LSH),
+    "simsearch_lsh_topk": (simsearch_lsh_topk, SQL_SIMSEARCH_LSH_TOPK),
+    "lang_id": (lang_id, SQL_LANG_ID),
+    "quality_score": (quality_score, SQL_QUALITY),
+    "token_count": (token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (doc_fingerprint, SQL_FINGERPRINT),
+    "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
+    "window_sliding": (window_sliding, SQL_WINDOW_SLIDING),
+    "window_session": (window_session, SQL_WINDOW_SESSION),
+    "asof_join": (asof_purchase_click, SQL_ASOF),
+    "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
+    "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
+}

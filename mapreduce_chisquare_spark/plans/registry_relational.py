@@ -1,0 +1,519 @@
+"""Relational-surface registry (SURVEY.md §7 Phase 3): joins (inner/
+semi/anti/broadcast/multiway), hash aggs, rollup, distinct aggs,
+windows (rank/lag/frames), set ops, date/string scalars, global top-k
+over the TPC-H-ish driver tables — each with a DuckDB oracle.
+
+Cross-engine determinism for money sums: doubles are summed as exact
+integer cents (CAST(round(x*100) AS BIGINT)) so partial-aggregation
+order cannot perturb the result; one final division restores units.
+At 100 TB this is also the right engine-side posture — decimal/integer
+aggregation states, no float drift across 10^6 partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import scan_parquet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, name)
+
+
+def _cents(col: str | F.Column, scale: int = 100) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+# --- aggregations ----------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavour: one wide hash agg with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base"),
+            (F.sum(disc) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+  sum(l_quantity) / count(*) AS avg_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavour: 3-way join, agg, global top-10 (TakeOrdered)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01")
+    )
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(disc) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavour: 6-way join with broadcast dims, revenue per
+    nation (customer and supplier co-national, classic Q5 predicate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(disc) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over (returnflag, linestatus) — subtotals + grand total
+    in one pass (the A3+A4 fusion pattern, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+SQL_HAVING = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_CASE_WHEN = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- joins -----------------------------------------------------------------
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: orders having any high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+SQL_JOIN_SEMI = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer: every customer with order count (0 for none)."""
+    cust = _t(spark, sf_dir, "customer")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT c_custkey,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join: lineitem enriched with part brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain join supplier → nation → region (all broadcast)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+SQL_MULTIWAY = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --- windows ---------------------------------------------------------------
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — T1's pattern on relational data."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event delta (lag), exact in integer cents."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta_cents"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT event_id, user_id,
+  cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+FROM (SELECT event_id, user_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
+"""
+
+
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-row frame sum per user (rows between 2 preceding)."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("moving_cents"),
+    )
+
+
+SQL_WINDOW_MOVING = """
+SELECT event_id, user_id,
+  sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents
+FROM (SELECT event_id, user_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
+"""
+
+
+# --- set ops ---------------------------------------------------------------
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+SQL_SET_UNION = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+SQL_SET_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b).distinct()
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# --- scalars / top-k -------------------------------------------------------
+
+def date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_DATE_SCALARS = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+SQL_STRING_SCALARS = """
+SELECT p_partkey, upper(p_brand) AS brand_uc,
+       substring(p_name, 1, 4) AS name4,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       concat(p_brand, '|', p_type) AS brand_type
+FROM part WHERE p_name LIKE '%red%'
+"""
+
+
+def top_n_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — Catalyst plans TakeOrderedAndProject (heap per
+    partition + driver merge), never a full sort (SURVEY.md §4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOP_N = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
+    "q5_supplier_revenue": (q5_supplier_revenue, SQL_Q5),
+    "agg_rollup": (agg_rollup, SQL_ROLLUP),
+    "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),
+    "having_filter": (having_filter, SQL_HAVING),
+    "case_when_bucket": (case_when_bucket, SQL_CASE_WHEN),
+    "join_semi": (join_semi, SQL_JOIN_SEMI),
+    "join_anti": (join_anti, SQL_JOIN_ANTI),
+    "join_outer": (join_outer, SQL_JOIN_OUTER),
+    "join_broadcast_dim": (join_broadcast_dim, SQL_JOIN_BROADCAST),
+    "multiway_join": (multiway_join, SQL_MULTIWAY),
+    "window_rank": (window_rank, SQL_WINDOW_RANK),
+    "window_lag": (window_lag, SQL_WINDOW_LAG),
+    "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),
+    "set_union": (set_union, SQL_SET_UNION),
+    "set_intersect": (set_intersect, SQL_SET_INTERSECT),
+    "set_except": (set_except, SQL_SET_EXCEPT),
+    "date_scalars": (date_scalars, SQL_DATE_SCALARS),
+    "string_scalars": (string_scalars, SQL_STRING_SCALARS),
+    "top_n_global": (top_n_global, SQL_TOP_N),
+}

@@ -10,16 +10,35 @@ filters into the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..constants import STOPWORDS
 
 
 def scan_parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """S6: schema-pinned parquet scan of a driver table."""
-    return spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(
-        f"{sf_dir}/{table}.parquet"
-    )
+    """S6: schema-pinned parquet scan of a driver table.
+
+    events.ts is parquet timestamp[ns], which Spark's TimestampType
+    (micros) reader rejects; read it as int64 nanos and convert with
+    INTEGER division (`div`) — a double division would lose precision
+    at ~1.7e18 ns. Truncation toward zero matches DuckDB's ns→micros
+    cast for post-epoch data.
+    """
+    schema = schemas.TABLE_SCHEMAS[table]
+    if table == "events":
+        raw = T.StructType(
+            [
+                T.StructField("ts", T.LongType())
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,74 @@
+"""Structured Streaming surface (beyond-reference: SURVEY.md §2.8 —
+the reference is batch-only).
+
+The same windowed aggregations the batch registry exposes, executed as
+a real stream: file source → event-time windows (+ watermark for late
+data) → availableNow trigger → memory sink. availableNow processes the
+full backlog and stops, so results equal the batch plan — the batch
+oracle doubles as the streaming oracle.
+
+applyInPandasWithState-based custom stateful sessionization lives in
+sessionize.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+
+_RAW_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.LongType()) if f.name == "ts" else f
+        for f in schemas.EVENTS.fields
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns→µs ts like the
+    batch reader)."""
+    raw = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type with a 1-hour
+    watermark, run to completion via availableNow → memory sink.
+    Returns the materialized result (win_start epoch-sec, event_type,
+    n, sum_cents) — identical to the batch window_tumbling query."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "600 seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
