@@ -50,8 +50,16 @@ def _word_array(text: Column) -> Column:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle): distinct n-word shingles in document order."""
-    arr = _word_array(F.col(text_col))
+    """(doc_id, shingle): distinct n-word shingles in document order.
+
+    The token array is materialized in its own projection first: the
+    shingle transform references it O(n·k) times, and higher-order
+    functions are interpreted (no codegen/CSE), so inlining the
+    split+filter there re-tokenizes the document per element_at —
+    measured 4x slower at sf0.1.
+    """
+    base = docs.select("doc_id", _word_array(F.col(text_col)).alias("__arr"))
+    arr = F.col("__arr")
     sh = F.when(
         F.size(arr) >= n,
         F.transform(
@@ -61,7 +69,7 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return base.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
@@ -93,15 +101,23 @@ def lsh_bands(sig: DataFrame, bands: int = NUM_BANDS, k: int = NUM_HASHES) -> Da
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash+LSH near-dup candidates: (doc_a, doc_b, n_bands) for
-    pairs sharing >= 1 band bucket (bucket size guarded)."""
+    pairs sharing >= 1 band bucket (bucket size guarded).
+
+    The size guard is a window count over (band, key), not a
+    groupBy+join back: one exchange on the bucket key that the
+    subsequent self-join reuses (ReuseExchange), so the expensive
+    shingle->signature lineage is shuffled exactly once instead of
+    recomputed per consumer.
+    """
+    from pyspark.sql import Window
+
     bands = lsh_bands(minhash_signatures(shingles(docs, text_col)))
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("band", "key")
+    guarded = (
+        bands.withColumn("sz", F.count("*").over(w))
         .filter((F.col("sz") >= 2) & (F.col("sz") <= MAX_BUCKET))
-        .select("band", "key")
+        .drop("sz")
     )
-    guarded = bands.join(F.broadcast(buckets), ["band", "key"])
     a = guarded.select(
         "band", "key", F.col("doc_id").alias("doc_a")
     )
