@@ -427,6 +427,15 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir)
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to
+    completion; per-user end-of-stream sentinels make it exactly equal
+    to the batch session-window oracle."""
+    from ..streaming.sessionize import sessionize_to_completion
+
+    return sessionize_to_completion(spark, sf_dir)
+
+
 # =========================================================================
 # Multimodal plumbing
 # =========================================================================
@@ -482,6 +491,7 @@ EXTENSION_QUERIES = {
     "window_session": (window_session, SQL_WINDOW_SESSION),
     "asof_join": (asof_purchase_click, SQL_ASOF),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
+    "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),
     "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

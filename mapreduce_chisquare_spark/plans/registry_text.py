@@ -81,6 +81,29 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROJECT = "SELECT doc_id, text AS reviewText, lang AS category FROM documents"
 
 
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: schema-pinned PERMISSIVE scan of real NDJSON bytes (the
+    documents table serialized one object per line with malformed and
+    missing-field lines injected). The F4 filter drops the null rows
+    the bad lines parse to — oracle parity against the parquet source
+    proves exactly the injected lines were rejected."""
+    from ..sources.readers import scan_json_documents
+
+    df = scan_json_documents(spark, sf_dir)
+    return df.filter(
+        F.col("reviewText").isNotNull()
+        & (F.col("reviewText") != "")
+        & F.col("category").isNotNull()
+        & (F.col("category") != "")
+    )
+
+
+SQL_SCAN_JSON = (
+    "SELECT doc_id, text AS reviewText, lang AS category FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''"
+)
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 (JSON-in-column flavour): parse events.props with a real JSON
     path, not string hacks (reference parses whole-line JSON,
@@ -331,6 +354,7 @@ SQL_MERGED_DICT = with_text_ctes(TOPK_CTES) + (
 
 TEXT_QUERIES = {
     "project": (q_project, SQL_PROJECT),
+    "scan_json": (q_scan_json, SQL_SCAN_JSON),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "nonempty_filter": (q_nonempty_filter, SQL_NONEMPTY_FILTER),
     "casefold": (q_casefold, SQL_CASEFOLD),

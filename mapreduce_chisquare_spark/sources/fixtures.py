@@ -1,0 +1,123 @@
+"""Driver-table-derived on-disk fixtures, cached under <repo>/.cache.
+
+The driver ships parquet only, but two surfaces need real files:
+
+- S1/S2 (NDJSON scan, chi_square.py:30-33): an NDJSON twin of the
+  `documents` table, with malformed / missing-field lines injected so
+  the PERMISSIVE + nonempty-filter path (the tolerant reference
+  semantics, multi_jobs_hdfs.py:92-94) is exercised against real bytes.
+- The streaming sessionizer: a copy of the events stream plus one
+  end-of-stream sentinel event per user, so every real session closes
+  and the stateful operator's output is exactly comparable to the
+  batch/SQL session-window oracle.
+
+This is test plumbing only — in production `scan_json_reviews` points
+at the raw NDJSON path and streams never end. Files are derived
+deterministically from the parquet inputs and written atomically
+(tmp + rename), so concurrent query runs converge on identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_CACHE = _REPO_ROOT / ".cache"
+
+# Injected NDJSON pathologies (one of each tolerant-path branch).
+_BAD_LINES = [
+    '{"this is not json',                        # malformed → all-null row
+    '{"reviewText": "orphan text, no category"}',  # missing field → null
+    '{"doc_id": -7, "reviewText": "", "category": ""}',  # empty → F4 drop
+]
+
+GAP_SECONDS = 300  # keep in sync with streaming.sessionize.GAP_SECONDS
+
+
+def _atomic_publish(tmp: Path, dst: Path) -> None:
+    os.replace(tmp, dst)
+
+
+def ndjson_documents(sf_dir: str) -> str:
+    """Materialize documents.parquet as NDJSON reviews (+ bad lines);
+    returns the cached file path."""
+    tag = Path(sf_dir).name
+    dst = _CACHE / f"reviews_{tag}.ndjson"
+    if dst.exists():
+        return str(dst)
+    _CACHE.mkdir(exist_ok=True)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    tmp = dst.with_suffix(f".tmp{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for i, row in enumerate(tbl.to_pylist()):
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": row["doc_id"],
+                        "reviewText": row["text"],
+                        "category": row["lang"],
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+            if i % 100 == 0:  # sprinkle pathologies through the file
+                f.write(_BAD_LINES[(i // 100) % len(_BAD_LINES)] + "\n")
+    _atomic_publish(tmp, dst)
+    return str(dst)
+
+
+def events_stream_dir(sf_dir: str) -> str:
+    """Build <cache>/stream_events_<sf>/ = events.parquet (hardlinked or
+    copied) + a sentinel parquet with one event per user at
+    global_max_ts + GAP, so the sessionizer closes every real session.
+    Returns the directory path for a file-source readStream."""
+    import pyarrow as pa
+
+    tag = Path(sf_dir).name
+    d = _CACHE / f"stream_events_{tag}"
+    done = d / "_FIXTURE_READY"
+    if done.exists():
+        return str(d)
+    _CACHE.mkdir(exist_ok=True)
+    d.mkdir(exist_ok=True)
+    src = Path(sf_dir) / "events.parquet"
+    ev_dst = d / "events.parquet"
+    if not ev_dst.exists():
+        tmp = d / f"events.tmp{os.getpid()}"
+        try:
+            os.link(src, tmp)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, tmp)
+        _atomic_publish(tmp, ev_dst)
+
+    tbl = pq.read_table(src, columns=["ts", "user_id"])
+    ts_ns = tbl.column("ts").cast(pa.int64())
+    max_ns = pa.compute.max(ts_ns).as_py()
+    users = sorted(set(tbl.column("user_id").to_pylist()))
+    sentinel_ns = max_ns + GAP_SECONDS * 1_000_000_000
+    sent = pa.table(
+        {
+            "event_id": pa.array(
+                [-(i + 1) for i in range(len(users))], pa.int64()
+            ),
+            "ts": pa.array([sentinel_ns] * len(users), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["__sentinel__"] * len(users)),
+            "value": pa.array([0.0] * len(users), pa.float64()),
+            "props": pa.array(["{}"] * len(users)),
+        }
+    )
+    tmp = d / f"sentinel.tmp{os.getpid()}"
+    pq.write_table(sent, tmp)
+    _atomic_publish(tmp, d / "zz_sentinels.parquet")
+    done.touch()
+    return str(d)

@@ -61,6 +61,27 @@ def scan_json_reviews(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+REVIEWS_WITH_ID = T.StructType(
+    [T.StructField("doc_id", T.LongType()), *schemas.REVIEWS.fields]
+)
+
+
+def scan_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 against real NDJSON bytes: the documents table serialized
+    one JSON object per line with malformed / missing-field lines
+    injected (sources.fixtures). PERMISSIVE parse turns bad lines into
+    null rows; the caller's F4 filter drops them — the tolerant
+    reference path (multi_jobs_hdfs.py:92-94) end to end."""
+    from .fixtures import ndjson_documents
+
+    path = ndjson_documents(sf_dir)
+    return (
+        spark.read.schema(REVIEWS_WITH_ID)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
 def reviews_from_documents(documents: DataFrame) -> DataFrame:
     """FIXTURES.md fixture-A mapping: documents(text, lang) → reviews."""
     return documents.selectExpr(
