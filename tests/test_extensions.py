@@ -1,0 +1,134 @@
+"""Semantic unit tests for the LLM-pipeline extension operators:
+planted fixtures with hand-checkable answers (SURVEY.md §5 model —
+'verify with small examples'), complementing the registry-wide DuckDB
+parity tests in test_registry.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_chisquare_spark.operators import dedup as dd
+from mapreduce_chisquare_spark.operators import simsearch as ss
+from mapreduce_chisquare_spark.operators.asof import asof_join
+from mapreduce_chisquare_spark.sources import sinks
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away home "
+    "tonight while stars shine bright above the quiet sleepy village"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    # 0/1: identical; 2: one word changed (near-dup); 3: unrelated.
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("village", "hamlet")),
+        (3, "completely different content about spark query engines "
+            "and distributed columnar execution pipelines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_planted(planted_docs):
+    out = dd.exact_duplicates(planted_docs).collect()
+    assert len(out) == 1
+    assert out[0].n_dupes == 2 and out[0].keep_doc_id == 0
+
+
+def test_minhash_finds_neardups_not_unrelated(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_candidate_pairs(planted_docs).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide on all bands
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+    # near-dup (0,2)/(1,2) may or may not collide (probabilistic) — but
+    # if present it must carry fewer or equal bands than the exact pair.
+
+
+def test_jaccard_exact_values(planted_docs):
+    pairs = dd.minhash_candidate_pairs(planted_docs)
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard(planted_docs, pairs).collect()
+    }
+    assert j[(0, 1)] == 1.0
+    for (a, b), v in j.items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_simhash_hamming_orders_similarity(spark, planted_docs):
+    toks = planted_docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    sh = {r.doc_id: r.simhash for r in dd.simhash(toks).collect()}
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")
+    assert ham(0, 1) == 0  # identical token sets
+    assert ham(0, 2) < ham(0, 3)  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    # vec 10 == vec 0 scaled (cos=1); vec 11 orthogonal to vec 0.
+    dim = ss.DIM
+    v0 = [1.0] + [0.0] * (dim - 1)
+    v10 = [2.0] + [0.0] * (dim - 1)
+    v11 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(0, v0, 0), (10, v10, 0), (11, v11, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    res = ss.cosine_topk(emb, k=2).filter(F.col("query_id") == 0).collect()
+    by_rank = {r.rank: r for r in res}
+    assert by_rank[1].vec_id == 10 and by_rank[1].cos == pytest.approx(1.0)
+    assert by_rank[2].cos == pytest.approx(0.0)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:00:00"), (2, 100, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, "2024-01-01 09:30:00"),
+            (100, "2024-01-01 09:59:00"),
+            (100, "2024-01-01 10:00:01"),
+        ],
+        "user_id long, ts_s string",
+    ).select(
+        "user_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.unix_micros(F.to_timestamp("ts_s")).alias("click_us"),
+    )
+    out = {
+        r.event_id: r.asof_click_us
+        for r in asof_join(left, right, "user_id", "ts", "click_us").collect()
+    }
+    from datetime import datetime, timezone
+
+    def us(s: str) -> int:
+        dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    assert out[1] == us("2024-01-01 09:59:00")  # latest <= 10:00
+    assert out[2] is None  # nothing at or before 09:00
+
+
+def test_text_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a b c",), ("d e f",)], "value string")
+    path = str(tmp_path / "out")
+    sinks.write_text(df, path, single_file=True)
+    lines = sorted(
+        r.value for r in spark.read.text(path).collect()
+    )
+    assert lines == ["a b c", "d e f"]
