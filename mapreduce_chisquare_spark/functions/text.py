@@ -48,6 +48,30 @@ def tokenize_expr(text: Column, stopwords: Sequence[str]) -> Column:
     )
 
 
+def terms_with_multiplicity(
+    docs: DataFrame,
+    stopwords: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cat_col: str = "category",
+) -> DataFrame:
+    """X1+X2+F2+F3 WITHOUT the per-doc distinct (X3): the term stream
+    with multiplicity, for tf-style scores (TF-IDF) where in-document
+    counts matter. Same canonical filter order otherwise."""
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), DELIM_REGEX),
+        lambda t: (F.length(t) >= MIN_TOKEN_LEN)
+        & (F.length(t) <= MAX_TOKEN_LEN)
+        & ~F.array_contains(stop_arr, t),
+    )
+    return nonempty_documents(docs, text_col, cat_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(cat_col).alias("category"),
+        F.explode(toks).alias("term"),
+    )
+
+
 def tokens_relation(
     docs: DataFrame,
     stopwords: Sequence[str],

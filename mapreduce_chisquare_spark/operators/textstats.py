@@ -108,8 +108,16 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", gram: int = 5) -> DataFrame:
     """(doc_id, content_md5, min_gram_hash): whole-content hash + the
     minimum rolling character-5-gram md5 (winnowing-style robust
-    fingerprint — stable under small edits)."""
-    text = F.lower(F.col(text_col))
+    fingerprint — stable under small edits).
+
+    The lowered text is materialized in its own projection first —
+    inside the (interpreted, CSE-less) transform lambda it would be
+    re-lowered once per gram, O(len²) per document.
+    """
+    base = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("__t")
+    )
+    text = F.col("__t")
     grams = F.when(
         F.length(text) >= gram,
         F.transform(
@@ -117,8 +125,34 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", gram: int = 5) -> D
             lambda i: F.md5(text.substr(i, F.lit(gram))),
         ),
     ).otherwise(F.array(F.md5(text)))
-    return docs.select(
+    return base.select(
         "doc_id",
         F.md5(text).alias("content_md5"),
         F.array_min(grams).alias("min_gram_hash"),
+    )
+
+
+def tfidf(tokens_with_mult: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) over a (doc_id, term) relation
+    WITH multiplicity. Generalizes the χ² feature-selection: same
+    shuffle skeleton (group by (doc,term), window/broadcast for the
+    document frequency), different score.
+
+    tf = in-doc count; df = docs containing term (distinct);
+    tfidf = tf * ln(N / df) — natural log, smooth-free, identical
+    arithmetic on both engines.
+    """
+    tf = tokens_with_mult.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    w = Window.partitionBy("term")
+    return tf.withColumn("df", F.count("*").over(w)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import DELIM_REGEX, STOPWORDS
+from ..constants import DELIM_REGEX, MAX_TOKEN_LEN, MIN_TOKEN_LEN, STOPWORDS
 from ..operators import dedup as dd
 from ..operators import simsearch as ss
 from ..operators import textstats as tx
@@ -301,6 +301,44 @@ FROM documents
 """
 
 
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the canonical term stream (with multiplicity) —
+    generalizes the χ² feature-selection skeleton (same two shuffles:
+    (doc,term) agg + per-term window)."""
+    from ..functions.text import nonempty_documents, terms_with_multiplicity
+
+    d = _docs(spark, sf_dir).selectExpr("doc_id", "text", "lang AS category")
+    n_docs = nonempty_documents(d).count()
+    return tx.tfidf(terms_with_multiplicity(d, STOPWORDS), n_docs)
+
+
+_TOKM_CTE = (
+    "tokm AS (SELECT docs.doc_id, docs.category, u.term "
+    "FROM docs, UNNEST(regexp_split_to_array(docs.text, '{d}')) AS u(term) "
+    "WHERE length(u.term) >= {lo} AND length(u.term) <= {hi} "
+    "AND u.term NOT IN ({stops}))"
+)
+
+SQL_TFIDF = (
+    "WITH docs AS (SELECT doc_id, lang AS category, lower(text) AS text "
+    "FROM documents WHERE text IS NOT NULL AND text <> '' "
+    "AND lang IS NOT NULL AND lang <> ''), "
+    + _TOKM_CTE.format(
+        d=SQL_DELIM,
+        lo=MIN_TOKEN_LEN,
+        hi=MAX_TOKEN_LEN,
+        stops=SQL_STOPWORDS,
+    )
+    + ", tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM tokm GROUP BY doc_id, term), "
+    "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs) "
+    "SELECT t.doc_id, t.term, t.tf, d.df, "
+    "CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf "
+    "FROM tf t JOIN df d USING (term) CROSS JOIN n"
+)
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -486,6 +524,7 @@ EXTENSION_QUERIES = {
     "quality_score": (quality_score, SQL_QUALITY),
     "token_count": (token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (doc_fingerprint, SQL_FINGERPRINT),
+    "tfidf": (tfidf_q, SQL_TFIDF),
     "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (window_sliding, SQL_WINDOW_SLIDING),
     "window_session": (window_session, SQL_WINDOW_SESSION),
