@@ -50,22 +50,22 @@ def total_count(docs: DataFrame) -> DataFrame:
     return docs.agg(F.count("*").alias("n_docs"))
 
 
-def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
-    """A1+J1+J2+J3+X4/X5 → (category, term, chi2).
+def chi_square_from_counts(
+    df_tc: DataFrame, df_c: DataFrame, n_docs_df: DataFrame
+) -> DataFrame:
+    """X4/X5 from pre-aggregated counts — df_tc(term, category, df_tc),
+    df_c(category, df_c), n_docs_df one row (n_docs). Used both by the
+    one-shot batch plan and by the incremental streaming plan (where
+    the inputs are merged per-batch partials).
 
-    `docs` must be the same filtered document set `tokens` came from
-    (one row per doc, with a `category` column).
+    J1 is a window sum over term (reuses the counts shuffle), J2/J3 are
+    broadcasts — no single-partition funnel anywhere.
     """
-    df_tc = term_cat_counts(tokens)
-    # J1 as a window sum: partitions are already hashed by (term, cat);
-    # re-partitioning by term alone is the only extra exchange, and AQE
-    # coalesces it. Saves the self-join shuffle (SURVEY.md §2.5 J1).
     df_tc = df_tc.withColumn(
         "df_t", F.sum("df_tc").over(Window.partitionBy("term"))
     )
-    enriched = (
-        df_tc.join(F.broadcast(cat_counts(docs)), "category")
-        .join(F.broadcast(total_count(docs)))
+    enriched = df_tc.join(F.broadcast(df_c), "category").join(
+        F.broadcast(n_docs_df)
     )
     a = F.col("df_tc")
     b = F.col("df_t") - a
@@ -75,4 +75,15 @@ def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
         "category",
         "term",
         chi2_expr(a, b, c, d, F.col("n_docs")).alias("chi2"),
+    )
+
+
+def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
+    """A1+J1+J2+J3+X4/X5 → (category, term, chi2).
+
+    `docs` must be the same filtered document set `tokens` came from
+    (one row per doc, with a `category` column).
+    """
+    return chi_square_from_counts(
+        term_cat_counts(tokens), cat_counts(docs), total_count(docs)
     )

@@ -22,7 +22,7 @@ from ..operators.asof import asof_join
 from ..operators.multimodal import binarize_documents, decode_documents
 from ..sources.readers import scan_parquet
 from ..streaming.windows import tumbling_counts_stream
-from .oracle_common import SQL_DELIM, SQL_STOPWORDS, with_text_ctes
+from .oracle_common import CHI2_CTES, SQL_DELIM, SQL_STOPWORDS, with_text_ctes
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +465,19 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir)
 
 
+def stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental χ²: per-micro-batch partial counts merged via
+    foreachBatch — exact parity with the one-shot batch oracle."""
+    from ..streaming.chisquare_stream import incremental_chi_square
+
+    return incremental_chi_square(spark, sf_dir)
+
+
+SQL_STREAM_CHI = with_text_ctes(CHI2_CTES) + (
+    " SELECT category, term, chi2 FROM chi"
+)
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) run to
     completion; per-user end-of-stream sentinels make it exactly equal
@@ -531,6 +544,7 @@ EXTENSION_QUERIES = {
     "asof_join": (asof_purchase_click, SQL_ASOF),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
     "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),
+    "stream_chi_square": (stream_chi_square, SQL_STREAM_CHI),
     "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

@@ -73,6 +73,32 @@ def ndjson_documents(sf_dir: str) -> str:
     return str(dst)
 
 
+def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
+    """Split documents.parquet row-wise into `parts` files so a file
+    source delivers several micro-batches (maxFilesPerTrigger=1) —
+    the incremental-χ² pipeline's input."""
+    import pyarrow.parquet as pqm
+
+    tag = Path(sf_dir).name
+    d = _CACHE / f"docs_stream_{tag}"
+    done = d / "_FIXTURE_READY"
+    if done.exists():
+        return str(d)
+    _CACHE.mkdir(exist_ok=True)
+    d.mkdir(exist_ok=True)
+    tbl = pqm.read_table(f"{sf_dir}/documents.parquet")
+    step = max(1, -(-tbl.num_rows // parts))
+    for i in range(parts):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows == 0:
+            break
+        tmp = d / f"part{i}.tmp{os.getpid()}"
+        pqm.write_table(chunk, tmp)
+        _atomic_publish(tmp, d / f"part{i}.parquet")
+    done.touch()
+    return str(d)
+
+
 def events_stream_dir(sf_dir: str) -> str:
     """Build <cache>/stream_events_<sf>/ = events.parquet (hardlinked or
     copied) + a sentinel parquet with one event per user at
