@@ -494,6 +494,37 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join: lineitem (big, salted on a deterministic
+    hash) x orders (replicated across salts), aggregated per priority.
+    Result is identical to the plain join — the oracle proves it."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li, od, on="l_orderkey",
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000))
+            / F.lit(10000.0)
+        ).alias("revenue"),
+    )
+
+
+SQL_JOIN_SALTED = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -507,6 +538,7 @@ RELATIONAL_QUERIES = {
     "join_outer": (join_outer, SQL_JOIN_OUTER),
     "join_broadcast_dim": (join_broadcast_dim, SQL_JOIN_BROADCAST),
     "multiway_join": (multiway_join, SQL_MULTIWAY),
+    "join_salted": (join_salted, SQL_JOIN_SALTED),
     "window_rank": (window_rank, SQL_WINDOW_RANK),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),

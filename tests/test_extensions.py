@@ -124,6 +124,27 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out[2] is None  # nothing at or before 09:00
 
 
+def test_salted_join_equals_plain_join_under_skew(spark):
+    from mapreduce_chisquare_spark.operators.skew import salted_join
+
+    # 900 of 1000 rows share one hot key.
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(7, "hot"), (950, "cold")], "k long, v string"
+    )
+    got = sorted(
+        (r.k, r.payload, r.v)
+        for r in salted_join(big, small, on="k", num_salts=8).collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.v) for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == 901
+
+
 def test_text_sink_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("a b c",), ("d e f",)], "value string")
     path = str(tmp_path / "out")
