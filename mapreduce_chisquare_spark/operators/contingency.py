@@ -78,12 +78,26 @@ def chi_square_from_counts(
     )
 
 
+def cat_and_total_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A3+A4 fused: one rollup("category") pass yields both per-category
+    counts and the grand total (SURVEY.md §2.4 A4). The two consumers
+    share one aggregate subplan, so at most one scan of `docs` feeds
+    both (exchange reuse dedupes the stages at runtime)."""
+    rolled = docs.rollup("category").agg(F.count("*").alias("cnt"))
+    df_c = rolled.filter(F.col("category").isNotNull()).select(
+        "category", F.col("cnt").alias("df_c")
+    )
+    n_docs_df = rolled.filter(F.col("category").isNull()).select(
+        F.col("cnt").alias("n_docs")
+    )
+    return df_c, n_docs_df
+
+
 def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
     """A1+J1+J2+J3+X4/X5 → (category, term, chi2).
 
     `docs` must be the same filtered document set `tokens` came from
     (one row per doc, with a `category` column).
     """
-    return chi_square_from_counts(
-        term_cat_counts(tokens), cat_counts(docs), total_count(docs)
-    )
+    df_c, n_docs_df = cat_and_total_counts(docs)
+    return chi_square_from_counts(term_cat_counts(tokens), df_c, n_docs_df)

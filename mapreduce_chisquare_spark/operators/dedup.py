@@ -7,8 +7,11 @@ distribute: exact (hash groupBy), MinHash+LSH (shingle → k min-hashes
 and exact n-gram Jaccard for candidate verification.
 
 Cross-engine determinism: all hashing is md5 (identical in Spark and
-DuckDB); MinHash "values" are md5 hex strings compared as strings, so
-min() agrees everywhere without bigint conversions.
+DuckDB); MinHash values are the first 8 md5 hex digits as a 32-bit
+integer — numeric so Spark keeps the signature aggregate in
+HashAggregate (min over strings is not a fixed-width agg buffer and
+falls back to SortAggregate, adding a full sort of the shingle
+relation), and reproducible in DuckDB via digit arithmetic.
 
 Scale posture: every step is a hash aggregate or an equi-join on a
 bucket key. The LSH bucket join carries a bucket-size guard
@@ -74,13 +77,17 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
     )
 
 
+def _h32(col: Column, seed: int) -> Column:
+    """Seeded 32-bit hash: first 8 hex digits of md5('{seed}:'||x)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
-    """One hash-agg pass: k seeded md5 min-hashes per doc (columns
-    h0..h{k-1}, md5 hex strings)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(k)
-    ]
+    """One hash-agg pass: k seeded 32-bit min-hashes per doc (columns
+    h0..h{k-1}, longs — numeric keeps this in HashAggregate)."""
+    aggs = [F.min(_h32(F.col("shingle"), s)).alias(f"h{s}") for s in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -90,7 +97,9 @@ def lsh_bands(sig: DataFrame, bands: int = NUM_BANDS, k: int = NUM_HASHES) -> Da
     entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            F.concat_ws(
+                "_", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias("key"),
         )
         for b in range(bands)
     ]

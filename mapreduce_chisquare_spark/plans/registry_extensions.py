@@ -66,15 +66,28 @@ _SH_CTES = (
     "FROM docsr, UNNEST(range(1, len(arr) - 1)) AS r(i))"
 )
 
+# 32-bit seeded hash mirrored in SQL: digit-sum of the first 8 md5 hex
+# chars (same construction as the SimHash oracle below).
+def _h32_sql(seed: int) -> str:
+    digit = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5('{seed}:' || shingle), {{i}}, 1)) - 1)"
+    )
+    return " + ".join(
+        digit.format(i=i + 1) + f" * {16 ** (8 - i - 1)}" for i in range(8)
+    )
+
+
 _SIG_COLS = ", ".join(
-    f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(dd.NUM_HASHES)
+    f"min({_h32_sql(s)}) AS h{s}" for s in range(dd.NUM_HASHES)
 )
 _ROWS_PER_BAND = dd.NUM_HASHES // dd.NUM_BANDS
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
         b=b,
-        key=" || ".join(
-            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        key=" || '_' || ".join(
+            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
         ),
     )
     for b in range(dd.NUM_BANDS)

@@ -494,6 +494,70 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: lineitem quantity summed per returnflag, pivoted on
+    linestatus (explicit value list so the plan is a single pass —
+    unlisted pivots need an extra distinct scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_cents("l_quantity")))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("qty_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("qty_o"),
+        )
+    )
+
+
+SQL_AGG_PIVOT = """
+SELECT l_returnflag,
+  CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT) AS qty_f,
+  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (grouping-sets family, superset of agg_rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-16 sample: filter on a content hash, not
+    TABLESAMPLE (whose rows differ per engine/partitioning). This is
+    the reproducible-sampling pattern for 100 TB pipelines — stable
+    under re-partitioning, resumable, and oracle-comparable."""
+    od = _t(spark, sf_dir, "orders")
+    return od.filter(
+        F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
+    ).select("o_orderkey", "o_totalprice")
+
+
+SQL_SAMPLE_HASH = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"
+)
+
+
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join: lineitem (big, salted on a deterministic
     hash) x orders (replicated across salts), aggregated per priority.
@@ -539,6 +603,9 @@ RELATIONAL_QUERIES = {
     "join_broadcast_dim": (join_broadcast_dim, SQL_JOIN_BROADCAST),
     "multiway_join": (multiway_join, SQL_MULTIWAY),
     "join_salted": (join_salted, SQL_JOIN_SALTED),
+    "agg_pivot": (agg_pivot, SQL_AGG_PIVOT),
+    "agg_cube": (agg_cube, SQL_AGG_CUBE),
+    "sample_hash": (sample_hash, SQL_SAMPLE_HASH),
     "window_rank": (window_rank, SQL_WINDOW_RANK),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),

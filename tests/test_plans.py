@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the scale properties SCALE.md
+claims (pushdown, broadcasts, exchange reuse, no Python on the hot
+path) asserted against .explain output so they can't silently regress.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_chisquare_spark.plans.registry import REGISTRY
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+@pytest.fixture(scope="module")
+def flagship_plan(spark, sf_dir):
+    return plan_text(REGISTRY["topk_per_group"][0](spark, sf_dir))
+
+
+def test_flagship_scan_prunes_and_pushes_down(flagship_plan):
+    assert "PushedFilters: [IsNotNull(text)" in flagship_plan
+    assert "ReadSchema: struct<text:string,lang:string>" in flagship_plan
+
+
+def test_flagship_broadcasts_category_dim(flagship_plan):
+    assert "BroadcastHashJoin" in flagship_plan
+
+
+def test_flagship_topk_uses_window_group_limit(flagship_plan):
+    # Spark >= 3.5 prunes each partition to the top-k before the final
+    # exchange; shuffled volume is O(categories x 75), not O(vocab).
+    assert "WindowGroupLimit" in flagship_plan
+
+
+def test_flagship_has_no_python_eval(flagship_plan):
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in flagship_plan
+
+
+def test_flagship_shuffle_budget(spark, sf_dir, flagship_plan):
+    # 3 main-lineage data exchanges ((term,category) agg, term window,
+    # category window) + 2 tiny rollup exchanges feeding the broadcast
+    # dims. More means the window-sum J1 rewrite regressed into a
+    # self-join or an extra shuffle crept in.
+    import re
+
+    data_exchanges = len(re.findall(r"\(\d+\) Exchange", flagship_plan))
+    assert data_exchanges <= 5, flagship_plan
+
+
+def test_flagship_aggs_stay_hash_based(flagship_plan):
+    # SortAggregate means an agg fell out of the fixed-width-buffer
+    # fast path and sorts its whole input.
+    assert "SortAggregate" not in flagship_plan
+
+
+def test_minhash_signature_agg_is_hash_based(spark, sf_dir):
+    p = plan_text(REGISTRY["dedup_minhash_lsh"][0](spark, sf_dir))
+    # min over numeric hashes keeps the 16-way signature aggregate in
+    # HashAggregate; min over md5 strings regresses to SortAggregate,
+    # adding a full sort of the shingle relation.
+    assert "SortAggregate" not in p
+
+
+def test_minhash_reuses_bucket_stage_at_runtime(spark, sf_dir):
+    df = REGISTRY["dedup_minhash_lsh"][0](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # AQE must dedupe the identical shingle->signature->bands stages
+    # between the bucket-size guard and the pair self-join.
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed
+
+
+def test_anti_join_is_broadcast(spark, sf_dir):
+    p = plan_text(REGISTRY["anti_join_stopwords"][0](spark, sf_dir))
+    assert "LeftAnti" in p and "Broadcast" in p
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    p = plan_text(REGISTRY["q5_supplier_revenue"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_simsearch_is_jvm_only(spark, sf_dir):
+    p = plan_text(REGISTRY["simsearch_topk"][0](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in p
+
+
+def test_global_topn_avoids_full_sort(spark, sf_dir):
+    p = plan_text(REGISTRY["top_n_global"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
