@@ -38,9 +38,17 @@ HEADLINE = [
     "window_rank",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "simsearch_topk",
+    "simsearch_lsh_topk",
     "quality_score",
+    "lang_id",
+    "tfidf",
     "window_tumbling",
+    "window_session",
+    "asof_join",
+    "agg_cube",
+    "join_salted",
 ]
 
 WARMUP = 1
