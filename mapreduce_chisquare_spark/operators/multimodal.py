@@ -85,3 +85,49 @@ def decode_documents(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         fake_decode_batch, DECODED_SCHEMA
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample_batch(batches):
+    """1-to-N frame sampling: each payload expands to n_frames rows
+    (n = 1 + doc_id % 8, matching the fake decoder). Real pipelines
+    would seek keyframes here; the fan-out/batch mechanics are what
+    must scale. Vectorized expansion via index-repeat; only the frame
+    hash is per-row (it stands in for the per-frame pixel work)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n = (1 + pdf["doc_id"] % 8).astype("int64")
+        rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+        idx = rep.groupby("doc_id").cumcount().astype("int64")
+        digests = [
+            hashlib.md5(p + b":" + str(i).encode()).hexdigest()
+            for p, i in zip(rep["payload"], idx)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": rep["doc_id"],
+                "frame_idx": idx,
+                "frame_md5": digests,
+            }
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas fan-out: (doc_id, frame_idx, frame_md5), one row per
+    sampled frame."""
+    return media.select("doc_id", "payload").mapInPandas(
+        frame_sample_batch, FRAMES_SCHEMA
+    )

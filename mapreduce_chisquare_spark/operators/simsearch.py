@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +68,40 @@ def cosine_topk(
             "query_id",
             "vec_id",
             cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """cosine_topk with the score computed by an Arrow-vectorized
+    pandas_udf (numpy batch math) instead of Catalyst expressions —
+    the idiomatic escape hatch when per-element array expressions
+    aren't enough (SURVEY.md §2.8). Same result relation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cos_batch(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
     )
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)

@@ -19,7 +19,11 @@ from ..operators import dedup as dd
 from ..operators import simsearch as ss
 from ..operators import textstats as tx
 from ..operators.asof import asof_join
-from ..operators.multimodal import binarize_documents, decode_documents
+from ..operators.multimodal import (
+    binarize_documents,
+    decode_documents,
+    sample_frames,
+)
 from ..sources.readers import scan_parquet
 from ..streaming.windows import tumbling_counts_stream
 from .oracle_common import CHI2_CTES, SQL_DELIM, SQL_STOPWORDS, with_text_ctes
@@ -537,12 +541,31 @@ FROM documents
 """
 
 
+def simsearch_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf (Arrow/numpy) variant of brute-force cosine
+    top-k; same oracle as the Catalyst-expression version."""
+    return ss.cosine_topk_pandas(_emb(spark, sf_dir))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(binarize_documents(_docs(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+       md5(text || ':' || CAST(u.i AS VARCHAR)) AS frame_md5
+FROM documents, UNNEST(range(0, 1 + doc_id % 8)) AS u(i)
+"""
+
+
 EXTENSION_QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "simsearch_topk": (simsearch_topk, SQL_SIMSEARCH_TOPK),
+    "simsearch_topk_pandas": (simsearch_topk_pandas, SQL_SIMSEARCH_TOPK),
+    "multimodal_frames": (multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "embed_neardup": (embed_neardup, SQL_EMBED_NEARDUP),
     "simsearch_lsh": (simsearch_lsh, SQL_SIMSEARCH_LSH),
     "simsearch_lsh_topk": (simsearch_lsh_topk, SQL_SIMSEARCH_LSH_TOPK),
