@@ -141,6 +141,68 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+def neardup_components(
+    docs: DataFrame, text_col: str = "text", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph:
+    (doc_id, component_id) with component_id = min doc_id reachable.
+    The survivor rule for near-dup groups (keep component_id, drop the
+    rest).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own and its neighbours' labels; converges in graph-
+    diameter rounds (near-dup components are tiny, so a handful).
+    Lineage is truncated per round (localCheckpoint — a reliable
+    checkpoint dir on a real cluster), the classic Spark pattern for
+    iterative algorithms; the driver only sees one scalar per round.
+    """
+    pairs = minhash_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("min_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("min_nl", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     (doc_a, doc_b, jaccard). Intersection via a doc-keyed join, union

@@ -136,6 +136,61 @@ def cosine_neardup_pairs(
     )
 
 
+N_CENTROIDS = 4
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, centroid_id). Centroids are the
+    first n_centroids vectors (deterministic stand-in for a k-means
+    fit — the assignment/probe mechanics are what must scale);
+    assignment = argmax cosine, ties to the lowest centroid id.
+
+    Shape: corpus x tiny-broadcast join + per-vector argmax window —
+    one scan, no shuffle of the corpus beyond the window's partition
+    locality (vec_id partitioning)."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
+    )
+    return (
+        topk_per_group(scored, "vec_id", "cos", "centroid_id", 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """ANN via IVF: probe only the query's own cluster (nprobe=1), then
+    exact cosine within it. Complements LSH: clusters adapt to data
+    density, buckets don't."""
+    asg = ivf_assign(emb, n_centroids)
+    with_c = emb.join(asg, "vec_id")
+    q = with_c.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    scored = (
+        with_c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+
+
 def hyperplane_bucket(emb_col: Column) -> Column:
     """LSH bucket id: sign bits of NUM_PLANES fixed hyperplane dots."""
     bucket = F.lit(0).cast("long")

@@ -119,6 +119,23 @@ SQL_DEDUP_MINHASH = (
 )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the near-dup pair graph;
+    oracle = transitive closure via recursive CTE."""
+    return dd.neardup_components(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE " + _PAIR_CTES + ", "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+    "SELECT src AS doc_id, least(src, min(dst)) AS component_id "
+    "FROM reach GROUP BY src"
+)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dd.ngram_jaccard(docs, dd.minhash_candidate_pairs(docs))
@@ -541,6 +558,48 @@ FROM documents
 """
 
 
+_IVF_ASG_CTES = (
+    f"cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+    f"FROM embeddings WHERE vec_id < {ss.N_CENTROIDS}), "
+    f"sc AS (SELECT e.vec_id, c.centroid_id, "
+    f"{_cos_sql('e.embedding', 'c.c_emb')} AS cos "
+    "FROM embeddings e CROSS JOIN cents c), "
+    "asg AS (SELECT vec_id, centroid_id FROM ("
+    "SELECT vec_id, centroid_id, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn FROM sc"
+    ") WHERE rn = 1)"
+)
+
+
+def simsearch_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.ivf_assign(_emb(spark, sf_dir))
+
+
+SQL_IVF_ASSIGN = (
+    "WITH " + _IVF_ASG_CTES + " SELECT vec_id, centroid_id FROM asg"
+)
+
+
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.ivf_topk(_emb(spark, sf_dir))
+
+
+SQL_IVF_TOPK = (
+    "WITH " + _IVF_ASG_CTES + ", "
+    "wc AS (SELECT e.vec_id, e.embedding, a.centroid_id "
+    "FROM embeddings e JOIN asg a USING (vec_id)), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id "
+    "FROM wc WHERE vec_id < 8), "
+    f"scored AS (SELECT q.query_id, e.vec_id, "
+    f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
+    "FROM wc e JOIN q USING (centroid_id) WHERE e.vec_id <> q.query_id), "
+    "r AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank "
+    "FROM scored) "
+    "SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"
+)
+
+
 def simsearch_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pandas_udf (Arrow/numpy) variant of brute-force cosine
     top-k; same oracle as the Catalyst-expression version."""
@@ -562,6 +621,7 @@ EXTENSION_QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_components": (dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "simsearch_topk": (simsearch_topk, SQL_SIMSEARCH_TOPK),
     "simsearch_topk_pandas": (simsearch_topk_pandas, SQL_SIMSEARCH_TOPK),
@@ -569,6 +629,8 @@ EXTENSION_QUERIES = {
     "embed_neardup": (embed_neardup, SQL_EMBED_NEARDUP),
     "simsearch_lsh": (simsearch_lsh, SQL_SIMSEARCH_LSH),
     "simsearch_lsh_topk": (simsearch_lsh_topk, SQL_SIMSEARCH_LSH_TOPK),
+    "simsearch_ivf_assign": (simsearch_ivf_assign, SQL_IVF_ASSIGN),
+    "simsearch_ivf_topk": (simsearch_ivf_topk, SQL_IVF_TOPK),
     "lang_id": (lang_id, SQL_LANG_ID),
     "quality_score": (quality_score, SQL_QUALITY),
     "token_count": (token_count, SQL_TOKEN_COUNT),

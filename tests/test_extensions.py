@@ -50,6 +50,29 @@ def test_minhash_finds_neardups_not_unrelated(planted_docs):
     # if present it must carry fewer or equal bands than the exact pair.
 
 
+def test_neardup_components_planted(spark):
+    # Chain 0~1~2 (exact dup + near dup) must collapse into one
+    # component labelled by the min doc_id.
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("village", "hamlet")),
+        (3, "completely unrelated text about query engines and "
+            "distributed execution at massive scale in the cloud"),
+        (4, "completely unrelated text about query engines and "
+            "distributed execution at massive scale in the cloud"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {
+        r.doc_id: r.component_id
+        for r in dd.neardup_components(docs).collect()
+    }
+    assert comp[0] == 0 and comp[1] == 0
+    assert comp.get(2, 0) == 0  # near-dup may or may not pair; if it
+    # did, it must join component 0 (never 3/4's)
+    assert comp[3] == 3 and comp[4] == 3
+
+
 def test_jaccard_exact_values(planted_docs):
     pairs = dd.minhash_candidate_pairs(planted_docs)
     j = {
