@@ -1,0 +1,85 @@
+"""Storage-layout scale techniques: bucketed co-located joins and
+partition-pruned scans — the on-disk side of the SCALE.md posture,
+asserted against real written tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_chisquare_spark.sources.readers import scan_parquet
+from tests.test_plans import plan_text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return str(tmp_path_factory.mktemp("wh"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    """Pre-bucketing both sides on the join key makes the join
+    exchange-free — the co-located-join pattern for repeated joins of
+    100 TB facts. (8 buckets here; thousands on a real cluster.)"""
+    li = scan_parquet(spark, SF, "lineitem")
+    od = scan_parquet(spark, SF, "orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", f"{warehouse}/li_b"
+    ).mode("overwrite").saveAsTable("li_b")
+    od.withColumn("o_key", F.col("o_orderkey")).write.bucketBy(
+        8, "o_key"
+    ).sortBy("o_key").option("path", f"{warehouse}/od_b").mode(
+        "overwrite"
+    ).saveAsTable("od_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would auto-broadcast; force the shuffle-vs-
+        # bucket decision that a 100 TB fact-fact join actually faces.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("li_b")
+            .join(
+                spark.table("od_b"),
+                F.col("l_orderkey") == F.col("o_key"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        p = plan_text(j)
+        # the join itself must not exchange either bucketed side;
+        # the only exchange allowed is the final tiny groupBy.
+        join_part = p.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in join_part, p
+        # cross-check the result against the plain (shuffling) join
+        plain = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, warehouse):
+    """Writing facts partitioned by a coarse time/key column lets the
+    scan skip whole directories: PartitionFilters, zero rows read from
+    other partitions."""
+    ev = scan_parquet(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = f"{warehouse}/ev_part"
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    one = sorted(days)[0]
+    rd = spark.read.parquet(path).filter(F.col("day") == F.lit(one))
+    p = plan_text(rd)
+    assert "PartitionFilters" in p and "isnotnull(day" in p
+    assert rd.count() == ev.filter(F.col("day") == F.lit(one)).count()
