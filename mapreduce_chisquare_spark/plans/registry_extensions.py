@@ -271,6 +271,67 @@ SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
 # Text analysis
 # =========================================================================
 
+def array_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the embedding column: size, element
+    access, explicit element arithmetic (kept engine-portable: no
+    engine-specific list aggregates)."""
+    e = F.col("embedding")
+    el = lambda i: F.element_at(e, i).cast("double")  # noqa: E731
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        el(1).alias("e1"),
+        (el(1) + el(2) + el(3) + el(4)).alias("sum4"),
+        F.sqrt(
+            el(1) * el(1) + el(2) * el(2) + el(3) * el(3) + el(4) * el(4)
+        ).alias("norm4"),
+    )
+
+
+SQL_ARRAY_SCALARS = """
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS e1,
+  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+    + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS sum4,
+  sqrt(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+    + CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)
+    + CAST(embedding[3] AS DOUBLE) * CAST(embedding[3] AS DOUBLE)
+    + CAST(embedding[4] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)) AS norm4
+FROM embeddings
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per event_type, sum of the last 600
+    seconds of value-cents at each event (RANGE, not ROWS — frame
+    bounds are value-based, deterministic under any row order)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "event_type", F.sum("cents").over(w).alias("sum_600s")
+    )
+
+
+SQL_WINDOW_RANGE = """
+SELECT event_id, event_type,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY event_type ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_600s
+FROM events
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(_docs(spark, sf_dir))
 
@@ -639,6 +700,8 @@ EXTENSION_QUERIES = {
     "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
     "window_sliding": (window_sliding, SQL_WINDOW_SLIDING),
     "window_session": (window_session, SQL_WINDOW_SESSION),
+    "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
+    "array_scalars": (array_scalars, SQL_ARRAY_SCALARS),
     "asof_join": (asof_purchase_click, SQL_ASOF),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
     "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),

@@ -30,16 +30,22 @@ _RAW_EVENTS = T.StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet (ns→µs ts like the
-    batch reader)."""
-    raw = (
+    batch reader). `options` go to the source (e.g. maxFilesPerTrigger
+    to split the backlog into several micro-batches)."""
+    reader = (
         spark.readStream.schema(_RAW_EVENTS)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(sf_dir)
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

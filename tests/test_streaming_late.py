@@ -1,0 +1,85 @@
+"""Watermark semantics: rows arriving after the watermark has passed
+their window are dropped, and append-mode windows only emit once
+finalized — asserted on a hand-built two-batch stream.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mapreduce_chisquare_spark.streaming.windows import read_events_stream
+
+BASE = 1_700_000_400  # epoch seconds, 600s-aligned so windows line up
+
+
+def _events_file(path, rows, mtime):
+    """rows: list of (event_id, offset_sec); mtime orders the batches
+    (the file source processes oldest-modified first)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [(BASE + r[1]) * 1_000_000_000 for r in rows], pa.int64()
+                ),
+                "user_id": pa.array([10] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row for a window that was finalized in an earlier batch must
+    be dropped (numRowsDroppedByWatermark), not resurrect the window.
+    (A late row landing in the same batch where the watermark first
+    passes its window still merges — eviction happens at batch end —
+    so the late file must arrive one batch after finalization.)"""
+    d = str(tmp_path)
+    # batch 0: window [0,600) gets one event; max ts 1300 pushes the
+    # post-batch watermark to 700, past the window end.
+    _events_file(f"{d}/a.parquet", [(1, 0), (2, 1300)], 1_000_000)
+    # batch 1: fresh event; at batch end window [0,600) is emitted and
+    # its state evicted.
+    _events_file(f"{d}/b.parquet", [(4, 1400)], 2_000_000)
+    # batch 2: a LATE event for the closed window [0,600) — dropped.
+    _events_file(f"{d}/c.parquet", [(3, 300)], 3_000_000)
+
+    ev = read_events_stream(
+        spark, d, glob="*.parquet", options={"maxFilesPerTrigger": "1"}
+    ).withWatermark("ts", "600 seconds")
+    agg = (
+        ev.groupBy(F.window("ts", "600 seconds"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"), "n"
+        )
+    )
+    name = "late_test_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.win_start - BASE, r.n) for r in spark.table(name).collect()}
+    # window [0,600) finalized with count 1 — the late event_id=3 was
+    # dropped (count 2 = watermark failed to discard late data).
+    assert got == {(0, 1)}
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped == 1
