@@ -77,18 +77,45 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
     )
 
 
-def _h32(col: Column, seed: int) -> Column:
-    """Seeded 32-bit hash: first 8 hex digits of md5('{seed}:'||x)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
-    ).cast("long")
+# Universal-hash constants: h_s(x) = (A_s * base32(x) + B_s) mod 2^31,
+# derived deterministically so the oracle embeds identical literals.
+# base32 < 2^32 and A_s < 2^31 keep every product < 2^63 — exact in
+# 64-bit integers on BOTH engines (DuckDB raises on overflow).
+_MOD = 2**31
+
+
+def _hash_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for s in range(k):
+        ha = int(hashlib.md5(f"A:{s}".encode()).hexdigest()[:8], 16)
+        hb = int(hashlib.md5(f"B:{s}".encode()).hexdigest()[:8], 16)
+        out.append((ha % (_MOD - 1) + 1, hb % _MOD))
+    return out
+
+
+HASH_PARAMS = _hash_params(NUM_HASHES)
 
 
 def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
-    """One hash-agg pass: k seeded 32-bit min-hashes per doc (columns
-    h0..h{k-1}, longs — numeric keeps this in HashAggregate)."""
-    aggs = [F.min(_h32(F.col("shingle"), s)).alias(f"h{s}") for s in range(k)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """One hash-agg pass: k 32-bit min-hashes per doc (columns
+    h0..h{k-1}, longs — numeric keeps this in HashAggregate).
+
+    ONE md5 per shingle; the k values come from a multiply-mod
+    universal-hash family over the md5's first 8 hex digits — 16× less
+    hashing than seeded md5 per hash function, same LSH behaviour."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    withb = sh.select("doc_id", base.alias("__b"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__b") + F.lit(b)) % F.lit(_MOD)).alias(
+            f"h{s}"
+        )
+        for s, (a, b) in enumerate(HASH_PARAMS[:k])
+    ]
+    return withb.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, bands: int = NUM_BANDS, k: int = NUM_HASHES) -> DataFrame:

@@ -70,20 +70,21 @@ _SH_CTES = (
     "FROM docsr, UNNEST(range(1, len(arr) - 1)) AS r(i))"
 )
 
-# 32-bit seeded hash mirrored in SQL: digit-sum of the first 8 md5 hex
-# chars (same construction as the SimHash oracle below).
-def _h32_sql(seed: int) -> str:
-    digit = (
-        "(strpos('0123456789abcdef', "
-        f"substr(md5('{seed}:' || shingle), {{i}}, 1)) - 1)"
+# Mirror of operators/dedup.py minhash_signatures: base32 = digit-sum
+# of the first 8 md5 hex chars (same construction as the SimHash
+# oracle below), then the (A*base+B) mod 2^31 universal-hash family
+# with the SAME constants.
+_BASE32_SQL = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1)".format(
+        i=i + 1
     )
-    return " + ".join(
-        digit.format(i=i + 1) + f" * {16 ** (8 - i - 1)}" for i in range(8)
-    )
-
+    + f" * {16 ** (8 - i - 1)}"
+    for i in range(8)
+)
 
 _SIG_COLS = ", ".join(
-    f"min({_h32_sql(s)}) AS h{s}" for s in range(dd.NUM_HASHES)
+    f"min(({a} * b32 + {b}) % {dd._MOD}) AS h{s}"
+    for s, (a, b) in enumerate(dd.HASH_PARAMS)
 )
 _ROWS_PER_BAND = dd.NUM_HASHES // dd.NUM_BANDS
 _BAND_SELECTS = " UNION ALL ".join(
@@ -98,7 +99,8 @@ _BAND_SELECTS = " UNION ALL ".join(
 )
 _PAIR_CTES = (
     _SH_CTES + ", "
-    f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id), "
+    f"shb AS (SELECT doc_id, ({_BASE32_SQL}) AS b32 FROM sh), "
+    f"sig AS (SELECT doc_id, {_SIG_COLS} FROM shb GROUP BY doc_id), "
     f"bands AS ({_BAND_SELECTS}), "
     "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
     f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
