@@ -570,6 +570,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = salted_join(
         li, od, on="l_orderkey",
+        num_salts=8,
         salt_cols=["l_orderkey", "l_linenumber"],
     )
     return j.groupBy("o_orderpriority").agg(
@@ -589,11 +590,59 @@ GROUP BY o_orderpriority
 """
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group. avg/stddev are computed from
+    exact integer moments (sum of cents, sum of squared cents) with
+    identical double arithmetic on both sides — engine-native stddev
+    implementations (Welford vs two-pass) differ in late bits and
+    break hash comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = _cents("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.min(c).alias("min_c"),
+        F.max(c).alias("max_c"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        (mean / 100.0).alias("avg_qty"),
+        (F.sqrt(var) / 100.0).alias("stddev_qty"),
+        (F.col("min_c").cast("double") / 100.0).alias("min_qty"),
+        (F.col("max_c").cast("double") / 100.0).alias("max_qty"),
+    )
+
+
+SQL_AGG_STATS = """
+WITH g AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s2,
+    min(CAST(round(l_quantity * 100) AS BIGINT)) AS min_c,
+    max(CAST(round(l_quantity * 100) AS BIGINT)) AS max_c
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS avg_qty,
+  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS stddev_qty,
+  CAST(min_c AS DOUBLE) / 100.0 AS min_qty,
+  CAST(max_c AS DOUBLE) / 100.0 AS max_qty
+FROM g
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_supplier_revenue": (q5_supplier_revenue, SQL_Q5),
     "agg_rollup": (agg_rollup, SQL_ROLLUP),
+    "agg_stats": (agg_stats, SQL_AGG_STATS),
     "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),
     "having_filter": (having_filter, SQL_HAVING),
     "case_when_bucket": (case_when_bucket, SQL_CASE_WHEN),
