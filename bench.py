@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "tfidf",
+    "pipeline_curation",
     "window_tumbling",
     "window_session",
     "asof_join",

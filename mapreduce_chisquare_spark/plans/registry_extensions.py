@@ -680,6 +680,60 @@ FROM documents, UNNEST(range(0, 1 + doc_id % 8)) AS u(i)
 """
 
 
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, operators composed in ONE
+    DataFrame plan: quality gate (token count + stop ratio) → exact
+    dedup (keep min doc_id per content hash) → deterministic 50%
+    content-hash sample. The shape every 100 TB corpus pass takes:
+    map-side metrics feed a filter, one shuffle for the dedup, no
+    driver round-trips between stages."""
+    q = tx.quality_score(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).join(
+        q.filter(
+            (F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.lit("8")
+    )
+    return sampled.select("doc_id", "lang", F.length("text").alias("n_chars"))
+
+
+SQL_PIPELINE_CURATION = """
+WITH q AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+    CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) > 0
+      THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                x -> list_contains({stops}, x))) AS DOUBLE)
+         / CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE)
+      ELSE 0.0 END AS stop_ratio
+  FROM documents),
+kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id)
+  WHERE q.n_tokens >= 5 AND q.stop_ratio <= 0.6),
+dedup AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept d) WHERE rn = 1)
+SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS n_chars
+FROM dedup
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+"""
+
+SQL_PIPELINE_CURATION = SQL_PIPELINE_CURATION.format(stops=_STOP_LIST)
+
+
 EXTENSION_QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
@@ -708,6 +762,7 @@ EXTENSION_QUERIES = {
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
     "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),
     "stream_chi_square": (stream_chi_square, SQL_STREAM_CHI),
+    "pipeline_curation": (pipeline_curation, SQL_PIPELINE_CURATION),
     "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
 }
