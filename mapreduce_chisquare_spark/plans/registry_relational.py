@@ -637,6 +637,23 @@ FROM g
 """
 
 
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point, exercised end to end: a correlated
+    scalar subquery (orders above their customer's average), written as
+    the SAME SQL text both engines run — Catalyst decorrelates it into
+    an aggregate + join under the hood."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_CORRELATED)
+
+
+SQL_CORRELATED = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -664,4 +681,5 @@ RELATIONAL_QUERIES = {
     "date_scalars": (date_scalars, SQL_DATE_SCALARS),
     "string_scalars": (string_scalars, SQL_STRING_SCALARS),
     "top_n_global": (top_n_global, SQL_TOP_N),
+    "sql_correlated_subquery": (sql_correlated_subquery, SQL_CORRELATED),
 }

@@ -121,6 +121,45 @@ SQL_JSON_EXTRACT = (
 )
 
 
+def q_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 with ordinality: posexplode keeps each term's position in
+    the document — the building block for phrase/ngram features."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), DELIM_REGEX)).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+
+
+SQL_TOKENIZE_POSITIONS = (
+    "WITH docs AS (SELECT doc_id, "
+    f"regexp_split_to_array(lower(text), '{SQL_DELIM}') AS arr FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '') "
+    "SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, arr[CAST(r.i AS INTEGER)] AS term "
+    "FROM docs, UNNEST(range(1, len(arr) + 1)) AS r(i) "
+    "WHERE arr[CAST(r.i AS INTEGER)] <> ''"
+)
+
+
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: first number in the text + digit count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("long").alias("n_digits"),
+    )
+
+
+SQL_REGEXP_EXTRACT = (
+    "SELECT doc_id, "
+    "coalesce(regexp_extract(lower(text), '([0-9]+)', 1), '') AS first_num, "
+    "CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS BIGINT) AS n_digits "
+    "FROM documents "
+    "WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> ''"
+)
+
+
 def q_nonempty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: doc ids surviving the null/empty text+category filter."""
     return _docs(spark, sf_dir).select("doc_id", "category")
@@ -359,6 +398,8 @@ TEXT_QUERIES = {
     "nonempty_filter": (q_nonempty_filter, SQL_NONEMPTY_FILTER),
     "casefold": (q_casefold, SQL_CASEFOLD),
     "tokenize": (q_tokenize, SQL_TOKENIZE),
+    "tokenize_positions": (q_tokenize_positions, SQL_TOKENIZE_POSITIONS),
+    "regexp_extract": (q_regexp_extract, SQL_REGEXP_EXTRACT),
     "stopword_filter": (q_stopword_filter, SQL_STOPWORD_FILTER),
     "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
     "dedup_terms": (q_dedup_terms, SQL_DEDUP_TERMS),
