@@ -391,6 +391,21 @@ SQL_MERGED_DICT = with_text_ctes(TOPK_CTES) + (
 )
 
 
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end to end: write the report with the value-only text sink,
+    read the files back, return the lines — oracle parity proves the
+    sink preserves content byte-for-byte."""
+    import uuid
+    from pathlib import Path
+
+    from ..sources.fixtures import _CACHE
+    from ..sources.sinks import write_text
+
+    out = str(Path(_CACHE) / ("sink_" + uuid.uuid4().hex[:8]))
+    write_text(q_format_report(spark, sf_dir), out)
+    return spark.read.text(out).select(F.col("value").alias("line"))
+
+
 TEXT_QUERIES = {
     "project": (q_project, SQL_PROJECT),
     "scan_json": (q_scan_json, SQL_SCAN_JSON),
@@ -413,5 +428,6 @@ TEXT_QUERIES = {
     "chi_square": (q_chi_square, SQL_CHI_SQUARE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "format_report": (q_format_report, SQL_FORMAT_REPORT),
+    "sink_roundtrip": (q_sink_roundtrip, SQL_FORMAT_REPORT),
     "merged_dict": (q_merged_dict, SQL_MERGED_DICT),
 }
