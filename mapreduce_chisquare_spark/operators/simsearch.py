@@ -191,6 +191,21 @@ def ivf_topk(
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
 
 
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: each float
+    maps to round(x·127) clamped to [-127, 127]. 4× smaller vectors
+    for the ANN index; dequantize is x/127. Pure array transform —
+    map-side only, no shuffle."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") * 127).cast("int")),
+        ),
+    )
+    return emb.select("vec_id", q.alias("q_embedding"))
+
+
 def hyperplane_bucket(emb_col: Column) -> Column:
     """LSH bucket id: sign bits of NUM_PLANES fixed hyperplane dots."""
     bucket = F.lit(0).cast("long")

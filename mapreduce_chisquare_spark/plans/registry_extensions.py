@@ -663,6 +663,19 @@ SQL_IVF_TOPK = (
 )
 
 
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.quantize_int8(_emb(spark, sf_dir))
+
+
+SQL_EMBED_QUANTIZE = """
+SELECT vec_id,
+  list_transform(embedding,
+    x -> CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) * 127))) AS INTEGER)
+  ) AS q_embedding
+FROM embeddings
+"""
+
+
 def simsearch_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pandas_udf (Arrow/numpy) variant of brute-force cosine
     top-k; same oracle as the Catalyst-expression version."""
@@ -744,6 +757,7 @@ EXTENSION_QUERIES = {
     "simsearch_topk_pandas": (simsearch_topk_pandas, SQL_SIMSEARCH_TOPK),
     "multimodal_frames": (multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "embed_neardup": (embed_neardup, SQL_EMBED_NEARDUP),
+    "embed_quantize": (embed_quantize, SQL_EMBED_QUANTIZE),
     "simsearch_lsh": (simsearch_lsh, SQL_SIMSEARCH_LSH),
     "simsearch_lsh_topk": (simsearch_lsh_topk, SQL_SIMSEARCH_LSH_TOPK),
     "simsearch_ivf_assign": (simsearch_ivf_assign, SQL_IVF_ASSIGN),
