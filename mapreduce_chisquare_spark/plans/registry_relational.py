@@ -654,12 +654,33 @@ WHERE o_totalprice > 2 * (
 """
 
 
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group over
+    integer cents — both engines use linear interpolation on sorted
+    values, exact for integer inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = _cents("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(c, F.lit(0.5)) / 100.0).alias("p50_qty"),
+        (F.percentile(c, F.lit(0.9)) / 100.0).alias("p90_qty"),
+    )
+
+
+SQL_AGG_PERCENTILE = """
+SELECT l_returnflag,
+  quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100.0 AS p50_qty,
+  quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.9) / 100.0 AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_supplier_revenue": (q5_supplier_revenue, SQL_Q5),
     "agg_rollup": (agg_rollup, SQL_ROLLUP),
     "agg_stats": (agg_stats, SQL_AGG_STATS),
+    "agg_percentile": (agg_percentile, SQL_AGG_PERCENTILE),
     "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),
     "having_filter": (having_filter, SQL_HAVING),
     "case_when_bucket": (case_when_bucket, SQL_CASE_WHEN),
