@@ -558,6 +558,56 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as an equi-join: clicks landing in the 10-minute
+    window before each purchase, counted per purchase. The bucketed
+    rewrite (operators/rangejoin.py) keeps the plan a shuffled
+    equi-join — a naive BETWEEN join would be a nested-loop product."""
+    from ..operators.rangejoin import interval_point_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("end_us")
+    )
+    intervals = purchases.withColumn(
+        "start_us", F.col("end_us") - F.lit(600_000_000)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    matched = interval_point_join(
+        intervals, clicks, "user_id", "start_us", "end_us", "c_us",
+        bucket_width_us=600_000_000,
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_10m")
+    )
+    return (
+        purchases.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks_10m"), F.lit(0).cast("long")).alias(
+                "n_clicks_10m"
+            ),
+        )
+    )
+
+
+SQL_JOIN_RANGE = """
+SELECT p.event_id, p.user_id, CAST(count(c.c_us) AS BIGINT) AS n_clicks_10m
+FROM (SELECT event_id, user_id, epoch_us(ts) AS end_us FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.c_us >= p.end_us - 600000000
+ AND c.c_us <= p.end_us
+GROUP BY p.event_id, p.user_id
+"""
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir)
 
@@ -773,6 +823,7 @@ EXTENSION_QUERIES = {
     "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
     "array_scalars": (array_scalars, SQL_ARRAY_SCALARS),
     "asof_join": (asof_purchase_click, SQL_ASOF),
+    "join_range": (join_range, SQL_JOIN_RANGE),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
     "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),
     "stream_chi_square": (stream_chi_square, SQL_STREAM_CHI),

@@ -674,11 +674,70 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form that rollup/cube specialize.
+    One pass expands each input row into its grouping-set combinations
+    before the hash aggregate (Catalyst's Expand node), so it stays a
+    single shuffle regardless of how many sets are requested. Same SQL
+    text runs on both engines; grouping() disambiguates aggregated-out
+    NULLs from data NULLs."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly min(50, |stratum|) documents per
+    language, chosen by a content-hash order so the pick is stable
+    under re-partitioning and engine choice. This is the
+    class-balancing primitive for training-data curation — the
+    hash-ordered row_number costs one shuffle on the stratum key.
+    At 100 TB scale with few strata, the per-stratum window sort is
+    the bottleneck; the fix is the two-phase variant (hash-threshold
+    prefilter to ~2x the quota per stratum, then exact rank), which
+    keeps this exact semantics while sorting only the survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 50
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_supplier_revenue": (q5_supplier_revenue, SQL_Q5),
     "agg_rollup": (agg_rollup, SQL_ROLLUP),
+    "agg_grouping_sets": (agg_grouping_sets, SQL_GROUPING_SETS),
+    "sample_stratified": (sample_stratified, SQL_SAMPLE_STRATIFIED),
     "agg_stats": (agg_stats, SQL_AGG_STATS),
     "agg_percentile": (agg_percentile, SQL_AGG_PERCENTILE),
     "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),

@@ -94,3 +94,21 @@ def test_simsearch_is_jvm_only(spark, sf_dir):
 def test_global_topn_avoids_full_sort(spark, sf_dir):
     p = plan_text(REGISTRY["top_n_global"][0](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    # The bucketed rewrite must keep the BETWEEN join an equi-join;
+    # a BroadcastNestedLoopJoin here is the O(n*m) failure mode.
+    p = plan_text(REGISTRY["join_range"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand_single_agg_pass(spark, sf_dir):
+    # GROUPING SETS plans as one Expand feeding one partial+final
+    # HashAggregate pair — not one scan per grouping set.
+    p = plan_text(REGISTRY["agg_grouping_sets"][0](spark, sf_dir))
+    assert p.count("Expand") >= 1
+    # one physical scan (tree line + one detail block), not one per set
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "SortAggregate" not in p
