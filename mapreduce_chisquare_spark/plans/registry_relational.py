@@ -558,6 +558,88 @@ SQL_SAMPLE_HASH = (
 )
 
 
+# KMV (K-Minimum-Values) distinct-count sketch (Bar-Yossef et al. 2002).
+# Chosen over HLL for the oracle-paired sketch because it is exact-SQL in
+# both engines: one multiply-mod universal hash (pure int64 arithmetic,
+# products < 2^63 so DuckDB cannot overflow) and a top-k, no bit tricks.
+# At 100 TB the plan is: distinct (partial-agg shuffle on the key) →
+# per-partition top-k → single k-row merge (TakeOrderedAndProject) —
+# no full sort, driver sees exactly k rows.
+_KMV_K = 1024
+_KMV_A = 2654435761  # Knuth multiplicative constant
+_KMV_B = 2246822519
+_KMV_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |distinct l_partkey| from the k smallest hash values:
+    est = (k-1) * P / h_(k); exact count alongside so the error is
+    visible. When fewer than K distinct values exist the sketch IS the
+    exact count (KMV small-set convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_partkey").distinct()
+    h = d.select(
+        ((F.lit(_KMV_A) * F.col("l_partkey") + F.lit(_KMV_B)) % F.lit(_KMV_P)).alias("h")
+    )
+    kth = (
+        h.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k_actual"))
+    )
+    exact = d.agg(F.count("*").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_actual") < F.lit(_KMV_K), F.col("k_actual").cast("double")
+    ).otherwise(
+        (F.col("k_actual") - 1).cast("double")
+        * F.lit(float(_KMV_P))
+        / F.col("kth_hash").cast("double")
+    )
+    return kth.crossJoin(F.broadcast(exact)).select(
+        "k_actual", "kth_hash", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+SQL_SKETCH_KMV = f"""
+WITH d AS (SELECT DISTINCT l_partkey FROM lineitem),
+hv AS (SELECT ({_KMV_A} * l_partkey + {_KMV_B}) % {_KMV_P} AS h FROM d),
+topk AS (SELECT h FROM hv ORDER BY h LIMIT {_KMV_K}),
+kth AS (SELECT max(h) AS kth_hash, count(*) AS k_actual FROM topk),
+ex AS (SELECT count(*) AS exact_distinct FROM d)
+SELECT k_actual, kth_hash,
+  CASE WHEN k_actual < {_KMV_K} THEN CAST(k_actual AS DOUBLE)
+       ELSE CAST(k_actual - 1 AS DOUBLE) * CAST({_KMV_P} AS DOUBLE)
+            / CAST(kth_hash AS DOUBLE) END AS est_distinct,
+  exact_distinct
+FROM kth, ex
+"""
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining SQL ranking family in one pass: ntile/percent_rank/
+    cume_dist share ONE window (single sort, single Window node). The
+    (ts, event_id) order is a total order, so rank-based fractions are
+    tie-free and engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_RANKING = """
+SELECT event_id, user_id,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join: lineitem (big, salted on a deterministic
     hash) x orders (replicated across salts), aggregated per priority.
@@ -753,6 +835,8 @@ RELATIONAL_QUERIES = {
     "agg_cube": (agg_cube, SQL_AGG_CUBE),
     "sample_hash": (sample_hash, SQL_SAMPLE_HASH),
     "window_rank": (window_rank, SQL_WINDOW_RANK),
+    "window_ranking": (window_ranking, SQL_WINDOW_RANKING),
+    "sketch_kmv_distinct": (sketch_kmv_distinct, SQL_SKETCH_KMV),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),
     "set_union": (set_union, SQL_SET_UNION),
