@@ -640,6 +640,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value per user over the FULL partition. The frame
+    is pinned to unbounded-unbounded explicitly — Spark's default
+    last_value frame stops at CURRENT ROW, so relying on defaults would
+    silently diverge between engines."""
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("cents").over(w).alias("first_cents"),
+        F.last("cents").over(w).alias("last_cents"),
+        F.nth_value("cents", 2).over(w).alias("second_cents"),
+    )
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT event_id, user_id,
+  first_value(cents) OVER w AS first_cents,
+  last_value(cents) OVER w AS last_cents,
+  nth_value(cents, 2) OVER w AS second_cents
+FROM (SELECT event_id, user_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: NULLIF to introduce nulls, COALESCE to
+    fill them, null-safe equality (Spark `eqNullSafe` ≡ SQL IS NOT
+    DISTINCT FROM), and a null-aware conditional count. All stay inside
+    codegen — no UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    nullable = F.nullif(F.col("event_type"), F.lit("click"))
+    return (
+        ev.select(
+            "user_id",
+            nullable.alias("nt"),
+            F.coalesce(nullable, F.lit("<none>")).alias("filled_type"),
+            nullable.eqNullSafe(F.lit(None).cast("string")).alias("is_click"),
+        )
+        .groupBy("filled_type", "is_click")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("nt").alias("n_nonnull"),
+        )
+        .drop("nt")
+    )
+
+
+SQL_NULL_SCALARS = """
+SELECT coalesce(nullif(event_type, 'click'), '<none>') AS filled_type,
+  nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS is_click,
+  count(*) AS n_rows,
+  count(nullif(event_type, 'click')) AS n_nonnull
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join: lineitem (big, salted on a deterministic
     hash) x orders (replicated across salts), aggregated per priority.
@@ -836,6 +901,8 @@ RELATIONAL_QUERIES = {
     "sample_hash": (sample_hash, SQL_SAMPLE_HASH),
     "window_rank": (window_rank, SQL_WINDOW_RANK),
     "window_ranking": (window_ranking, SQL_WINDOW_RANKING),
+    "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
+    "null_scalars": (null_scalars, SQL_NULL_SCALARS),
     "sketch_kmv_distinct": (sketch_kmv_distinct, SQL_SKETCH_KMV),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),
