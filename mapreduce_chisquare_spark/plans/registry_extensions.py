@@ -612,6 +612,18 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts_stream(spark, sf_dir)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark); emits
+    the distinct (user_id, event_type) key set — batch DISTINCT is
+    the oracle."""
+    from ..streaming.windows import dedup_stream
+
+    return dedup_stream(spark, sf_dir)
+
+
+SQL_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental χ²: per-micro-batch partial counts merged via
     foreachBatch — exact parity with the one-shot batch oracle."""
@@ -825,6 +837,7 @@ EXTENSION_QUERIES = {
     "asof_join": (asof_purchase_click, SQL_ASOF),
     "join_range": (join_range, SQL_JOIN_RANGE),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
+    "stream_dedup": (stream_dedup, SQL_STREAM_DEDUP),
     "stream_sessionize": (stream_sessionize, SQL_WINDOW_SESSION),
     "stream_chi_square": (stream_chi_square, SQL_STREAM_CHI),
     "pipeline_curation": (pipeline_curation, SQL_PIPELINE_CURATION),

@@ -80,3 +80,36 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type). Only the key columns are emitted — which
+    arriving row wins is partition-order-dependent, but the distinct
+    key SET is deterministic, so the batch DISTINCT is the oracle.
+    The watermark delay (31 days) exceeds the dataset's event-time
+    span, so no key's state is evicted mid-stream and every key emits
+    exactly once. At 100 TB the delay instead bounds state size: keys
+    older than the delay are evicted and a true late duplicate would
+    re-emit — the documented within-watermark contract."""
+    ev = read_events_stream(spark, sf_dir, glob=glob, options=options).withWatermark(
+        "ts", "31 days"
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -83,3 +83,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for s in p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_stream_dedup_state_spans_batches(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch must be
+    suppressed by the dedup state store, not just within-batch
+    hashing. Two batches share key (10, 'click'); batch 1 also
+    introduces a fresh user — exactly one output row per key."""
+    from mapreduce_chisquare_spark.streaming.windows import dedup_stream
+
+    d = str(tmp_path)
+    _events_file(f"{d}/a.parquet", [(1, 0), (2, 10)], 1_000_000)
+    _events_file(f"{d}/b.parquet", [(3, 20), (4, 30)], 2_000_000)
+    # make batch 1's second row a different user so the distinct key
+    # set is {(10, click), (77, click)}
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    t = _pq.read_table(f"{d}/b.parquet")
+    user = t.column("user_id").to_pylist()
+    user[-1] = 77
+    t = t.set_column(
+        t.schema.get_field_index("user_id"), "user_id", _pa.array(user, _pa.int64())
+    )
+    _pq.write_table(t, f"{d}/b.parquet")
+    os.utime(f"{d}/b.parquet", (2_000_000, 2_000_000))
+
+    out = dedup_stream(
+        spark, d, glob="*.parquet", options={"maxFilesPerTrigger": "1"}
+    )
+    rows = [(r.user_id, r.event_type) for r in out.collect()]
+    assert sorted(rows) == [(10, "click"), (77, "click")]
