@@ -614,6 +614,70 @@ FROM kth, ex
 """
 
 
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap sketch (theta-sketch intersection pattern): Jaccard
+    between two customer key sets estimated as the both-sets fraction
+    of the k minimum hashes of their UNION — the corpus-overlap
+    primitive behind cross-dataset dedup. Exact Jaccard alongside so
+    the sketch error is visible. Same universal hash as the KMV
+    cardinality sketch, so per-set sketches are mergeable."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    flags = (
+        a.select("c_custkey", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .union(b.select("c_custkey", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+        .groupBy("c_custkey")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    h = flags.select(
+        ((F.lit(_KMV_A) * F.col("c_custkey") + F.lit(_KMV_B)) % F.lit(_KMV_P)).alias("h"),
+        (F.col("in_a") * F.col("in_b")).alias("both"),
+    )
+    kth = (
+        h.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.count("*").alias("k_actual"), F.sum("both").alias("n_both"))
+    )
+    exact = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.count("*").alias("n_union"),
+    )
+    return kth.crossJoin(F.broadcast(exact)).select(
+        "k_actual",
+        "n_both",
+        (F.col("n_both").cast("double") / F.col("k_actual").cast("double")).alias(
+            "jaccard_est"
+        ),
+        (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
+            "exact_jaccard"
+        ),
+    )
+
+
+SQL_SKETCH_KMV_OVERLAP = f"""
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 4000),
+flags AS (
+  SELECT c_custkey, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT c_custkey, 1 AS in_a, 0 AS in_b FROM a
+        UNION ALL
+        SELECT c_custkey, 0 AS in_a, 1 AS in_b FROM b) u
+  GROUP BY c_custkey),
+hv AS (SELECT ({_KMV_A} * c_custkey + {_KMV_B}) % {_KMV_P} AS h,
+              in_a * in_b AS in_both FROM flags),
+topk AS (SELECT in_both FROM hv ORDER BY h LIMIT {_KMV_K}),
+kth AS (SELECT count(*) AS k_actual,
+               CAST(sum(in_both) AS BIGINT) AS n_both FROM topk),
+ex AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+              count(*) AS n_union FROM flags)
+SELECT k_actual, n_both,
+  CAST(n_both AS DOUBLE) / CAST(k_actual AS DOUBLE) AS jaccard_est,
+  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard
+FROM kth, ex
+"""
+
+
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining SQL ranking family in one pass: ntile/percent_rank/
     cume_dist share ONE window (single sort, single Window node). The
@@ -904,6 +968,7 @@ RELATIONAL_QUERIES = {
     "window_first_last": (window_first_last, SQL_WINDOW_FIRST_LAST),
     "null_scalars": (null_scalars, SQL_NULL_SCALARS),
     "sketch_kmv_distinct": (sketch_kmv_distinct, SQL_SKETCH_KMV),
+    "sketch_kmv_overlap": (sketch_kmv_overlap, SQL_SKETCH_KMV_OVERLAP),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),
     "set_union": (set_union, SQL_SET_UNION),
