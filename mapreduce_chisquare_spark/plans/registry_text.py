@@ -406,6 +406,118 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.text(out).select(F.col("value").alias("line"))
 
 
+# =========================================================================
+# Count-Min sketch heavy hitters
+# =========================================================================
+
+# d x w Count-Min sketch over term document frequencies. Universal-hash
+# family (a*h + b) % p % w with a < 2^20 so a*h32 stays < 2^52 — inside
+# DuckDB's signed-64 range (Spark would wrap silently; DuckDB errors).
+_CMS_D = 3
+_CMS_W = 512
+_CMS_P = 2305843009213693951  # 2^61 - 1
+_CMS_A = (1000003, 999983, 786433)
+_CMS_B = (12345, 67891, 424243)
+_CMS_TOPK = 20
+
+# 32-bit term hash from the first 8 md5 hex chars — same construction
+# both engines agree on bit-exactly (Spark conv(); DuckDB digit sum).
+_CMS_HEX_SUM = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(term), {i}, 1)) - 1) * {m}".format(
+        i=i + 1, m=16 ** (8 - i - 1)
+    )
+    for i in range(8)
+)
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: estimate the document frequency
+    of the exact top-20 terms from a d=3 x w=512 integer sketch, exact
+    df alongside so the overcount bias is visible. The sketch is the
+    streaming/mergeable frequency primitive (per-partition sketches
+    merge by cell-wise +) that replaces a full term->count table at
+    100 TB; CMS guarantees df_est >= df_exact. All-integer universal
+    hashes give exact oracle parity. Mirrors the reference's A2
+    term-count surface (run_chi:98-105) as a bounded-memory sketch."""
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_exact"))
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    hashed = tf.select(
+        "term",
+        "df_exact",
+        *[
+            (
+                (F.lit(_CMS_A[d]) * h32 + F.lit(_CMS_B[d]))
+                % F.lit(_CMS_P)
+                % F.lit(_CMS_W)
+            ).alias(f"b{d}")
+            for d in range(_CMS_D)
+        ],
+    )
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("r"), F.col(f"b{d}").alias("bkt")
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    ).alias("e")
+    cms = (
+        hashed.select(cells, "df_exact")
+        .select("e.r", "e.bkt", "df_exact")
+        .groupBy("r", "bkt")
+        .agg(F.sum("df_exact").alias("cnt"))
+    )
+    top = hashed.orderBy(
+        F.col("df_exact").desc(), F.col("term").asc()
+    ).limit(_CMS_TOPK)
+    return (
+        top.select("term", "df_exact", cells)
+        .select("term", "df_exact", "e.r", "e.bkt")
+        .join(F.broadcast(cms), ["r", "bkt"])
+        .groupBy("term", "df_exact")
+        .agg(F.min("cnt").alias("df_est"))
+        .select("term", "df_exact", "df_est")
+    )
+
+
+SQL_SKETCH_COUNTMIN = with_text_ctes(
+    "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS df_exact "
+    "FROM toks GROUP BY term), "
+    f"hh AS (SELECT term, df_exact, ({_CMS_HEX_SUM}) AS h FROM tf), "
+    "hb AS (SELECT term, df_exact, "
+    + ", ".join(
+        f"(({_CMS_A[d]} * h + {_CMS_B[d]}) % {_CMS_P}) % {_CMS_W} AS b{d}"
+        for d in range(_CMS_D)
+    )
+    + " FROM hh), "
+    "cells AS ("
+    + " UNION ALL ".join(
+        f"SELECT {d} AS r, b{d} AS bkt, df_exact FROM hb"
+        for d in range(_CMS_D)
+    )
+    + "), "
+    "cms AS (SELECT r, bkt, CAST(sum(df_exact) AS BIGINT) AS cnt "
+    "FROM cells GROUP BY r, bkt), "
+    f"top AS (SELECT * FROM hb ORDER BY df_exact DESC, term ASC LIMIT {_CMS_TOPK}), "
+    "te AS ("
+    + " UNION ALL ".join(
+        f"SELECT term, df_exact, {d} AS r, b{d} AS bkt FROM top"
+        for d in range(_CMS_D)
+    )
+    + ")"
+) + (
+    " SELECT te.term, te.df_exact, CAST(min(c.cnt) AS BIGINT) AS df_est "
+    "FROM te JOIN cms c ON c.r = te.r AND c.bkt = te.bkt "
+    "GROUP BY te.term, te.df_exact"
+)
+
+
 TEXT_QUERIES = {
     "project": (q_project, SQL_PROJECT),
     "scan_json": (q_scan_json, SQL_SCAN_JSON),
@@ -430,4 +542,5 @@ TEXT_QUERIES = {
     "format_report": (q_format_report, SQL_FORMAT_REPORT),
     "sink_roundtrip": (q_sink_roundtrip, SQL_FORMAT_REPORT),
     "merged_dict": (q_merged_dict, SQL_MERGED_DICT),
+    "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),
 }
