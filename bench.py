@@ -50,6 +50,8 @@ HEADLINE = [
     "asof_join",
     "agg_cube",
     "join_salted",
+    "sketch_kmv_distinct",
+    "sketch_countmin",
 ]
 
 WARMUP = 1
