@@ -678,6 +678,65 @@ FROM kth, ex
 """
 
 
+# Equi-width histogram: fixed data-independent bounds so the whole
+# histogram is ONE map-side-combined aggregation pass (no pre-scan for
+# min/max) and per-partition partial histograms merge by bucket-wise
+# addition — the profiling primitive that stays a few-KB accumulator
+# per executor at 100 TB.
+_HIST_LO = 900.0
+_HIST_HI = 105000.0
+_HIST_NB = 32
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass equi-width histogram of l_extendedprice: bucket
+    index, row count, and bucket revenue (summed as integer cents for
+    cross-engine parity). Out-of-range values clamp to the edge
+    buckets, so the pass never needs a min/max pre-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.greatest(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.lit(_HIST_LO)) / F.lit(_HIST_W)
+            ),
+            F.lit(_HIST_NB - 1).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket").cast("double") * F.lit(_HIST_W)).alias(
+                "bucket_lo"
+            ),
+            "cnt",
+            "sum_cents",
+        )
+    )
+
+
+SQL_AGG_HISTOGRAM = f"""
+SELECT bucket,
+  {_HIST_LO} + CAST(bucket AS DOUBLE) * {_HIST_W!r} AS bucket_lo,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT CAST(greatest(least(
+    floor((l_extendedprice - {_HIST_LO}) / {_HIST_W!r}),
+    {_HIST_NB - 1}), 0) AS INTEGER) AS bucket, l_extendedprice
+  FROM lineitem)
+GROUP BY bucket
+"""
+
+
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining SQL ranking family in one pass: ntile/percent_rank/
     cume_dist share ONE window (single sort, single Window node). The
@@ -969,6 +1028,7 @@ RELATIONAL_QUERIES = {
     "null_scalars": (null_scalars, SQL_NULL_SCALARS),
     "sketch_kmv_distinct": (sketch_kmv_distinct, SQL_SKETCH_KMV),
     "sketch_kmv_overlap": (sketch_kmv_overlap, SQL_SKETCH_KMV_OVERLAP),
+    "agg_histogram": (agg_histogram, SQL_AGG_HISTOGRAM),
     "window_lag": (window_lag, SQL_WINDOW_LAG),
     "window_moving_sum": (window_moving_sum, SQL_WINDOW_MOVING),
     "set_union": (set_union, SQL_SET_UNION),
