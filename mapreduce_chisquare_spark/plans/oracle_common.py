@@ -73,3 +73,20 @@ TOPK_CTES = (
 def with_text_ctes(*extra: str) -> str:
     """WITH clause covering docs+toks plus any extra CTE strings."""
     return "WITH " + ", ".join([DOCS_CTE, TOKS_CTE, *extra])
+
+
+def sql_md5_hash32(expr: str, offset: int = 1) -> str:
+    """DuckDB twin of Spark `conv(substring(md5(expr), offset, 8), 16, 10)`:
+    a uniform 32-bit integer from 8 hex chars of md5 starting at 1-based
+    `offset` (DuckDB has no conv(); expand the hex digit sum). Distinct
+    offsets give independent hash functions from one md5 — the md5 output
+    bits are uncorrelated across slices."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {offset + i}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )

@@ -560,58 +560,101 @@ SQL_SAMPLE_HASH = (
 
 # KMV (K-Minimum-Values) distinct-count sketch (Bar-Yossef et al. 2002).
 # Chosen over HLL for the oracle-paired sketch because it is exact-SQL in
-# both engines: one multiply-mod universal hash (pure int64 arithmetic,
-# products < 2^63 so DuckDB cannot overflow) and a top-k, no bit tricks.
+# both engines: one md5-slice hash and a top-k, no bit tricks.
 # At 100 TB the plan is: distinct (partial-agg shuffle on the key) →
 # per-partition top-k → single k-row merge (TakeOrderedAndProject) —
 # no full sort, driver sees exactly k rows.
+#
+# The hash MUST wrap/scramble, not just permute affinely: round 1 used
+# (A*key + B) mod P with P = 2^61-1, and since A*key + B << P for real
+# keys the mod never fired — the "hash" was order-preserving, so the
+# k-th minimum hash was an affine image of the k-th smallest KEY and the
+# estimate was off by orders of magnitude. md5 scrambles by
+# construction; its first 8 hex chars are a uniform 32-bit value (same
+# construction as the MinHash base, operators/dedup.py:108).
 _KMV_K = 1024
-_KMV_A = 2654435761  # Knuth multiplicative constant
-_KMV_B = 2246822519
-_KMV_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+_KMV_RANGE = 4294967296.0  # 2^32 — range of the md5-slice hash
+
+
+def _hash32(col) -> "F.Column":
+    """Uniform 32-bit hash of a key: first 8 md5 hex chars as an int."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_estimate(d: DataFrame, key: str, k: int = _KMV_K) -> DataFrame:
+    """1-row (k_actual, kth_hash, est_distinct) over an already-distinct
+    key relation: est = (k-1) * 2^32 / h_(k). When fewer than k distinct
+    values exist the sketch IS the exact count (KMV small-set
+    convention)."""
+    h = d.select(_hash32(F.col(key)).alias("h"))
+    kth = (
+        h.orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k_actual"))
+    )
+    est = F.when(
+        F.col("k_actual") < F.lit(k), F.col("k_actual").cast("double")
+    ).otherwise(
+        (F.col("k_actual") - 1).cast("double")
+        * F.lit(_KMV_RANGE)
+        / F.col("kth_hash").cast("double")
+    )
+    return kth.select("k_actual", "kth_hash", est.alias("est_distinct"))
 
 
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimate |distinct l_partkey| from the k smallest hash values:
-    est = (k-1) * P / h_(k); exact count alongside so the error is
-    visible. When fewer than K distinct values exist the sketch IS the
-    exact count (KMV small-set convention)."""
+    """Estimate |distinct l_partkey| from the k smallest hash values;
+    exact count alongside so the error is visible (bounded by the
+    accuracy test at ~3/sqrt(k) relative error)."""
     li = _t(spark, sf_dir, "lineitem")
     d = li.select("l_partkey").distinct()
-    h = d.select(
-        ((F.lit(_KMV_A) * F.col("l_partkey") + F.lit(_KMV_B)) % F.lit(_KMV_P)).alias("h")
-    )
-    kth = (
-        h.orderBy("h")
-        .limit(_KMV_K)
-        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k_actual"))
-    )
     exact = d.agg(F.count("*").alias("exact_distinct"))
-    est = F.when(
-        F.col("k_actual") < F.lit(_KMV_K), F.col("k_actual").cast("double")
-    ).otherwise(
-        (F.col("k_actual") - 1).cast("double")
-        * F.lit(float(_KMV_P))
-        / F.col("kth_hash").cast("double")
+    return kmv_estimate(d, "l_partkey").crossJoin(F.broadcast(exact)).select(
+        "k_actual", "kth_hash", "est_distinct", "exact_distinct"
     )
-    return kth.crossJoin(F.broadcast(exact)).select(
-        "k_actual", "kth_hash", est.alias("est_distinct"), "exact_distinct"
-    )
+
+
+def _sql_kmv(key_expr: str, k: int = _KMV_K) -> str:
+    from .oracle_common import sql_md5_hash32
+
+    return sql_md5_hash32(f"CAST({key_expr} AS VARCHAR)")
 
 
 SQL_SKETCH_KMV = f"""
 WITH d AS (SELECT DISTINCT l_partkey FROM lineitem),
-hv AS (SELECT ({_KMV_A} * l_partkey + {_KMV_B}) % {_KMV_P} AS h FROM d),
+hv AS (SELECT {_sql_kmv("l_partkey")} AS h FROM d),
 topk AS (SELECT h FROM hv ORDER BY h LIMIT {_KMV_K}),
 kth AS (SELECT max(h) AS kth_hash, count(*) AS k_actual FROM topk),
 ex AS (SELECT count(*) AS exact_distinct FROM d)
 SELECT k_actual, kth_hash,
   CASE WHEN k_actual < {_KMV_K} THEN CAST(k_actual AS DOUBLE)
-       ELSE CAST(k_actual - 1 AS DOUBLE) * CAST({_KMV_P} AS DOUBLE)
+       ELSE CAST(k_actual - 1 AS DOUBLE) * {_KMV_RANGE!r}
             / CAST(kth_hash AS DOUBLE) END AS est_distinct,
   exact_distinct
 FROM kth, ex
 """
+
+
+def kmv_jaccard(flags: DataFrame, key: str, k: int = _KMV_K) -> DataFrame:
+    """1-row (k_actual, n_both, jaccard_est) over a (key, in_a, in_b)
+    membership-flag relation: Jaccard estimated as the both-sets
+    fraction of the k minimum hashes of the union."""
+    h = flags.select(
+        _hash32(F.col(key)).alias("h"),
+        (F.col("in_a") * F.col("in_b")).alias("both"),
+    )
+    return (
+        h.orderBy("h")
+        .limit(k)
+        .agg(F.count("*").alias("k_actual"), F.sum("both").alias("n_both"))
+        .select(
+            "k_actual",
+            "n_both",
+            (
+                F.col("n_both").cast("double") / F.col("k_actual").cast("double")
+            ).alias("jaccard_est"),
+        )
+    )
 
 
 def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,15 +673,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    h = flags.select(
-        ((F.lit(_KMV_A) * F.col("c_custkey") + F.lit(_KMV_B)) % F.lit(_KMV_P)).alias("h"),
-        (F.col("in_a") * F.col("in_b")).alias("both"),
-    )
-    kth = (
-        h.orderBy("h")
-        .limit(_KMV_K)
-        .agg(F.count("*").alias("k_actual"), F.sum("both").alias("n_both"))
-    )
+    kth = kmv_jaccard(flags, "c_custkey")
     exact = flags.agg(
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
         F.count("*").alias("n_union"),
@@ -646,9 +681,7 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kth.crossJoin(F.broadcast(exact)).select(
         "k_actual",
         "n_both",
-        (F.col("n_both").cast("double") / F.col("k_actual").cast("double")).alias(
-            "jaccard_est"
-        ),
+        "jaccard_est",
         (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
             "exact_jaccard"
         ),
@@ -664,7 +697,7 @@ flags AS (
         UNION ALL
         SELECT c_custkey, 0 AS in_a, 1 AS in_b FROM b) u
   GROUP BY c_custkey),
-hv AS (SELECT ({_KMV_A} * c_custkey + {_KMV_B}) % {_KMV_P} AS h,
+hv AS (SELECT {_sql_kmv("c_custkey")} AS h,
               in_a * in_b AS in_both FROM flags),
 topk AS (SELECT in_both FROM hv ORDER BY h LIMIT {_KMV_K}),
 kth AS (SELECT count(*) AS k_actual,

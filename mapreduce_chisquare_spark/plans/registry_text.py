@@ -35,6 +35,7 @@ from .oracle_common import (
     SQL_DELIM,
     SQL_STOPWORDS,
     TOPK_CTES,
+    sql_md5_hash32,
     with_text_ctes,
 )
 
@@ -410,60 +411,50 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-Min sketch heavy hitters
 # =========================================================================
 
-# d x w Count-Min sketch over term document frequencies. Universal-hash
-# family (a*h + b) % p % w with a < 2^20 so a*h32 stays < 2^52 — inside
-# DuckDB's signed-64 range (Spark would wrap silently; DuckDB errors).
+# d x w Count-Min sketch over term document frequencies. Each of the d
+# rows hashes the term with its OWN 32-bit slice of one md5 (hex chars
+# [8d+1, 8d+8]) — genuinely independent hash functions, so min-over-rows
+# actually cancels collisions. Round 1 derived all rows from one 32-bit
+# hash via (a_d*h + b_d) % P % w, but a_d*h + b_d < 2^52 < P made the
+# mod-P a no-op and bucket_d a function of h mod w alone: two terms
+# collided in one row iff they collided in ALL rows, degenerating the
+# d x w sketch to a single w-bucket row (tests/test_extensions.py pins
+# the fix). w = 512 divides 2^32, so slice % w is exactly uniform.
 _CMS_D = 3
 _CMS_W = 512
-_CMS_P = 2305843009213693951  # 2^61 - 1
-_CMS_A = (1000003, 999983, 786433)
-_CMS_B = (12345, 67891, 424243)
 _CMS_TOPK = 20
 
-# 32-bit term hash from the first 8 md5 hex chars — same construction
-# both engines agree on bit-exactly (Spark conv(); DuckDB digit sum).
-_CMS_HEX_SUM = " + ".join(
-    "(strpos('0123456789abcdef', substr(md5(term), {i}, 1)) - 1) * {m}".format(
-        i=i + 1, m=16 ** (8 - i - 1)
-    )
-    for i in range(8)
-)
 
-
-def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch heavy hitters: estimate the document frequency
-    of the exact top-20 terms from a d=3 x w=512 integer sketch, exact
-    df alongside so the overcount bias is visible. The sketch is the
-    streaming/mergeable frequency primitive (per-partition sketches
-    merge by cell-wise +) that replaces a full term->count table at
-    100 TB; CMS guarantees df_est >= df_exact. All-integer universal
-    hashes give exact oracle parity. Mirrors the reference's A2
-    term-count surface (run_chi:98-105) as a bounded-memory sketch."""
-    tf = (
-        _toks(spark, sf_dir)
-        .groupBy("term")
-        .agg(F.count("*").alias("df_exact"))
-    )
-    h32 = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+def countmin_estimates(
+    tf: DataFrame,
+    depth: int = _CMS_D,
+    width: int = _CMS_W,
+    topk: int = _CMS_TOPK,
+) -> DataFrame:
+    """Core CMS pass over a (term, df_exact) relation: build the
+    depth x width sketch, then report (term, df_exact, df_est) for the
+    exact top-k terms, df_est = min over the depth rows (factored out
+    so tests can run it on planted-collision fixtures)."""
     hashed = tf.select(
         "term",
         "df_exact",
         *[
             (
-                (F.lit(_CMS_A[d]) * h32 + F.lit(_CMS_B[d]))
-                % F.lit(_CMS_P)
-                % F.lit(_CMS_W)
-            ).alias(f"b{d}")
-            for d in range(_CMS_D)
+                F.conv(
+                    F.substring(F.md5(F.col("term")), 1 + 8 * r, 8), 16, 10
+                ).cast("long")
+                % F.lit(width)
+            ).alias(f"b{r}")
+            for r in range(depth)
         ],
     )
     cells = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(d).alias("r"), F.col(f"b{d}").alias("bkt")
+                    F.lit(r).alias("r"), F.col(f"b{r}").alias("bkt")
                 )
-                for d in range(_CMS_D)
+                for r in range(depth)
             ]
         )
     ).alias("e")
@@ -475,7 +466,7 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = hashed.orderBy(
         F.col("df_exact").desc(), F.col("term").asc()
-    ).limit(_CMS_TOPK)
+    ).limit(topk)
     return (
         top.select("term", "df_exact", cells)
         .select("term", "df_exact", "e.r", "e.bkt")
@@ -486,16 +477,32 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: estimate the document frequency
+    of the exact top-20 terms from a d=3 x w=512 integer sketch, exact
+    df alongside so the overcount bias is visible. The sketch is the
+    streaming/mergeable frequency primitive (per-partition sketches
+    merge by cell-wise +) that replaces a full term->count table at
+    100 TB; CMS guarantees df_est >= df_exact. md5-slice hashes give
+    exact oracle parity. Mirrors the reference's A2 term-count surface
+    (run_chi:98-105) as a bounded-memory sketch."""
+    tf = (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_exact"))
+    )
+    return countmin_estimates(tf)
+
+
 SQL_SKETCH_COUNTMIN = with_text_ctes(
     "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS df_exact "
     "FROM toks GROUP BY term), "
-    f"hh AS (SELECT term, df_exact, ({_CMS_HEX_SUM}) AS h FROM tf), "
     "hb AS (SELECT term, df_exact, "
     + ", ".join(
-        f"(({_CMS_A[d]} * h + {_CMS_B[d]}) % {_CMS_P}) % {_CMS_W} AS b{d}"
+        f"{sql_md5_hash32('term', offset=1 + 8 * d)} % {_CMS_W} AS b{d}"
         for d in range(_CMS_D)
     )
-    + " FROM hh), "
+    + " FROM tf), "
     "cells AS ("
     + " UNION ALL ".join(
         f"SELECT {d} AS r, b{d} AS bkt, df_exact FROM hb"
