@@ -137,30 +137,191 @@ def cosine_neardup_pairs(
 
 
 N_CENTROIDS = 4
+KMEANS_ITERS = 3
+# Centroid means are computed from integer-quantized dimension sums
+# (round(x * 2^20) as long): exact, order-independent across partial
+# aggregates, and bit-identical in the DuckDB oracle — a float sum
+# over rows would depend on addition order in both engines.
+KMEANS_SCALE = 1048576.0  # 2^20
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """IVF coarse quantizer: (vec_id, centroid_id). Centroids are the
-    first n_centroids vectors (deterministic stand-in for a k-means
-    fit — the assignment/probe mechanics are what must scale);
-    assignment = argmax cosine, ties to the lowest centroid id.
+def _norm(vals: list[float]) -> float:
+    import math
 
-    Shape: corpus x tiny-broadcast join + per-vector argmax window —
-    one scan, no shuffle of the corpus beyond the window's partition
-    locality (vec_id partitioning)."""
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
+    s = 0.0
+    for v in vals:  # left-to-right, matching the engines' dot order
+        s += v * v
+    return math.sqrt(s)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    dim: int = DIM,
+) -> list[list[float]]:
+    """Seeded Lloyd fit, DataFrame-native: init = the embeddings of
+    vec_id 0..k-1 (deterministic seed), then `iters` rounds of
+    (row-local argmax-cosine assignment against broadcast centroid
+    literals) -> (per-cluster integer-quantized dimension means).
+
+    Per round the cluster means are ONE map-side-combined hash
+    aggregate (k x (dim+1) longs per partition) and the driver sees
+    exactly k rows — no lineage growth, so no checkpointing needed:
+    each round's plan starts from literals, not the previous round's
+    DAG. An empty cluster keeps its previous centroid."""
+    rows = emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in sorted(rows, key=lambda r: r.vec_id)
+    ]
+    for _ in range(iters):
+        asg = _fit_assignment(emb, cents)
+        # Quantized per-dimension sums via posexplode + ONE sum, not 64
+        # wide agg expressions: the wide form compiles ~9s of
+        # whole-stage codegen per fit, while this shape is tiny and the
+        # partial (map-side) aggregate still reduces each partition to
+        # k x dim rows before the shuffle.
+        sums = (
+            asg.select(
+                "centroid_id", F.posexplode("embedding").alias("d", "x")
+            )
+            .groupBy("centroid_id", "d")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(
+                        F.col("x").cast("double") * F.lit(KMEANS_SCALE)
+                    ).cast("long")
+                ).alias("s"),
+            )
+            .collect()
+        )
+        by_cd = {(r["centroid_id"], r["d"]): r for r in sums}
+        cents = [
+            [
+                by_cd[(c, d)]["s"] / (KMEANS_SCALE * by_cd[(c, d)]["n"])
+                for d in range(dim)
+            ]
+            if (c, 0) in by_cd
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def _fit_assignment(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Lloyd-loop assignment — with_centroid_assignment minus vec_id
+    (the mean aggregate doesn't need it). Kept separate so the fit's
+    per-round plan source is identical every round (centroids live in
+    the udf closure, not the plan), letting Spark reuse the compiled
+    stage across iterations."""
+    return emb.select(
+        _argmax_arrow(cents)(F.col("embedding")).alias("centroid_id"),
+        "embedding",
     )
-    scored = emb.join(F.broadcast(cents)).select(
+
+
+def _argmax_arrow(cents: list[list[float]]):
+    """Arrow-batched numpy argmax-cosine over a broadcast centroid
+    matrix. The numpy loop accumulates dimension-by-dimension,
+    mirroring the engines' left-to-right ((0+x1)+x2)+... dot order, so
+    cosines (and therefore cluster choices) are bit-identical to the
+    expression/DuckDB forms; np.argmax takes the first maximum = ties
+    to the lowest centroid id."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(cents, dtype=np.float64)  # k x dim
+    cnorm = np.array([_norm(c) for c in cents], dtype=np.float64)
+
+    @pandas_udf("long")
+    def argmax_centroid(a: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)  # n x dim
+        dots = np.zeros((A.shape[0], C.shape[0]))
+        self_dot = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):  # sequential over dims = engine order
+            col = A[:, d]
+            dots = dots + col[:, None] * C[None, :, d]
+            self_dot = self_dot + col * col
+        cos = dots / (np.sqrt(self_dot)[:, None] * cnorm[None, :])
+        return pd.Series(cos.argmax(axis=1).astype("int64"))  # first max
+
+    return argmax_centroid
+
+
+def centroid_assignment_expr(cents: list[list[float]]):
+    """Pure-JVM alternative to _argmax_arrow: literal argmax as array
+    expressions (expanded element_at chains — zip_with/aggregate
+    lambdas are interpreted), identical values and tie rule
+    (array_position returns the first maximal slot).
+
+    Measured tradeoff at dim=64, k=4: the ~300-term expression costs
+    4-6s of whole-stage-codegen compile per stage that references it —
+    negligible against a 100 TB scan, dominant at bench scale. Exposed
+    for codegen-only deployments; the Arrow path is the default."""
+    e = F.col("embedding")
+    dim = len(cents[0])
+
+    def lit_dot(c: list[float]):
+        expr = F.lit(0.0)
+        for d, v in enumerate(c):
+            expr = expr + F.element_at(e, d + 1).cast("double") * F.lit(float(v))
+        return expr
+
+    self_dot = F.lit(0.0)
+    for d in range(dim):
+        x = F.element_at(e, d + 1).cast("double")
+        self_dot = self_dot + x * x
+    norm = F.sqrt(self_dot)
+    scores = F.array(*[lit_dot(c) / (norm * F.lit(_norm(c))) for c in cents])
+    return scores
+
+
+def with_centroid_assignment(
+    emb: DataFrame, cents: list[list[float]], use_arrow: bool = True
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id): row-local argmax-cosine
+    assignment against broadcast literal centroids — a pure projection,
+    ZERO shuffle (the round-1 version scored corpus x centroids and
+    ran a row_number window, exchanging N*C rows; at real-IVF C in the
+    thousands that shuffles 1000x the corpus; asserted shuffle-free in
+    tests/test_plans.py).
+
+    Default implementation is the Arrow-batched numpy argmax
+    (_argmax_arrow); use_arrow=False selects the pure-JVM array
+    expression (centroid_assignment_expr) — both produce bit-identical
+    assignments, see the respective docstrings for the tradeoff."""
+    if use_arrow:
+        return emb.select(
+            "vec_id",
+            "embedding",
+            _argmax_arrow(cents)(F.col("embedding")).alias("centroid_id"),
+        )
+    scores = centroid_assignment_expr(cents)
+    sc = emb.select("vec_id", "embedding", scores.alias("__scores"))
+    return sc.select(
         "vec_id",
-        "centroid_id",
-        cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
+        "embedding",
+        (
+            F.array_position(F.col("__scores"), F.array_max(F.col("__scores")))
+            - 1
+        ).cast("long").alias("centroid_id"),
     )
-    return (
-        topk_per_group(scored, "vec_id", "cos", "centroid_id", 1)
-        .select("vec_id", "centroid_id")
-    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, centroid_id) with k-means
+    centroids (kmeans_centroids) and shuffle-free row-local assignment
+    — the final plan is scan -> three projections, no Exchange
+    (asserted in tests/test_plans.py)."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_centroids)
+    return with_centroid_assignment(emb, cents).select("vec_id", "centroid_id")
 
 
 def ivf_topk(
@@ -168,12 +329,16 @@ def ivf_topk(
     n_queries: int = 8,
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN via IVF: probe only the query's own cluster (nprobe=1), then
     exact cosine within it. Complements LSH: clusters adapt to data
-    density, buckets don't."""
-    asg = ivf_assign(emb, n_centroids)
-    with_c = emb.join(asg, "vec_id")
+    density, buckets don't. The fit runs once and both the corpus and
+    query assignments reuse its literal centroids (assignment is a
+    projection, so the probe is a broadcast equi-join on centroid_id)."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_centroids)
+    with_c = with_centroid_assignment(emb, cents)
     q = with_c.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -683,21 +683,81 @@ FROM documents
 """
 
 
-_IVF_ASG_CTES = (
-    f"cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
-    f"FROM embeddings WHERE vec_id < {ss.N_CENTROIDS}), "
-    f"sc AS (SELECT e.vec_id, c.centroid_id, "
-    f"{_cos_sql('e.embedding', 'c.c_emb')} AS cos "
-    "FROM embeddings e CROSS JOIN cents c), "
-    "asg AS (SELECT vec_id, centroid_id FROM ("
-    "SELECT vec_id, centroid_id, row_number() OVER "
-    "(PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn FROM sc"
-    ") WHERE rn = 1)"
+# --- IVF with a real k-means fit -----------------------------------------
+# The oracle replays the SAME seeded Lloyd iterations as
+# operators/simsearch.py kmeans_centroids as a generated CTE chain:
+# init c0 = embeddings of vec_id < k; per round, argmax-cosine
+# assignment then per-cluster means from integer-quantized dimension
+# sums (round(x*2^20) as BIGINT — exact and order-independent, so both
+# engines compute bit-identical centroid doubles). Empty clusters keep
+# the previous centroid (LEFT JOIN + CASE).
+
+def _km_assign_ctes(cents_cte: str, out: str) -> str:
+    """Assignment CTE pair: score every vector against `cents_cte`,
+    keep the argmax (ties to lowest centroid_id) as `out`."""
+    return (
+        f"{out}s AS (SELECT e.vec_id, e.embedding, c.centroid_id, "
+        f"{_cos_sql('e.embedding', 'c.c_emb')} AS cos "
+        f"FROM embeddings e CROSS JOIN {cents_cte} c), "
+        f"{out} AS (SELECT vec_id, embedding, centroid_id FROM ("
+        f"SELECT vec_id, embedding, centroid_id, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn "
+        f"FROM {out}s) WHERE rn = 1)"
+    )
+
+
+_KM_SUM_COLS = ", ".join(
+    f"sum(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s{d}"
+    for d in range(ss.DIM)
+)
+_KM_MEAN_LIST = (
+    "["
+    + ", ".join(
+        f"CAST(m.s{d} AS DOUBLE) / (1048576.0 * CAST(m.n AS DOUBLE))"
+        for d in range(ss.DIM)
+    )
+    + "]"
 )
 
 
+def _km_ctes() -> str:
+    parts = [
+        "c0 AS (SELECT vec_id AS centroid_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb "
+        f"FROM embeddings WHERE vec_id < {ss.N_CENTROIDS})"
+    ]
+    for t in range(ss.KMEANS_ITERS):
+        parts.append(_km_assign_ctes(f"c{t}", f"a{t + 1}"))
+        parts.append(
+            f"m{t + 1} AS (SELECT centroid_id, count(*) AS n, {_KM_SUM_COLS} "
+            f"FROM a{t + 1} GROUP BY centroid_id)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT c.centroid_id, "
+            f"CASE WHEN m.n IS NULL THEN c.c_emb ELSE {_KM_MEAN_LIST} END AS c_emb "
+            f"FROM c{t} c LEFT JOIN m{t + 1} m USING (centroid_id))"
+        )
+    parts.append(_km_assign_ctes(f"c{ss.KMEANS_ITERS}", "asg"))
+    return ", ".join(parts)
+
+
+_IVF_ASG_CTES = _km_ctes()
+
+
+# The Lloyd fit is deterministic per dataset — cache per sf_dir so the
+# assign and topk queries (and repeated runs in one session) share one
+# fit instead of re-running the iteration jobs.
+_KM_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _km_cents(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    if sf_dir not in _KM_CACHE:
+        _KM_CACHE[sf_dir] = ss.kmeans_centroids(_emb(spark, sf_dir))
+    return _KM_CACHE[sf_dir]
+
+
 def simsearch_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ss.ivf_assign(_emb(spark, sf_dir))
+    return ss.ivf_assign(_emb(spark, sf_dir), cents=_km_cents(spark, sf_dir))
 
 
 SQL_IVF_ASSIGN = (
@@ -706,18 +766,16 @@ SQL_IVF_ASSIGN = (
 
 
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ss.ivf_topk(_emb(spark, sf_dir))
+    return ss.ivf_topk(_emb(spark, sf_dir), cents=_km_cents(spark, sf_dir))
 
 
 SQL_IVF_TOPK = (
     "WITH " + _IVF_ASG_CTES + ", "
-    "wc AS (SELECT e.vec_id, e.embedding, a.centroid_id "
-    "FROM embeddings e JOIN asg a USING (vec_id)), "
     "q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id "
-    "FROM wc WHERE vec_id < 8), "
+    "FROM asg WHERE vec_id < 8), "
     f"scored AS (SELECT q.query_id, e.vec_id, "
     f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
-    "FROM wc e JOIN q USING (centroid_id) WHERE e.vec_id <> q.query_id), "
+    "FROM asg e JOIN q USING (centroid_id) WHERE e.vec_id <> q.query_id), "
     "r AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER "
     "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank "
     "FROM scored) "

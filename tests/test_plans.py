@@ -112,3 +112,37 @@ def test_grouping_sets_single_expand_single_agg_pass(spark, sf_dir):
     # one physical scan (tree line + one detail block), not one per set
     assert p.count("Location: InMemoryFileIndex") == 1
     assert "SortAggregate" not in p
+
+
+def test_ivf_assign_is_shuffle_free(spark, sf_dir):
+    # Round-1 IVF assignment scored corpus x centroids then ran a
+    # row_number window — exchanging N*C rows. The k-means assignment
+    # must now be a pure projection: no Exchange, no Window, in either
+    # implementation (Arrow argmax or JVM array expression).
+    import re
+
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    emb = scan_parquet(spark, sf_dir, "embeddings")
+    cents = ss.kmeans_centroids(emb, iters=1)
+    for use_arrow in (True, False):
+        p = plan_text(ss.with_centroid_assignment(emb, cents, use_arrow))
+        assert not re.search(r"\(\d+\) Exchange", p), p
+        assert "Window" not in p, p
+
+
+def test_ivf_assignment_impls_agree(spark, sf_dir):
+    # The Arrow numpy argmax and the JVM array-expression argmax must
+    # produce bit-identical cluster choices (same IEEE accumulation
+    # order, same tie rule) — the oracle mirrors the expression form.
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    emb = scan_parquet(spark, sf_dir, "embeddings")
+    cents = ss.kmeans_centroids(emb)
+    a = ss.with_centroid_assignment(emb, cents, use_arrow=True)
+    b = ss.with_centroid_assignment(emb, cents, use_arrow=False)
+    rows_a = {r.vec_id: r.centroid_id for r in a.collect()}
+    rows_b = {r.vec_id: r.centroid_id for r in b.collect()}
+    assert rows_a == rows_b
