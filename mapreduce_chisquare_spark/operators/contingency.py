@@ -82,12 +82,21 @@ def cat_and_total_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """A3+A4 fused: one rollup("category") pass yields both per-category
     counts and the grand total (SURVEY.md §2.4 A4). The two consumers
     share one aggregate subplan, so at most one scan of `docs` feeds
-    both (exchange reuse dedupes the stages at runtime)."""
-    rolled = docs.rollup("category").agg(F.count("*").alias("cnt"))
-    df_c = rolled.filter(F.col("category").isNotNull()).select(
+    both (exchange reuse dedupes the stages at runtime).
+
+    The grand-total row is identified with grouping("category") == 1,
+    NOT isNull(category): a genuine NULL category value also rolls up
+    to a NULL-keyed row, and the isNull discriminator would both drop
+    it from df_c and double-count it into n_docs (two n_docs rows →
+    wrong scalar cross join). Callers upstream of the F4 filter — or
+    any non-text caller — may legitimately carry NULL keys."""
+    rolled = docs.rollup("category").agg(
+        F.count("*").alias("cnt"), F.grouping("category").alias("__g")
+    )
+    df_c = rolled.filter(F.col("__g") == 0).select(
         "category", F.col("cnt").alias("df_c")
     )
-    n_docs_df = rolled.filter(F.col("category").isNull()).select(
+    n_docs_df = rolled.filter(F.col("__g") == 1).select(
         F.col("cnt").alias("n_docs")
     )
     return df_c, n_docs_df

@@ -107,25 +107,46 @@ def cosine_topk_pandas(
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
 
 
+NEARDUP_MAX_BUCKET = 1000
+
+
 def cosine_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.3
+    emb: DataFrame,
+    threshold: float = 0.3,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
 ) -> DataFrame:
-    """Embedding near-dup pairs within the same label partition:
-    (vec_a, vec_b, cos) with cos >= threshold. Blocking on label keeps
-    the pair space linear-ish; at scale the label is any cheap
-    partitioner (shard, cluster id from k-means, LSH bucket)."""
-    a = emb.select(
-        F.col("label").alias("lbl"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+    """Embedding near-dup candidate pairs blocked on the hyperplane
+    LSH bucket: (vec_a, vec_b, cos) with cos >= threshold and both
+    vectors in the same (size-guarded) bucket.
+
+    The round-1 version self-joined on the ~10-value `label` column —
+    Σ n_ℓ² pairs, quadratic per block and a scale-killer at 100 TB.
+    Blocking on the 2^NUM_PLANES-bucket LSH key bounds each block at
+    max_bucket rows (degenerate buckets are dropped, the same
+    documented semantic as the MinHash guard, dedup.py
+    minhash_candidate_pairs), and near-identical vectors agree on all
+    sign bits, so true near-dups stay co-bucketed. The guard is a
+    window count over the bucket key — one exchange that the self-join
+    reuses (same ReusedExchange pattern as the MinHash path)."""
+    from pyspark.sql import Window
+
+    wb = emb.select(
+        "vec_id", "embedding", hyperplane_bucket(F.col("embedding")).alias("bucket")
     )
-    b = emb.select(
-        F.col("label").alias("lbl"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
+    w = Window.partitionBy("bucket")
+    guarded = (
+        wb.withColumn("sz", F.count("*").over(w))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+        .drop("sz")
+    )
+    a = guarded.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = guarded.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
     return (
-        a.join(b, "lbl")
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",

@@ -223,14 +223,6 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.cosine_neardup_pairs(_emb(spark, sf_dir))
 
 
-SQL_EMBED_NEARDUP = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cos
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
-"""
-
 _BUCKET_SQL = " + ".join(
     "(CASE WHEN ({dot}) > 0 THEN {pw} ELSE 0 END)".format(
         dot=" + ".join(
@@ -241,6 +233,20 @@ _BUCKET_SQL = " + ".join(
     )
     for p, plane in enumerate(ss.HYPERPLANES)
 )
+
+
+# Near-dup pairs blocked on the size-guarded LSH bucket (mirrors
+# operators/simsearch.py cosine_neardup_pairs).
+SQL_EMBED_NEARDUP = f"""
+WITH wb AS (SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
+g AS (SELECT wb.* FROM wb WHERE bucket IN (
+  SELECT bucket FROM wb GROUP BY bucket
+  HAVING count(*) >= 2 AND count(*) <= {ss.NEARDUP_MAX_BUCKET}))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+"""
 
 
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

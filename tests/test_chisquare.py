@@ -108,3 +108,22 @@ def test_report_shape(spark):
     assert lines[-1] == "apple banana cherry dog"
     # X line leads with its top term apple:6.0000
     assert lines[0].split()[1] == "apple:6.0000"
+
+
+def test_cat_and_total_counts_null_category_safe(spark):
+    # A genuine NULL category must not be conflated with the rollup
+    # grand-total row: the grouping() discriminator keeps it in df_c
+    # and leaves exactly one n_docs row.
+    from mapreduce_chisquare_spark.operators.contingency import (
+        cat_and_total_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "doc_id long, category string",
+    )
+    df_c, n_docs_df = cat_and_total_counts(docs)
+    got = {r.category: r.df_c for r in df_c.collect()}
+    assert got == {"a": 2, "b": 1, None: 1}
+    rows = n_docs_df.collect()
+    assert len(rows) == 1 and rows[0].n_docs == 4

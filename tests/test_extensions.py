@@ -176,3 +176,23 @@ def test_text_sink_roundtrip(spark, tmp_path):
         r.value for r in spark.read.text(path).collect()
     )
     assert lines == ["a b c", "d e f"]
+
+
+def test_embed_neardup_bucket_blocking_planted(spark):
+    # Same-direction vectors share the hyperplane bucket and pair with
+    # cos 1; the antipodal vector flips every sign bit, lands in the
+    # complement bucket, and must never be paired (ANN semantics: only
+    # co-bucketed candidates are scored).
+    import random
+
+    rng = random.Random(7)
+    v = [rng.uniform(-1, 1) for _ in range(ss.DIM)]
+    rows = [
+        (1, [float(x) for x in v]),
+        (2, [float(2 * x) for x in v]),
+        (3, [float(-x) for x in v]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in ss.cosine_neardup_pairs(emb).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert not any(3 in p for p in pairs)

@@ -146,3 +146,11 @@ def test_ivf_assignment_impls_agree(spark, sf_dir):
     rows_a = {r.vec_id: r.centroid_id for r in a.collect()}
     rows_b = {r.vec_id: r.centroid_id for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_embed_neardup_blocks_on_lsh_bucket_not_label(spark, sf_dir):
+    # Round 1 self-joined on the ~10-value label column — quadratic per
+    # block. The plan must now never read `label`: blocking is on the
+    # size-guarded hyperplane bucket.
+    p = plan_text(REGISTRY["embed_neardup"][0](spark, sf_dir))
+    assert "label" not in p, p
