@@ -22,46 +22,57 @@ def asof_join(
     right: DataFrame,
     key: str,
     ts: str,
-    payload: str,
+    payloads: str | list[str],
 ) -> DataFrame:
     """For each left row: the latest right row with right.ts <= left.ts
-    on the same key. Returns left's columns + `asof_<payload>`.
+    on the same key. Returns left's columns + one `asof_<p>` column per
+    right-side payload `p` (str or list of str; left columns pass
+    through).
 
-    `payload` must be a right-side column; left columns pass through.
+    Multi-payload correctness: the payloads are carried as ONE struct
+    and the running window takes last(ignorenulls) of that struct, so
+    every asof_<p> comes from the SAME matched right row — carrying
+    columns independently would mix rows whenever a payload is NULL in
+    the matched row. One struct also keeps the plan at a single window
+    function regardless of payload count.
+
+    Right rows with duplicate (key, ts) make "the latest right row"
+    ambiguous (here and in any engine's ASOF join); point-in-time
+    tables should be unique per (key, ts) — pre-aggregate if not.
     """
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
-        "_rpay", F.lit(None).cast(dict(right.dtypes)[payload])
-    )
-    r_tag = (
-        right.select(key, ts, F.col(payload).alias("_rpay"))
-        .withColumn("_side", F.lit(0))
-    )
+    if isinstance(payloads, str):
+        payloads = [payloads]
     l_cols = left.columns
-    merged = l_tag.select(
-        *l_cols, "_side", "_rpay"
-    ).unionByName(
-        r_tag.select(
-            key,
-            ts,
-            "_side",
-            "_rpay",
-            *[
-                F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-                for c in l_cols
-                if c not in (key, ts)
-            ],
-        ),
-        allowMissingColumns=False,
+    l_types = dict(left.dtypes)
+    r_tag = right.select(
+        key,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(p).alias(p) for p in payloads]).alias("_rp"),
+        *[
+            F.lit(None).cast(l_types[c]).alias(c)
+            for c in l_cols
+            if c not in (key, ts)
+        ],
+    )
+    rp_type = r_tag.schema["_rp"].dataType
+    l_tag = left.select(
+        *l_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+    )
+    merged = l_tag.unionByName(
+        r_tag.select(*l_cols, "_side", "_rp"), allowMissingColumns=False
     )
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        merged.withColumn(
-            f"asof_{payload}", F.last("_rpay", ignorenulls=True).over(w)
-        )
-        .filter(F.col("_side") == 1)
-        .drop("_side", "_rpay")
+    filled = merged.withColumn(
+        "_asof", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    return filled.select(
+        *l_cols,
+        *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payloads],
     )

@@ -543,23 +543,41 @@ FROM s GROUP BY user_id, sid
 
 
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment with a multi-column payload: each
+    purchase pulls the latest preceding click's timestamp AND event id.
+    Clicks are first made unique per (user_id, ts) — max event_id wins
+    — because duplicate point-in-time keys make any engine's as-of
+    match ambiguous (the oracle's ASOF JOIN would pick an arbitrary
+    tied row)."""
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .select("user_id", "ts", F.unix_micros("ts").alias("click_us"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event"))
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("click_us"),
+            "click_event",
+        )
     )
-    return asof_join(purchases, clicks, "user_id", "ts", "click_us").select(
-        "event_id", "user_id", F.col("asof_click_us")
+    return asof_join(
+        purchases, clicks, "user_id", "ts", ["click_us", "click_event"]
+    ).select(
+        "event_id", "user_id", "asof_click_us", "asof_click_event"
     )
 
 
 SQL_ASOF = """
-SELECT p.event_id, p.user_id, epoch_us(c.ts) AS asof_click_us
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS asof_click_us,
+       c.click_event AS asof_click_event
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 

@@ -1034,6 +1034,88 @@ WHERE rn <= 50
 """
 
 
+# --- built-in approximate aggregates --------------------------------------
+# The estimates themselves are engine-specific (Spark HLL++ / KLL vs
+# DuckDB HLL / t-digest), so the oracle-comparable relation is
+# (exact value, within-tolerance flag): each engine checks ITS OWN
+# estimate against the exact answer at a 5% bound with generous slack
+# over the estimators' configured error. The flag is the contract a
+# user of the approximate aggregate actually relies on.
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=1%) vs exact distinct count of
+    l_partkey; emits the exact count and the 5%-tolerance flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("est"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    return agg.select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
+SQL_AGG_APPROX_DISTINCT = """
+WITH a AS (SELECT approx_count_distinct(l_partkey) AS est,
+                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+           FROM lineitem)
+SELECT exact_distinct,
+       abs(CAST(est AS DOUBLE) - exact_distinct) <= 0.05 * exact_distinct AS within_tol
+FROM a
+"""
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (accuracy 10000) vs exact interpolated
+    percentiles of l_extendedprice per return flag. Exact side runs on
+    integer cents at dyadic fractions (0.25/0.5/0.75), so the
+    interpolation lower + (upper-lower)*frac is exact in doubles and
+    engine-independent; /100.0 restores units with one shared IEEE op."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select("l_returnflag", _cents("l_extendedprice").alias("cents"))
+    g = c.groupBy("l_returnflag").agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("ex"),
+        F.expr("percentile_approx(cents, array(0.25D, 0.5D, 0.75D), 10000)").alias(
+            "ap"
+        ),
+    )
+    tol = None
+    for i in (1, 2, 3):
+        ok = (
+            F.abs(F.element_at("ap", i) - F.element_at("ex", i))
+            <= 0.05 * F.element_at("ex", i)
+        )
+        tol = ok if tol is None else (tol & ok)
+    return g.select(
+        "l_returnflag",
+        (F.element_at("ex", 1) / 100.0).alias("p25"),
+        (F.element_at("ex", 2) / 100.0).alias("p50"),
+        (F.element_at("ex", 3) / 100.0).alias("p75"),
+        tol.alias("within_tol"),
+    )
+
+
+SQL_AGG_APPROX_PERCENTILE = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+g AS (SELECT l_returnflag,
+             quantile_cont(cents, [0.25, 0.5, 0.75]) AS ex,
+             approx_quantile(cents, [0.25, 0.5, 0.75]) AS ap
+      FROM c GROUP BY l_returnflag)
+SELECT l_returnflag,
+  ex[1] / 100.0 AS p25, ex[2] / 100.0 AS p50, ex[3] / 100.0 AS p75,
+  (abs(ap[1] - ex[1]) <= 0.05 * ex[1]
+   AND abs(ap[2] - ex[2]) <= 0.05 * ex[2]
+   AND abs(ap[3] - ex[3]) <= 0.05 * ex[3]) AS within_tol
+FROM g
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1043,6 +1125,8 @@ RELATIONAL_QUERIES = {
     "sample_stratified": (sample_stratified, SQL_SAMPLE_STRATIFIED),
     "agg_stats": (agg_stats, SQL_AGG_STATS),
     "agg_percentile": (agg_percentile, SQL_AGG_PERCENTILE),
+    "agg_approx_distinct": (agg_approx_distinct, SQL_AGG_APPROX_DISTINCT),
+    "agg_approx_percentile": (agg_approx_percentile, SQL_AGG_APPROX_PERCENTILE),
     "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),
     "having_filter": (having_filter, SQL_HAVING),
     "case_when_bucket": (case_when_bucket, SQL_CASE_WHEN),

@@ -196,3 +196,22 @@ def test_embed_neardup_bucket_blocking_planted(spark):
     pairs = {(r.vec_a, r.vec_b): r.cos for r in ss.cosine_neardup_pairs(emb).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert not any(3 in p for p in pairs)
+
+
+def test_asof_join_multi_payload_row_consistent(spark):
+    # The matched right row (ts=90) has a NULL payload `a`; both asof
+    # columns must come from that SAME row — a per-column carry would
+    # backfill `a` from the older ts=50 row and mix rows.
+    left = spark.createDataFrame(
+        [(1, 100, "p")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "old", 5), (1, 90, None, 9)],
+        "k long, ts long, a string, b long",
+    )
+    out = asof_join(left, right, "k", "ts", ["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0].asof_a is None and out[0].asof_b == 9
+    # str payload keeps the single-column API
+    single = asof_join(left, right, "k", "ts", "b").collect()
+    assert single[0].asof_b == 9
