@@ -38,6 +38,7 @@ HEADLINE = [
     "window_rank",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_k128",
     "dedup_ngram_jaccard",
     "simsearch_topk",
     "simsearch_lsh_topk",

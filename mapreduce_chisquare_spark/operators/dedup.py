@@ -84,7 +84,11 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
 _MOD = 2**31
 
 
-def _hash_params(k: int) -> list[tuple[int, int]]:
+def hash_params(k: int) -> list[tuple[int, int]]:
+    """First k (A, B) pairs of the deterministic universal-hash family
+    — a prefix property, so signatures for smaller k are prefixes of
+    larger-k signatures and the oracle can embed identical literals
+    for any operating point."""
     import hashlib
 
     out = []
@@ -95,7 +99,7 @@ def _hash_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
-HASH_PARAMS = _hash_params(NUM_HASHES)
+HASH_PARAMS = hash_params(NUM_HASHES)
 
 
 def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
@@ -103,7 +107,7 @@ def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
     h0..h{k-1}, longs — numeric keeps this in HashAggregate).
 
     ONE md5 per shingle; the k values come from a multiply-mod
-    universal-hash family over the md5's first 8 hex digits — 16× less
+    universal-hash family over the md5's first 8 hex digits — k× less
     hashing than seeded md5 per hash function, same LSH behaviour."""
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "long"
@@ -113,7 +117,7 @@ def minhash_signatures(sh: DataFrame, k: int = NUM_HASHES) -> DataFrame:
         F.min((F.lit(a) * F.col("__b") + F.lit(b)) % F.lit(_MOD)).alias(
             f"h{s}"
         )
-        for s, (a, b) in enumerate(HASH_PARAMS[:k])
+        for s, (a, b) in enumerate(hash_params(k))
     ]
     return withb.groupBy("doc_id").agg(*aggs)
 
@@ -135,9 +139,21 @@ def lsh_bands(sig: DataFrame, bands: int = NUM_BANDS, k: int = NUM_HASHES) -> Da
     ).select("doc_id", "e.band", "e.key")
 
 
-def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+) -> DataFrame:
     """MinHash+LSH near-dup candidates: (doc_a, doc_b, n_bands) for
     pairs sharing >= 1 band bucket (bucket size guarded).
+
+    (k, bands) set the S-curve operating point: capture probability at
+    Jaccard s is 1-(1-s^r)^bands with r = k/bands, i.e. a soft
+    threshold around (1/bands)^(1/r). The defaults (16, 8) are a
+    high-recall screen (r=2); (128, 16) is a sharp near-dup detector
+    (r=8, threshold ~0.7) — both operating points are pinned by the
+    planted precision/recall test in tests/test_extensions.py.
 
     The size guard is a window count over (band, key), not a
     groupBy+join back: one exchange on the bucket key that the
@@ -147,10 +163,10 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     """
     from pyspark.sql import Window
 
-    bands = lsh_bands(minhash_signatures(shingles(docs, text_col)))
+    bands_df = lsh_bands(minhash_signatures(shingles(docs, text_col), k), bands, k)
     w = Window.partitionBy("band", "key")
     guarded = (
-        bands.withColumn("sz", F.count("*").over(w))
+        bands_df.withColumn("sz", F.count("*").over(w))
         .filter((F.col("sz") >= 2) & (F.col("sz") <= MAX_BUCKET))
         .drop("sz")
     )

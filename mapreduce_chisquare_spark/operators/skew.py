@@ -46,3 +46,58 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<long>")),
     )
     return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")
+
+
+def decide_num_salts(
+    big: DataFrame,
+    on: str | list[str],
+    target_rows_per_partition: int = 2_000_000,
+    sample_fraction: float = 0.05,
+    max_salts: int = 64,
+    seed: int = 42,
+) -> int:
+    """Derive the salt count from OBSERVED key skew instead of a fixed
+    replication factor: estimate the hottest key's row count from a
+    seeded Bernoulli sample, divide by the per-partition row budget,
+    clamp to [1, max_salts]. 1 means "don't salt" — for uniform keys
+    the fixed-S version replicates the small side S times for nothing,
+    which was the whole cost of the salted join.
+
+    The probe is one tiny agg over a key-only sample scan and the
+    decision is driver-side — the same shape as Spark's broadcast
+    decision. Correctness never depends on the outcome (salting is a
+    physical rewrite with identical results), so sampling noise can
+    only shift performance, never answers.
+    """
+    import math
+
+    keys = [on] if isinstance(on, str) else list(on)
+    r = (
+        big.select(*keys)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    if r.mx is None:
+        return 1
+    est_hottest = r.mx / sample_fraction
+    return max(1, min(max_salts, math.ceil(est_hottest / target_rows_per_partition)))
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+    **probe_kwargs,
+) -> DataFrame:
+    """salted_join with the salt count chosen by decide_num_salts;
+    degenerates to a plain equi-join when the probe finds no key hot
+    enough to overflow a partition."""
+    n = decide_num_salts(big, on, **probe_kwargs)
+    if n <= 1:
+        return big.join(small, on, how)
+    return salted_join(big, small, on, how, n, salt_cols)

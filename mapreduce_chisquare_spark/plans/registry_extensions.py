@@ -82,34 +82,41 @@ _BASE32_SQL = " + ".join(
     for i in range(8)
 )
 
-_SIG_COLS = ", ".join(
-    f"min(({a} * b32 + {b}) % {dd._MOD}) AS h{s}"
-    for s, (a, b) in enumerate(dd.HASH_PARAMS)
-)
-_ROWS_PER_BAND = dd.NUM_HASHES // dd.NUM_BANDS
-_BAND_SELECTS = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
-        b=b,
-        key=" || '_' || ".join(
-            f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)"
-            for r in range(_ROWS_PER_BAND)
-        ),
+def _minhash_pair_ctes(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str:
+    """CTE chain for MinHash+LSH candidate pairs at a chosen (k, bands)
+    operating point — generated from the same hash_params(k) family as
+    the Spark plan, so any point the engine exposes has an exact
+    oracle."""
+    sig_cols = ", ".join(
+        f"min(({a} * b32 + {b}) % {dd._MOD}) AS h{s}"
+        for s, (a, b) in enumerate(dd.hash_params(k))
     )
-    for b in range(dd.NUM_BANDS)
-)
-_PAIR_CTES = (
-    _SH_CTES + ", "
-    f"shb AS (SELECT doc_id, ({_BASE32_SQL}) AS b32 FROM sh), "
-    f"sig AS (SELECT doc_id, {_SIG_COLS} FROM shb GROUP BY doc_id), "
-    f"bands AS ({_BAND_SELECTS}), "
-    "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
-    f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
-    "g AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN buckets USING (band, key)), "
-    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    "CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands "
-    "FROM g a JOIN g b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
-    "GROUP BY a.doc_id, b.doc_id)"
-)
+    rows = k // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SH_CTES + ", "
+        f"shb AS (SELECT doc_id, ({_BASE32_SQL}) AS b32 FROM sh), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM shb GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
+        "g AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN buckets USING (band, key)), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands "
+        "FROM g a JOIN g b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id)"
+    )
+
+
+_PAIR_CTES = _minhash_pair_ctes()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +125,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_MINHASH = (
     "WITH " + _PAIR_CTES + " SELECT doc_a, doc_b, n_bands FROM pairs"
+)
+
+
+def dedup_minhash_lsh_k128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharp operating point (k=128, 16 bands of 8 rows): capture
+    probability 1-(1-s^8)^16, a soft threshold near Jaccard 0.7 —
+    a near-dup DETECTOR, vs the default (16, 8) high-recall SCREEN."""
+    return dd.minhash_candidate_pairs(_docs(spark, sf_dir), k=128, bands=16)
+
+
+SQL_DEDUP_MINHASH_K128 = (
+    "WITH " + _minhash_pair_ctes(128, 16) + " SELECT doc_a, doc_b, n_bands FROM pairs"
 )
 
 
@@ -894,6 +913,7 @@ SQL_PIPELINE_CURATION = SQL_PIPELINE_CURATION.format(stops=_STOP_LIST)
 EXTENSION_QUERIES = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_minhash_lsh_k128": (dedup_minhash_lsh_k128, SQL_DEDUP_MINHASH_K128),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_components": (dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),

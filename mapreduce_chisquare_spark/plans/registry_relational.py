@@ -862,18 +862,23 @@ GROUP BY 1, 2
 
 
 def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resilient join: lineitem (big, salted on a deterministic
-    hash) x orders (replicated across salts), aggregated per priority.
-    Result is identical to the plain join — the oracle proves it."""
-    from ..operators.skew import salted_join
+    """Skew-resilient join: lineitem x orders per priority, with the
+    salt count derived from OBSERVED key skew (operators/skew.py
+    decide_num_salts) instead of a fixed 8x replication. TPC-H order
+    keys are uniform (<= 7 lines/order), so the probe correctly decides
+    "don't salt" and this runs as a plain equi-join — the salted
+    physical rewrite kicks in only when a key would overflow a
+    partition (exercised with a planted hot key in
+    tests/test_extensions.py). Result is identical either way — the
+    oracle proves it."""
+    from ..operators.skew import adaptive_salted_join
 
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_join(
+    j = adaptive_salted_join(
         li, od, on="l_orderkey",
-        num_salts=8,
         salt_cols=["l_orderkey", "l_linenumber"],
     )
     return j.groupBy("o_orderpriority").agg(

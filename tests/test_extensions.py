@@ -215,3 +215,101 @@ def test_asof_join_multi_payload_row_consistent(spark):
     # str payload keeps the single-column API
     single = asof_join(left, right, "k", "ts", "b").collect()
     assert single[0].asof_b == 9
+
+
+def test_adaptive_salting_planted_skew(spark):
+    from mapreduce_chisquare_spark.operators.skew import (
+        adaptive_salted_join,
+        decide_num_salts,
+        salted_join,
+    )
+
+    # 5000 rows on one hot key + 500 uniform rows; tiny budget so the
+    # probe must choose to salt. Uniform keys alone must choose NOT to.
+    hot = spark.range(5000).selectExpr("CAST(1 AS LONG) AS k", "id AS v")
+    uni = spark.range(500).selectExpr("id % 100 AS k", "id AS v")
+    big = hot.union(uni)
+    small = spark.range(100).selectExpr("id AS k", "id * 10 AS w")
+
+    n = decide_num_salts(big, "k", target_rows_per_partition=1000)
+    assert n > 1
+    assert decide_num_salts(uni, "k", target_rows_per_partition=1000) == 1
+
+    plain = big.join(small, "k").groupBy("k").count().collect()
+    salted = (
+        adaptive_salted_join(
+            big, small, "k", salt_cols=["k", "v"],
+            target_rows_per_partition=1000,
+        )
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    assert sorted((r.k, r["count"]) for r in plain) == sorted(
+        (r.k, r["count"]) for r in salted
+    )
+    # fixed-S path still correct too
+    fixed = (
+        salted_join(big, small, "k", num_salts=4, salt_cols=["k", "v"])
+        .groupBy("k").count().collect()
+    )
+    assert sorted((r.k, r["count"]) for r in plain) == sorted(
+        (r.k, r["count"]) for r in fixed
+    )
+
+
+def _jaccard(a: list[str], b: list[str], n: int = 3) -> float:
+    sa = {" ".join(a[i : i + n]) for i in range(len(a) - n + 1)}
+    sb = {" ".join(b[i : i + n]) for i in range(len(b) - n + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def minhash_operating_corpus(spark):
+    # 12 high-similarity pairs (one word of 40 replaced, shingle
+    # Jaccard ~0.85) and 12 low-similarity pairs (10 of 40 words
+    # shared, ~0.1). Disjoint per-pair vocabularies, so cross-pair
+    # Jaccard is 0 and every candidate the LSH emits is attributable.
+    # Words must be purely alphabetic: digits are tokenizer delimiters
+    # (DELIM_REGEX), so digit-bearing words would shatter into tiny
+    # shared fragments and silently raise every pair's true Jaccard.
+    def w(prefix: str, n: int) -> str:
+        return prefix + chr(97 + n // 26) + chr(97 + n % 26)
+
+    rows, truth = [], {}
+    doc_id = 0
+    for p in range(24):
+        words = [w("pair", p) + w("word", j) for j in range(40)]
+        if p < 12:
+            other = list(words)
+            other[17] = w("pair", p) + "changed"
+        else:
+            other = [w("pair", p) + w("fresh", j) for j in range(30)] + words[:10]
+        rows += [(doc_id, " ".join(words)), (doc_id + 1, " ".join(other))]
+        truth[(doc_id, doc_id + 1)] = _jaccard(words, other)
+        doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, truth
+
+
+@pytest.mark.parametrize(
+    "k,bands,min_recall_high,max_low_captured",
+    [
+        (16, 8, 0.9, 6),    # high-recall screen: r=2, loose threshold
+        (128, 16, 0.9, 0),  # sharp detector: r=8, threshold ~0.7
+    ],
+)
+def test_minhash_precision_recall_operating_points(
+    minhash_operating_corpus, k, bands, min_recall_high, max_low_captured
+):
+    docs, truth = minhash_operating_corpus
+    high = {p for p, j in truth.items() if j >= 0.7}
+    low = {p for p, j in truth.items() if j <= 0.2}
+    assert len(high) == 12 and len(low) == 12  # fixture sanity
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_candidate_pairs(docs, k=k, bands=bands).collect()
+    }
+    recall_high = len(got & high) / len(high)
+    assert recall_high >= min_recall_high, (k, bands, sorted(got))
+    assert len(got & low) <= max_low_captured, (k, bands, sorted(got & low))
