@@ -87,11 +87,11 @@ def decode_documents(media: DataFrame) -> DataFrame:
     )
 
 
-FRAMES_SCHEMA = T.StructType(
+FRAMES_RAW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
-        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_bytes", T.BinaryType()),
     ]
 )
 
@@ -100,10 +100,11 @@ def frame_sample_batch(batches):
     """1-to-N frame sampling: each payload expands to n_frames rows
     (n = 1 + doc_id % 8, matching the fake decoder). Real pipelines
     would seek keyframes here; the fan-out/batch mechanics are what
-    must scale. Vectorized expansion via index-repeat; only the frame
-    hash is per-row (it stands in for the per-frame pixel work)."""
-    import hashlib
-
+    must scale. Fully vectorized (index-repeat + cumcount, no per-row
+    Python): frame_bytes stands in for the decoded frame buffer a real
+    codec would emit — with a real codec THAT per-frame C-library call
+    is the cost model, not the interpreter. Downstream per-frame work
+    that built-ins can express (hashing here) runs JVM-side instead."""
     import pandas as pd
 
     for pdf in batches:
@@ -112,22 +113,27 @@ def frame_sample_batch(batches):
         n = (1 + pdf["doc_id"] % 8).astype("int64")
         rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
         idx = rep.groupby("doc_id").cumcount().astype("int64")
-        digests = [
-            hashlib.md5(p + b":" + str(i).encode()).hexdigest()
-            for p, i in zip(rep["payload"], idx)
-        ]
         yield pd.DataFrame(
             {
                 "doc_id": rep["doc_id"],
                 "frame_idx": idx,
-                "frame_md5": digests,
+                "frame_bytes": rep["payload"],
             }
         )
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
-    """mapInPandas fan-out: (doc_id, frame_idx, frame_md5), one row per
-    sampled frame."""
-    return media.select("doc_id", "payload").mapInPandas(
-        frame_sample_batch, FRAMES_SCHEMA
+    """mapInPandas fan-out → (doc_id, frame_idx, frame_md5), one row
+    per sampled frame. The digest (stand-in for per-frame feature
+    extraction expressible with built-ins) is whole-stage-codegen
+    `md5`, not Python."""
+    frames = media.select("doc_id", "payload").mapInPandas(
+        frame_sample_batch, FRAMES_RAW_SCHEMA
+    )
+    sep = F.encode(F.lit(":"), "utf-8")
+    tag = F.encode(F.col("frame_idx").cast("string"), "utf-8")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.concat(F.col("frame_bytes"), sep, tag)).alias("frame_md5"),
     )

@@ -80,7 +80,7 @@ def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
     import pyarrow.parquet as pqm
 
     tag = Path(sf_dir).name
-    d = _CACHE / f"docs_stream_{tag}"
+    d = _CACHE / f"docs_stream_{tag}_{parts}"
     done = d / "_FIXTURE_READY"
     if done.exists():
         return str(d)

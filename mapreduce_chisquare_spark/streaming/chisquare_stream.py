@@ -30,18 +30,26 @@ from ..operators.contingency import (
 )
 from ..schemas import DOCUMENTS
 from ..sources.fixtures import _CACHE, docs_multifile_dir
+from .tuning import state_partitions
 
 
 def incremental_chi_square(
-    spark: SparkSession, sf_dir: str, parts: int = 4
+    spark: SparkSession, sf_dir: str, parts: int = 2
 ) -> DataFrame:
     """Stream documents (one file per micro-batch), accumulate partial
     (term, category) and category counts per batch, and return the χ²
     relation from the merged counts — equal to the one-shot batch plan
-    because count-merge is exact integer addition."""
+    because count-merge is exact integer addition.
+
+    Two micro-batches exercise the cross-batch merge; each extra batch
+    adds only fixed overhead (two write jobs + a checkpoint commit) at
+    the test scale. The partial-count relations are tiny (bounded by
+    the dictionary, not the corpus), so each is coalesced to one file
+    per batch — at 100 TB the counts store would be a Delta/Iceberg
+    table with background compaction instead."""
     in_dir = docs_multifile_dir(sf_dir, parts)
     run = Path(_CACHE) / ("chi_run_" + uuid.uuid4().hex[:8])
-    tc_dir, c_dir = str(run / "tc"), str(run / "c")
+    store = str(run / "partials")
 
     stream = (
         spark.readStream.schema(DOCUMENTS)
@@ -49,31 +57,41 @@ def incremental_chi_square(
         .parquet(in_dir)
     )
 
+    # Both partial relations go to ONE tagged store (term IS NULL =
+    # per-category doc count) so each micro-batch submits a single
+    # write job; the relations are tiny, so the union costs nothing.
     def accumulate(batch_df: DataFrame, batch_id: int) -> None:
         d = batch_df.selectExpr("doc_id", "text", "lang AS category")
         toks = tokens_relation(d, STOPWORDS)
-        term_cat_counts(toks).write.mode("append").parquet(tc_dir)
-        cat_counts(nonempty_documents(d)).write.mode("append").parquet(
-            c_dir
+        partials = term_cat_counts(toks).unionByName(
+            cat_counts(nonempty_documents(d))
+            .select(
+                F.lit(None).cast("string").alias("term"),
+                "category",
+                F.col("df_c").alias("df_tc"),
+            )
         )
+        partials.coalesce(1).write.mode("append").parquet(store)
 
-    q = (
-        stream.writeStream.foreachBatch(accumulate)
-        .option("checkpointLocation", str(run / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", str(run / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
-    df_tc = (
-        spark.read.parquet(tc_dir)
+    merged = (
+        spark.read.parquet(store)
         .groupBy("term", "category")
-        .agg(F.sum("df_tc").cast("long").alias("df_tc"))
+        .agg(F.sum("df_tc").cast("long").alias("cnt"))
     )
-    df_c = (
-        spark.read.parquet(c_dir)
-        .groupBy("category")
-        .agg(F.sum("df_c").cast("long").alias("df_c"))
+    df_tc = merged.filter(F.col("term").isNotNull()).select(
+        "term", "category", F.col("cnt").alias("df_tc")
+    )
+    df_c = merged.filter(F.col("term").isNull()).select(
+        "category", F.col("cnt").alias("df_c")
     )
     n = df_c.agg(F.sum("df_c").cast("long").alias("n_docs"))
     return chi_square_from_counts(df_tc, df_c, n)

@@ -121,21 +121,23 @@ def sessionize_to_completion(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..sources.fixtures import events_stream_dir
+    from .tuning import state_partitions
     from .windows import read_events_stream
 
     ev = read_events_stream(
         spark, events_stream_dir(sf_dir), glob="*.parquet"
     )
     name = "stream_sessionize_" + uuid.uuid4().hex[:8]
-    q = (
-        sessionize_stream(ev, idle_timeout_ms=None)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (
+            sessionize_stream(ev, idle_timeout_ms=None)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.expr("session_start_us div 1000000").alias("sess_start"),
