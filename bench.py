@@ -46,6 +46,8 @@ HEADLINE = [
     "lang_id",
     "tfidf",
     "pipeline_curation",
+    "decontaminate",
+    "repetition_metrics",
     "window_tumbling",
     "window_session",
     "asof_join",

@@ -1,0 +1,175 @@
+"""Corpus-curation operators beyond dedup: eval-set decontamination,
+repetition/boilerplate metrics, PII redaction, per-source quotas.
+
+These are the remaining standard passes of a large-scale training-data
+pipeline (the reference has none of this; SURVEY.md §2 covers only the
+χ² surface). All are built-in Catalyst expressions — no UDFs — and
+each states its 100 TB posture in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+# Decontamination screen: a training document sharing at least this
+# many distinct shingles with the eval set is flagged. Longer
+# shingles than the dedup default (5-word vs 3-word): contamination
+# means *verbatim benchmark text*, and short n-grams over a small
+# vocabulary flag unrelated documents (3-grams flag 84% of the
+# synthetic corpus; real pipelines use 8-13-gram screens).
+MIN_OVERLAP = 1
+DECONTAM_SHINGLE_N = 5
+
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGITS_REGEX = "[0-9]{9,}"
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_source: str = "src0",
+    min_overlap: int = MIN_OVERLAP,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents (source !=
+    eval_source) sharing >= min_overlap distinct word-3-grams with the
+    eval set (source == eval_source). Returns (doc_id, n_overlap) for
+    flagged docs; the kept corpus is the anti-join on this relation.
+
+    Scale shape: the eval side of the shingle join is a *benchmark
+    suite* — MBs against a 100 TB corpus — so its distinct-shingle set
+    is broadcast and the screen is one map-side hash-join pass over
+    the corpus shingles plus one aggregate by doc. No shuffle touches
+    the corpus-sized relation until the per-doc count (which is
+    map-side combined). The shingle relation is already distinct per
+    doc (dedup.shingles), so count(*) == count(DISTINCT shingle)."""
+    sh = shingles(docs, n=DECONTAM_SHINGLE_N)
+    src = docs.select("doc_id", "source")
+    eval_sh = (
+        sh.join(src.filter(F.col("source") == eval_source), "doc_id")
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = sh.join(src.filter(F.col("source") != eval_source), "doc_id")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition/boilerplate metrics:
+    (doc_id, n_tokens, dup_token_ratio, dup_3gram_ratio,
+    top_token_share).
+
+    dup ratios are computed ARRAY-SIDE (size vs size(array_distinct))
+    — a pure projection, zero shuffle for 2 of the 3 metrics. Only
+    top_token_share (modal-token frequency) needs an explode +
+    (doc_id, token) count + per-doc max, both map-side combinable.
+    Ratios are single IEEE divisions of exact integer counts, so the
+    oracle reproduces them bit-for-bit."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    base = docs.select("doc_id", toks.alias("__t"))
+    arr = F.col("__t")
+    g3 = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(arr, i + 1),
+                F.element_at(arr, i + 2),
+                F.element_at(arr, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withg = base.select("doc_id", arr, g3.alias("__g"))
+    # Reduce the arrays to scalar sizes BEFORE the explode so the
+    # shuffle carries 4 ints per token row, not the token/3-gram
+    # arrays replicated once per token.
+    flat = withg.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.size(F.array_distinct(arr)).alias("n_distinct_tokens"),
+        F.size("__g").alias("__ng"),
+        F.size(F.array_distinct("__g")).alias("__ndg"),
+        F.explode(arr).alias("w"),
+    )
+    per_tok = flat.groupBy(
+        "doc_id", "n_tokens", "n_distinct_tokens", "__ng", "__ndg", "w"
+    ).agg(F.count("*").alias("c"))
+    return per_tok.groupBy(
+        "doc_id", "n_tokens", "n_distinct_tokens", "__ng", "__ndg"
+    ).agg(
+        F.max("c").alias("__top"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_ratio"),
+        F.when(
+            F.col("__ng") > 0,
+            F.lit(1.0)
+            - F.col("__ndg").cast("double") / F.col("__ng").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_ratio"),
+        (
+            F.col("__top").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("top_token_share"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: emails -> <EMAIL>, 9+-digit runs -> <NUM>.
+    Returns (doc_id, clean_text, n_emails, n_numbers).
+
+    Map-side only — regexp_replace/extract_all in one projection, no
+    shuffle, no UDF; at 100 TB this runs at scan speed. The test
+    corpus contains no natural PII, so the registry query injects a
+    deterministic email + id-number per document (identically in the
+    oracle) and the redaction must remove exactly those."""
+    pii = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(pii, F.lit(EMAIL_REGEX), F.lit(0))
+    )
+    after_email = F.regexp_replace(pii, EMAIL_REGEX, "<EMAIL>")
+    n_numbers = F.size(
+        F.regexp_extract_all(after_email, F.lit(LONG_DIGITS_REGEX), F.lit(0))
+    )
+    clean = F.regexp_replace(after_email, LONG_DIGITS_REGEX, "<NUM>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+    )
+
+
+def sample_per_source(docs: DataFrame, quota: int = 5) -> DataFrame:
+    """Per-source quota sampling: keep at most `quota` documents per
+    source, chosen by a deterministic content-free hash order
+    (md5(doc_id)) so the sample is reproducible and unbiased by
+    insertion order. Returns (doc_id, source).
+
+    One shuffle on source; rank via row_number, which Spark executes
+    as WindowGroupLimit (per-partition top-k before the exchange) —
+    the same bounded-state shape as topk_per_group, safe at any number
+    of sources. Skewed source sizes don't matter: the group limit
+    caps what each task retains at quota rows per source."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "source")
+    )

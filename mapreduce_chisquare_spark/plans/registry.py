@@ -48,6 +48,7 @@ _SLOW_TAIL = [
     "stream_dedup",
     "stream_sessionize",
     "stream_chi_square",
+    "stream_interval_join",
 ]
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _SLOW_TAIL},

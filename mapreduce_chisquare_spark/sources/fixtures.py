@@ -73,6 +73,43 @@ def ndjson_documents(sf_dir: str) -> str:
     return str(dst)
 
 
+# Injected CSV pathologies: every one must be DROPPED by the caller's
+# null/empty filter so the scan result stays comparable to the parquet
+# twin. One of each branch: non-numeric doc_id (schema-cast null),
+# truncated row (missing columns -> nulls), and a QUOTED field with
+# embedded comma + escaped quote so the quote/escape path is exercised
+# (its doc_id is non-numeric, so it is dropped too).
+_BAD_CSV_ROWS = [
+    'not_a_number,orphan text,en',
+    '-12,',
+    'x1,"quoted, with comma and ""escaped"" quote",de',
+]
+
+
+def csv_documents(sf_dir: str) -> str:
+    """Materialize documents.parquet as CSV (doc_id,text,lang — no
+    header) with malformed rows injected; returns the cached path.
+    Texts in the driver tables contain no commas/quotes/newlines, so
+    well-formed rows need no quoting and the file round-trips
+    bit-exactly; the injected rows carry the quoting pathologies."""
+    tag = Path(sf_dir).name
+    dst = _CACHE / f"documents_{tag}.csv"
+    if dst.exists():
+        return str(dst)
+    _CACHE.mkdir(exist_ok=True)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    tmp = dst.with_suffix(f".tmp{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for i, row in enumerate(tbl.to_pylist()):
+            f.write(f'{row["doc_id"]},{row["text"]},{row["lang"]}\n')
+            if i % 150 == 0:
+                f.write(_BAD_CSV_ROWS[(i // 150) % len(_BAD_CSV_ROWS)] + "\n")
+    _atomic_publish(tmp, dst)
+    return str(dst)
+
+
 def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
     """Split documents.parquet row-wise into `parts` files so a file
     source delivers several micro-batches (maxFilesPerTrigger=1) —

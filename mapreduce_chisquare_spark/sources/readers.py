@@ -66,6 +66,36 @@ REVIEWS_WITH_ID = T.StructType(
 )
 
 
+DOCUMENTS_CSV = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def scan_csv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV twin of scan_json_documents: schema-pinned PERMISSIVE scan
+    of the documents table as headerless CSV with malformed rows
+    injected (sources.fixtures.csv_documents). Bad rows parse to
+    nulls (non-numeric doc_id, truncated columns); the caller's
+    null filter drops exactly those. Unlike multiLine CSV (one
+    whole-file record stream), line-delimited CSV splits like any
+    text source, so the scan parallelizes at 100 TB."""
+    from .fixtures import csv_documents
+
+    path = csv_documents(sf_dir)
+    return (
+        spark.read.schema(DOCUMENTS_CSV)
+        .option("mode", "PERMISSIVE")
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
 def scan_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2 against real NDJSON bytes: the documents table serialized
     one JSON object per line with malformed / missing-field lines

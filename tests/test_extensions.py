@@ -313,3 +313,136 @@ def test_minhash_precision_recall_operating_points(
     recall_high = len(got & high) / len(high)
     assert recall_high >= min_recall_high, (k, bands, sorted(got))
     assert len(got & low) <= max_low_captured, (k, bands, sorted(got & low))
+
+
+# =========================================================================
+# Curation operators (decontamination, repetition, PII, quotas)
+# =========================================================================
+
+EVAL_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_decontaminate_flags_verbatim_overlap_only(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    rows = [
+        # eval doc (source src0)
+        (0, EVAL_TEXT, "src0"),
+        # training doc quoting >= 5 consecutive eval words: flagged
+        (1, "intro words then alpha beta gamma delta epsilon zeta done",
+         "src1"),
+        # training doc sharing single words but no 5-gram: clean
+        (2, "alpha unrelated beta mixture gamma solo delta lone epsilon",
+         "src1"),
+        # clean doc
+        (3, "totally different content nothing shared at all here today",
+         "src2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {r.doc_id: r.n_overlap for r in cu.decontaminate(docs).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 3 not in out and 0 not in out
+
+
+def test_repetition_metrics_planted(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    rows = [
+        (0, "spam spam spam spam"),          # all same token
+        (1, "one two three four"),           # all distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.doc_id: r for r in cu.repetition_metrics(docs).collect()}
+    assert m[0].n_tokens == 4
+    assert m[0].dup_token_ratio == pytest.approx(0.75)
+    assert m[0].top_token_share == pytest.approx(1.0)
+    assert m[0].dup_3gram_ratio == pytest.approx(0.5)  # 2 grams, 1 distinct
+    assert m[1].dup_token_ratio == pytest.approx(0.0)
+    assert m[1].top_token_share == pytest.approx(0.25)
+    assert m[1].dup_3gram_ratio == pytest.approx(0.0)
+
+
+def test_redact_pii_planted(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    rows = [
+        (0, "write to alice.smith+x@corp.example.org or card 4111222233334444"),
+        (1, "no pii here just words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cu.redact_pii(docs).collect()}
+    assert out[0].n_emails == 1 and out[0].n_numbers == 1
+    assert "<EMAIL>" in out[0].clean_text and "<NUM>" in out[0].clean_text
+    assert "alice" not in out[0].clean_text
+    assert "4111" not in out[0].clean_text
+    assert out[1].n_emails == 0 and out[1].n_numbers == 0
+    assert out[1].clean_text == "no pii here just words"
+
+
+def test_sample_per_source_quota_and_determinism(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    rows = [(i, f"text {i}", f"src{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    a = sorted((r.doc_id, r.source) for r in cu.sample_per_source(docs).collect())
+    b = sorted((r.doc_id, r.source) for r in cu.sample_per_source(docs).collect())
+    assert a == b  # deterministic
+    per_src = {}
+    for _, s in a:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v == 5 for v in per_src.values())
+
+
+def test_csv_scan_drops_exactly_injected_rows(spark, sf_dir):
+    from mapreduce_chisquare_spark.plans.registry_extensions import scan_csv_q
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    got = scan_csv_q(spark, sf_dir)
+    want = scan_parquet(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+    from mapreduce_chisquare_spark.streaming.joins import (
+        attribution_to_completion,
+    )
+
+    ev = scan_parquet(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = (
+        v.join(c, (v.user_id == c.c_user))
+        .filter(
+            (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 600 SECONDS")
+            )
+        )
+        .select("click_id", "view_id")
+    )
+    want = sorted((r.click_id, r.view_id) for r in batch.collect())
+    got = sorted(
+        (r.click_id, r.view_id)
+        for r in attribution_to_completion(spark, sf_dir).collect()
+    )
+    assert got == want
