@@ -49,6 +49,7 @@ _SLOW_TAIL = [
     "stream_sessionize",
     "stream_chi_square",
     "stream_interval_join",
+    "stream_static_join",
 ]
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _SLOW_TAIL},

@@ -1069,6 +1069,177 @@ FROM events v JOIN events c
 """
 
 
+# =========================================================================
+# Time series, warehouse maintenance, embedding stats, stream enrich
+# =========================================================================
+
+def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ffill
+
+    return resample_ffill(_events(spark, sf_dir))
+
+
+SQL_RESAMPLE_FFILL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         (epoch_us(ts) // 1000000 // 3600) * 3600 AS h
+  FROM events WHERE user_id < 40),
+lv AS (
+  SELECT user_id, h, value FROM (
+    SELECT user_id, h, value,
+      row_number() OVER (PARTITION BY user_id, h
+                         ORDER BY us DESC, value DESC) AS rn
+    FROM o) t WHERE rn = 1),
+n AS (
+  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events
+  FROM o GROUP BY user_id, h),
+sp AS (
+  SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS h
+  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+        FROM o GROUP BY user_id) t)
+SELECT sp.user_id, sp.h AS hour_start,
+  coalesce(n.n_events, 0) AS n_events,
+  last_value(lv.value IGNORE NULLS) OVER (
+    PARTITION BY sp.user_id ORDER BY sp.h) AS value_ffill
+FROM sp
+LEFT JOIN lv ON sp.user_id = lv.user_id AND sp.h = lv.h
+LEFT JOIN n  ON sp.user_id = n.user_id  AND sp.h = n.h
+"""
+
+
+_DQ_COLUMNS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+def dq_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import dq_profile
+
+    return dq_profile(
+        scan_parquet(spark, sf_dir, "orders"), _DQ_COLUMNS
+    )
+
+
+def _dq_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    parts = []
+    for c in _DQ_COLUMNS:
+        # the non-numeric branch still needs an aggregate wrapper or
+        # the SELECT degenerates to one row per input row
+        mm_min = (
+            f"CAST(min({c}) AS DOUBLE)"
+            if c in numeric
+            else "max(CAST(NULL AS DOUBLE))"
+        )
+        mm_max = (
+            f"CAST(max({c}) AS DOUBLE)"
+            if c in numeric
+            else "max(CAST(NULL AS DOUBLE))"
+        )
+        parts += [
+            f"SELECT '{c}' AS \"column\", 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM orders",
+            f"SELECT '{c}', 'nulls', CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders",
+            f"SELECT '{c}', 'distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM orders",
+            f"SELECT '{c}', 'min', {mm_min} FROM orders",
+            f"SELECT '{c}', 'max', {mm_max} FROM orders",
+        ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_DQ_PROFILE = _dq_sql()
+
+
+def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updates derived deterministically from the dimension itself:
+    custkey % 7 == 0 -> balance change; % 13 (and not % 7) -> touched
+    but unchanged; % 31 -> new key (custkey + 10000). Exercises every
+    merge branch with no side fixture."""
+    from ..operators.warehouse import scd2_merge
+
+    cust = scan_parquet(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal")
+    )
+    untouched = cust.filter(
+        (F.col("c_custkey") % 13 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select("c_custkey", "c_acctbal")
+    inserts = cust.filter(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + F.lit(10000)).alias("c_custkey"), "c_acctbal"
+    )
+    updates = changed.unionByName(untouched).unionByName(inserts)
+    return scd2_merge(cust, updates, "c_custkey", "c_acctbal")
+
+
+SQL_SCD2_MERGE = """
+WITH u AS (
+  SELECT c_custkey AS k, c_acctbal + 100.0 AS new_v FROM customer
+  WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000, c_acctbal FROM customer
+  WHERE c_custkey % 31 = 0),
+b AS (SELECT c_custkey AS k, c_acctbal AS old_v FROM customer),
+j AS (SELECT coalesce(b.k, u.k) AS k, old_v, new_v
+      FROM b FULL OUTER JOIN u ON b.k = u.k)
+SELECT k AS c_custkey, old_v AS c_acctbal,
+       CAST(1 AS INTEGER) AS version,
+       CASE WHEN new_v IS NOT NULL AND new_v <> old_v
+            THEN false ELSE true END AS is_current
+FROM j WHERE old_v IS NOT NULL
+UNION ALL
+SELECT k, new_v,
+       CASE WHEN old_v IS NULL THEN CAST(1 AS INTEGER)
+            ELSE CAST(2 AS INTEGER) END,
+       true
+FROM j WHERE new_v IS NOT NULL AND (old_v IS NULL OR new_v <> old_v)
+"""
+
+
+def embed_label_means_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, laid out as (label, d, mean)
+    rows. Means from integer-quantized dimension sums (the kmeans
+    pattern, simsearch.KMEANS_SCALE): exact, order-independent across
+    partials, bit-identical in the oracle. One posexplode + one hash
+    aggregate — map-side combined, no wide agg buffer."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select("label", F.posexplode("embedding").alias("d", "x"))
+    return e.groupBy("label", "d").agg(
+        (
+            F.sum(
+                F.round(F.col("x").cast("double") * F.lit(ss.KMEANS_SCALE)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / (F.lit(ss.KMEANS_SCALE) * F.count("*").cast("double"))
+        ).alias("mean")
+    )
+
+
+SQL_EMBED_LABEL_MEANS = f"""
+SELECT label, CAST(r.d AS INTEGER) AS d,
+  CAST(sum(CAST(round(CAST(embedding[r.d + 1] AS DOUBLE) * {ss.KMEANS_SCALE})
+                AS BIGINT)) AS DOUBLE)
+    / ({ss.KMEANS_SCALE} * CAST(count(*) AS DOUBLE)) AS mean
+FROM embeddings, UNNEST(range({ss.DIM})) AS r(d)
+GROUP BY label, r.d
+"""
+
+
+def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import enrich_stream_static
+
+    return enrich_stream_static(spark, sf_dir)
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT e.event_id, e.user_id, n.n_name, e.value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE e.event_type = 'purchase'
+"""
+
+
 EXTENSION_QUERIES = {
     "decontaminate": (decontaminate_q, SQL_DECONTAMINATE),
     "repetition_metrics": (repetition_q, SQL_REPETITION),
@@ -1076,6 +1247,11 @@ EXTENSION_QUERIES = {
     "sample_per_source": (sample_per_source_q, SQL_SAMPLE_PER_SOURCE),
     "scan_csv": (scan_csv_q, SQL_SCAN_CSV),
     "stream_interval_join": (stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "resample_ffill": (resample_ffill_q, SQL_RESAMPLE_FFILL),
+    "dq_profile": (dq_profile_q, SQL_DQ_PROFILE),
+    "scd2_merge": (scd2_merge_q, SQL_SCD2_MERGE),
+    "embed_label_means": (embed_label_means_q, SQL_EMBED_LABEL_MEANS),
+    "stream_static_join": (stream_static_join_q, SQL_STREAM_STATIC_JOIN),
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_minhash_lsh_k128": (dedup_minhash_lsh_k128, SQL_DEDUP_MINHASH_K128),

@@ -63,6 +63,48 @@ def interval_join_stream(
     )
 
 
+def enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched with the
+    (static) customer -> nation dimension, run to completion. The
+    static side is a plain batch DataFrame joined per micro-batch —
+    Spark broadcasts it into every batch's plan, so the stream never
+    shuffles and no join state is kept (unlike stream-stream joins).
+    This is THE pattern for dimension enrichment at 100 TB/day: the
+    dim is megabytes, the stream is the big side, and the join is
+    map-side in every batch.
+
+    The synthetic events table has no customer FK, so the mapping
+    user_id -> c_custkey = user_id + 1 stands in (user ids are dense
+    from 0; custkeys dense from 1)."""
+    from ..sources.readers import scan_parquet
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = scan_parquet(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_nationkey"
+    )
+    nation = scan_parquet(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+        "user_id", "n_name"
+    )
+    enriched = purchases.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "n_name", "value"
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def attribution_to_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the view->click interval join to completion (availableNow ->
     memory sink) over the events parquet, one streaming side per

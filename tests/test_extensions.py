@@ -446,3 +446,88 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         for r in attribution_to_completion(spark, sf_dir).collect()
     )
     assert got == want
+
+
+# =========================================================================
+# Time series, warehouse, embedding stats
+# =========================================================================
+
+def test_resample_ffill_planted(spark):
+    from mapreduce_chisquare_spark.operators.timeseries import resample_ffill
+
+    # user 1: events in hour 0 and hour 2 (hour 1 empty -> ffill).
+    rows = [
+        (1, 1, "2024-01-01 00:10:00", 5.0),
+        (2, 1, "2024-01-01 00:20:00", 7.0),   # last of hour 0
+        (3, 1, "2024-01-01 02:05:00", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    out = {
+        r.hour_start: r
+        for r in resample_ffill(ev, max_user=None).collect()
+    }
+    h0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert sorted(out) == [h0, h0 + 3600, h0 + 7200]
+    assert out[h0].n_events == 2 and out[h0].value_ffill == 7.0
+    assert out[h0 + 3600].n_events == 0
+    assert out[h0 + 3600].value_ffill == 7.0  # carried forward
+    assert out[h0 + 7200].n_events == 1 and out[h0 + 7200].value_ffill == 9.0
+
+
+def test_dq_profile_planted(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import dq_profile
+
+    rows = [(1, 10.0), (2, None), (2, 30.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = {
+        (r.column, r.metric): r.value for r in dq_profile(df, ["k", "v"]).collect()
+    }
+    assert out[("k", "rows")] == 3.0
+    assert out[("k", "nulls")] == 0.0
+    assert out[("k", "distinct")] == 2.0
+    assert out[("v", "nulls")] == 1.0
+    assert out[("v", "distinct")] == 2.0  # nulls not counted
+    assert out[("v", "min")] == 10.0 and out[("v", "max")] == 30.0
+
+
+def test_scd2_merge_branches(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import scd2_merge
+
+    base = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 300.0)], "k long, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, 250.0), (3, 300.0), (4, 400.0)], "k long, v double"
+    )
+    out = sorted(
+        (r.k, r.v, r.version, r.is_current)
+        for r in scd2_merge(base, updates, "k", "v").collect()
+    )
+    assert out == [
+        (1, 100.0, 1, True),            # untouched
+        (2, 200.0, 1, False),           # changed: closed
+        (2, 250.0, 2, True),            # changed: new current
+        (3, 300.0, 1, True),            # update equal -> unchanged
+        (4, 400.0, 1, True),            # insert
+    ]
+
+
+def test_embed_label_means_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_chisquare_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["embed_label_means"][0](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [float(x) for x in r.embedding]
+        )
+    for row in out[:50]:
+        arr = np.array(by_label[row.label])
+        assert row["mean"] == pytest.approx(arr[:, row.d].mean(), abs=2e-6)

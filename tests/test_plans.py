@@ -154,3 +154,37 @@ def test_embed_neardup_blocks_on_lsh_bucket_not_label(spark, sf_dir):
     # size-guarded hyperplane bucket.
     p = plan_text(REGISTRY["embed_neardup"][0](spark, sf_dir))
     assert "label" not in p, p
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # The eval-set shingle relation must reach the corpus join as a
+    # broadcast: no shuffle of the corpus-sized shingle relation for
+    # the screen itself (only the per-doc count aggregate exchanges).
+    p = plan_text(REGISTRY["decontaminate"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pii_redact_is_map_side_only(spark, sf_dir):
+    p = plan_text(REGISTRY["pii_redact"][0](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "PythonUDF" not in p.replace("ArrowEvalPython", "")
+
+
+def test_sample_per_source_uses_window_group_limit(spark, sf_dir):
+    p = plan_text(REGISTRY["sample_per_source"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_repetition_metrics_lean_explode_and_shuffles(spark, sf_dir):
+    import re
+
+    p = plan_text(REGISTRY["repetition_metrics"][0](spark, sf_dir))
+    # The token explode must carry only (doc_id, token): selecting
+    # array-derived scalars beside the explode makes Catalyst retain
+    # the arrays through Generate, replicating them per token row.
+    m = re.search(r"\(\d+\) Generate\nInput \[(\d+)\]", p)
+    assert m and int(m.group(1)) == 2, p
+    # Shuffle budget: (doc, token) count + per-doc re-agg (+ at most
+    # one for the gram-side join when it isn't broadcast).
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 3, p
