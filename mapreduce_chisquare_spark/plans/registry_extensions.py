@@ -1225,6 +1225,62 @@ GROUP BY label, r.d
 """
 
 
+def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (l_orderkey, l_partkey) for a deterministic
+    lineitem slice — the clustering key behind multi-dimensional
+    zone-map pruning (operators/layout.py; layout pass itself is
+    demonstrated on written files in tests/test_storage_layout.py)."""
+    from ..operators.layout import zorder_col
+
+    li = scan_parquet(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_col("l_orderkey", "l_partkey").alias("zval"),
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.layout import zorder_sql
+
+    return (
+        "SELECT l_orderkey, l_partkey, "
+        f"{zorder_sql('l_orderkey', 'l_partkey')} AS zval "
+        "FROM lineitem WHERE l_orderkey < 2000"
+    )
+
+
+SQL_ZORDER_VALUES = _zorder_sql()
+
+
+def sink_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink roundtrip: write documents partitionBy(lang),
+    read back ONE partition. The read-back scan carries
+    PartitionFilters (directory-level pruning — other partitions'
+    files are never opened); parity against the parquet source proves
+    the write+prune path end to end."""
+    from pathlib import Path as _P
+
+    from ..sources.fixtures import _CACHE
+    from ..sources.sinks import write_parquet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    path = str(_CACHE / f"sink_part_{_P(sf_dir).name}")
+    write_parquet(docs, path, ["lang"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "de")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_SINK_PARTITIONED = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'"
+)
+
+
 def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import enrich_stream_static
 
@@ -1251,6 +1307,8 @@ EXTENSION_QUERIES = {
     "dq_profile": (dq_profile_q, SQL_DQ_PROFILE),
     "scd2_merge": (scd2_merge_q, SQL_SCD2_MERGE),
     "embed_label_means": (embed_label_means_q, SQL_EMBED_LABEL_MEANS),
+    "zorder_values": (zorder_values_q, SQL_ZORDER_VALUES),
+    "sink_partitioned": (sink_partitioned_q, SQL_SINK_PARTITIONED),
     "stream_static_join": (stream_static_join_q, SQL_STREAM_STATIC_JOIN),
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (dedup_minhash_lsh, SQL_DEDUP_MINHASH),
