@@ -269,23 +269,25 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("nl").alias("min_nl"))
         )
-        new_labels = (
+        # Carry the convergence flag through the checkpoint so the
+        # round costs ONE materializing action plus a scan of the
+        # checkpointed rows — not a second old-vs-new join per round.
+        stepped = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("min_nl", "label")
-                ).alias("label"),
+                ).alias("new_label"),
+                (
+                    F.least(F.col("label"), F.coalesce("min_nl", "label"))
+                    != F.col("label")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.select("id", F.col("label").alias("old"))
-            .join(new_labels, "id")
-            .filter(F.col("old") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(

@@ -47,3 +47,26 @@ def test_cli_end_to_end(spark, tmp_path):
     assert len(dict_line) == 1
     terms = dict_line[0].split()
     assert terms == sorted(terms) and "the" not in terms
+
+
+def test_runquery_writes_parquet(spark, tmp_path):
+    from mapreduce_chisquare_spark.runquery import main
+
+    out = str(tmp_path / "q")
+    rc = main(
+        [
+            "count_cat",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--output",
+            out,
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_runquery_rejects_unknown(capsys):
+    from mapreduce_chisquare_spark.runquery import main
+
+    assert main(["no_such_query"]) == 2
