@@ -46,6 +46,7 @@ HEADLINE = [
     "lang_id",
     "tfidf",
     "pipeline_curation",
+    "pipeline_training_corpus",
     "decontaminate",
     "repetition_metrics",
     "window_tumbling",

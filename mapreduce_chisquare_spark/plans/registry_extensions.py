@@ -1225,6 +1225,92 @@ GROUP BY label, r.d
 """
 
 
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus assembly, every curation pass
+    composed in ONE DataFrame plan: quality gate (token count + stop
+    ratio) -> repetition gate (dup_token_ratio <= 0.65) -> benchmark
+    decontamination (5-gram anti-join, eval source excluded) -> exact
+    dedup (keep min doc_id per content hash) -> per-source quota (20,
+    deterministic hash order). The full 100 TB corpus pass: map-side
+    metric gates, one broadcast anti-join, one dedup shuffle, one
+    bounded-state quota window — no driver round-trips between
+    stages."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = tx.quality_score(docs).filter(
+        (F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6)
+    )
+    rep = cu.repetition_metrics(docs).filter(
+        F.col("dup_token_ratio") <= 0.65
+    )
+    kept = (
+        docs.filter(F.col("source") != "src0")
+        .join(q.select("doc_id"), "doc_id")
+        .join(rep.select("doc_id"), "doc_id")
+        .join(cu.decontaminate(docs), "doc_id", "left_anti")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wq = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        deduped.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id", "source", "lang", F.length("text").alias("n_chars")
+        )
+    )
+
+
+SQL_PIPELINE_TRAINING_CORPUS = (
+    "WITH "
+    + _sh_ctes_n(cu.DECONTAM_SHINGLE_N)
+    + """,
+ev AS (SELECT DISTINCT s.shingle FROM sh s
+       JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+tr AS (SELECT s.doc_id, s.shingle FROM sh s
+       JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+contam AS (SELECT tr.doc_id FROM tr JOIN ev USING (shingle)
+           GROUP BY tr.doc_id HAVING count(*) >= 1),
+toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents),
+q AS (SELECT doc_id FROM toks
+  WHERE len(arr) >= 5 AND
+    (CASE WHEN len(arr) > 0
+      THEN CAST(len(list_filter(arr, x -> list_contains({stops}, x))) AS DOUBLE)
+           / CAST(len(arr) AS DOUBLE)
+      ELSE 0.0 END) <= 0.6),
+rep AS (SELECT doc_id FROM toks WHERE len(arr) > 0 AND
+    1.0 - CAST(len(list_distinct(arr)) AS DOUBLE) / CAST(len(arr) AS DOUBLE)
+      <= 0.65),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN q USING (doc_id) JOIN rep USING (doc_id)
+  WHERE d.source <> 'src0'
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+dedup AS (SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept d) WHERE rn = 1)
+SELECT doc_id, source, lang, CAST(length(text) AS INTEGER) AS n_chars
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM dedup) WHERE rk <= 20
+"""
+)
+# .replace, not .format: the shingle CTE may carry regex braces
+SQL_PIPELINE_TRAINING_CORPUS = SQL_PIPELINE_TRAINING_CORPUS.replace(
+    "{stops}", _STOP_LIST
+)
+
+
 def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over (l_orderkey, l_partkey) for a deterministic
     lineitem slice — the clustering key behind multi-dimensional
@@ -1307,6 +1393,10 @@ EXTENSION_QUERIES = {
     "dq_profile": (dq_profile_q, SQL_DQ_PROFILE),
     "scd2_merge": (scd2_merge_q, SQL_SCD2_MERGE),
     "embed_label_means": (embed_label_means_q, SQL_EMBED_LABEL_MEANS),
+    "pipeline_training_corpus": (
+        pipeline_training_corpus,
+        SQL_PIPELINE_TRAINING_CORPUS,
+    ),
     "zorder_values": (zorder_values_q, SQL_ZORDER_VALUES),
     "sink_partitioned": (sink_partitioned_q, SQL_SINK_PARTITIONED),
     "stream_static_join": (stream_static_join_q, SQL_STREAM_STATIC_JOIN),

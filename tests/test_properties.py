@@ -127,3 +127,141 @@ def test_contingency_cells_sum_to_n(spark, corpus):
         d = n - a - b - c
         assert a >= 0 and b >= 0 and c >= 0 and d >= 0
         assert a + b + c + d == n
+
+
+# =========================================================================
+# Curation / warehouse operator invariants
+# =========================================================================
+
+kv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(base=kv_rows, updates=kv_rows)
+@settings(**_SETTINGS)
+def test_scd2_invariants(spark, base, updates):
+    from mapreduce_chisquare_spark.operators.warehouse import scd2_merge
+
+    b = spark.createDataFrame(base, "k long, v double") if base else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    u = spark.createDataFrame(updates, "k long, v double") if updates else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    out = scd2_merge(b, u, "k", "v").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    bd, ud = dict(base), dict(updates)
+    # every key from either side appears; exactly one current row each
+    assert set(by_key) == set(bd) | set(ud)
+    for k, rows in by_key.items():
+        cur = [r for r in rows if r.is_current]
+        assert len(cur) == 1
+        # the current value is the update when one exists, else base
+        want = ud.get(k, bd.get(k))
+        assert cur[0].v == want
+        # two rows iff a genuine change happened
+        changed = k in bd and k in ud and bd[k] != ud[k]
+        assert len(rows) == (2 if changed else 1)
+        assert cur[0].version == (2 if changed else 1)
+
+
+ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user
+        st.integers(min_value=0, max_value=10_000),      # offset sec
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=ts_rows)
+@settings(**_SETTINGS)
+def test_resample_invariants(spark, rows):
+    from mapreduce_chisquare_spark.operators.timeseries import resample_ffill
+
+    base = 1_704_067_200  # 2024-01-01 UTC
+    ev = spark.createDataFrame(
+        [
+            (i, u, (base + off) * 1_000_000, v)
+            for i, (u, off, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, us long, value double",
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(us) AS ts", "value"
+    )
+    out = resample_ffill(ev, max_user=None).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    from collections import Counter
+
+    want_counts = Counter(u for u, _, _ in rows)
+    for u, rs in per_user.items():
+        hours = sorted(r.hour_start for r in rs)
+        # spine is contiguous with no holes and aligned to the hour
+        assert all(h % 3600 == 0 for h in hours)
+        assert hours == list(range(hours[0], hours[-1] + 3600, 3600))
+        # event counts conserve
+        assert sum(r.n_events for r in rs) == want_counts[u]
+        # ffill: null never after a non-null hour
+        seen = False
+        for r in sorted(rs, key=lambda r: r.hour_start):
+            if r.value_ffill is not None:
+                seen = True
+            else:
+                assert not seen
+    assert set(per_user) == set(want_counts)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=65_535),
+    b=st.integers(min_value=0, max_value=65_535),
+    da=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=30, deadline=None)
+def test_zorder_monotone_per_dimension(a, b, da):
+    # Fixing one dimension, the Morton key is strictly monotone in the
+    # other — the property zone-map pruning relies on.
+    def z(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    if a + da <= 65_535:
+        assert z(a + da, b) > z(a, b)
+    if b + da <= 65_535:
+        assert z(a, b + da) > z(a, b)
+
+
+def test_zorder_python_matches_sql_expr(spark):
+    # The generated SQL expression must equal the reference Python
+    # interleave for a deterministic sample.
+    from mapreduce_chisquare_spark.operators.layout import zorder_col
+
+    def z(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(i * 37 % 65_536, i * 101 % 65_536) for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_col("a", "b").alias("z")).collect()
+    }
+    assert got == {(a, b): z(a, b) for a, b in rows}
