@@ -137,3 +137,50 @@ def sample_frames(media: DataFrame) -> DataFrame:
         "frame_idx",
         F.md5(F.concat(F.col("frame_bytes"), sep, tag)).alias("frame_md5"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_batch(stride: int):
+    """Deterministic resize stand-in: keep every `stride`-th byte of
+    the payload (a real image resize is a C-library call per blob;
+    the byte-stride keeps the same 1-blob-in/1-smaller-blob-out batch
+    mechanics and is reproducible in the oracle). Vectorized via
+    pandas .str slicing over the Arrow batch."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["payload"].str[::stride]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                    "resized": resized,
+                }
+            )
+
+    return run
+
+
+def resize_media(media: DataFrame, stride: int = 2) -> DataFrame:
+    """mapInPandas resize pass → (doc_id, n_bytes, resized_md5,
+    resized_bytes count). The digest of the downsampled payload is
+    computed JVM-side (built-in md5) like sample_frames."""
+    out = media.select("doc_id", "payload").mapInPandas(
+        resize_batch(stride), RESIZED_SCHEMA
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.length("resized").cast("long").alias("resized_bytes"),
+        F.md5("resized").alias("resized_md5"),
+    )

@@ -1225,6 +1225,29 @@ GROUP BY label, r.d
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over the binary media table: mapInPandas byte-
+    stride downsample (deterministic stand-in for the per-blob codec
+    call — operators/multimodal.py resize_batch), digest JVM-side.
+    The oracle reproduces the stride with a pairwise regexp_replace
+    on the source text (payloads are its UTF-8 bytes, ASCII here)."""
+    from ..operators.multimodal import resize_media
+
+    return resize_media(binarize_documents(_docs(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_RESIZE = r"""
+WITH r AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '(.)(.)', '\1', 'g') AS th
+  FROM documents)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(th) AS BIGINT) AS resized_bytes,
+       md5(th) AS resized_md5
+FROM r
+"""
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus assembly, every curation pass
     composed in ONE DataFrame plan: quality gate (token count + stop
@@ -1434,4 +1457,5 @@ EXTENSION_QUERIES = {
     "pipeline_curation": (pipeline_curation, SQL_PIPELINE_CURATION),
     "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_resize": (multimodal_resize, SQL_MULTIMODAL_RESIZE),
 }

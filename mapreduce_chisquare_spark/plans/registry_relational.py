@@ -1121,6 +1121,40 @@ FROM g
 """
 
 
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape with the native DataFrame.unpivot (melt):
+    the inverse of agg_pivot. Map-side only — Expand produces one row
+    per (input row x metric), no shuffle, no UDF."""
+    li = scan_parquet(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 100
+    )
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+
+
+SQL_AGG_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, m.metric,
+       CASE m.metric
+         WHEN 'quantity' THEN CAST(l_quantity AS DOUBLE)
+         WHEN 'extendedprice' THEN CAST(l_extendedprice AS DOUBLE)
+         ELSE CAST(l_discount AS DOUBLE) END AS value
+FROM lineitem,
+     (SELECT unnest(['quantity', 'extendedprice', 'discount']) AS metric) m
+WHERE l_orderkey < 100
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1160,4 +1194,5 @@ RELATIONAL_QUERIES = {
     "string_scalars": (string_scalars, SQL_STRING_SCALARS),
     "top_n_global": (top_n_global, SQL_TOP_N),
     "sql_correlated_subquery": (sql_correlated_subquery, SQL_CORRELATED),
+    "agg_unpivot": (agg_unpivot, SQL_AGG_UNPIVOT),
 }

@@ -531,3 +531,21 @@ def test_embed_label_means_matches_numpy(spark, sf_dir):
     for row in out[:50]:
         arr = np.array(by_label[row.label])
         assert row["mean"] == pytest.approx(arr[:, row.d].mean(), abs=2e-6)
+
+
+def test_multimodal_resize_strides_bytes(spark):
+    from mapreduce_chisquare_spark.operators.multimodal import (
+        binarize_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abcde"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in resize_media(binarize_documents(docs)).collect()}
+    import hashlib
+
+    assert out[0].n_bytes == 6 and out[0].resized_bytes == 3
+    assert out[0].resized_md5 == hashlib.md5(b"ace").hexdigest()
+    assert out[1].resized_md5 == hashlib.md5(b"ace").hexdigest()
+    assert out[2].resized_bytes == 1
