@@ -525,7 +525,74 @@ SQL_SKETCH_COUNTMIN = with_text_ctes(
 )
 
 
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (schema-pinned flavour): from_json with an explicit struct
+    schema — the scalable form when the JSON shape is known (parsed
+    once into typed columns; get_json_object re-parses per path).
+    Corrupt/absent fields become typed nulls, the same tolerant
+    semantics as the PERMISSIVE line scan."""
+    from pyspark.sql import functions as F
+
+    ev = scan_parquet(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p").isNotNull().alias("parsed_ok"),
+    )
+
+
+SQL_JSON_SCHEMA_PARSE = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "json_valid(props) AS parsed_ok FROM events"
+)
+
+
+def q_map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column round trip: build a map from entry arrays,
+    transform values, explode back to rows (maps returned as columns
+    don't hash portably across engines, so the comparable surface is
+    the exploded relation). All map_* built-ins, map-side only."""
+    from pyspark.sql import functions as F
+
+    ev = scan_parquet(spark, sf_dir, "events").filter(
+        F.col("event_id") < 200
+    )
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("type").alias("key"), F.col("event_type").alias("value")),
+            F.struct(
+                F.lit("user").alias("key"),
+                F.col("user_id").cast("string").alias("value"),
+            ),
+        )
+    )
+    with_m = ev.select(
+        "event_id",
+        F.map_filter(m, lambda k, v: v.isNotNull()).alias("m"),
+    )
+    return with_m.select(
+        "event_id", F.explode(F.col("m")).alias("key", "val")
+    )
+
+
+SQL_MAP_SCALARS = """
+SELECT event_id, u.key, u.val FROM (
+  SELECT event_id, unnest([
+      struct_pack(key := 'type', val := event_type),
+      struct_pack(key := 'user', val := CAST(user_id AS VARCHAR))
+    ]) AS u
+  FROM events WHERE event_id < 200) t
+WHERE u.val IS NOT NULL
+"""
+
+
 TEXT_QUERIES = {
+    "json_schema_parse": (q_json_schema_parse, SQL_JSON_SCHEMA_PARSE),
+    "map_scalars": (q_map_scalars, SQL_MAP_SCALARS),
     "project": (q_project, SQL_PROJECT),
     "scan_json": (q_scan_json, SQL_SCAN_JSON),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
