@@ -608,6 +608,56 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event
 """
 
 
+ASOF_TOLERANCE_US = 30 * 60 * 1_000_000  # 30 min, pandas merge_asof-style
+
+
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof
+    `tolerance`): matches older than 30 minutes are nulled out.
+    Composes as a pure post-projection on the tolerance predicate —
+    the matched right-side timestamp is already in the carried payload
+    struct, so no second window or join is needed; both payload
+    columns null together, preserving same-matched-row consistency."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event"))
+        .select(
+            "user_id", "ts", F.unix_micros("ts").alias("click_us"), "click_event"
+        )
+    )
+    j = asof_join(
+        purchases, clicks, "user_id", "ts", ["click_us", "click_event"]
+    )
+    ok = (
+        F.unix_micros("ts") - F.col("asof_click_us")
+    ) <= F.lit(ASOF_TOLERANCE_US)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("asof_click_us")).alias("asof_click_us"),
+        F.when(ok, F.col("asof_click_event")).alias("asof_click_event"),
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+SELECT p.event_id, p.user_id,
+  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOLERANCE_US}
+       THEN epoch_us(c.ts) END AS asof_click_us,
+  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOLERANCE_US}
+       THEN c.click_event END AS asof_click_event
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join as an equi-join: clicks landing in the 10-minute
     window before each purchase, counted per purchase. The bucketed
@@ -1449,6 +1499,7 @@ EXTENSION_QUERIES = {
     "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
     "array_scalars": (array_scalars, SQL_ARRAY_SCALARS),
     "asof_join": (asof_purchase_click, SQL_ASOF),
+    "asof_tolerance": (asof_tolerance, SQL_ASOF_TOLERANCE),
     "join_range": (join_range, SQL_JOIN_RANGE),
     "stream_tumbling": (stream_tumbling, SQL_WINDOW_TUMBLING),
     "stream_dedup": (stream_dedup, SQL_STREAM_DEDUP),
