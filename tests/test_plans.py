@@ -188,3 +188,67 @@ def test_repetition_metrics_lean_explode_and_shuffles(spark, sf_dir):
     # one for the gram-side join when it isn't broadcast).
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex <= 3, p
+
+
+def test_aqe_converts_misestimated_join_to_broadcast(spark, sf_dir):
+    # Static planning sees the unfiltered orders size and plans a
+    # shuffle join; at runtime the selective filter leaves a tiny
+    # build side and AQE must re-plan it as a broadcast join — the
+    # mechanism SCALE.md leans on for fact-to-fact joins whose
+    # filtered size is unknowable statically.
+    import pyspark.sql.functions as SF
+
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    li = scan_parquet(spark, sf_dir, "lineitem")
+    od = scan_parquet(spark, sf_dir, "orders").filter(
+        SF.col("o_orderkey") % 1000 == 0
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey", "o_totalprice"
+    )
+    j.collect()
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed[:2000]
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    # One key owns ~half the probe side; with the broadcast path
+    # disabled AQE must mark the sort-merge join skew-handled and
+    # split the oversized partition.
+    import pyspark.sql.functions as SF
+
+    skew_conf = {
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            SF.when(SF.col("id") % 2 == 0, SF.lit(7))
+            .otherwise(SF.col("id"))
+            .alias("k"),
+            SF.concat(SF.lit("pad" * 20), SF.col("id")).alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            SF.col("id").alias("k"), SF.col("id").alias("v")
+        )
+        # No downstream operator that needs the join's hash
+        # partitioning: a groupBy(k) above the join would veto the
+        # split (skew handling never introduces an extra shuffle).
+        j = big.join(dim, "k")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
