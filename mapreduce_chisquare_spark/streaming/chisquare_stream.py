@@ -34,7 +34,11 @@ from .tuning import state_partitions
 
 
 def incremental_chi_square(
-    spark: SparkSession, sf_dir: str, parts: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    parts: int = 2,
+    in_dir: str | None = None,
+    run_dir: str | None = None,
 ) -> DataFrame:
     """Stream documents (one file per micro-batch), accumulate partial
     (term, category) and category counts per batch, and return the χ²
@@ -46,9 +50,19 @@ def incremental_chi_square(
     the test scale. The partial-count relations are tiny (bounded by
     the dictionary, not the corpus), so each is coalesced to one file
     per batch — at 100 TB the counts store would be a Delta/Iceberg
-    table with background compaction instead."""
-    in_dir = docs_multifile_dir(sf_dir, parts)
-    run = Path(_CACHE) / ("chi_run_" + uuid.uuid4().hex[:8])
+    table with background compaction instead.
+
+    `in_dir`/`run_dir` override the stream source and checkpoint+store
+    location — passing the SAME run_dir across calls resumes from the
+    checkpoint and processes only files not yet committed (exactly-once
+    accumulation across restarts; tests/test_streaming_late.py)."""
+    if in_dir is None:
+        in_dir = docs_multifile_dir(sf_dir, parts)
+    run = (
+        Path(run_dir)
+        if run_dir is not None
+        else Path(_CACHE) / ("chi_run_" + uuid.uuid4().hex[:8])
+    )
     store = str(run / "partials")
 
     stream = (

@@ -114,3 +114,47 @@ def test_stream_dedup_state_spans_batches(spark, tmp_path):
     )
     rows = [(r.user_id, r.event_type) for r in out.collect()]
     assert sorted(rows) == [(10, "click"), (77, "click")]
+
+
+def test_incremental_chi_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across a restart: run the incremental χ² stream
+    over HALF the input files, then drop the remaining files into the
+    source dir and re-run with the SAME checkpoint. The resumed query
+    must process only the new files (no double counting), and the
+    final merged relation must equal the one-shot batch answer."""
+    import shutil
+
+    from mapreduce_chisquare_spark.sources.fixtures import (
+        docs_multifile_dir,
+    )
+    from mapreduce_chisquare_spark.streaming.chisquare_stream import (
+        incremental_chi_square,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = docs_multifile_dir(sf, 4)
+    files = sorted(
+        f for f in os.listdir(full) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in files[:2]:
+        shutil.copy(os.path.join(full, f), src / f)
+    run = str(tmp_path / "run")
+
+    first = incremental_chi_square(
+        spark, sf, in_dir=str(src), run_dir=run
+    ).collect()
+    assert len(first) > 0  # partial corpus already yields a relation
+
+    for f in files[2:]:
+        shutil.copy(os.path.join(full, f), src / f)
+    resumed = incremental_chi_square(
+        spark, sf, in_dir=str(src), run_dir=run
+    )
+
+    batch = incremental_chi_square(spark, sf, parts=4)
+    want = {(r.term, r.category): r.chi2 for r in batch.collect()}
+    got = {(r.term, r.category): r.chi2 for r in resumed.collect()}
+    assert got == want
