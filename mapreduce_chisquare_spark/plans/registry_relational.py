@@ -1074,6 +1074,38 @@ FROM a
 """
 
 
+def agg_approx_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL++ (the mergeable-sketch group-by shape: one hash
+    aggregate whose buffer is a fixed-size sketch per group, map-side
+    combinable — at 100 TB the per-group distinct table never
+    materializes). Exact count + tolerance flag per group, hashed on
+    the exact value and the flag like agg_approx_distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("est"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
+SQL_AGG_APPROX_DISTINCT_GROUPED = """
+WITH a AS (SELECT l_returnflag,
+                  approx_count_distinct(l_partkey) AS est,
+                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, exact_distinct,
+       abs(CAST(est AS DOUBLE) - exact_distinct) <= 0.05 * exact_distinct AS within_tol
+FROM a
+"""
+
+
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (accuracy 10000) vs exact interpolated
     percentiles of l_extendedprice per return flag. Exact side runs on
@@ -1165,6 +1197,10 @@ RELATIONAL_QUERIES = {
     "agg_stats": (agg_stats, SQL_AGG_STATS),
     "agg_percentile": (agg_percentile, SQL_AGG_PERCENTILE),
     "agg_approx_distinct": (agg_approx_distinct, SQL_AGG_APPROX_DISTINCT),
+    "agg_approx_distinct_grouped": (
+        agg_approx_distinct_grouped,
+        SQL_AGG_APPROX_DISTINCT_GROUPED,
+    ),
     "agg_approx_percentile": (agg_approx_percentile, SQL_AGG_APPROX_PERCENTILE),
     "distinct_agg": (distinct_agg, SQL_DISTINCT_AGG),
     "having_filter": (having_filter, SQL_HAVING),
