@@ -182,3 +182,36 @@ def sample_per_source(docs: DataFrame, quota: int = 5) -> DataFrame:
         .filter(F.col("rn") <= quota)
         .select("doc_id", "source")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group outlier clipping: clip value_col to that group's
+    [lo_q, hi_q] exact interpolated percentiles. Adds
+    `<value_col>_wins` (double) and `was_clipped`.
+
+    Two-pass shape: one hash aggregate computes the per-group bounds
+    (groups ≪ rows, so the stats relation broadcasts), then a
+    map-side broadcast join + greatest/least clip — the input is
+    never shuffled. The standard feature-clipping pass before model
+    training, and the same shape as any stats-then-normalize
+    operator (z-score, min-max)."""
+    stats = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo_q)).alias("__lo"),
+        F.percentile(value_col, F.lit(hi_q)).alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clipped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(f"{value_col}_wins", clipped)
+        .withColumn(
+            "was_clipped", (v < F.col("__lo")) | (v > F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

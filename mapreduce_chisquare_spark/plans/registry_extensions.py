@@ -1077,6 +1077,32 @@ WHERE rn <= 5
 """
 
 
+def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length clipping to the [p05, p95] exact
+    interpolated percentiles — the outlier-clipping pass before
+    training. Stats aggregate + broadcast join + map-side clip; the
+    corpus is never shuffled."""
+    return cu.winsorize(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        "lang",
+    )
+
+
+SQL_WINSORIZE = """
+WITH s AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars,
+       greatest(s.lo, least(s.hi, CAST(d.n_chars AS DOUBLE))) AS n_chars_wins,
+       (CAST(d.n_chars AS DOUBLE) < s.lo OR CAST(d.n_chars AS DOUBLE) > s.hi)
+         AS was_clipped
+FROM documents d JOIN s USING (lang)
+"""
+
+
 def scan_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV twin of scan_json: schema-pinned PERMISSIVE scan of real
     CSV bytes with malformed rows injected; the null filter drops
@@ -1460,6 +1486,7 @@ EXTENSION_QUERIES = {
     "repetition_metrics": (repetition_q, SQL_REPETITION),
     "pii_redact": (pii_redact_q, SQL_PII_REDACT),
     "sample_per_source": (sample_per_source_q, SQL_SAMPLE_PER_SOURCE),
+    "winsorize": (winsorize_q, SQL_WINSORIZE),
     "scan_csv": (scan_csv_q, SQL_SCAN_CSV),
     "stream_interval_join": (stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     "resample_ffill": (resample_ffill_q, SQL_RESAMPLE_FFILL),

@@ -549,3 +549,17 @@ def test_multimodal_resize_strides_bytes(spark):
     assert out[0].resized_md5 == hashlib.md5(b"ace").hexdigest()
     assert out[1].resized_md5 == hashlib.md5(b"ace").hexdigest()
     assert out[2].resized_bytes == 1
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)] + [
+        (200, "g", 1000.0)  # outlier
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    out = {r.doc_id: r for r in cu.winsorize(df, "v", "grp").collect()}
+    assert out[200].was_clipped and out[200].v_wins < 1000.0
+    assert not out[50].was_clipped and out[50].v_wins == 50.0
+    lo = min(r.v_wins for r in out.values())
+    assert lo > 1.0  # bottom tail clipped up to p05
