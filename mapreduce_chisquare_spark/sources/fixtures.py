@@ -163,16 +163,25 @@ def events_stream_dir(sf_dir: str) -> str:
         _atomic_publish(tmp, ev_dst)
 
     tbl = pq.read_table(src, columns=["ts", "user_id"])
-    ts_ns = tbl.column("ts").cast(pa.int64())
-    max_ns = pa.compute.max(ts_ns).as_py()
+    src_ts_type = tbl.schema.field("ts").type
+    unit = getattr(src_ts_type, "unit", "us")
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    ts_raw = tbl.column("ts").cast(pa.int64())
+    max_raw = pa.compute.max(ts_raw).as_py()
     users = sorted(set(tbl.column("user_id").to_pylist()))
-    sentinel_ns = max_ns + GAP_SECONDS * 1_000_000_000
+    sentinel_raw = max_raw + GAP_SECONDS * per_sec
+    # Sentinel ts carries the SAME arrow type as the source file so the
+    # directory is unit- and type-homogeneous for the stream reader
+    # (ns sources are int64-read, µs sources typed-read).
+    sent_ts = pa.array([sentinel_raw] * len(users), pa.int64())
+    if unit != "ns":
+        sent_ts = sent_ts.cast(src_ts_type)
     sent = pa.table(
         {
             "event_id": pa.array(
                 [-(i + 1) for i in range(len(users))], pa.int64()
             ),
-            "ts": pa.array([sentinel_ns] * len(users), pa.int64()),
+            "ts": sent_ts,
             "user_id": pa.array(users, pa.int64()),
             "event_type": pa.array(["__sentinel__"] * len(users)),
             "value": pa.array([0.0] * len(users), pa.float64()),

@@ -17,17 +17,30 @@ from .. import schemas
 from ..constants import STOPWORDS
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts, read from the parquet footer (a
+    driver-side metadata read, no data scanned). The test generator has
+    shipped both timestamp[ns] and timestamp[us] variants, so the scan
+    must adapt instead of assuming one."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(path).field("ts")
+    return getattr(field.type, "unit", "us")
+
+
 def scan_parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S6: schema-pinned parquet scan of a driver table.
 
-    events.ts is parquet timestamp[ns], which Spark's TimestampType
-    (micros) reader rejects; read it as int64 nanos and convert with
-    INTEGER division (`div`) — a double division would lose precision
-    at ~1.7e18 ns. Truncation toward zero matches DuckDB's ns→micros
-    cast for post-epoch data.
+    events.ts may be parquet timestamp[ns], which Spark's TimestampType
+    (micros) reader rejects; in that case read it as int64 nanos and
+    convert with INTEGER division (`div`) — a double division would
+    lose precision at ~1.7e18 ns. Truncation toward zero matches
+    DuckDB's ns→micros cast for post-epoch data. timestamp[us] (Spark's
+    native unit) is read directly.
     """
     schema = schemas.TABLE_SCHEMAS[table]
-    if table == "events":
+    path = f"{sf_dir}/{table}.parquet"
+    if table == "events" and _events_ts_unit(path) == "ns":
         raw = T.StructType(
             [
                 T.StructField("ts", T.LongType())
@@ -36,9 +49,9 @@ def scan_parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 for f in schema.fields
             ]
         )
-        df = spark.read.schema(raw).parquet(f"{sf_dir}/{table}.parquet")
+        df = spark.read.schema(raw).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

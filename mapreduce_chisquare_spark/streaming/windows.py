@@ -30,24 +30,46 @@ _RAW_EVENTS = T.StructType(
 )
 
 
+def _dir_ts_unit(sf_dir: str, glob: str) -> str:
+    """Physical unit of ts across the parquet files the stream will
+    read — probed from one footer (driver-side, no data scan). The
+    fixture builder keeps every file in a directory in one unit."""
+    import fnmatch
+    import os
+
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(sf_dir)):
+        if fnmatch.fnmatch(name, glob):
+            field = pq.read_schema(os.path.join(sf_dir, name)).field("ts")
+            return getattr(field.type, "unit", "us")
+    return "us"
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
     glob: str = "events.parquet",
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """File-source stream over the events parquet (ns→µs ts like the
-    batch reader). `options` go to the source (e.g. maxFilesPerTrigger
-    to split the backlog into several micro-batches)."""
+    """File-source stream over the events parquet. ts lands as Spark's
+    micros TimestampType whatever the file's physical unit: ns files
+    are read as raw int64 and integer-divided (same as the batch
+    reader); µs files are read natively. `options` go to the source
+    (e.g. maxFilesPerTrigger to split the backlog into several
+    micro-batches)."""
+    is_ns = _dir_ts_unit(sf_dir, glob) == "ns"
     reader = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(_RAW_EVENTS if is_ns else schemas.EVENTS)
         .format("parquet")
         .option("pathGlobFilter", glob)
     )
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     raw = reader.load(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_ns:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
