@@ -136,6 +136,23 @@ def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
     return str(d)
 
 
+# Bump when the fixture layout or the sentinel's type convention
+# changes: the READY marker records "<fmt>:<source ts unit>", and a
+# mismatch (older builder, or the source file's ts type changed)
+# forces a rebuild instead of serving a stale-format cache.
+_STREAM_FIXTURE_FMT = "v2"
+
+
+def _ts_unit_of(ts_type) -> str:
+    """Unit of an arrow ts type; a plain (unitless) INT64 ts is by
+    convention raw epoch NANOS — mirror of windows._dir_ts_unit."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(ts_type):
+        return ts_type.unit
+    return "ns"
+
+
 def events_stream_dir(sf_dir: str) -> str:
     """Build <cache>/stream_events_<sf>/ = events.parquet (hardlinked or
     copied) + a sentinel parquet with one event per user at
@@ -146,11 +163,20 @@ def events_stream_dir(sf_dir: str) -> str:
     tag = Path(sf_dir).name
     d = _CACHE / f"stream_events_{tag}"
     done = d / "_FIXTURE_READY"
-    if done.exists():
+    src = Path(sf_dir) / "events.parquet"
+    stamp = (
+        _STREAM_FIXTURE_FMT
+        + ":"
+        + _ts_unit_of(pq.read_schema(src).field("ts").type)
+    )
+    if done.exists() and done.read_text() == stamp:
         return str(d)
     _CACHE.mkdir(exist_ok=True)
+    if d.exists():  # stale format/unit → rebuild from scratch
+        import shutil
+
+        shutil.rmtree(d)
     d.mkdir(exist_ok=True)
-    src = Path(sf_dir) / "events.parquet"
     ev_dst = d / "events.parquet"
     if not ev_dst.exists():
         tmp = d / f"events.tmp{os.getpid()}"
@@ -164,7 +190,7 @@ def events_stream_dir(sf_dir: str) -> str:
 
     tbl = pq.read_table(src, columns=["ts", "user_id"])
     src_ts_type = tbl.schema.field("ts").type
-    unit = getattr(src_ts_type, "unit", "us")
+    unit = _ts_unit_of(src_ts_type)
     per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     ts_raw = tbl.column("ts").cast(pa.int64())
     max_raw = pa.compute.max(ts_raw).as_py()
@@ -191,5 +217,5 @@ def events_stream_dir(sf_dir: str) -> str:
     tmp = d / f"sentinel.tmp{os.getpid()}"
     pq.write_table(sent, tmp)
     _atomic_publish(tmp, d / "zz_sentinels.parquet")
-    done.touch()
+    done.write_text(stamp)
     return str(d)

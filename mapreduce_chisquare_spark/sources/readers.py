@@ -21,11 +21,15 @@ def _events_ts_unit(path: str) -> str:
     """Physical unit of events.ts, read from the parquet footer (a
     driver-side metadata read, no data scanned). The test generator has
     shipped both timestamp[ns] and timestamp[us] variants, so the scan
-    must adapt instead of assuming one."""
+    must adapt instead of assuming one. A plain (non-timestamp) INT64
+    ts is by convention raw epoch NANOS → "ns"."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     field = pq.read_schema(path).field("ts")
-    return getattr(field.type, "unit", "us")
+    if pa.types.is_timestamp(field.type):
+        return field.type.unit
+    return "ns"
 
 
 def scan_parquet(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

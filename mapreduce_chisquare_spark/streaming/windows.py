@@ -33,16 +33,25 @@ _RAW_EVENTS = T.StructType(
 def _dir_ts_unit(sf_dir: str, glob: str) -> str:
     """Physical unit of ts across the parquet files the stream will
     read — probed from one footer (driver-side, no data scan). The
-    fixture builder keeps every file in a directory in one unit."""
+    fixture builder keeps every file in a directory in one unit.
+
+    A plain (non-timestamp-annotated) INT64 ts is by convention raw
+    epoch NANOS, so it maps to "ns" — only an arrow timestamp type
+    carries a trustworthy unit. Local-filesystem paths only: the
+    footer probe goes through os.listdir, not the Hadoop FS layer
+    (the pure-Spark batch readers have no such restriction)."""
     import fnmatch
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     for name in sorted(os.listdir(sf_dir)):
         if fnmatch.fnmatch(name, glob):
             field = pq.read_schema(os.path.join(sf_dir, name)).field("ts")
-            return getattr(field.type, "unit", "us")
+            if pa.types.is_timestamp(field.type):
+                return field.type.unit
+            return "ns"
     return "us"
 
 
