@@ -7,6 +7,14 @@ Per BASELINE.md: wall-clock per query, median of 3 timed runs after 1
 warm-up, single local SparkSession, AQE on, fixed shuffle partitions.
 Each run executes the full plan to the sink side (count/collect) so
 scan→shuffle→agg costs are all inside the measurement.
+
+Load sentinel: recorded numbers on a shared box have swung up to ~70x
+under external CPU contention with byte-identical code (round-2
+finding), so every timed sample is preceded by a fixed tiny Spark job
+whose quiet-machine cost is calibrated at startup. A sample whose
+sentinel exceeds the threshold is discarded and re-run (bounded
+retries); sentinel stats land in the output JSON so a recorded
+regression is distinguishable from a loaded machine.
 """
 
 from __future__ import annotations
@@ -60,12 +68,36 @@ HEADLINE = [
 
 WARMUP = 1
 RUNS = 3
+# Extra attempts allowed per query when the sentinel flags contention.
+MAX_HOT_RETRIES_PER_QUERY = 2
+
+
+def _sentinel_time(spark) -> float:
+    """One fixed tiny job (8 tasks, ~1M rows of codegen arithmetic):
+    cheap enough to run before every sample, big enough that external
+    CPU contention shows up in its wall-clock."""
+    t0 = time.perf_counter()
+    spark.range(0, 1_000_000, 1, 8).selectExpr("sum(id * 2) AS s").collect()
+    return time.perf_counter() - t0
+
+
+def _calibrate(spark) -> tuple[float, float]:
+    """(quiet_cost, hot_threshold): min of 5 samples after 3 warm-ups.
+    The threshold is 3x the quiet floor with a 0.25s absolute lower
+    bound (scheduler jitter on a fine machine must not flag)."""
+    for _ in range(3):
+        _sentinel_time(spark)
+    quiet = min(_sentinel_time(spark) for _ in range(5))
+    return quiet, max(0.25, 3.0 * quiet)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    quiet, threshold = _calibrate(spark)
+    hot_discards = 0
+    max_seen = quiet
     results: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
@@ -73,13 +105,22 @@ def main() -> None:
             continue
         fn = spec[0]
         times = []
-        for i in range(WARMUP + RUNS):
+        retries_left = MAX_HOT_RETRIES_PER_QUERY
+        i = 0
+        while i < WARMUP + RUNS:
+            s = _sentinel_time(spark)
+            max_seen = max(max_seen, s)
+            if s > threshold and retries_left > 0:
+                hot_discards += 1  # loaded box: don't trust this sample
+                retries_left -= 1
+                continue
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.collect()
             dt = time.perf_counter() - t0
             if i >= WARMUP:
                 times.append(dt)
+            i += 1
         results[name] = round(statistics.median(times), 3)
     total = round(sum(results.values()), 3)
     print(
@@ -90,6 +131,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sentinel": {
+                    "quiet_sec": round(quiet, 4),
+                    "threshold_sec": round(threshold, 4),
+                    "max_seen_sec": round(max_seen, 4),
+                    "hot_discards": hot_discards,
+                },
             }
         )
     )

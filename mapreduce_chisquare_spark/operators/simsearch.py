@@ -4,10 +4,19 @@ Brute-force cosine top-k as the exact baseline, plus a random-
 hyperplane LSH bucketing as the scale path (bucket first, then search
 within buckets — turns O(N*Q) into O(N*Q/2^p) probes).
 
-No Python UDFs: the dot product is F.aggregate/F.zip_with, which
-Catalyst evaluates JVM-side. Summation is sequential left-to-right,
-matching the oracle's expression order, so cosines are bit-identical
-doubles (float32 inputs widen exactly to double).
+Two interchangeable exact scorers, bit-identical by construction:
+
+- `cosine(...)`: F.aggregate/F.zip_with Catalyst expressions, summed
+  sequentially left-to-right — the oracle-parity reference form. The
+  lambdas are INTERPRETED (no codegen): ~3 boxed lambda evaluations
+  per row make it hypersensitive to CPU contention (observed 70x
+  degradation under load) and ~50x the CPU of the vectorized scorer
+  at scale. Kept as the reference; not the default.
+- `_cos_arrow()`: Arrow-batched numpy that accumulates
+  dimension-by-dimension, mirroring the same ((0+x1)+x2)+... order,
+  so cosines are bit-identical doubles to both the expression form
+  and the DuckDB oracle (float32 inputs widen exactly to double).
+  This is the DEFAULT scorer for the exact and LSH top-k paths.
 
 Hyperplanes are deterministic ±1 vectors derived from md5 at import
 time — identical literals are embedded in the oracle SQL.
@@ -52,12 +61,47 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _cos_arrow():
+    """Arrow-batched numpy cosine over two array columns. Accumulates
+    dimension-by-dimension (sequential over dims, vectorized over
+    rows), mirroring the engines' left-to-right dot order — so the
+    scores are bit-identical to the `cosine(...)` expression form and
+    the DuckDB oracle, by construction rather than by luck (a plain
+    .sum(axis=1) would be numpy pairwise summation)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.zeros(A.shape[0])
+        aa = np.zeros(A.shape[0])
+        bb = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):  # sequential over dims = engine order
+            x, y = A[:, d], B[:, d]
+            num = num + x * y
+            aa = aa + x * x
+            bb = bb + y * y
+        return pd.Series(num / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return cos_batch
+
+
+def _score_cos(a: Column, b: Column, use_arrow: bool) -> Column:
+    return _cos_arrow()(a, b) if use_arrow else cosine(a, b)
+
+
 def cosine_topk(
-    emb: DataFrame, n_queries: int = 8, k: int = 5
+    emb: DataFrame, n_queries: int = 8, k: int = 5, use_arrow: bool = True
 ) -> DataFrame:
     """Exact top-k neighbours for each query vector (vec_id <
     n_queries): (query_id, vec_id, cos, rank). Queries are broadcast;
-    the corpus is scanned once — the right shape when Q << N."""
+    the corpus is scanned once — the right shape when Q << N.
+
+    Scorer defaults to the Arrow/numpy batch path (_cos_arrow);
+    use_arrow=False selects the interpreted-expression reference form
+    — identical bits, ~50x the CPU at scale (module docstring)."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -67,7 +111,9 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
         )
     )
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
@@ -76,35 +122,10 @@ def cosine_topk(
 def cosine_topk_pandas(
     emb: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
-    """cosine_topk with the score computed by an Arrow-vectorized
-    pandas_udf (numpy batch math) instead of Catalyst expressions —
-    the idiomatic escape hatch when per-element array expressions
-    aren't enough (SURVEY.md §2.8). Same result relation."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        return pd.Series(num / den)
-
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        emb.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cos_batch(F.col("q_emb"), F.col("embedding")).alias("cos"),
-        )
-    )
-    return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+    """cosine_topk on the Arrow-vectorized scorer, kept as a distinct
+    registry entry so the pandas_udf escape hatch stays independently
+    oracle-checked (SURVEY.md §2.8). Same result relation."""
+    return cosine_topk(emb, n_queries, k, use_arrow=True)
 
 
 NEARDUP_MAX_BUCKET = 1000
@@ -351,12 +372,14 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
     cents: list[list[float]] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """ANN via IVF: probe only the query's own cluster (nprobe=1), then
     exact cosine within it. Complements LSH: clusters adapt to data
     density, buckets don't. The fit runs once and both the corpus and
     query assignments reuse its literal centroids (assignment is a
-    projection, so the probe is a broadcast equi-join on centroid_id)."""
+    projection, so the probe is a broadcast equi-join on centroid_id).
+    Scorer defaults to the Arrow path (same tradeoff as cosine_topk)."""
     if cents is None:
         cents = kmeans_centroids(emb, n_centroids)
     with_c = with_centroid_assignment(emb, cents)
@@ -371,7 +394,9 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
         )
     )
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
@@ -417,9 +442,12 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
-def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, use_arrow: bool = True
+) -> DataFrame:
     """ANN variant of cosine_topk: candidates restricted to the query's
-    hyperplane bucket, then exact cosine within it."""
+    hyperplane bucket, then exact cosine within it. Scorer defaults to
+    the Arrow path (same tradeoff as cosine_topk)."""
     with_b = emb.withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     q = with_b.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -432,7 +460,9 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
         )
     )
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)

@@ -34,38 +34,41 @@ def _words(text_col: str = "text"):
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang, score): argmax of profile-marker hits, ties
-    broken by language code; 'und' when nothing matches."""
-    words = docs.select(
-        "doc_id", F.explode(_words(text_col)).alias("w")
+    """(doc_id, pred_lang, score): argmax of profile-marker hits (with
+    multiplicity), ties broken by language code; 'und' when nothing
+    matches.
+
+    Entirely map-side: the profiles are literals, so each language's
+    score is a membership count over the tokenized words inside ONE
+    projection and the argmax is a CASE chain across the 5 score
+    columns — zero shuffles, scan-speed at 100 TB. (The first-round
+    form exploded every word, broadcast-joined the 30-row profile
+    table, aggregated (doc,lang), and ranked with a window: two
+    exchanges plus a window for a per-document computation.)"""
+    langs = sorted(LANG_PROFILES)
+    base = docs.select("doc_id", _words(text_col).alias("__w"))
+    words = F.col("__w")
+
+    def score_of(lang: str):
+        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        return F.size(F.filter(words, lambda t: F.array_contains(prof, t)))
+
+    # Materialize the 5 scores once (their own projection — used many
+    # times below, so CollapseProject keeps them); the argmax CASE then
+    # reads array slots, not re-evaluated filters.
+    scored = base.select(
+        "doc_id", F.array(*[score_of(lang) for lang in langs]).alias("__s")
     )
-    rows = [
-        (lang, w) for lang, ws in sorted(LANG_PROFILES.items()) for w in ws
-    ]
-    profiles = words.sparkSession.createDataFrame(
-        rows, "lang string, w string"
-    )
-    hits = (
-        words.join(F.broadcast(profiles), "w")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("lang")
-    )
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
-    )
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
-        )
+    s = F.col("__s")
+    best = F.array_max(s)
+    pred = F.when(best <= 0, F.lit("und"))
+    for i, lang in enumerate(langs):  # first hit = lowest code wins ties
+        pred = pred.when(F.element_at(s, i + 1) == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        # coalesce/greatest guard the null-text row (size(null) = -1)
+        F.coalesce(pred, F.lit("und")).alias("pred_lang"),
+        F.greatest(best, F.lit(0)).cast("long").alias("score"),
     )
 
 
@@ -132,7 +135,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", gram: int = 5) -> D
     )
 
 
-def tfidf(tokens_with_mult: DataFrame, n_docs: int) -> DataFrame:
+def tfidf(tokens_with_mult: DataFrame, n_docs_df: DataFrame) -> DataFrame:
     """(doc_id, term, tf, df, tfidf) over a (doc_id, term) relation
     WITH multiplicity. Generalizes the χ² feature-selection: same
     shuffle skeleton (group by (doc,term), window/broadcast for the
@@ -141,18 +144,30 @@ def tfidf(tokens_with_mult: DataFrame, n_docs: int) -> DataFrame:
     tf = in-doc count; df = docs containing term (distinct);
     tfidf = tf * ln(N / df) — natural log, smooth-free, identical
     arithmetic on both engines.
+
+    n_docs_df is a ONE-ROW aggregate (column `n_docs`) attached via
+    broadcast cross join — the J3 pattern (contingency.py
+    chi_square_from_counts): the corpus count stays inside this plan
+    as a 1-row broadcast instead of a separate driver-side .count()
+    action that would re-scan the corpus at 100 TB.
     """
     tf = tokens_with_mult.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
     )
     w = Window.partitionBy("term")
-    return tf.withColumn("df", F.count("*").over(w)).select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        (
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
-        ).alias("tfidf"),
+    return (
+        tf.withColumn("df", F.count("*").over(w))
+        .join(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                )
+            ).alias("tfidf"),
+        )
     )

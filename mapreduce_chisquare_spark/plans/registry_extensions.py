@@ -433,12 +433,13 @@ FROM documents
 def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the canonical term stream (with multiplicity) —
     generalizes the χ² feature-selection skeleton (same two shuffles:
-    (doc,term) agg + per-term window)."""
+    (doc,term) agg + per-term window). n_docs rides along as a 1-row
+    broadcast aggregate (ONE job, no extra corpus scan)."""
     from ..functions.text import nonempty_documents, terms_with_multiplicity
 
     d = _docs(spark, sf_dir).selectExpr("doc_id", "text", "lang AS category")
-    n_docs = nonempty_documents(d).count()
-    return tx.tfidf(terms_with_multiplicity(d, STOPWORDS), n_docs)
+    n_docs_df = nonempty_documents(d).agg(F.count("*").alias("n_docs"))
+    return tx.tfidf(terms_with_multiplicity(d, STOPWORDS), n_docs_df)
 
 
 _TOKM_CTE = (
@@ -1210,10 +1211,15 @@ def _dq_sql() -> str:
             if c in numeric
             else "max(CAST(NULL AS DOUBLE))"
         )
+        # distinct_est_ok mirrors the Spark side's self-check: each
+        # engine's OWN approximate-distinct estimate within 5% of its
+        # OWN exact count (estimates are engine-specific, the flag is
+        # the engine-independent contract).
         parts += [
             f"SELECT '{c}' AS \"column\", 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM orders",
             f"SELECT '{c}', 'nulls', CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders",
             f"SELECT '{c}', 'distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM orders",
+            f"SELECT '{c}', 'distinct_est_ok', CASE WHEN abs(CAST(approx_count_distinct({c}) AS DOUBLE) - count(DISTINCT {c})) <= 0.05 * count(DISTINCT {c}) THEN 1.0 ELSE 0.0 END FROM orders",
             f"SELECT '{c}', 'min', {mm_min} FROM orders",
             f"SELECT '{c}', 'max', {mm_max} FROM orders",
         ]

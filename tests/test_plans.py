@@ -85,10 +85,50 @@ def test_q5_uses_broadcast_joins(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
-def test_simsearch_is_jvm_only(spark, sf_dir):
+def test_simsearch_default_scorer_is_arrow(spark, sf_dir):
+    # Default scorer is the Arrow/numpy batch path (contention-robust,
+    # ~50x less CPU than the interpreted HOF expressions at scale) —
+    # ArrowEvalPython, never row-at-a-time BatchEvalPython.
     p = plan_text(REGISTRY["simsearch_topk"][0](spark, sf_dir))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_simsearch_reference_scorer_is_jvm_only(spark, sf_dir):
+    # The oracle-parity reference form stays pure-JVM expressions.
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    emb = scan_parquet(spark, sf_dir, "embeddings")
+    p = plan_text(ss.cosine_topk(emb, use_arrow=False))
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in p
+
+
+def test_lang_id_is_map_side(spark, sf_dir):
+    # Literal profiles scored inside one projection: zero shuffles —
+    # scan-speed at 100 TB (the round-2 form exploded + broadcast-
+    # joined + aggregated + ranked: two exchanges and a window).
+    p = plan_text(REGISTRY["lang_id"][0](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Window" not in p
+
+
+def test_dq_profile_has_no_expand(spark, sf_dir):
+    # Multi-column exact count_distinct in one agg plans an Expand
+    # (input replicated x columns); the profile instead uses HLL
+    # sketches in the main pass plus one grouped exact distinct for
+    # the audit flag — no Expand anywhere.
+    p = plan_text(REGISTRY["dq_profile"][0](spark, sf_dir))
+    assert "Expand" not in p
+
+
+def test_tfidf_single_plan_no_separate_count(spark, sf_dir):
+    # n_docs rides along as a broadcast 1-row aggregate (the J3
+    # pattern) instead of a separate driver-side .count() action that
+    # would re-scan the corpus.
+    p = plan_text(REGISTRY["tfidf"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
 def test_global_topn_avoids_full_sort(spark, sf_dir):
