@@ -135,6 +135,7 @@ def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
     max_bucket: int = NEARDUP_MAX_BUCKET,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-dup candidate pairs blocked on the hyperplane
     LSH bucket: (vec_a, vec_b, cos) with cos >= threshold and both
@@ -172,7 +173,9 @@ def cosine_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+            _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias(
+                "cos"
+            ),
         )
         .filter(F.col("cos") >= threshold)
     )

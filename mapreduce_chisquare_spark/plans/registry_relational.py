@@ -1187,6 +1187,215 @@ WHERE l_orderkey < 100
 """
 
 
+# --- TPC-H-flavour round-out (adapted to the driver tables' columns:
+# no commitdate/receiptdate/shipmode, so Q4/Q12 predicates are recast
+# onto l_returnflag; money math is exact integer cents throughout) ----
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavour: order-priority checking — orders in a quarter
+    having at least one returned lineitem (EXISTS → left-semi join;
+    Spark broadcasts the dedup'd probe side under AQE when small)."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global agg — the predicate-pushdown
+    showcase (every filter reaches the parquet scan; one partial-agg
+    funnel, no shuffle of data rows)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+    return li.agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+
+
+SQL_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+       / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavour: top-20 customers by revenue lost to returns
+    in a quarter. Fact-side filters push down; customer/nation are
+    broadcast; the top-20 is a TakeOrderedAndProject (no full sort),
+    tie-broken on c_custkey for determinism."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+  / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional agg
+    over a broadcast part join; one division of two exact cent sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    pt = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("long")
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_Q14 = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+    ELSE 0 END) AS DOUBLE)
+  / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — a HAVING over the lineitem
+    rollup feeds a broadcast semi-ish join back to orders/customer.
+    Quantities are integer-valued doubles (< 2^53), so the double sum
+    is exact under any aggregation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over a total order (cents, then the unique
+    (l_orderkey, l_linenumber) key) so tile assignment is deterministic
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    c = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        _cents("l_extendedprice").alias("cents"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    return c.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  percent_rank() OVER w AS pct_rank
+FROM lineitem
+WHERE l_orderkey < 1000
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                      l_orderkey, l_linenumber)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1231,4 +1440,12 @@ RELATIONAL_QUERIES = {
     "top_n_global": (top_n_global, SQL_TOP_N),
     "sql_correlated_subquery": (sql_correlated_subquery, SQL_CORRELATED),
     "agg_unpivot": (agg_unpivot, SQL_AGG_UNPIVOT),
+    # round-3 additions — registered at the tail so they never displace
+    # not-yet-certified entries from the certification window
+    "q4_order_priority": (q4_order_priority, SQL_Q4),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "q10_returned_items": (q10_returned_items, SQL_Q10),
+    "q14_promo_effect": (q14_promo_effect, SQL_Q14),
+    "q18_large_volume": (q18_large_volume, SQL_Q18),
+    "window_ntile": (window_ntile, SQL_WINDOW_NTILE),
 }
