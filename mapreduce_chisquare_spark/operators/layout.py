@@ -77,3 +77,46 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z", "__a0", "__a1", "__b0", "__b1")
     )
+
+
+N_BUCKETS = 8
+
+
+def bucketed_table(
+    df: DataFrame, name: str, key: str, buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Materialize df as a hash-bucketed, per-bucket-sorted metastore
+    table and return the readable table. Pays one shuffle-equivalent
+    at WRITE time so that every later join or aggregation on `key`
+    is Exchange-free — the canonical 100 TB amortization: fact tables
+    are joined on their key many times, the layout cost once. Reuses
+    the existing table when present (deterministic derivation from the
+    source parquet)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(name):
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def bucketed_join(
+    left: DataFrame,
+    left_name: str,
+    left_key: str,
+    right: DataFrame,
+    right_name: str,
+    right_key: str,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Co-located equi-join through the bucketed layout: both sides
+    land in the same number of buckets on their join key, so the
+    SortMergeJoin consumes the buckets directly — NO Exchange and NO
+    Sort on either side (asserted in tests/test_storage_layout.py)."""
+    lt = bucketed_table(left, left_name, left_key, buckets)
+    rt = bucketed_table(right, right_name, right_key, buckets)
+    return lt.join(rt, lt[left_key] == rt[right_key])

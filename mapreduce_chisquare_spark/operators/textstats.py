@@ -135,6 +135,33 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", gram: int = 5) -> D
     )
 
 
+def ngram_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 50
+) -> DataFrame:
+    """Global top-k word n-grams: (ngram, n_count) — the corpus
+    collocation table contamination screens and quality reports read.
+    Grams materialize from a per-doc array transform (the token array
+    is projected once first — HOFs are interpreted, no CSE), then one
+    hash count and a TakeOrderedAndProject top-k (no full sort). Ties
+    break on the gram text for determinism."""
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+    base = docs.select(_words(text_col).alias("__w")).select(
+        F.explode(F.expr(grams)).alias("ngram")
+    )
+    return (
+        base.groupBy("ngram")
+        .agg(F.count("*").alias("n_count"))
+        .orderBy(F.desc("n_count"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def tfidf(tokens_with_mult: DataFrame, n_docs_df: DataFrame) -> DataFrame:
     """(doc_id, term, tf, df, tfidf) over a (doc_id, term) relation
     WITH multiplicity. Generalizes the χ² feature-selection: same

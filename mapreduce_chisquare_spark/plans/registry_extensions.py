@@ -1472,6 +1472,62 @@ SQL_SINK_PARTITIONED = (
 )
 
 
+def join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact join: lineitem and orders land in 8
+    buckets on the order key (one-time layout cost, cached as
+    metastore tables per SF), so the SortMergeJoin reads the buckets
+    directly — the only Exchange in the whole plan is the final
+    priority aggregation."""
+    from pathlib import Path as _P
+
+    from ..operators.layout import bucketed_join
+
+    tag = _P(sf_dir).name.replace(".", "_")
+    li = scan_parquet(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    od = scan_parquet(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = bucketed_join(
+        li, f"li_bkt_{tag}", "l_orderkey", od, f"od_bkt_{tag}", "o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        (F.sum("cents") / F.lit(100.0)).alias("sum_price"),
+    )
+
+
+SQL_JOIN_BUCKETED = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def ngram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.ngram_counts(_docs(spark, sf_dir))
+
+
+SQL_NGRAM_COUNTS = """
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(arr) >= 3 THEN
+           list_transform(range(1, len(arr) - 1),
+                          i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+         ELSE [] END) AS ngram
+  FROM w)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_count
+FROM g GROUP BY ngram
+ORDER BY n_count DESC, ngram ASC
+LIMIT 50
+"""
+
+
 def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import enrich_stream_static
 
@@ -1542,4 +1598,7 @@ EXTENSION_QUERIES = {
     "multimodal_meta": (multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_decode": (multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_resize": (multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    # round-3 additions — tail-registered (certification-window rule)
+    "join_bucketed": (join_bucketed_q, SQL_JOIN_BUCKETED),
+    "ngram_counts": (ngram_counts_q, SQL_NGRAM_COUNTS),
 }

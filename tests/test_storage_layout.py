@@ -68,6 +68,34 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse):
         spark.sql("DROP TABLE IF EXISTS od_b")
 
 
+def test_bucketed_join_helper_is_colocated(spark):
+    """The layout.bucketed_join operator (the form the registry's
+    join_bucketed query uses) keeps the SMJ exchange- and sort-free
+    once broadcast is off the table."""
+    from mapreduce_chisquare_spark.operators.layout import bucketed_join
+
+    li = scan_parquet(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = scan_parquet(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(
+            li, "li_bkt_hlp", "l_orderkey", od, "od_bkt_hlp", "o_orderkey"
+        )
+        p = plan_text(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt_hlp")
+        spark.sql("DROP TABLE IF EXISTS od_bkt_hlp")
+
+
 def test_partitioned_write_prunes_partitions(spark, warehouse):
     """Writing facts partitioned by a coarse time/key column lets the
     scan skip whole directories: PartitionFilters, zero rows read from
