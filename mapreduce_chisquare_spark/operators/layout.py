@@ -90,10 +90,21 @@ def bucketed_table(
     at WRITE time so that every later join or aggregation on `key`
     is Exchange-free — the canonical 100 TB amortization: fact tables
     are joined on their key many times, the layout cost once. Reuses
-    the existing table when present (deterministic derivation from the
-    source parquet)."""
+    the existing table when the catalog knows it (deterministic
+    derivation from the source parquet); a location left behind by an
+    earlier process whose in-memory catalog is gone is removed and
+    rewritten — the metadata (bucket spec) lives in the catalog, so
+    the orphan directory alone cannot serve a co-located join."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
     spark = df.sparkSession
     if not spark.catalog.tableExists(name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = Path(wh) / name.lower()
+        if orphan.exists():
+            shutil.rmtree(orphan)
         (
             df.write.format("parquet")
             .mode("overwrite")

@@ -121,6 +121,11 @@ _CERTIFY_WINDOW = [
 # Never-certified entries deliberately held for the round-4 rotation
 # (50-slot window; these 15 are the lowest-risk basic relational /
 # window forms). Never register NEW queries ahead of these.
+# ROUND-4 TODO: promote these 15 plus the round-3 tail additions
+# (q4_order_priority q6_forecast_revenue q10_returned_items
+# q14_promo_effect q18_large_volume window_ntile join_bucketed
+# ngram_counts) into _CERTIFY_WINDOW — 23 entries, completing
+# cumulative driver-certified coverage of the whole registry.
 _DEFER_TO_NEXT_ROTATION = [
     "window_lag",
     "window_moving_sum",
