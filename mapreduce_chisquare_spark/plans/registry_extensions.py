@@ -1507,6 +1507,40 @@ GROUP BY o_orderpriority
 """
 
 
+def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: urgent Q3-1996 orders' keys become a
+    64 Kib Bloom applied map-side on the lineitem scan BEFORE the
+    join, so ~97% of fact rows never reach it; false positives die in
+    the real join, making the plain join the oracle."""
+    from ..operators.bloomjoin import bloom_prefiltered_join
+
+    od = scan_parquet(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    ).select("o_orderkey", "o_orderstatus")
+    li = scan_parquet(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    j = bloom_prefiltered_join(li, "l_orderkey", od, "o_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        (F.sum("cents") / F.lit(100.0)).alias("sum_price"),
+    )
+
+
+SQL_JOIN_BLOOM = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY o_orderstatus
+"""
+
+
 def ngram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_counts(_docs(spark, sf_dir))
 
@@ -1601,4 +1635,5 @@ EXTENSION_QUERIES = {
     # round-3 additions — tail-registered (certification-window rule)
     "join_bucketed": (join_bucketed_q, SQL_JOIN_BUCKETED),
     "ngram_counts": (ngram_counts_q, SQL_NGRAM_COUNTS),
+    "join_bloom_prefilter": (join_bloom_prefilter_q, SQL_JOIN_BLOOM),
 }

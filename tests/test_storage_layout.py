@@ -96,6 +96,33 @@ def test_bucketed_join_helper_is_colocated(spark):
         spark.sql("DROP TABLE IF EXISTS od_bkt_hlp")
 
 
+def test_bloom_prefilter_cuts_fact_rows_and_stays_exact(spark):
+    """The Bloom prefilter must (a) pass every true-matching fact row,
+    (b) cut the non-matching bulk to a few-percent false-positive
+    residue, and (c) produce exactly the plain join after the real
+    join runs."""
+    from mapreduce_chisquare_spark.operators.bloomjoin import (
+        bloom_prefiltered_join,
+        build_bloom,
+        might_contain,
+    )
+
+    od = scan_parquet(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = scan_parquet(spark, SF, "lineitem").select("l_orderkey")
+    words = build_bloom(od, "o_orderkey")
+    n_all = li.count()
+    n_pref = li.filter(might_contain(words, "l_orderkey")).count()
+    n_true = li.join(od, li.l_orderkey == od.o_orderkey, "left_semi").count()
+    assert n_true <= n_pref < n_all  # no false negatives, real cut
+    # false-positive residue bounded (filter is sized for ~2% FPR;
+    # allow generous slack)
+    assert (n_pref - n_true) <= 0.1 * n_all
+    j = bloom_prefiltered_join(li, "l_orderkey", od, "o_orderkey")
+    assert j.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+
+
 def test_partitioned_write_prunes_partitions(spark, warehouse):
     """Writing facts partitioned by a coarse time/key column lets the
     scan skip whole directories: PartitionFilters, zero rows read from
