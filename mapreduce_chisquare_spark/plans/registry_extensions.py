@@ -1562,6 +1562,29 @@ LIMIT 50
 """
 
 
+def stream_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation import quality_filter_stream
+
+    return quality_filter_stream(spark, sf_dir)
+
+
+SQL_STREAM_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents),
+m AS (SELECT doc_id, lang, CAST(len(arr) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(arr, x -> list_contains({_STOP_LIST}, x))) AS BIGINT) AS n_stop
+      FROM t),
+r AS (SELECT doc_id, lang, n_tokens,
+        CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END AS stop_ratio
+      FROM m)
+SELECT doc_id, lang, n_tokens, stop_ratio
+FROM r WHERE n_tokens >= 20 AND stop_ratio <= 0.10
+"""
+
+
 def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import enrich_stream_static
 
@@ -1636,4 +1659,5 @@ EXTENSION_QUERIES = {
     "join_bucketed": (join_bucketed_q, SQL_JOIN_BUCKETED),
     "ngram_counts": (ngram_counts_q, SQL_NGRAM_COUNTS),
     "join_bloom_prefilter": (join_bloom_prefilter_q, SQL_JOIN_BLOOM),
+    "stream_quality_filter": (stream_quality_filter_q, SQL_STREAM_QUALITY),
 }

@@ -1,0 +1,82 @@
+"""Streaming curation: the stateless ingest-time quality gate.
+
+The batch curation passes (quality_score → filter) are pure map-side
+projections, so they run unchanged as a Structured Streaming query —
+no state, no watermark, append mode: every micro-batch is gated at
+scan speed and late data is a non-concept. This is the shape a 100 TB
+ingest pipeline actually uses for quality filtering (the stateful
+variants — dedup, sessionization — live in the sibling modules).
+
+availableNow processes the full backlog and stops, so the result
+equals the batch plan and the batch SQL is the oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import STOPWORDS
+from ..schemas import DOCUMENTS
+from ..sources.fixtures import docs_multifile_dir
+from .tuning import state_partitions
+
+MIN_TOKENS = 20
+MAX_STOP_RATIO = 0.10
+
+
+def quality_filter_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Stream the documents (one file per micro-batch) through the
+    quality gate: (doc_id, lang, n_tokens, stop_ratio) for documents
+    with >= MIN_TOKENS tokens and <= MAX_STOP_RATIO stopword share.
+    Expressions mirror operators/textstats.quality_score exactly
+    (same single-division ratios), so values hash-match the batch
+    oracle."""
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = stream.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        F.size(
+            F.filter(words, lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stop"),
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    gated = (
+        base.withColumn("stop_ratio", ratio)
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("stop_ratio") <= MAX_STOP_RATIO)
+        )
+        .select(
+            "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "stop_ratio",
+        )
+    )
+    name = "stream_quality_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
