@@ -94,20 +94,24 @@ def bucketed_table(
     derivation from the source parquet); a location left behind by an
     earlier process whose in-memory catalog is gone is removed and
     rewritten — the metadata (bucket spec) lives in the catalog, so
-    the orphan directory alone cannot serve a co-located join."""
+    the orphan directory alone cannot serve a co-located join.
+
+    The location is pinned under the repo cache (not the session's
+    warehouse dir, which follows the caller's CWD), so the layout
+    lands in a known place whatever process hosts the session."""
     import shutil
-    from pathlib import Path
-    from urllib.parse import urlparse
+
+    from ..sources.fixtures import _CACHE
 
     spark = df.sparkSession
+    loc = _CACHE / "bucketed" / name.lower()
     if not spark.catalog.tableExists(name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        orphan = Path(wh) / name.lower()
-        if orphan.exists():
-            shutil.rmtree(orphan)
+        if loc.exists():
+            shutil.rmtree(loc)
         (
             df.write.format("parquet")
             .mode("overwrite")
+            .option("path", str(loc))
             .bucketBy(buckets, key)
             .sortBy(key)
             .saveAsTable(name)
