@@ -1585,6 +1585,52 @@ FROM r WHERE n_tokens >= 20 AND stop_ratio <= 0.10
 """
 
 
+def doc_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+SQL_DOC_CHUNK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents),
+c AS (
+  SELECT doc_id, arr,
+         unnest(range(0, CAST(ceil(len(arr) / 50.0) AS INT))) AS chunk_id
+  FROM t WHERE len(arr) > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(arr, chunk_id * 50 + 1, chunk_id * 50 + 50)) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(arr, chunk_id * 50 + 1, chunk_id * 50 + 50), ' ') AS chunk_text
+FROM c
+"""
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT lang AS part, doc_id,
+    CAST(greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')), 0) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT part, n_tokens,
+    CAST(floor((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512.0) AS BIGINT)
+      AS bin_id
+  FROM t)
+SELECT part, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM b GROUP BY part, bin_id
+"""
+
+
 def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import enrich_stream_static
 
@@ -1660,4 +1706,6 @@ EXTENSION_QUERIES = {
     "ngram_counts": (ngram_counts_q, SQL_NGRAM_COUNTS),
     "join_bloom_prefilter": (join_bloom_prefilter_q, SQL_JOIN_BLOOM),
     "stream_quality_filter": (stream_quality_filter_q, SQL_STREAM_QUALITY),
+    "doc_chunk": (doc_chunk_q, SQL_DOC_CHUNK),
+    "pack_sequences": (pack_sequences_q, SQL_PACK_SEQUENCES),
 }

@@ -478,6 +478,38 @@ def test_resample_ffill_planted(spark):
     assert out[h0 + 7200].n_events == 1 and out[h0 + 7200].value_ffill == 9.0
 
 
+def test_chunk_and_pack_planted(spark):
+    from mapreduce_chisquare_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    rows = [
+        (1, "a b c d e", "en"),   # 5 tokens
+        (2, "x " * 60, "en"),     # 60 tokens -> 2 chunks at 50
+        (3, "", "en"),            # empty -> no chunks
+        (4, "y z", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    chunks = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df).collect()
+    }
+    assert chunks[(1, 0)] == (5, "a b c d e")
+    assert chunks[(2, 0)][0] == 50 and chunks[(2, 1)][0] == 10
+    assert not any(d == 3 for d, _ in chunks)
+
+    packed = {
+        (r.part, r.bin_id): (r.n_docs, r.sum_tokens)
+        for r in pack_sequences(df, budget=32).collect()
+    }
+    # en: cum 5 -> bin 0; cum 65 -> bin 2 (doc 2 overflows its own bin);
+    # empty doc 3: cum stays 65 -> bin 2. de: 2 tokens -> bin 0.
+    assert packed[("en", 0)] == (1, 5)
+    assert packed[("en", 2)] == (2, 60)
+    assert packed[("de", 0)] == (1, 2)
+
+
 def test_dq_profile_planted(spark):
     from mapreduce_chisquare_spark.operators.warehouse import dq_profile
 
