@@ -124,7 +124,8 @@ _CERTIFY_WINDOW = [
 # ROUND-4 TODO: promote these 15 plus the round-3 tail additions
 # (q4_order_priority q6_forecast_revenue q10_returned_items
 # q14_promo_effect q18_large_volume window_ntile join_bucketed
-# ngram_counts) into _CERTIFY_WINDOW — 23 entries, completing
+# ngram_counts join_bloom_prefilter stream_quality_filter doc_chunk
+# pack_sequences) into _CERTIFY_WINDOW — 27 entries, completing
 # cumulative driver-certified coverage of the whole registry.
 _DEFER_TO_NEXT_ROTATION = [
     "window_lag",
