@@ -131,6 +131,28 @@ def test_tfidf_single_plan_no_separate_count(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_q6_filters_all_reach_scan(spark, sf_dir):
+    # Q6 is the pushdown showcase: every predicate lands in
+    # PushedFilters; the scan reads only the 4 referenced columns.
+    p = plan_text(REGISTRY["q6_forecast_revenue"][0](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp>" in p
+    )
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # Catalyst must derive the per-side implications of the OR-of-ANDs
+    # predicate and push a disjunction into EACH scan — at 100 TB this
+    # is the difference between scanning matching row groups and
+    # scanning everything.
+    p = plan_text(REGISTRY["q19_discounted_revenue"][0](spark, sf_dir))
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in p  # part side
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p  # fact side
+
+
 def test_global_topn_avoids_full_sort(spark, sf_dir):
     p = plan_text(REGISTRY["top_n_global"][0](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
