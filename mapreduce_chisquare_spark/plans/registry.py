@@ -125,8 +125,9 @@ _CERTIFY_WINDOW = [
 # (q4_order_priority q6_forecast_revenue q10_returned_items
 # q14_promo_effect q18_large_volume window_ntile join_bucketed
 # ngram_counts join_bloom_prefilter stream_quality_filter doc_chunk
-# pack_sequences q7_nation_volume q19_discounted_revenue) into
-# _CERTIFY_WINDOW — 29 entries, completing
+# pack_sequences q7_nation_volume q19_discounted_revenue
+# sink_orc_roundtrip) into
+# _CERTIFY_WINDOW — 30 entries, completing
 # cumulative driver-certified coverage of the whole registry.
 _DEFER_TO_NEXT_ROTATION = [
     "window_lag",

@@ -1585,6 +1585,25 @@ FROM r WHERE n_tokens >= 20 AND stop_ratio <= 0.10
 """
 
 
+def sink_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back parity: documents projected, written as
+    ORC (repo cache), read back. The oracle reads the same projection
+    from the parquet source — equality proves the columnar round trip
+    (types, nulls, strings) through the second format."""
+    from pathlib import Path as _P
+
+    from ..sources.fixtures import _CACHE
+    from ..sources.sinks import write_orc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    path = str(_CACHE / f"sink_orc_{_P(sf_dir).name}")
+    write_orc(docs, path)
+    return spark.read.orc(path).select("doc_id", "lang", "n_chars")
+
+
+SQL_SINK_ORC = "SELECT doc_id, lang, n_chars FROM documents"
+
+
 def doc_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import chunk_documents
 
@@ -1708,4 +1727,5 @@ EXTENSION_QUERIES = {
     "stream_quality_filter": (stream_quality_filter_q, SQL_STREAM_QUALITY),
     "doc_chunk": (doc_chunk_q, SQL_DOC_CHUNK),
     "pack_sequences": (pack_sequences_q, SQL_PACK_SEQUENCES),
+    "sink_orc_roundtrip": (sink_orc_roundtrip_q, SQL_SINK_ORC),
 }

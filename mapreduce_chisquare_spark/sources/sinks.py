@@ -23,3 +23,9 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (beyond-reference: second columnar interchange format;
+    same writer pipeline as parquet, zlib-by-default stripes)."""
+    df.write.mode("overwrite").orc(path)
