@@ -1585,6 +1585,47 @@ FROM r WHERE n_tokens >= 20 AND stop_ratio <= 0.10
 """
 
 
+def rollup_multigrain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: daily totals re-aggregated FROM
+    the hourly partials, not from raw events — at 100 TB the hourly
+    relation is ~1/10^4 the raw size, so every coarser grain costs a
+    re-aggregation of partials (sum-of-sums / sum-of-counts are exact
+    under regrouping). The oracle aggregates raw directly; equality
+    proves the two-level rollup is lossless."""
+    ev = scan_parquet(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.to_date(F.date_trunc("day", F.col("hour_start"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+SQL_ROLLUP_MULTIGRAIN = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+"""
+
+
 def sink_orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write + read-back parity: documents projected, written as
     ORC (repo cache), read back. The oracle reads the same projection
@@ -1728,4 +1769,5 @@ EXTENSION_QUERIES = {
     "doc_chunk": (doc_chunk_q, SQL_DOC_CHUNK),
     "pack_sequences": (pack_sequences_q, SQL_PACK_SEQUENCES),
     "sink_orc_roundtrip": (sink_orc_roundtrip_q, SQL_SINK_ORC),
+    "rollup_multigrain": (rollup_multigrain_q, SQL_ROLLUP_MULTIGRAIN),
 }
