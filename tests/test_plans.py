@@ -153,6 +153,22 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p  # fact side
 
 
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    # supplier/customer/nation×2 all broadcast: the only shuffle
+    # exchanges are the fact-fact join and the final agg.
+    p = plan_text(REGISTRY["q7_nation_volume"][0](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_pack_sequences_single_window_per_key(spark, sf_dir):
+    # Packing is one window (running sum) + one aggregate; no global
+    # (empty-partitionBy) window anywhere — the corpus never funnels
+    # through a single partition.
+    p = plan_text(REGISTRY["pack_sequences"][0](spark, sf_dir))
+    assert "Window" in p
+    assert "partitionBy=[]" not in p.replace(" ", "")
+
+
 def test_global_topn_avoids_full_sort(spark, sf_dir):
     p = plan_text(REGISTRY["top_n_global"][0](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
