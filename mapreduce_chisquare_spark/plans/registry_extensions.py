@@ -1691,6 +1691,12 @@ FROM b GROUP BY part, bin_id
 """
 
 
+def stream_doc_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation import chunk_stream
+
+    return chunk_stream(spark, sf_dir)
+
+
 def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import enrich_stream_static
 
@@ -1770,4 +1776,5 @@ EXTENSION_QUERIES = {
     "pack_sequences": (pack_sequences_q, SQL_PACK_SEQUENCES),
     "sink_orc_roundtrip": (sink_orc_roundtrip_q, SQL_SINK_ORC),
     "rollup_multigrain": (rollup_multigrain_q, SQL_ROLLUP_MULTIGRAIN),
+    "stream_doc_chunk": (stream_doc_chunk_q, SQL_DOC_CHUNK),
 }

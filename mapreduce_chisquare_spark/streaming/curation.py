@@ -25,6 +25,7 @@ from .tuning import state_partitions
 
 MIN_TOKENS = 20
 MAX_STOP_RATIO = 0.10
+CHUNK_TOKENS = 50
 
 
 def quality_filter_stream(
@@ -73,6 +74,37 @@ def quality_filter_stream(
     with state_partitions(spark):
         q = (
             gated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def chunk_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming 1-to-N chunk fan-out: each micro-batch's documents
+    split into <= CHUNK_TOKENS-token chunks — a stateless Generate in
+    append mode (the streaming twin of operators/packing
+    chunk_documents, whose expressions it reuses for oracle parity).
+    At 100 TB ingest this is how raw documents become training-shaped
+    rows without a second batch pass over the corpus."""
+    from ..operators.packing import chunk_documents
+
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    chunks = chunk_documents(stream, chunk_tokens=CHUNK_TOKENS)
+    name = "stream_chunk_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            chunks.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
