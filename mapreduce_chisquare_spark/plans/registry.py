@@ -126,8 +126,9 @@ _CERTIFY_WINDOW = [
 # q14_promo_effect q18_large_volume window_ntile join_bucketed
 # ngram_counts join_bloom_prefilter stream_quality_filter doc_chunk
 # pack_sequences q7_nation_volume q19_discounted_revenue
-# sink_orc_roundtrip rollup_multigrain stream_doc_chunk) into
-# _CERTIFY_WINDOW — 32 entries, completing
+# sink_orc_roundtrip rollup_multigrain stream_doc_chunk
+# set_intersect_all set_except_all) into
+# _CERTIFY_WINDOW — 34 entries, completing
 # cumulative driver-certified coverage of the whole registry.
 _DEFER_TO_NEXT_ROTATION = [
     "window_lag",

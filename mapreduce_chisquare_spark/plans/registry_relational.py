@@ -1359,6 +1359,50 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: duplicates survive up to the minimum
+    multiplicity on each side — the bag semantics Spark's intersectAll
+    and SQL INTERSECT ALL share (the DISTINCT form is set_intersect).
+    Probed on per-order lineitem return flags so both sides carry real
+    multiplicities."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+SQL_SET_INTERSECT_ALL = """
+SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each right-side occurrence cancels ONE
+    left-side occurrence (bag difference) — exceptAll / SQL EXCEPT
+    ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_orderkey").alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+SQL_SET_EXCEPT_ALL = """
+SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 25
+EXCEPT ALL
+SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 flavour: shipping volume between two nations by year —
     a 6-table multiway join where both nation dims broadcast under
@@ -1558,4 +1602,6 @@ RELATIONAL_QUERIES = {
     "window_ntile": (window_ntile, SQL_WINDOW_NTILE),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7),
     "q19_discounted_revenue": (q19_discounted_revenue, SQL_Q19),
+    "set_intersect_all": (set_intersect_all, SQL_SET_INTERSECT_ALL),
+    "set_except_all": (set_except_all, SQL_SET_EXCEPT_ALL),
 }
