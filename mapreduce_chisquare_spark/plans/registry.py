@@ -127,8 +127,8 @@ _CERTIFY_WINDOW = [
 # ngram_counts join_bloom_prefilter stream_quality_filter doc_chunk
 # pack_sequences q7_nation_volume q19_discounted_revenue
 # sink_orc_roundtrip rollup_multigrain stream_doc_chunk
-# set_intersect_all set_except_all) into
-# _CERTIFY_WINDOW — 34 entries, completing
+# set_intersect_all set_except_all explode_outer_keywords) into
+# _CERTIFY_WINDOW — 35 entries, completing
 # cumulative driver-certified coverage of the whole registry.
 _DEFER_TO_NEXT_ROTATION = [
     "window_lag",

@@ -1585,6 +1585,44 @@ FROM r WHERE n_tokens >= 20 AND stop_ratio <= 0.10
 """
 
 
+_KEYWORDS = ("data", "model", "learning", "system")
+
+
+def explode_outer_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generate: per-document keyword matches exploded
+    with explode_outer, so documents matching NOTHING survive as a
+    (doc_id, NULL) row — the left-join-lateral semantics a tagging
+    pipeline needs when unmatched rows must not be dropped (plain
+    explode silently loses them)."""
+    kw = F.array(*[F.lit(k) for k in _KEYWORDS])
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+    )
+    matches = F.array_intersect(F.array_distinct(words), kw)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", matches.alias("__m"))
+        .select("doc_id", F.explode_outer("__m").alias("keyword"))
+    )
+
+
+_KW_LIST = "[" + ", ".join(f"'{k}'" for k in _KEYWORDS) + "]"
+
+SQL_EXPLODE_OUTER = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_intersect(
+      list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')),
+      {_KW_LIST}) AS m
+  FROM documents)
+SELECT doc_id,
+  unnest(CASE WHEN len(m) = 0 OR m IS NULL THEN [CAST(NULL AS VARCHAR)]
+         ELSE m END) AS keyword
+FROM t
+"""
+
+
 def rollup_multigrain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate pattern: daily totals re-aggregated FROM
     the hourly partials, not from raw events — at 100 TB the hourly
@@ -1777,4 +1815,5 @@ EXTENSION_QUERIES = {
     "sink_orc_roundtrip": (sink_orc_roundtrip_q, SQL_SINK_ORC),
     "rollup_multigrain": (rollup_multigrain_q, SQL_ROLLUP_MULTIGRAIN),
     "stream_doc_chunk": (stream_doc_chunk_q, SQL_DOC_CHUNK),
+    "explode_outer_keywords": (explode_outer_keywords_q, SQL_EXPLODE_OUTER),
 }
