@@ -99,6 +99,11 @@ def main() -> None:
     hot_discards = 0
     max_seen = quiet
     results: dict[str, float] = {}
+    # queries whose recorded median includes a sample admitted while
+    # the sentinel still flagged contention (retries exhausted) — so
+    # consumers can discount those entries instead of reading a
+    # regression into load noise
+    hot_queries: list[str] = []
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -107,13 +112,17 @@ def main() -> None:
         times = []
         retries_left = MAX_HOT_RETRIES_PER_QUERY
         i = 0
+        query_hot = False
         while i < WARMUP + RUNS:
             s = _sentinel_time(spark)
             max_seen = max(max_seen, s)
-            if s > threshold and retries_left > 0:
-                hot_discards += 1  # loaded box: don't trust this sample
-                retries_left -= 1
-                continue
+            if s > threshold:
+                if retries_left > 0:
+                    hot_discards += 1  # loaded box: don't trust this sample
+                    retries_left -= 1
+                    continue
+                if i >= WARMUP:
+                    query_hot = True  # contended sample admitted to median
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.collect()
@@ -122,6 +131,8 @@ def main() -> None:
                 times.append(dt)
             i += 1
         results[name] = round(statistics.median(times), 3)
+        if query_hot:
+            hot_queries.append(name)
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -136,6 +147,7 @@ def main() -> None:
                     "threshold_sec": round(threshold, 4),
                     "max_seen_sec": round(max_seen, 4),
                     "hot_discards": hot_discards,
+                    "hot_queries": hot_queries,
                 },
             }
         )

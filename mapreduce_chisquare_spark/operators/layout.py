@@ -105,6 +105,13 @@ def bucketed_table(
 
     spark = df.sparkSession
     loc = _CACHE / "bucketed" / name.lower()
+    if spark.catalog.tableExists(name) and not _table_matches(
+        spark, name, df, loc
+    ):
+        # a name reused with different data, or a catalog entry whose
+        # cached location was deleted underneath it: never serve stale
+        # or unreadable buckets — drop and rebuild
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not spark.catalog.tableExists(name):
         if loc.exists():
             shutil.rmtree(loc)
@@ -117,6 +124,23 @@ def bucketed_table(
             .saveAsTable(name)
         )
     return spark.table(name)
+
+
+def _table_matches(spark, name: str, df: DataFrame, loc) -> bool:
+    """Reuse guard for bucketed_table: the catalog entry is only
+    trusted when its backing location still exists and the stored
+    schema + row count match the incoming df. Count on a parquet
+    table is a footer-stats aggregate, not a data scan — cheap
+    relative to the bucketed rewrite it avoids."""
+    if not loc.exists():
+        return False
+    try:
+        t = spark.table(name)
+        if t.schema != df.schema:
+            return False
+        return t.count() == df.count()
+    except Exception:
+        return False
 
 
 def bucketed_join(

@@ -73,6 +73,8 @@ def _cos_arrow():
 
     @pandas_udf("double")
     def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack raises on empty Arrow batches
+            return pd.Series([], dtype="float64")
         A = np.stack(a.to_numpy()).astype(np.float64)
         B = np.stack(b.to_numpy()).astype(np.float64)
         num = np.zeros(A.shape[0])

@@ -885,14 +885,26 @@ SQL_IVF_TOPK = (
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ss.quantize_int8(_emb(spark, sf_dir))
+    """Int8 quantization surfaced with a scalar output shape: the
+    quantized vector is emitted as a comma-joined string so every
+    result column is hashable/sortable by any canonicalizer (the
+    round-3 driver choked sorting a raw array<int> column). The
+    library operator (simsearch.quantize_int8) still returns the
+    typed array; only this registry surface flattens."""
+    q = ss.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("q_embedding").cast("array<string>")).alias(
+            "q_csv"
+        ),
+    )
 
 
 SQL_EMBED_QUANTIZE = """
 SELECT vec_id,
-  list_transform(embedding,
+  array_to_string(list_transform(embedding,
     x -> CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) * 127))) AS INTEGER)
-  ) AS q_embedding
+  ), ',') AS q_csv
 FROM embeddings
 """
 

@@ -595,3 +595,46 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert not out[50].was_clipped and out[50].v_wins == 50.0
     lo = min(r.v_wins for r in out.values())
     assert lo > 1.0  # bottom tail clipped up to p05
+
+
+def test_neardup_components_planted_clusters_exact_recovery(spark):
+    """End-to-end recall guard for the iterative propagation loop
+    (VERDICT r3 #6): seed several duplicate clusters plus a sliding-
+    window near-dup CHAIN (adjacent docs similar, distant docs not),
+    and assert exact component recovery — every member labelled by
+    its cluster's min doc_id, no cross-cluster merges, isolates
+    absent. The chain needs label propagation across multiple hops,
+    exercising the convergence path rather than a single round."""
+    toks = [f"w{i:03d}" for i in range(135)]
+    chain = [
+        (100 + i, " ".join(toks[i * 15 : i * 15 + 60])) for i in range(6)
+    ]
+    cluster_a = [(200 + i, "alpha " * 3 + "identical corpus text about "
+                  "river deltas and sediment flow measurement")
+                 for i in range(3)]
+    cluster_b = [(300 + i, "beta " * 3 + "another identical corpus text "
+                  "covering orbital mechanics and launch windows")
+                 for i in range(4)]
+    isolate = [(400, "totally singular document content concerning "
+                "medieval glassblowing techniques and furnaces")]
+    docs = spark.createDataFrame(
+        chain + cluster_a + cluster_b + isolate,
+        "doc_id long, text string",
+    )
+    # precondition: the chain is connected through adjacent links
+    pairs = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in dd.minhash_candidate_pairs(docs).collect()
+    }
+    for i in range(5):
+        assert any(
+            {100 + i, 100 + j} <= set(p) for j in range(i + 1, 6)
+            for p in [set(p2) for p2 in pairs]
+        ), f"chain link from {100 + i} missing: {sorted(pairs)}"
+    comp = {
+        r.doc_id: r.component_id for r in dd.neardup_components(docs).collect()
+    }
+    assert all(comp[100 + i] == 100 for i in range(6)), comp
+    assert all(comp[200 + i] == 200 for i in range(3)), comp
+    assert all(comp[300 + i] == 300 for i in range(4)), comp
+    assert 400 not in comp  # no false edge ever touched the isolate

@@ -66,3 +66,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(ocols)
     assert _multiset(sdf.columns, srows) == _multiset(ocols, orows)
+
+
+def test_readme_query_count_in_sync():
+    """README's operator count is generated (scripts/sync_docs.py) —
+    this guard keeps the doc from drifting from len(REGISTRY)."""
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"`queries\(\)` \((\d+) named operators", text)
+    assert m, "README count marker missing"
+    assert int(m.group(1)) == len(entry_mod.queries())
