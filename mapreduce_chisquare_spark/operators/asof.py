@@ -23,6 +23,7 @@ def asof_join(
     key: str,
     ts: str,
     payloads: str | list[str],
+    dedupe_right_ties: bool = False,
 ) -> DataFrame:
     """For each left row: the latest right row with right.ts <= left.ts
     on the same key. Returns left's columns + one `asof_<p>` column per
@@ -37,8 +38,13 @@ def asof_join(
     function regardless of payload count.
 
     Right rows with duplicate (key, ts) make "the latest right row"
-    ambiguous (here and in any engine's ASOF join); point-in-time
-    tables should be unique per (key, ts) — pre-aggregate if not.
+    ambiguous (here and in any engine's ASOF join). Either
+    pre-aggregate the right side to unique (key, ts), or pass
+    `dedupe_right_ties=True`: the payload struct joins the window
+    ordering, so among tied right rows the GREATEST payload struct
+    (field-lexicographic) wins — deterministic, and one whole shuffle
+    cheaper than a groupBy dedup because the tie-break rides the sort
+    the union-merge already pays for.
     """
     if isinstance(payloads, str):
         payloads = [payloads]
@@ -64,15 +70,42 @@ def asof_join(
     merged = l_tag.unionByName(
         r_tag.select(*l_cols, "_side", "_rp"), allowMissingColumns=False
     )
+    return asof_from_tagged(
+        merged, key, ts, payloads, l_cols, dedupe_right_ties
+    )
+
+
+def asof_from_tagged(
+    merged: DataFrame,
+    key: str,
+    ts: str,
+    payloads: list[str],
+    out_cols: list[str],
+    dedupe_right_ties: bool = False,
+) -> DataFrame:
+    """The union-merge core over a pre-tagged relation: `merged` has
+    `_side` (0 = right, 1 = left) and `_rp` (payload struct, NULL on
+    left rows) alongside `out_cols`. Exposed separately so callers
+    whose left AND right rows come from the SAME table (event streams:
+    purchases vs clicks) can tag in one projection over ONE scan
+    instead of two scans + a union — at 100 TB that halves the IO of
+    the join. Junk values in right rows' out_cols are harmless: the
+    `_side == 1` filter drops those rows before the projection."""
+    order = [F.col(ts).asc(), F.col("_side").asc()]
+    if dedupe_right_ties:
+        # tied right rows sort ascending by payload, so the running
+        # last() sees the greatest struct latest — left rows are
+        # unaffected (their _rp is NULL and _side sorts them after)
+        order.append(F.col("_rp").asc())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = merged.withColumn(
         "_asof", F.last("_rp", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)
     return filled.select(
-        *l_cols,
+        *out_cols,
         *[F.col(f"_asof.{p}").alias(f"asof_{p}") for p in payloads],
     )

@@ -19,7 +19,7 @@ from ..operators import curation as cu
 from ..operators import dedup as dd
 from ..operators import simsearch as ss
 from ..operators import textstats as tx
-from ..operators.asof import asof_join
+from ..operators.asof import asof_from_tagged, asof_join
 from ..operators.multimodal import (
     binarize_documents,
     decode_documents,
@@ -572,29 +572,40 @@ FROM s GROUP BY user_id, sid
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment with a multi-column payload: each
     purchase pulls the latest preceding click's timestamp AND event id.
-    Clicks are first made unique per (user_id, ts) — max event_id wins
-    — because duplicate point-in-time keys make any engine's as-of
-    match ambiguous (the oracle's ASOF JOIN would pick an arbitrary
-    tied row)."""
-    ev = _events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event"))
+
+    Both join sides live in the SAME events table, so the rows are
+    tagged in one projection over ONE scan (asof_from_tagged) — no
+    second scan, no union. Duplicate point-in-time keys are resolved
+    to max event_id via dedupe_right_ties (the payload struct is
+    (click_us, click_event); click_us is constant within a tie, so
+    greatest-struct = max event_id), riding the sort the union-merge
+    already pays for instead of a groupBy pre-dedup — net plan: one
+    scan, one shuffle."""
+    is_click = F.col("event_type") == "click"
+    merged = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
         .select(
+            "event_id",
             "user_id",
             "ts",
-            F.unix_micros("ts").alias("click_us"),
-            "click_event",
+            F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("_side"),
+            F.when(
+                is_click,
+                F.struct(
+                    F.unix_micros("ts").alias("click_us"),
+                    F.col("event_id").alias("click_event"),
+                ),
+            ).alias("_rp"),
         )
     )
-    return asof_join(
-        purchases, clicks, "user_id", "ts", ["click_us", "click_event"]
-    ).select(
-        "event_id", "user_id", "asof_click_us", "asof_click_event"
+    return asof_from_tagged(
+        merged,
+        "user_id",
+        "ts",
+        ["click_us", "click_event"],
+        ["event_id", "user_id"],
+        dedupe_right_ties=True,
     )
 
 
@@ -623,16 +634,19 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event"))
-        .select(
-            "user_id", "ts", F.unix_micros("ts").alias("click_us"), "click_event"
-        )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("event_id").alias("click_event"),
     )
     j = asof_join(
-        purchases, clicks, "user_id", "ts", ["click_us", "click_event"]
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        ["click_us", "click_event"],
+        dedupe_right_ties=True,
     )
     ok = (
         F.unix_micros("ts") - F.col("asof_click_us")

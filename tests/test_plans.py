@@ -330,3 +330,15 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_join_one_scan_one_exchange(spark, sf_dir):
+    """The fused as-of join (asof_from_tagged over a single tagged
+    projection) must read events ONCE and shuffle ONCE — the r1-r3
+    form paid two scans + a groupBy dedup exchange on the click side.
+    At 100 TB that is half the IO and one fewer full shuffle."""
+    plan = plan_text(REGISTRY["asof_join"][0](spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the event-type disjunction reaches the parquet reader
+    assert "In(event_type, [click,purchase])" in plan
