@@ -215,3 +215,55 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def _id_hash32(id_col: str) -> F.Column:
+    """Deterministic 32-bit hash of an id column, engine-portable: the
+    first 8 hex digits of md5 of the DECIMAL STRING rendering. Both
+    Spark and DuckDB render integers identically, so an oracle can
+    embed the same expression — unlike xxhash64, which only Spark has."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def corpus_shard(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    (doc_id, shard, pos) where shard = hash % n_shards and pos is the
+    hash-ordered rank within the shard. A reproducible corpus
+    permutation with NO global sort: the row_number window runs per
+    shard — n_shards independent partition-local sorts of ~N/n_shards
+    rows each — never funnelling the corpus through one partition.
+    Readers stream shard files in pos order; reshuffling between
+    epochs is a different n_shards or a salt on the id string."""
+    h = _id_hash32("doc_id")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            "h",
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
+
+
+def train_split(
+    docs: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (doc_id, split) from a
+    content-independent id hash, so membership is stable across runs,
+    machines, and engine versions — re-ingesting the corpus never
+    migrates a document between splits (the property that prevents
+    silent train-on-test leakage). Entirely map-side: a projection at
+    scan speed, no shuffle, no state."""
+    bucket = _id_hash32("doc_id") % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))

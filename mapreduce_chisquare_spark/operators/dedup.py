@@ -350,3 +350,19 @@ def simhash(tokens: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         val = term if val is None else val + term
     return per_doc.select("doc_id", val.cast("long").alias("simhash"))
+
+
+def dedup_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash/LSH candidate pairs
+    → connected components → keep each component's representative (min
+    doc_id) plus every unpaired document. Returns the surviving rows
+    of `docs` unchanged.
+
+    The drop list (non-representative members) is the only derived
+    relation joined back — a left-anti join on doc_id that AQE plans
+    as broadcast when small; the corpus itself is never reshuffled."""
+    comp = neardup_components(docs, text_col)
+    drop = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    return docs.join(drop, "doc_id", "left_anti")

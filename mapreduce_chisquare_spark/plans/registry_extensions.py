@@ -1776,6 +1776,71 @@ WHERE e.event_type = 'purchase'
 """
 
 
+# ---- corpus organization: dedup pipeline, sharding, split ----------
+
+# Engine-portable 32-bit id hash (mirror of curation._id_hash32):
+# first 8 md5 hex digits of the decimal id string, expanded with the
+# strpos digit trick DuckDB shares with the simhash/minhash oracles.
+_ID_HASH32_SQL = " + ".join(
+    "(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)".format(i=i + 1)
+    + f" * {16 ** (8 - i - 1)}"
+    for i in range(8)
+)
+
+
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal over documents: candidate pairs →
+    components → drop non-representatives; emits the surviving
+    (doc_id, lang, source) rows. The composed form of
+    dedup_minhash_lsh + dedup_components + a left-anti join — ONE
+    plan, no driver round-trips (operators/dedup.py:dedup_corpus)."""
+    return dd.dedup_corpus(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_PIPELINE_DEDUP_CORPUS = (
+    "WITH RECURSIVE " + _PAIR_CTES + ", "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+    "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id "
+    "FROM reach GROUP BY src), "
+    "drop AS (SELECT doc_id FROM comp WHERE doc_id <> component_id) "
+    "SELECT d.doc_id, d.lang, d.source FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)"
+)
+
+
+def corpus_shard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.corpus_shard(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_SHARD = f"""
+WITH h AS (SELECT doc_id, ({_ID_HASH32_SQL}) AS h FROM documents),
+s AS (SELECT doc_id, h, CAST(h % 16 AS INTEGER) AS shard FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.train_split(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN ({_ID_HASH32_SQL}) % 100 < 90 THEN 'train'
+       WHEN ({_ID_HASH32_SQL}) % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 EXTENSION_QUERIES = {
     "decontaminate": (decontaminate_q, SQL_DECONTAMINATE),
     "repetition_metrics": (repetition_q, SQL_REPETITION),
@@ -1842,4 +1907,12 @@ EXTENSION_QUERIES = {
     "rollup_multigrain": (rollup_multigrain_q, SQL_ROLLUP_MULTIGRAIN),
     "stream_doc_chunk": (stream_doc_chunk_q, SQL_DOC_CHUNK),
     "explode_outer_keywords": (explode_outer_keywords_q, SQL_EXPLODE_OUTER),
+    # round-4 tail additions — queued for the round-5 certification
+    # window per the registry rotation protocol (plans/registry.py)
+    "pipeline_dedup_corpus": (
+        pipeline_dedup_corpus,
+        SQL_PIPELINE_DEDUP_CORPUS,
+    ),
+    "corpus_shard": (corpus_shard_q, SQL_CORPUS_SHARD),
+    "corpus_split": (corpus_split_q, SQL_CORPUS_SPLIT),
 }

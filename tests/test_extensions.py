@@ -638,3 +638,62 @@ def test_neardup_components_planted_clusters_exact_recovery(spark):
     assert all(comp[200 + i] == 200 for i in range(3)), comp
     assert all(comp[300 + i] == 300 for i in range(4)), comp
     assert 400 not in comp  # no false edge ever touched the isolate
+
+
+def test_corpus_shard_is_a_permutation(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    out = cu.corpus_shard(docs).collect()
+    assert len(out) == docs.count()  # every doc placed exactly once
+    assert len({r.doc_id for r in out}) == len(out)
+    seen = {}
+    for r in out:
+        seen.setdefault(r.shard, []).append(r.pos)
+    assert set(seen) <= set(range(16))
+    for shard, poses in seen.items():
+        # positions are a dense 1..n rank within each shard
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+
+
+def test_corpus_shard_deterministic_across_runs(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    a = sorted(map(tuple, cu.corpus_shard(docs).collect()))
+    b = sorted(map(tuple, cu.corpus_shard(docs).collect()))
+    assert a == b
+
+
+def test_train_split_stable_and_roughly_proportional(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    rows = cu.train_split(docs).collect()
+    frac = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        frac[r.split] += 1
+    n = len(rows)
+    assert 0.8 <= frac["train"] / n <= 0.97
+    assert frac["val"] > 0 and frac["test"] > 0
+    # stability: same ids, same assignment on a re-run
+    again = {r.doc_id: r.split for r in cu.train_split(docs).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_dedup_corpus_keeps_representatives_only(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("village", "hamlet")),
+        (3, "entirely unrelated writing about tidal energy converters "
+            "and their mooring systems in rough seas"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in dd.dedup_corpus(docs).collect()}
+    assert 0 in kept and 3 in kept  # representative + unpaired doc
+    assert 1 not in kept  # exact dup of 0 always dropped
+    assert kept <= {0, 2, 3}  # 2 drops iff minhash paired it with 0/1
