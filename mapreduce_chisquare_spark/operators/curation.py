@@ -137,6 +137,25 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_gate(
+    docs: DataFrame, text_col: str = "text", max_dup_ratio: float = 0.65
+) -> DataFrame:
+    """Array-side repetition gate: dup_token_ratio applied as an
+    inline scan predicate — no explode, no metric relation, no
+    join-back. dup_token_ratio = 1 − distinct/total over the
+    whitespace tokens, the same integer counts and single IEEE
+    division as repetition_metrics, so the keep-set is identical to
+    joining that relation and filtering (including dropping zero-token
+    docs, which repetition_metrics' explode+inner-join excludes)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    ratio = F.lit(1.0) - nd.cast("double") / n.cast("double")
+    return docs.filter((n > 0) & (ratio <= max_dup_ratio))
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction: emails -> <EMAIL>, 9+-digit runs -> <NUM>.
     Returns (doc_id, clean_text, n_emails, n_numbers).

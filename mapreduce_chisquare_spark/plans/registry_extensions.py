@@ -946,14 +946,10 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (keep min doc_id per content hash) → deterministic 50%
     content-hash sample. The shape every 100 TB corpus pass takes:
     map-side metrics feed a filter, one shuffle for the dedup, no
-    driver round-trips between stages."""
-    q = tx.quality_score(_docs(spark, sf_dir))
-    docs = _docs(spark, sf_dir).join(
-        q.filter(
-            (F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6)
-        ).select("doc_id"),
-        "doc_id",
-    )
+    driver round-trips between stages. The gate is an inline scan
+    predicate (tx.quality_gate) — the corpus is read ONCE; the earlier
+    join-back against a quality_score relation read it twice."""
+    docs = tx.quality_gate(_docs(spark, sf_dir))
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -1365,22 +1361,17 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash order). The full 100 TB corpus pass: map-side
     metric gates, one broadcast anti-join, one dedup shuffle, one
     bounded-state quota window — no driver round-trips between
-    stages."""
+    stages. Both metric gates are inline scan predicates
+    (tx.quality_gate / cu.repetition_gate): the r1-r3 form joined two
+    metric relations back on doc_id, reading the corpus three times
+    and paying two equi-joins for what one scan's WHERE clause
+    expresses."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    q = tx.quality_score(docs).filter(
-        (F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6)
-    )
-    rep = cu.repetition_metrics(docs).filter(
-        F.col("dup_token_ratio") <= 0.65
-    )
-    kept = (
-        docs.filter(F.col("source") != "src0")
-        .join(q.select("doc_id"), "doc_id")
-        .join(rep.select("doc_id"), "doc_id")
-        .join(cu.decontaminate(docs), "doc_id", "left_anti")
-    )
+    kept = cu.repetition_gate(
+        tx.quality_gate(docs.filter(F.col("source") != "src0"))
+    ).join(cu.decontaminate(docs), "doc_id", "left_anti")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         kept.withColumn("rn", F.row_number().over(w))

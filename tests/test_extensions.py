@@ -697,3 +697,34 @@ def test_dedup_corpus_keeps_representatives_only(spark):
     assert 0 in kept and 3 in kept  # representative + unpaired doc
     assert 1 not in kept  # exact dup of 0 always dropped
     assert kept <= {0, 2, 3}  # 2 drops iff minhash paired it with 0/1
+
+
+def test_inline_gates_match_metric_relation_joins(spark, sf_dir):
+    """quality_gate / repetition_gate must keep exactly the doc set
+    that joining the metric relations and filtering keeps — the
+    pipelines rely on this equivalence to read the corpus once."""
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.operators import textstats as tx
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    q_join = {
+        r.doc_id
+        for r in docs.join(
+            tx.quality_score(docs)
+            .filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6))
+            .select("doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert {r.doc_id for r in tx.quality_gate(docs).collect()} == q_join
+    r_join = {
+        r.doc_id
+        for r in docs.join(
+            cu.repetition_metrics(docs)
+            .filter(F.col("dup_token_ratio") <= 0.65)
+            .select("doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert {r.doc_id for r in cu.repetition_gate(docs).collect()} == r_join
