@@ -265,3 +265,48 @@ def test_zorder_python_matches_sql_expr(spark):
         for r in df.select("a", "b", zorder_col("a", "b").alias("z")).collect()
     }
     assert got == {(a, b): z(a, b) for a, b in rows}
+
+
+# ---- as-of join vs a brute-force reference ------------------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (key, ts)
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)
+    ),  # (key, ts, payload)
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """For every left row, asof_join must return the payload of the
+    latest right row with right.ts <= left.ts on the same key; with
+    dedupe_right_ties, ties on (key, ts) resolve to the max payload
+    struct. Checked against an exhaustive python reference, including
+    duplicate keys/timestamps on both sides."""
+    from mapreduce_chisquare_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in right], "k long, ts long, p long"
+    )
+    got = {
+        r.lid: r.asof_p
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "p", dedupe_right_ties=True
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None  # latest ts, max payload
+        assert got[i] == want, (i, k, t, cands)
