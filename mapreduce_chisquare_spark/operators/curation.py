@@ -286,3 +286,31 @@ def train_split(
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+def sample_weighted(
+    docs: DataFrame, weight_col: str = "n_chars", k: int = 100
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u in (0,1] from its content-
+    independent id hash and competes on key = -ln(u)/w; the k smallest
+    keys win, so selection probability tracks the weights while the
+    outcome is reproducible across runs, retries, and engines — never
+    rand(), whose per-task re-draw under retry corrupts samples.
+    Quality- or length-weighted corpus sampling is this exact pass.
+
+    Scale shape: a pure projection plus orderBy().limit(k), which
+    Catalyst executes as TakeOrderedAndProject — per-partition heaps
+    of k rows and a k-row driver merge, never a global sort. Rows with
+    non-positive weight are excluded (their key is undefined)."""
+    u = (_id_hash32("doc_id") + F.lit(1).cast("double")) / F.lit(
+        float(2**32)
+    )
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        docs.filter(w > 0)
+        .select("doc_id", F.col(weight_col), key.alias("es_key"))
+        .orderBy(F.asc("es_key"), F.asc("doc_id"))
+        .limit(k)
+    )

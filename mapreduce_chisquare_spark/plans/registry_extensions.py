@@ -1832,6 +1832,21 @@ FROM documents
 """
 
 
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.sample_weighted(_docs(spark, sf_dir))
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, n_chars,
+  -ln((({_ID_HASH32_SQL}) + CAST(1 AS DOUBLE)) / 4294967296.0)
+    / CAST(n_chars AS DOUBLE) AS es_key
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY es_key ASC, doc_id ASC
+LIMIT 100
+"""
+
+
 EXTENSION_QUERIES = {
     "decontaminate": (decontaminate_q, SQL_DECONTAMINATE),
     "repetition_metrics": (repetition_q, SQL_REPETITION),
@@ -1906,4 +1921,5 @@ EXTENSION_QUERIES = {
     ),
     "corpus_shard": (corpus_shard_q, SQL_CORPUS_SHARD),
     "corpus_split": (corpus_split_q, SQL_CORPUS_SPLIT),
+    "sample_weighted": (sample_weighted_q, SQL_SAMPLE_WEIGHTED),
 }

@@ -728,3 +728,25 @@ def test_inline_gates_match_metric_relation_joins(spark, sf_dir):
         ).collect()
     }
     assert {r.doc_id for r in cu.repetition_gate(docs).collect()} == r_join
+
+
+def test_sample_weighted_prefers_heavy_rows_and_never_sorts_globally(
+    spark, sf_dir
+):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    out = cu.sample_weighted(docs, "n_chars", k=100)
+    rows = out.collect()
+    assert len(rows) == 100
+    # A-ES bias check: the weighted sample's mean weight must exceed
+    # the corpus mean (long docs selected preferentially)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # determinism across runs
+    assert rows == cu.sample_weighted(docs, "n_chars", k=100).collect()
+    # top-k executes as TakeOrdered (heap + k-row merge), no global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
