@@ -288,6 +288,57 @@ def train_split(
     return docs.select("doc_id", split.alias("split"))
 
 
+HASH_SCALE = 1048576  # 2^20: fixed-point scale for exact weight sums
+
+
+def source_temperature(
+    docs: DataFrame, budget: int = 200, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based source rebalancing: allot a sampling budget
+    across sources proportionally to n_s^alpha (alpha < 1 upweights
+    small sources — the standard domain-mixing pass before training),
+    then deterministically pick each source's quota by id-hash rank.
+    Returns (doc_id, source, pos) with pos = 1..target_n per source.
+
+    Exact cross-engine arithmetic: each weight is fixed-pointed as
+    floor(n_s^alpha * 2^20) BIGINT (sqrt/pow are correctly-rounded
+    IEEE doubles, floor of one is deterministic), the weight total is
+    an exact integer sum, and the per-source target is integer
+    `budget * w_s div w_total` (floored, min 1) — no float comparison
+    anywhere near a selection cliff.
+
+    Scale shape: per-source counts are a tiny hash aggregate; targets
+    broadcast back; selection is a per-source row_number window —
+    partition-local sorts, no global funnel. One corpus scan."""
+    n_s = F.col("n_s").cast("double")
+    weight = F.sqrt(n_s) if alpha == 0.5 else F.pow(n_s, F.lit(alpha))
+    w_fp = F.floor(weight * HASH_SCALE).cast("long")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .select("source", w_fp.alias("ws"))
+    )
+    wsum = weights.agg(F.sum("ws").alias("wt"))
+    targets = weights.join(F.broadcast(wsum)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("long"), F.expr(f"({budget} * ws) div wt")
+        ).alias("target_n"),
+    )
+    h = _id_hash32("doc_id")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("pos") <= F.col("target_n"))
+        .select("doc_id", "source", "pos")
+    )
+
+
 def sample_weighted(
     docs: DataFrame, weight_col: str = "n_chars", k: int = 100
 ) -> DataFrame:

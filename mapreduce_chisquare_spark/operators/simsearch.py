@@ -284,6 +284,8 @@ def _argmax_arrow(cents: list[list[float]]):
 
     @pandas_udf("long")
     def argmax_centroid(a: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack raises on empty Arrow batches
+            return pd.Series([], dtype="int64")
         A = np.stack(a.to_numpy()).astype(np.float64)  # n x dim
         dots = np.zeros((A.shape[0], C.shape[0]))
         self_dot = np.zeros(A.shape[0])

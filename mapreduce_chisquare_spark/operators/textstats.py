@@ -186,6 +186,56 @@ def ngram_counts(
     )
 
 
+def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self-trained unigram language-model scoring — the
+    perplexity-filter shape (CCNet-style): score each document by the
+    mean token log-probability under the corpus's own unigram
+    distribution; documents far below the corpus norm are
+    gibberish/boilerplate candidates. Returns (doc_id, n_tokens,
+    avg_logprob) for documents with >= 1 token;
+    avg_logprob = avg(ln c_term) - ln(T) since ln(c/T) = ln c - ln T,
+    so the corpus-total T attaches ONCE after the per-doc aggregate.
+
+    Scale shape: the tfidf/χ² skeleton. Tokens shuffle ONCE on term;
+    the (doc, term) tf aggregate, the per-term count roll-up, the
+    count join, and the corpus-total T all sit on that same exchange
+    (ReusedExchange — the corpus is scanned and tokenized once,
+    plan-asserted in tests), then one doc-level exchange for the mean.
+    T is a 1-row broadcast derived from the vocabulary-sized term
+    relation, never a separate corpus-scanning .count() action.
+    Weighted form sum(tf·ln c)/sum(tf) == the per-token mean, without
+    carrying the corpus-sized raw token stream into the join."""
+    toks = docs.select("doc_id", F.explode(_words(text_col)).alias("term"))
+    # hashpartitioning(term) satisfies BOTH grouping levels below, so
+    # this is the only corpus-sized exchange
+    tf = (
+        toks.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = tc.agg(F.sum("c").alias("t_total"))
+    per_doc = (
+        tf.join(tc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf").cast("double")
+                * F.log(F.col("c").cast("double"))
+            ).alias("__s"),
+        )
+    )
+    return per_doc.join(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("__s") / F.col("n_tokens").cast("double")
+            - F.log(F.col("t_total").cast("double"))
+        ).alias("avg_logprob"),
+    )
+
+
 def tfidf(tokens_with_mult: DataFrame, n_docs_df: DataFrame) -> DataFrame:
     """(doc_id, term, tf, df, tfidf) over a (doc_id, term) relation
     WITH multiplicity. Generalizes the χ² feature-selection: same

@@ -130,6 +130,11 @@ _CERTIFY_WINDOW = [
 # rotation protocol survive future rounds unchanged: register NEW
 # queries at the registry TAIL, then promote them into the next
 # round's _CERTIFY_WINDOW.
+#
+# Round-5 window TODO: promote the round-4 tail additions (all local
+# oracle-green, never driver-certified): pipeline_dedup_corpus,
+# corpus_shard, corpus_split, sample_weighted, source_temperature,
+# lm_unigram_score — then fill remaining slots with §2-core re-certs.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -1847,6 +1847,51 @@ LIMIT 100
 """
 
 
+def source_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.source_temperature(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_TEMPERATURE = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY source),
+w AS (SELECT source,
+        CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1048576) AS BIGINT) AS ws
+      FROM c),
+t AS (SELECT sum(ws) AS wt FROM w),
+tgt AS (SELECT source, greatest(CAST(1 AS BIGINT), (200 * ws) // wt)
+          AS target_n FROM w CROSS JOIN t),
+r AS (SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source
+             ORDER BY ({_ID_HASH32_SQL}), doc_id) AS BIGINT) AS pos
+      FROM documents)
+SELECT r.doc_id, r.source, r.pos
+FROM r JOIN tgt USING (source) WHERE r.pos <= tgt.target_n
+"""
+
+
+def lm_unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lm_unigram_score(_docs(spark, sf_dir))
+
+
+SQL_LM_UNIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, u.term FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS u(term)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM tc),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+       FROM tf JOIN tc USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+  s / CAST(n_tokens AS DOUBLE) - ln(CAST(t_total AS DOUBLE)) AS avg_logprob
+FROM pd CROSS JOIN tot
+"""
+
+
 EXTENSION_QUERIES = {
     "decontaminate": (decontaminate_q, SQL_DECONTAMINATE),
     "repetition_metrics": (repetition_q, SQL_REPETITION),
@@ -1922,4 +1967,6 @@ EXTENSION_QUERIES = {
     "corpus_shard": (corpus_shard_q, SQL_CORPUS_SHARD),
     "corpus_split": (corpus_split_q, SQL_CORPUS_SPLIT),
     "sample_weighted": (sample_weighted_q, SQL_SAMPLE_WEIGHTED),
+    "source_temperature": (source_temperature_q, SQL_SOURCE_TEMPERATURE),
+    "lm_unigram_score": (lm_unigram_score_q, SQL_LM_UNIGRAM),
 }

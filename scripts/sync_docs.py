@@ -19,29 +19,44 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from mapreduce_chisquare_spark.plans.registry import REGISTRY  # noqa: E402
 
-README = Path(__file__).resolve().parent.parent / "README.md"
-COUNT_RE = re.compile(r"`queries\(\)` \((\d+) named operators")
+_ROOT = Path(__file__).resolve().parent.parent
+# every doc location that cites the registry size, with the regex that
+# captures the stale number and the replacement template
+_TARGETS = [
+    (
+        _ROOT / "README.md",
+        re.compile(r"`queries\(\)` \((\d+) named operators"),
+        "`queries()` ({n} named operators",
+    ),
+    (
+        _ROOT / "COVERAGE.md",
+        re.compile(r"All (\d+) registered queries"),
+        "All {n} registered queries",
+    ),
+]
 
 
 def main() -> int:
     check = "--check" in sys.argv
-    text = README.read_text()
-    m = COUNT_RE.search(text)
-    if not m:
-        print("README count marker not found", file=sys.stderr)
-        return 1
     n = len(REGISTRY)
-    if int(m.group(1)) == n:
-        print(f"README in sync ({n} registry entries)")
-        return 0
-    if check:
-        print(f"README stale: says {m.group(1)}, registry has {n}")
-        return 1
-    README.write_text(
-        COUNT_RE.sub(f"`queries()` ({n} named operators", text)
-    )
-    print(f"README updated: {m.group(1)} -> {n}")
-    return 0
+    rc = 0
+    for path, count_re, tmpl in _TARGETS:
+        text = path.read_text()
+        m = count_re.search(text)
+        if not m:
+            print(f"{path.name}: count marker not found", file=sys.stderr)
+            rc = 1
+            continue
+        if int(m.group(1)) == n:
+            print(f"{path.name} in sync ({n} registry entries)")
+            continue
+        if check:
+            print(f"{path.name} stale: says {m.group(1)}, registry has {n}")
+            rc = 1
+            continue
+        path.write_text(count_re.sub(tmpl.format(n=n), text))
+        print(f"{path.name} updated: {m.group(1)} -> {n}")
+    return rc
 
 
 if __name__ == "__main__":

@@ -730,6 +730,84 @@ def test_inline_gates_match_metric_relation_joins(spark, sf_dir):
     assert {r.doc_id for r in cu.repetition_gate(docs).collect()} == r_join
 
 
+def test_source_temperature_upweights_small_sources(spark):
+    from mapreduce_chisquare_spark.operators import curation as cu
+
+    # one dominant source, one small one: with alpha=0.5 the small
+    # source's selection RATE (picked / size) must exceed the big one's
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cu.source_temperature(docs, budget=100).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.pos)
+    # every source is represented, positions are dense ranks
+    assert set(by_src) == {"big", "small"}
+    for poses in by_src.values():
+        assert sorted(poses) == list(range(1, len(poses) + 1))
+    rate_small = len(by_src["small"]) / 9
+    rate_big = len(by_src["big"]) / 900
+    assert rate_small > rate_big
+    # integer-floored targets never overshoot the budget (min-1 lift
+    # aside), and the whole pass is deterministic across runs
+    assert len(out) <= 100 + len(by_src)
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, cu.source_temperature(docs, budget=100).collect())
+    )
+
+
+def test_source_temperature_broadcasts_targets(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    plan = (
+        cu.source_temperature(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-source quota relation attaches map-side, and the corpus
+    # never funnels through a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_lm_unigram_score_hand_computed(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators import textstats as tx
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "zzz"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.lm_unigram_score(docs).collect()}
+    # corpus unigram counts: a -> 4, zzz -> 1, T = 5
+    assert set(rows) == {0, 1}  # token-less docs drop out
+    assert rows[0].n_tokens == 4 and rows[1].n_tokens == 1
+    assert abs(rows[0].avg_logprob - math.log(4 / 5)) < 1e-12
+    assert abs(rows[1].avg_logprob - math.log(1 / 5)) < 1e-12
+    # common-word docs score above rare-word docs by construction
+    assert rows[0].avg_logprob > rows[1].avg_logprob
+
+
+def test_lm_unigram_score_reuses_term_exchange(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import textstats as tx
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    df = tx.lm_unigram_score(docs)
+    df.collect()  # AQE: exchange reuse materializes in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-term roll-up and corpus-total branches reuse the ONE
+    # term-partitioned exchange — the corpus is scanned/tokenized once
+    assert plan.count("ReusedExchange") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_sample_weighted_prefers_heavy_rows_and_never_sorts_globally(
     spark, sf_dir
 ):
