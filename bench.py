@@ -64,6 +64,10 @@ HEADLINE = [
     "join_salted",
     "sketch_kmv_distinct",
     "sketch_countmin",
+    # round-4 additions (first measurement = their baseline)
+    "pipeline_dedup_corpus",
+    "lm_unigram_score",
+    "source_temperature",
 ]
 
 WARMUP = 1
