@@ -27,7 +27,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .topk import topk_per_group
@@ -473,3 +473,262 @@ def lsh_topk(
         )
     )
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path of the ANN ladder
+# (brute -> LSH buckets -> IVF cells -> PQ codes). Each vector is
+# compressed to M_SUB small codes (one per subspace) against per-
+# subspace codebooks fitted with the same seeded, integer-quantized
+# Lloyd scheme as the IVF coarse quantizer; search scores compressed
+# codes against an exact query via asymmetric distance computation
+# (ADC). At 100 TB the corpus side of the index is M_SUB bytes per
+# vector instead of 4*DIM — the difference between an in-memory index
+# and one that doesn't fit.
+# ---------------------------------------------------------------------------
+
+M_SUB = 8  # subspaces
+SUB_DIM = DIM // M_SUB
+K_SUB = 4  # codewords per subspace
+PQ_ITERS = 2
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = M_SUB,
+    k: int = K_SUB,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks books[m][code][d], fitted like
+    kmeans_centroids (seeds = sub-vectors of vec_id 0..k-1, then
+    `iters` Lloyd rounds with squared-L2 argmin and integer-quantized
+    dimension means — exact, order-independent, bit-identical in the
+    DuckDB oracle). ALL subspaces fit in ONE job per round: the
+    sub-vector relation is (vec_id, m, sub) and the mean aggregate
+    groups by (m, code, d), so the driver sees m*k*sub_dim rows per
+    round regardless of corpus size."""
+    sub_dim = DIM // m_sub
+    rows = (
+        emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    )
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in sorted(rows, key=lambda r: r.vec_id)
+    ]
+    books = [
+        [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
+        for m in range(m_sub)
+    ]
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", m * sub_dim + 1, sub_dim)
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    for _ in range(iters):
+        code = _pq_argmin_arrow(books)
+        sums = (
+            subs.select(
+                "m",
+                code(F.col("m"), F.col("sub")).alias("code"),
+                F.posexplode("sub").alias("d", "x"),
+            )
+            .groupBy("m", "code", "d")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(
+                        F.col("x").cast("double") * F.lit(KMEANS_SCALE)
+                    ).cast("long")
+                ).alias("s"),
+            )
+            .collect()
+        )
+        by = {(r["m"], r["code"], r["d"]): r for r in sums}
+        books = [
+            [
+                [
+                    by[(m, c, d)]["s"] / (KMEANS_SCALE * by[(m, c, d)]["n"])
+                    for d in range(sub_dim)
+                ]
+                if (m, c, 0) in by
+                else books[m][c]
+                for c in range(k)
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def _pq_argmin_arrow(books: list[list[list[float]]]):
+    """Arrow-batched squared-L2 argmin of a sub-vector against its
+    subspace's codebook. Accumulates dimension-by-dimension (engine
+    sum order) so distances — and therefore code choices — are
+    bit-identical to the expression/DuckDB forms; np.argmin takes the
+    first minimum = ties to the lowest code."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype=np.float64)  # m x k x sub_dim
+
+    @pandas_udf("int")
+    def pq_code(m: pd.Series, sub: pd.Series) -> pd.Series:
+        if len(m) == 0:  # np.stack raises on empty Arrow batches
+            return pd.Series([], dtype="int32")
+        Bm = B[m.to_numpy().astype("int64")]  # n x k x sub_dim
+        X = np.stack(sub.to_numpy()).astype(np.float64)  # n x sub_dim
+        acc = np.zeros((X.shape[0], B.shape[1]))
+        for d in range(X.shape[1]):  # sequential over dims = engine order
+            t = X[:, d][:, None] - Bm[:, :, d]
+            acc = acc + t * t
+        return pd.Series(acc.argmin(axis=1).astype("int32"))
+
+    return pq_code
+
+
+def _pq_encode_arrow(books: list[list[list[float]]]):
+    """Whole-vector PQ encoder: one Arrow pass emitting all M_SUB
+    codes per row (array<int>), same arithmetic as _pq_argmin_arrow."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype=np.float64)  # m x k x sub_dim
+    m_sub, k, sub_dim = B.shape
+
+    @pandas_udf("array<int>")
+    def enc(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(a.to_numpy()).astype(np.float64)  # n x dim
+        codes = np.zeros((A.shape[0], m_sub), dtype="int32")
+        for m in range(m_sub):
+            X = A[:, m * sub_dim : (m + 1) * sub_dim]
+            acc = np.zeros((A.shape[0], k))
+            for d in range(sub_dim):
+                t = X[:, d][:, None] - B[m, :, d][None, :]
+                acc = acc + t * t
+            codes[:, m] = acc.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_encode(
+    emb: DataFrame, books: list[list[list[float]]] | None = None
+) -> DataFrame:
+    """(vec_id, codes array<int> of length M_SUB): the compressed
+    index. Row-local projection against broadcast codebook literals —
+    no shuffle, scan-speed at any corpus size."""
+    if books is None:
+        books = pq_codebooks(emb)
+    return emb.select(
+        "vec_id", _pq_encode_arrow(books)(F.col("embedding")).alias("codes")
+    )
+
+
+def _adc_dist_expr(
+    books: list[list[list[float]]], codes_col: str = "codes",
+    q_col: str = "q_emb",
+) -> Column:
+    """Asymmetric distance: squared L2 between the exact query vector
+    and the corpus vector's RECONSTRUCTION from its codes. Pure JVM
+    expression (codegen'd): per subspace, element_at picks the chosen
+    codeword out of a literal nested array, and the 64 per-dimension
+    terms sum left-to-right — bit-identical to the DuckDB twin."""
+    terms = []
+    for m, book in enumerate(books):
+        sub_dim = len(book[0])
+        bm = F.array(
+            *[F.array(*[F.lit(float(v)) for v in code]) for code in book]
+        )
+        cw = F.element_at(bm, F.element_at(F.col(codes_col), m + 1) + 1)
+        for d in range(sub_dim):
+            t = F.element_at(F.col(q_col), m * sub_dim + d + 1).cast(
+                "double"
+            ) - F.element_at(cw, d + 1)
+            terms.append(t * t)
+    e = terms[0]
+    for t in terms[1:]:
+        e = e + t
+    return e
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ANN top-k over the COMPRESSED index: exact queries score
+    against PQ codes via ADC; smallest reconstruction distance wins
+    (ties by vec_id). The corpus side carries only (vec_id, codes) —
+    at scale the scored relation is M_SUB bytes/vector, and the
+    queries attach as a broadcast of n_queries rows, so the scan never
+    shuffles. Returns (query_id, vec_id, adc_dist, rank)."""
+    if books is None:
+        books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _adc_dist_expr(books).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def pq_refined_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 50,
+    books: list[list[list[float]]] | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The production PQ shape: ADC over compressed codes generates a
+    `shortlist`-sized candidate set per query, then the candidates
+    alone are re-scored with EXACT cosine and re-ranked — the
+    FAISS-style refine step. The full-precision corpus is touched only
+    for shortlist*n_queries rows (an equi-join on vec_id), so at scale
+    the expensive exact scorer runs on a vanishing fraction of the
+    data while the output quality approaches exact search. Returns
+    (query_id, vec_id, cos, rank) — directly comparable to
+    cosine_topk's exact output."""
+    if books is None:
+        books = pq_codebooks(emb)
+    cand = pq_adc_topk(emb, n_queries, shortlist, books).select(
+        "query_id", "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(rescored, "query_id", "cos", "vec_id", k)

@@ -1869,6 +1869,173 @@ FROM r JOIN tgt USING (source) WHERE r.pos <= tgt.target_n
 """
 
 
+# --- Product quantization oracle: the whole per-subspace Lloyd fit +
+# ADC scoring replicated in DuckDB SQL (same scheme as the IVF oracle
+# _km_ctes, with squared-L2 argmin and codebooks as c0..c7 scalar
+# columns so every arithmetic step is an explicit left-to-right
+# double expression, bit-identical to the Spark/Arrow forms).
+
+_PQ_M, _PQ_K, _PQ_SD, _PQ_ITERS = ss.M_SUB, ss.K_SUB, ss.SUB_DIM, ss.PQ_ITERS
+_PQ_MS = "[" + ", ".join(str(m) for m in range(_PQ_M)) + "]"
+
+
+def _pq_l2_sql(emb: str, m: str, book: str) -> str:
+    """Squared L2 of subspace `m` of list column `emb` against codebook
+    alias `book` (columns c0..c{SD-1}); terms sum left-to-right."""
+    terms = []
+    for d in range(_PQ_SD):
+        x = f"CAST(list_extract({emb}, {m}*{_PQ_SD}+{d + 1}) AS DOUBLE)"
+        terms.append(f"(({x} - {book}.c{d}) * ({x} - {book}.c{d}))")
+    return " + ".join(terms)
+
+
+def _pq_ctes() -> str:
+    seed_cols = ", ".join(
+        f"CAST(list_extract(e.embedding, s.m*{_PQ_SD}+{d + 1}) AS DOUBLE) AS c{d}"
+        for d in range(_PQ_SD)
+    )
+    sum_cols = ", ".join(
+        f"sum(CAST(round(CAST(list_extract(embedding, m*{_PQ_SD}+{d + 1}) "
+        f"AS DOUBLE) * 1048576.0) AS BIGINT)) AS s{d}"
+        for d in range(_PQ_SD)
+    )
+    mean_cols = ", ".join(
+        f"CASE WHEN s.n IS NULL THEN b.c{d} ELSE "
+        f"CAST(s.s{d} AS DOUBLE) / (1048576.0 * CAST(s.n AS DOUBLE)) END AS c{d}"
+        for d in range(_PQ_SD)
+    )
+    parts = [
+        f"subm AS (SELECT e.vec_id, e.embedding, s.m "
+        f"FROM embeddings e, UNNEST({_PQ_MS}) AS s(m))",
+        f"b0 AS (SELECT s.m, e.vec_id AS code, {seed_cols} "
+        f"FROM embeddings e, UNNEST({_PQ_MS}) AS s(m) "
+        f"WHERE e.vec_id < {_PQ_K})",
+    ]
+    for t in range(_PQ_ITERS):
+        parts.append(
+            f"a{t + 1} AS (SELECT vec_id, embedding, m, code FROM ("
+            f"SELECT x.vec_id, x.embedding, x.m, b.code, "
+            f"row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY "
+            f"{_pq_l2_sql('x.embedding', 'x.m', 'b')} ASC, b.code ASC) AS rn "
+            f"FROM subm x JOIN b{t} b ON b.m = x.m) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{t + 1} AS (SELECT m, code, count(*) AS n, {sum_cols} "
+            f"FROM a{t + 1} GROUP BY m, code)"
+        )
+        parts.append(
+            f"b{t + 1} AS (SELECT b.m, b.code, {mean_cols} "
+            f"FROM b{t} b LEFT JOIN s{t + 1} s "
+            f"ON s.m = b.m AND s.code = b.code)"
+        )
+    bf = f"b{_PQ_ITERS}"
+    parts.append(
+        f"codes AS (SELECT vec_id, m, code FROM ("
+        f"SELECT x.vec_id, x.m, b.code, "
+        f"row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY "
+        f"{_pq_l2_sql('x.embedding', 'x.m', 'b')} ASC, b.code ASC) AS rn "
+        f"FROM subm x JOIN {bf} b ON b.m = x.m) WHERE rn = 1)"
+    )
+    return ", ".join(parts)
+
+
+def simsearch_pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codes flattened to a CSV string so every result column is
+    hashable by the driver canonicalizer (the embed_quantize lesson)."""
+    e = _emb(spark, sf_dir)
+    enc = ss.pq_encode(e, books=_pq_books(spark, sf_dir))
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+            "codes_csv"
+        ),
+    )
+
+
+SQL_PQ_ENCODE = (
+    "WITH " + _pq_ctes() + " "
+    "SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) "
+    "AS codes_csv FROM codes GROUP BY vec_id"
+)
+
+
+def _pq_adc_sql() -> str:
+    terms = []
+    for m in range(_PQ_M):
+        for d in range(_PQ_SD):
+            x = (
+                f"CAST(list_extract(q.q_emb, {m}*{_PQ_SD}+{d + 1}) "
+                f"AS DOUBLE)"
+            )
+            terms.append(f"(({x} - p{m}.c{d}) * ({x} - p{m}.c{d}))")
+    return " + ".join(terms)
+
+
+def simsearch_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.pq_adc_topk(_emb(spark, sf_dir), books=_pq_books(spark, sf_dir))
+
+
+def _pq_code_cols() -> str:
+    return ", ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS k{m}"
+        for m in range(_PQ_M)
+    )
+
+
+_PQ_SCORED_CTES = (
+    f"codes_w AS (SELECT vec_id, {_pq_code_cols()} FROM codes "
+    "GROUP BY vec_id), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "scored AS (SELECT q.query_id, v.vec_id, "
+    f"{_pq_adc_sql()} AS adc_dist "
+    "FROM codes_w v CROSS JOIN q "
+    + " ".join(
+        f"JOIN b{_PQ_ITERS} p{m} ON p{m}.m = {m} AND p{m}.code = v.k{m}"
+        for m in range(_PQ_M)
+    )
+    + " WHERE v.vec_id <> q.query_id), "
+    "r AS (SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) "
+    "AS INTEGER) AS rank FROM scored)"
+)
+
+SQL_PQ_TOPK = (
+    "WITH " + _pq_ctes() + ", " + _PQ_SCORED_CTES
+    + " SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 5"
+)
+
+
+def simsearch_pq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ss.pq_refined_topk(
+        _emb(spark, sf_dir), books=_pq_books(spark, sf_dir)
+    )
+
+
+SQL_PQ_REFINED = (
+    "WITH " + _pq_ctes() + ", " + _PQ_SCORED_CTES + ", "
+    "cand AS (SELECT query_id, vec_id FROM r WHERE rank <= 50), "
+    "rs AS (SELECT c.query_id, c.vec_id, "
+    f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
+    "FROM cand c JOIN embeddings e USING (vec_id) "
+    "JOIN q ON q.query_id = c.query_id), "
+    "rr AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+    "AS INTEGER) AS rank FROM rs) "
+    "SELECT query_id, vec_id, cos, rank FROM rr WHERE rank <= 5"
+)
+
+
+# One PQ fit per sf_dir per session (same budget rationale as _KM_CACHE).
+_PQ_CACHE: dict[str, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _PQ_CACHE:
+        _PQ_CACHE[sf_dir] = ss.pq_codebooks(_emb(spark, sf_dir))
+    return _PQ_CACHE[sf_dir]
+
+
 def lm_unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lm_unigram_score(_docs(spark, sf_dir))
 
@@ -1969,4 +2136,7 @@ EXTENSION_QUERIES = {
     "sample_weighted": (sample_weighted_q, SQL_SAMPLE_WEIGHTED),
     "source_temperature": (source_temperature_q, SQL_SOURCE_TEMPERATURE),
     "lm_unigram_score": (lm_unigram_score_q, SQL_LM_UNIGRAM),
+    "simsearch_pq_encode": (simsearch_pq_encode_q, SQL_PQ_ENCODE),
+    "simsearch_pq_topk": (simsearch_pq_topk_q, SQL_PQ_TOPK),
+    "simsearch_pq_refined": (simsearch_pq_refined_q, SQL_PQ_REFINED),
 }
