@@ -22,7 +22,7 @@ documented semantic choice mirrored in the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import DELIM_REGEX
@@ -365,4 +365,34 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     drop = comp.filter(F.col("doc_id") != F.col("component_id")).select(
         "doc_id"
     )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def dedup_corpus_keep_best(
+    docs: DataFrame, quality_col: str = "n_chars", text_col: str = "text"
+) -> DataFrame:
+    """dedup_corpus with a QUALITY-ranked survivor instead of min
+    doc_id: within each near-duplicate component the row with the
+    highest quality_col wins (ties by lowest doc_id) — the policy
+    production pipelines actually want, since the arbitrary-id
+    representative may be the truncated/boilerplate copy of the
+    cluster. Unpaired documents survive unchanged.
+
+    Scale shape identical to dedup_corpus: components are a
+    pairs-derived relation ≪ corpus; the quality rank is a window over
+    THAT relation only (one partition-local sort per component), and
+    the corpus pays just the final left-anti join on the drop list
+    (AQE-broadcast when small)."""
+    comp = neardup_components(docs, text_col)
+    ranked = comp.join(
+        docs.select("doc_id", quality_col), "doc_id"
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.desc(quality_col), F.asc("doc_id")
+            )
+        ),
+    )
+    drop = ranked.filter(F.col("__rn") > 1).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")

@@ -1805,6 +1805,33 @@ SQL_PIPELINE_DEDUP_CORPUS = (
 )
 
 
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_dedup_corpus with the quality-ranked survivor policy:
+    each near-dup component keeps its longest member (n_chars DESC,
+    doc_id ASC), not the arbitrary min-id one
+    (operators/dedup.py dedup_corpus_keep_best)."""
+    return dd.dedup_corpus_keep_best(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE " + _PAIR_CTES + ", "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+    "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id "
+    "FROM reach GROUP BY src), "
+    "rk AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component_id "
+    "ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn "
+    "FROM comp c JOIN documents d USING (doc_id)), "
+    "drop AS (SELECT doc_id FROM rk WHERE rn > 1) "
+    "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)"
+)
+
+
 def corpus_shard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.corpus_shard(_docs(spark, sf_dir))
 
@@ -2139,4 +2166,5 @@ EXTENSION_QUERIES = {
     "simsearch_pq_encode": (simsearch_pq_encode_q, SQL_PQ_ENCODE),
     "simsearch_pq_topk": (simsearch_pq_topk_q, SQL_PQ_TOPK),
     "simsearch_pq_refined": (simsearch_pq_refined_q, SQL_PQ_REFINED),
+    "dedup_keep_best": (dedup_keep_best_q, SQL_DEDUP_KEEP_BEST),
 }

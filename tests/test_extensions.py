@@ -699,6 +699,23 @@ def test_dedup_corpus_keeps_representatives_only(spark):
     assert kept <= {0, 2, 3}  # 2 drops iff minhash paired it with 0/1
 
 
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    # docs 0 and 1 are exact dups, but 1 is the LONGER copy — the
+    # quality policy must keep 1 where the min-id policy keeps 0
+    rows = [
+        (0, BASE, len(BASE)),
+        (1, BASE + " extra trailing detail kept by the longer copy",
+         len(BASE) + 44),
+        (3, "entirely unrelated writing about tidal energy converters "
+            "and their mooring systems in rough seas", 97),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    kept = {r.doc_id for r in dd.dedup_corpus_keep_best(docs).collect()}
+    assert kept == {1, 3}
+    kept_min_id = {r.doc_id for r in dd.dedup_corpus(docs).collect()}
+    assert kept_min_id == {0, 3}
+
+
 def test_inline_gates_match_metric_relation_joins(spark, sf_dir):
     """quality_gate / repetition_gate must keep exactly the doc set
     that joining the metric relations and filtering keeps — the

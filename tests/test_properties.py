@@ -310,3 +310,46 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt <= t]
         want = max(cands)[1] if cands else None  # latest ts, max payload
         assert got[i] == want, (i, k, t, cands)
+
+
+_src_counts = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(counts=_src_counts, budget=st.integers(min_value=1, max_value=60))
+@settings(**_SETTINGS)
+def test_source_temperature_invariants(spark, counts, budget):
+    """For any source-size profile: every source is represented, no
+    source yields more docs than it has, positions are dense 1..n per
+    source, the total never exceeds budget + n_sources (the min-1
+    lift is the only overshoot), and the selection is deterministic."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        source_temperature,
+    )
+
+    rows = []
+    nid = 0
+    for src, n in counts:
+        for _ in range(n):
+            rows.append((nid, src))
+            nid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_temperature(docs, budget=budget).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.pos)
+    sizes = dict(counts)
+    assert set(by_src) == set(sizes)
+    for src, poses in by_src.items():
+        assert len(poses) <= sizes[src]
+        assert sorted(poses) == list(range(1, len(poses) + 1))
+    assert len(out) <= budget + len(sizes)
+    again = source_temperature(docs, budget=budget).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
