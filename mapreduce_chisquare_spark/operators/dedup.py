@@ -231,6 +231,59 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_dup_flags(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Ingest-time dedup screen: flag each NEW document that shares an
+    LSH band bucket with the EXISTING corpus or with an earlier new
+    document. Returns (doc_id, dup_of, n_partners) for flagged new
+    docs; dup_of = smallest colliding partner.
+
+    This is the shape that makes dedup affordable on a growing corpus:
+    the existing side contributes only its (persisted, in production)
+    band-key index and is NEVER self-joined — each day's batch pays
+    new×index probes plus a within-batch self-join, not a re-pairing
+    of 100 TB. Both sides' buckets are size-capped independently (the
+    index stores its bucket sizes), so a degenerate bucket on either
+    side cannot explode the probe join."""
+    w = Window.partitionBy("band", "key")
+
+    def _guarded(b: DataFrame) -> DataFrame:
+        return (
+            b.withColumn("sz", F.count("*").over(w))
+            .filter(F.col("sz") <= MAX_BUCKET)
+            .drop("sz")
+        )
+
+    ob = _guarded(lsh_band_keys(shingles(old, text_col), k, bands))
+    nb = _guarded(lsh_band_keys(shingles(new, text_col), k, bands))
+    vs_old = nb.alias("n").join(ob.alias("o"), ["band", "key"]).select(
+        F.col("n.doc_id").alias("doc_id"),
+        F.col("o.doc_id").alias("partner"),
+    )
+    vs_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "key"])
+        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("partner"),
+        )
+    )
+    return (
+        vs_old.unionByName(vs_new)
+        .groupBy("doc_id")
+        .agg(
+            F.min("partner").alias("dup_of"),
+            F.countDistinct("partner").alias("n_partners"),
+        )
+    )
+
+
 def neardup_components(
     docs: DataFrame, text_col: str = "text", max_iter: int = 20
 ) -> DataFrame:

@@ -147,6 +147,55 @@ SQL_DEDUP_MINHASH_K128 = (
 )
 
 
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest screen: the 20% batch (doc_id % 5 == 0) probed against
+    the 80% existing corpus's band index plus itself
+    (operators/dedup.py incremental_dup_flags)."""
+    d = _docs(spark, sf_dir)
+    return dd.incremental_dup_flags(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+SQL_DEDUP_INCREMENTAL = (
+    "WITH " + _SH_CTES + ", "
+    f"shb AS (SELECT doc_id, ({_BASE32_SQL}) AS b32 FROM sh), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(({a} * b32 + {b}) % {dd._MOD}) AS h{s}"
+        for s, (a, b) in enumerate(dd.hash_params(dd.NUM_HASHES))
+    )
+    + " FROM shb GROUP BY doc_id), "
+    "bands AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(h{b * (dd.NUM_HASHES // dd.NUM_BANDS) + r} AS VARCHAR)"
+                for r in range(dd.NUM_HASHES // dd.NUM_BANDS)
+            ),
+        )
+        for b in range(dd.NUM_BANDS)
+    )
+    + "), "
+    "ob AS (SELECT * FROM bands WHERE doc_id % 5 <> 0), "
+    "nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0), "
+    "obg AS (SELECT b.* FROM ob b JOIN (SELECT band, key FROM ob "
+    f"GROUP BY band, key HAVING count(*) <= {dd.MAX_BUCKET}) "
+    "USING (band, key)), "
+    "nbg AS (SELECT b.* FROM nb b JOIN (SELECT band, key FROM nb "
+    f"GROUP BY band, key HAVING count(*) <= {dd.MAX_BUCKET}) "
+    "USING (band, key)), "
+    "vs AS (SELECT n.doc_id, o.doc_id AS partner FROM nbg n "
+    "JOIN obg o USING (band, key) "
+    "UNION ALL SELECT a.doc_id, b.doc_id FROM nbg a JOIN nbg b "
+    "ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id) "
+    "SELECT doc_id, min(partner) AS dup_of, "
+    "CAST(count(DISTINCT partner) AS BIGINT) AS n_partners "
+    "FROM vs GROUP BY doc_id"
+)
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected components over the near-dup pair graph;
     oracle = transitive closure via recursive CTE."""
@@ -2167,4 +2216,5 @@ EXTENSION_QUERIES = {
     "simsearch_pq_topk": (simsearch_pq_topk_q, SQL_PQ_TOPK),
     "simsearch_pq_refined": (simsearch_pq_refined_q, SQL_PQ_REFINED),
     "dedup_keep_best": (dedup_keep_best_q, SQL_DEDUP_KEEP_BEST),
+    "dedup_incremental": (dedup_incremental_q, SQL_DEDUP_INCREMENTAL),
 }

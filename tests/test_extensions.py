@@ -699,6 +699,28 @@ def test_dedup_corpus_keeps_representatives_only(spark):
     assert kept <= {0, 2, 3}  # 2 drops iff minhash paired it with 0/1
 
 
+def test_incremental_dup_flags_planted(spark):
+    old = spark.createDataFrame(
+        [(0, BASE), (1, "old corpus text about deep sea cable repair "
+                        "ships and their dynamic positioning systems")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, BASE.replace("village", "hamlet")),  # near-dup of old 0
+            (11, "fresh unique writing on alpine meadow restoration "
+                 "and pollinator corridors after glacial retreat"),
+            (12, "fresh unique writing on alpine meadow restoration "
+                 "and pollinator corridors after glacial retreat"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in dd.incremental_dup_flags(old, new).collect()}
+    assert 10 in flags and flags[10].dup_of == 0  # caught against the index
+    assert 12 in flags and flags[12].dup_of == 11  # caught within the batch
+    assert 11 not in flags  # the batch's first copy is kept
+
+
 def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     # docs 0 and 1 are exact dups, but 1 is the LONGER copy — the
     # quality policy must keep 1 where the min-id policy keeps 0
