@@ -75,6 +75,86 @@ def asof_join(
     )
 
 
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payloads: str | list[str],
+) -> DataFrame:
+    """Nearest-in-time join (pandas merge_asof direction='nearest'):
+    for each left row, the right row minimizing |right.ts - left.ts|
+    on the same key; ties resolve to the EARLIER right row, and
+    duplicate right (key, ts) rows to the greatest payload struct.
+    `ts` must be numeric (e.g. unix_micros) so distances compare
+    exactly. Returns left's columns + nearest_ts + one nearest_<p>
+    per payload, all from the SAME matched row.
+
+    Same scale shape as asof_join — ONE shuffle on the key — plus one
+    extra partition-local sort: the backward pass fills
+    last(ignorenulls) over (ts ASC, right-first) and the forward pass
+    first(ignorenulls) over (ts ASC, left-first), both on the one
+    key-partitioned exchange; the direction choice is a projection."""
+    if isinstance(payloads, str):
+        payloads = [payloads]
+    l_cols = left.columns
+    l_types = dict(left.dtypes)
+    r_tag = right.select(
+        key,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts).cast("long").alias("__rts"),
+            *[F.col(p).alias(p) for p in payloads],
+        ).alias("_rp"),
+        *[
+            F.lit(None).cast(l_types[c]).alias(c)
+            for c in l_cols
+            if c not in (key, ts)
+        ],
+    )
+    rp_type = r_tag.schema["_rp"].dataType
+    l_tag = left.select(
+        *l_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+    )
+    merged = l_tag.unionByName(
+        r_tag.select(*l_cols, "_side", "_rp"), allowMissingColumns=False
+    )
+    # backward: rights sort before lefts at equal ts (inclusive <=),
+    # tied rights ascending so last() takes the greatest struct
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rp").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: lefts sort before rights at equal ts (inclusive >=),
+    # tied rights descending so first() takes the greatest struct
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").desc(), F.col("_rp").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    both = (
+        merged.withColumn("_b", F.last("_rp", ignorenulls=True).over(wb))
+        .withColumn("_f", F.first("_rp", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    lts = F.col(ts).cast("long")
+    d_back = lts - F.col("_b.__rts")
+    d_fwd = F.col("_f.__rts") - lts
+    pick_b = F.col("_f").isNull() | (
+        F.col("_b").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(pick_b, F.col("_b")).otherwise(F.col("_f"))
+    return both.select(
+        *l_cols,
+        chosen["__rts"].alias("nearest_ts"),
+        *[chosen[p].alias(f"nearest_{p}") for p in payloads],
+    )
+
+
 def asof_from_tagged(
     merged: DataFrame,
     key: str,

@@ -722,6 +722,42 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event
 """
 
 
+def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time attribution: each purchase pulls its CLOSEST
+    click in either direction (ties -> the earlier one), vs asof_join's
+    backward-only match (operators/asof.py asof_nearest)."""
+    from ..operators.asof import asof_nearest
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("click_event"),
+    )
+    return asof_nearest(purchases, clicks, "user_id", "us", "click_event")
+
+
+SQL_ASOF_NEAREST = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS us, max(event_id) AS click_event
+      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+b AS (SELECT p.event_id, c.us AS bus, c.click_event AS bev
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.us <= p.us),
+f AS (SELECT p.event_id, c.us AS fus, c.click_event AS fev
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.us >= p.us)
+SELECT p.event_id, p.user_id, p.us,
+  CASE WHEN fus IS NULL OR (bus IS NOT NULL AND (p.us - bus) <= (fus - p.us))
+       THEN bus ELSE fus END AS nearest_ts,
+  CASE WHEN fus IS NULL OR (bus IS NOT NULL AND (p.us - bus) <= (fus - p.us))
+       THEN bev ELSE fev END AS nearest_click_event
+FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+"""
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join as an equi-join: clicks landing in the 10-minute
     window before each purchase, counted per purchase. The bucketed
@@ -2217,4 +2253,5 @@ EXTENSION_QUERIES = {
     "simsearch_pq_refined": (simsearch_pq_refined_q, SQL_PQ_REFINED),
     "dedup_keep_best": (dedup_keep_best_q, SQL_DEDUP_KEEP_BEST),
     "dedup_incremental": (dedup_incremental_q, SQL_DEDUP_INCREMENTAL),
+    "asof_nearest": (asof_nearest_q, SQL_ASOF_NEAREST),
 }

@@ -353,3 +353,36 @@ def test_source_temperature_invariants(spark, counts, budget):
     assert len(out) <= budget + len(sizes)
     again = source_temperature(docs, budget=budget).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_bruteforce(spark, left, right):
+    """asof_nearest must return, per left row, the right row with the
+    minimal |right.ts - left.ts| on the key; equidistant candidates
+    resolve to the earlier right row, and duplicate (key, ts) right
+    rows to the max payload — checked against an exhaustive python
+    reference."""
+    from mapreduce_chisquare_spark.operators.asof import asof_nearest
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in right], "k long, ts long, p long"
+    )
+    got = {
+        r.lid: (r.nearest_ts, r.nearest_p)
+        for r in asof_nearest(ldf, rdf, "k", "ts", "p").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right if rk == k]
+        if not cands:
+            assert got[i] == (None, None), (i, k, t)
+            continue
+        best_d = min(abs(rt - t) for rt, _ in cands)
+        at_best = [(rt, p) for rt, p in cands if abs(rt - t) == best_d]
+        want_ts = min(rt for rt, _ in at_best)  # equidistant -> earlier
+        want_p = max(p for rt, p in at_best if rt == want_ts)  # tie -> max
+        assert got[i] == (want_ts, want_p), (i, k, t, at_best)
