@@ -79,25 +79,28 @@ def chi_square_from_counts(
 
 
 def cat_and_total_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """A3+A4 fused: one rollup("category") pass yields both per-category
-    counts and the grand total (SURVEY.md §2.4 A4). The two consumers
-    share one aggregate subplan, so at most one scan of `docs` feeds
-    both (exchange reuse dedupes the stages at runtime).
+    """A3+A4 fused on ONE corpus pass: df_c is the per-category hash
+    aggregate, and N derives from df_c ITSELF — a sum over the tiny
+    category relation — not from a second corpus aggregate. The N
+    branch replans the identical scan→partial-agg→exchange subtree,
+    so AQE stage reuse serves both consumers from one physical
+    exchange (the corpus — including the wide text column its
+    nonempty filter reads — is scanned once; plan-asserted in
+    tests/test_plans.py).
 
-    The grand-total row is identified with grouping("category") == 1,
-    NOT isNull(category): a genuine NULL category value also rolls up
-    to a NULL-keyed row, and the isNull discriminator would both drop
-    it from df_c and double-count it into n_docs (two n_docs rows →
-    wrong scalar cross join). Callers upstream of the F4 filter — or
-    any non-text caller — may legitimately carry NULL keys."""
-    rolled = docs.rollup("category").agg(
-        F.count("*").alias("cnt"), F.grouping("category").alias("__g")
-    )
-    df_c = rolled.filter(F.col("__g") == 0).select(
-        "category", F.col("cnt").alias("df_c")
-    )
-    n_docs_df = rolled.filter(F.col("__g") == 1).select(
-        F.col("cnt").alias("n_docs")
+    This replaced the round 1-3 rollup("category") + grouping()
+    discriminator: its two filtered consumers planned an Expand and
+    TWO full corpus branches that did not canonicalize to one stage
+    (the round-4 PLANS.md audit showed three parquet scans of
+    documents in the flagship). Deriving N downstream makes the
+    sharing structural instead of hoping the optimizer dedupes.
+
+    NULL categories stay correct with no discriminator at all: a NULL
+    key forms its own df_c group and is included in the sum; the
+    coalesce keeps N = 0 (one row) on an empty corpus."""
+    df_c = docs.groupBy("category").agg(F.count("*").alias("df_c"))
+    n_docs_df = df_c.agg(
+        F.coalesce(F.sum("df_c"), F.lit(0).cast("long")).alias("n_docs")
     )
     return df_c, n_docs_df
 

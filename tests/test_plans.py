@@ -43,13 +43,28 @@ def test_flagship_has_no_python_eval(flagship_plan):
 
 def test_flagship_shuffle_budget(spark, sf_dir, flagship_plan):
     # 3 main-lineage data exchanges ((term,category) agg, term window,
-    # category window) + 2 tiny rollup exchanges feeding the broadcast
-    # dims. More means the window-sum J1 rewrite regressed into a
-    # self-join or an extra shuffle crept in.
+    # category window) + the df_c exchange, its N-branch replan (which
+    # dedupes to a ReusedExchange at runtime — asserted below), and
+    # the 1-row N sum. More means the window-sum J1 rewrite regressed
+    # into a self-join or an extra shuffle crept in.
     import re
 
     data_exchanges = len(re.findall(r"\(\d+\) Exchange", flagship_plan))
-    assert data_exchanges <= 5, flagship_plan
+    assert data_exchanges <= 6, flagship_plan
+
+
+def test_flagship_runtime_plan_scans_corpus_once_per_branch(spark, sf_dir):
+    # The AQE-final plan: exactly 2 parquet scans (token lineage +
+    # the shared category-count lineage), the N branch served from a
+    # ReusedExchange of the df_c stage, and no Expand (the round 1-3
+    # rollup discriminator planned 3 corpus scans — PLANS.md audit).
+    df = REGISTRY["topk_per_group"][0](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert p.count("FileScan parquet") == 2, p
+    assert "ReusedExchange" in p
+    assert "Expand" not in p
 
 
 def test_flagship_aggs_stay_hash_based(flagship_plan):
