@@ -43,15 +43,30 @@ def decontaminate(
     the corpus shingles plus one aggregate by doc. No shuffle touches
     the corpus-sized relation until the per-doc count (which is
     map-side combined). The shingle relation is already distinct per
-    doc (dedup.shingles), so count(*) == count(DISTINCT shingle)."""
-    sh = shingles(docs, n=DECONTAM_SHINGLE_N)
-    src = docs.select("doc_id", "source")
+    doc (dedup.shingles), so count(*) == count(DISTINCT shingle).
+
+    Each side shingles its OWN source-filtered slice (the predicate
+    pushes into the parquet scan) instead of joining one global
+    shingle relation against a (doc_id, source) map twice — the
+    round 1-3 form planned the corpus scan three times and paid two
+    doc-keyed joins for what two pushdown filters express; with
+    source-partitioned storage the eval scan touches only the eval
+    partition's files. (At local SF the old form looked cheap only
+    because AQE broadcast the corpus-wide (doc_id, source) map — at
+    100 TB that map cannot broadcast and the join degrades to a full
+    shuffle of the shingle relation on doc_id, which this form never
+    plans.)"""
     eval_sh = (
-        sh.join(src.filter(F.col("source") == eval_source), "doc_id")
+        shingles(
+            docs.filter(F.col("source") == eval_source),
+            n=DECONTAM_SHINGLE_N,
+        )
         .select("shingle")
         .distinct()
     )
-    train_sh = sh.join(src.filter(F.col("source") != eval_source), "doc_id")
+    train_sh = shingles(
+        docs.filter(F.col("source") != eval_source), n=DECONTAM_SHINGLE_N
+    )
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
