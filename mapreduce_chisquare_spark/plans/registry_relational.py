@@ -1548,6 +1548,90 @@ WINDOW w AS (PARTITION BY l_returnflag
 """
 
 
+# Fixed epoch base for the regression x axis (2024-01-01 UTC, µs) —
+# rebasing before quantization keeps xq small enough that every sum
+# below stays exactly representable in 64-bit integers.
+_LINREG_BASE_US = 1_704_067_200_000_000
+
+
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope and intercept of
+    `value` over time per event_type — the custom-aggregate shape
+    (grouped regression / trend detection) expressed as FOUR plain
+    sums, no UDAF.
+
+    Exact cross-engine arithmetic: x is quantized to integer
+    milli-days since a fixed base and y to 2^20 fixed point, so every
+    aggregated sum (n, Σx, Σy, Σxy, Σx²) is an exact 64-bit integer —
+    order-independent under partial aggregation and bit-identical in
+    the DuckDB twin. Only the final scalar slope/intercept math runs
+    in doubles, as one fixed expression over exact inputs. A raw
+    double-sum formulation would hash-drift across engines through
+    summation order + catastrophic cancellation in n·Σxy − Σx·Σy.
+
+    Scale: one map-side-combined hash aggregate, one shuffle on the
+    (tiny) group key. Bounds: |xq| < 4·10^5 per year, |yq| < 2^27 for
+    |y| < 128 → Σxy < 10^4·5·10^12 per million rows/group — integer-
+    safe beyond sf100."""
+    ev = scan_parquet(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            f"(unix_micros(ts) - {_LINREG_BASE_US}L) div 86400000"
+        ).alias("xq"),
+        F.round(F.col("value") * F.lit(1048576.0)).cast("long").alias("yq"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope_q = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # rescale: (y·2^20) per milli-day -> y units per day
+    slope = slope_q * F.lit(1e3 / 1_048_576.0)
+    intercept = ((sy - slope_q * sx) / n) / F.lit(1_048_576.0)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+SQL_AGG_LINREG = f"""
+WITH b AS (
+  SELECT event_type,
+    (epoch_us(ts) - {_LINREG_BASE_US}) // 86400000 AS xq,
+    CAST(round(value * 1048576.0) AS BIGINT) AS yq
+  FROM events),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    sum(xq) AS sx, sum(yq) AS sy,
+    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+  FROM b GROUP BY event_type)
+SELECT event_type, n AS n_rows,
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+  * {1e3 / 1_048_576.0} AS slope_per_day,
+  ((CAST(sy AS DOUBLE)
+    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+   / CAST(n AS DOUBLE)) / 1048576.0 AS intercept
+FROM a ORDER BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1604,4 +1688,6 @@ RELATIONAL_QUERIES = {
     "q19_discounted_revenue": (q19_discounted_revenue, SQL_Q19),
     "set_intersect_all": (set_intersect_all, SQL_SET_INTERSECT_ALL),
     "set_except_all": (set_except_all, SQL_SET_EXCEPT_ALL),
+    # round-4 additions (tail; promote into the round-5 window)
+    "agg_linreg": (agg_linreg, SQL_AGG_LINREG),
 }

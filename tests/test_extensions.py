@@ -954,3 +954,37 @@ def test_sample_weighted_prefers_heavy_rows_and_never_sorts_globally(
     # top-k executes as TakeOrdered (heap + k-row merge), no global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_linreg_recovers_planted_trend(spark):
+    """agg_linreg must recover a noiseless linear trend exactly (up to
+    the documented milli-day / 2^-20 quantization) and be bit-stable
+    across runs (exact integer sums feed the scalar math)."""
+    import datetime
+
+    from mapreduce_chisquare_spark.plans.registry_relational import (
+        _LINREG_BASE_US,
+        agg_linreg,
+    )
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for day in range(0, 200, 5):
+        ts = base + datetime.timedelta(days=day)
+        rows.append((ts.replace(tzinfo=None), "up", 2.0 + 0.5 * day))
+        rows.append((ts.replace(tzinfo=None), "flat", 7.25))
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        # single-file layout, like the driver's testdata tables
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/events.parquet")
+        out = {r.event_type: r for r in agg_linreg(spark, d).collect()}
+    assert abs(out["up"].slope_per_day - 0.5) < 1e-4
+    assert abs(out["up"].intercept - 2.0) < 1e-2
+    assert abs(out["flat"].slope_per_day) < 1e-9
+    assert abs(out["flat"].intercept - 7.25) < 1e-5
