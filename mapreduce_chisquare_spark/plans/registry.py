@@ -60,7 +60,9 @@ except ImportError:
 # round-3 tail additions), + embed_quantize with its fixed output
 # shape, + 14 re-certs of the §2 reference-core surface whose green
 # rows date to r2 (freshness for the flagship operators). A green
-# sweep makes cumulative driver-certified coverage 137/137.
+# sweep certifies all 137 entries that existed at round-4 start; the
+# 13 operators ADDED during round 4 (tail; local oracle-green) queue
+# for the round-5 window per the TODO below.
 # Fast entries lead; streaming fixture builds close the window so a
 # time-cut sweep still certifies the maximum prefix.
 _CERTIFY_WINDOW = [
