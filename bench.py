@@ -68,6 +68,10 @@ HEADLINE = [
     "pipeline_dedup_corpus",
     "lm_unigram_score",
     "source_temperature",
+    "simsearch_pq_refined",
+    "dedup_incremental",
+    "asof_nearest",
+    "agg_linreg",
 ]
 
 WARMUP = 1
