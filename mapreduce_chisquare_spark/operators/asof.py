@@ -122,6 +122,22 @@ def asof_nearest(
     merged = l_tag.unionByName(
         r_tag.select(*l_cols, "_side", "_rp"), allowMissingColumns=False
     )
+    return asof_nearest_from_tagged(merged, key, ts, payloads, l_cols)
+
+
+def asof_nearest_from_tagged(
+    merged: DataFrame,
+    key: str,
+    ts: str,
+    payloads: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """The nearest-join core over a pre-tagged relation (same contract
+    as asof_from_tagged: `_side` 0 = right / 1 = left, `_rp` = payload
+    struct whose FIRST field is `__rts`, NULL on left rows). Exposed
+    separately so same-table callers tag in one projection over ONE
+    scan — the same IO halving asof_from_tagged gives the backward
+    join (plan-asserted at one FileScan in tests)."""
     # backward: rights sort before lefts at equal ts (inclusive <=),
     # tied rights ascending so last() takes the greatest struct
     wb = (
@@ -149,7 +165,7 @@ def asof_nearest(
     )
     chosen = F.when(pick_b, F.col("_b")).otherwise(F.col("_f"))
     return both.select(
-        *l_cols,
+        *out_cols,
         chosen["__rts"].alias("nearest_ts"),
         *[chosen[p].alias(f"nearest_{p}") for p in payloads],
     )

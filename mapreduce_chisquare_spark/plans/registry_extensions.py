@@ -725,19 +725,33 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event
 def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-in-time attribution: each purchase pulls its CLOSEST
     click in either direction (ties -> the earlier one), vs asof_join's
-    backward-only match (operators/asof.py asof_nearest)."""
-    from ..operators.asof import asof_nearest
+    backward-only match. Both sides live in the events table, so rows
+    are tagged in one projection over ONE scan
+    (operators/asof.py asof_nearest_from_tagged)."""
+    from ..operators.asof import asof_nearest_from_tagged
 
-    ev = _events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    is_click = F.col("event_type") == "click"
+    merged = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("_side"),
+            F.when(
+                is_click,
+                F.struct(
+                    F.unix_micros("ts").cast("long").alias("__rts"),
+                    F.col("event_id").alias("click_event"),
+                ),
+            ).alias("_rp"),
+        )
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        F.col("event_id").alias("click_event"),
+    return asof_nearest_from_tagged(
+        merged, "user_id", "us", ["click_event"],
+        ["event_id", "user_id", "us"],
     )
-    return asof_nearest(purchases, clicks, "user_id", "us", "click_event")
 
 
 SQL_ASOF_NEAREST = """

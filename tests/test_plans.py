@@ -357,3 +357,12 @@ def test_asof_join_one_scan_one_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # the event-type disjunction reaches the parquet reader
     assert "In(event_type, [click,purchase])" in plan
+
+
+def test_asof_nearest_one_scan_one_exchange(spark, sf_dir):
+    """The nearest-direction variant fuses the same way: one tagged
+    projection over ONE events scan, one key exchange; the two
+    directional fills are partition-local sorts on that exchange."""
+    plan = plan_text(REGISTRY["asof_nearest"][0](spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
