@@ -197,3 +197,47 @@ def scd2_merge(base: DataFrame, updates: DataFrame, key: str, attr: str) -> Data
         F.col("r.version").alias("version"),
         F.col("r.is_current").alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: (key, change) with
+    change in ('added', 'removed', 'changed') — the primitive that
+    turns full-snapshot drops into incremental pipelines (process
+    only the delta, not the 100 TB table). Unchanged rows are dropped
+    from the output.
+
+    Each side collapses to (key, content-hash of compare_cols) before
+    the full-outer join, so the shuffle carries two hashes per key —
+    never the row payloads — and the comparison is one string
+    equality. md5 over a unit-separator concat matches the DuckDB
+    twin byte-for-byte; NULLs hash as empty with a marker so
+    ('a', NULL) != ('', 'a')."""
+    def _hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            )
+        return df.select(
+            F.col(key).alias("key"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+        )
+
+    o = _hashed(old, "old_hash")
+    n = _hashed(new, "new_hash")
+    joined = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(F.col("key").alias("row_key"), "change")
+    )

@@ -147,6 +147,47 @@ SQL_DEDUP_MINHASH_K128 = (
 )
 
 
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic snapshot views of documents:
+    old = ids not divisible by 7; new = ids not divisible by 5 with
+    the text of every 11th id uppercased (a planted 'changed' set)
+    (operators/warehouse.py snapshot_diff)."""
+    from ..operators.warehouse import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
+
+
+_SD_HASH = (
+    "md5(concat_ws(chr(31), "
+    "coalesce(CAST({t} AS VARCHAR), chr(0)), "
+    "coalesce(CAST(lang AS VARCHAR), chr(0)), "
+    "coalesce(CAST(source AS VARCHAR), chr(0))))"
+)
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH o AS (SELECT doc_id AS key, {_SD_HASH.format(t='text')} AS old_hash
+           FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id AS key,
+        {_SD_HASH.format(t="CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END")}
+          AS new_hash
+      FROM documents WHERE doc_id % 5 <> 0),
+j AS (SELECT coalesce(o.key, n.key) AS row_key,
+        CASE WHEN o.old_hash IS NULL THEN 'added'
+             WHEN n.new_hash IS NULL THEN 'removed'
+             WHEN o.old_hash <> n.new_hash THEN 'changed' END AS change
+      FROM o FULL OUTER JOIN n ON o.key = n.key)
+SELECT row_key, change FROM j WHERE change IS NOT NULL
+"""
+
+
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest screen: the 20% batch (doc_id % 5 == 0) probed against
     the 80% existing corpus's band index plus itself
@@ -2268,4 +2309,5 @@ EXTENSION_QUERIES = {
     "dedup_keep_best": (dedup_keep_best_q, SQL_DEDUP_KEEP_BEST),
     "dedup_incremental": (dedup_incremental_q, SQL_DEDUP_INCREMENTAL),
     "asof_nearest": (asof_nearest_q, SQL_ASOF_NEAREST),
+    "snapshot_diff": (snapshot_diff_q, SQL_SNAPSHOT_DIFF),
 }

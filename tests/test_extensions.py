@@ -988,3 +988,21 @@ def test_agg_linreg_recovers_planted_trend(spark):
     assert abs(out["up"].intercept - 2.0) < 1e-2
     assert abs(out["flat"].slope_per_day) < 1e-9
     assert abs(out["flat"].intercept - 7.25) < 1e-5
+
+
+def test_snapshot_diff_planted(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, None, "w")],
+        "k long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "CHANGED", "z"), (4, "", "w"), (5, "new", "q")],
+        "k long, v string, w string",
+    )
+    out = {r.row_key: r.change for r in
+           snapshot_diff(old, new, "k", ["v", "w"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 NULL->'' is a
+    # CHANGE (the null marker prevents coalesce collisions), 5 added
+    assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
