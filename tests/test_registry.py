@@ -69,12 +69,18 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_readme_query_count_in_sync():
-    """README's operator count is generated (scripts/sync_docs.py) —
-    this guard keeps the doc from drifting from len(REGISTRY)."""
+    """Registry-derived doc counts are generated (scripts/sync_docs.py)
+    — this guard keeps every cited count (README, COVERAGE) from
+    drifting from len(REGISTRY), via the script's own --check mode so
+    new doc targets are covered automatically."""
     import pathlib
-    import re
+    import subprocess
+    import sys
 
-    text = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
-    m = re.search(r"`queries\(\)` \((\d+) named operators", text)
-    assert m, "README count marker missing"
-    assert int(m.group(1)) == len(entry_mod.queries())
+    root = pathlib.Path(__file__).parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "sync_docs.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
