@@ -186,6 +186,55 @@ def ngram_counts(
     )
 
 
+def corpus_composition(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The corpus-composition report every training run starts with:
+    per (lang, source) cell — document count, token count, token
+    share, and the cumulative share in descending-size order (the
+    'what covers 90% of my tokens' view that drives mixing and
+    curation decisions).
+
+    Exactness: doc/token counts are exact integers (map-side token
+    sizing, one tiny hash aggregate), shares are single divisions of
+    exact integers, and the cumulative share is a running window sum —
+    a sequential left-to-right addition in BOTH engines under the same
+    total order (tokens DESC, lang, source), so even the float columns
+    are bit-stable cross-engine. Zero corpus-sized shuffles: the only
+    exchanges move the (langs x sources)-row cell relation."""
+    nt = F.greatest(F.size(_words(text_col)), F.lit(0)).cast("long")
+    cells = (
+        docs.select("lang", "source", nt.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("__t")
+    )
+    w = (
+        Window.orderBy(
+            F.desc("n_tokens"), F.asc("lang"), F.asc("source")
+        ).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
+    return (
+        cells.join(F.broadcast(tot))
+        .withColumn("token_share", share)
+        .withColumn("cum_share", F.sum("token_share").over(w))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "cum_share",
+        )
+    )
+
+
 def lm_unigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-self-trained unigram language-model scoring — the
     perplexity-filter shape (CCNet-style): score each document by the

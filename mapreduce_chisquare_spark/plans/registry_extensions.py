@@ -2203,6 +2203,28 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> list:
     return _PQ_CACHE[sf_dir]
 
 
+def corpus_composition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.corpus_composition(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_COMPOSITION = r"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE
+      len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> x <> '')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt FROM cells),
+s AS (SELECT c.lang, c.source, c.n_docs, c.n_tokens,
+        CAST(c.n_tokens AS DOUBLE) / CAST(t.tt AS DOUBLE) AS token_share
+      FROM cells c CROSS JOIN t)
+SELECT lang, source, n_docs, n_tokens, token_share,
+  sum(token_share) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum_share
+FROM s
+"""
+
+
 def lm_unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lm_unigram_score(_docs(spark, sf_dir))
 
@@ -2310,4 +2332,5 @@ EXTENSION_QUERIES = {
     "dedup_incremental": (dedup_incremental_q, SQL_DEDUP_INCREMENTAL),
     "asof_nearest": (asof_nearest_q, SQL_ASOF_NEAREST),
     "snapshot_diff": (snapshot_diff_q, SQL_SNAPSHOT_DIFF),
+    "corpus_composition": (corpus_composition_q, SQL_CORPUS_COMPOSITION),
 }

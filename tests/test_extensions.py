@@ -1006,3 +1006,18 @@ def test_snapshot_diff_planted(spark):
     # 1 removed, 2 unchanged (absent), 3 changed, 4 NULL->'' is a
     # CHANGE (the null marker prevents coalesce collisions), 5 added
     assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_corpus_composition_invariants(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import textstats as tx
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    rows = tx.corpus_composition(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    # cum_share is monotone over the (tokens DESC, lang, source) order
+    ordered = sorted(rows, key=lambda r: (-r.n_tokens, r.lang, r.source))
+    cums = [r.cum_share for r in ordered]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-9
