@@ -84,3 +84,74 @@ def resample_ffill(
             .alias("value_ffill"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: per key, the first stage-1 event,
+    the first stage-2 event AT OR AFTER it, and the first stage-3
+    event at or after that — the sequencing that distinguishes a real
+    funnel from three independent counts (a click BEFORE any view
+    must not convert). Returns (stage, n_users, share) with share
+    relative to stage-1 entries.
+
+    One exchange total: the three stage times are unordered
+    aggregate-windows over the SAME key partitioning (each reads the
+    previous column, so sequencing needs no sort and no extra
+    shuffle), the per-key collapse reuses that partitioning, and the
+    final roll-up is a 1-row aggregate exploded to 3 rows. All
+    comparisons are exact integer microseconds."""
+    s0, s1, s2 = stages
+    base = events.filter(F.col("event_type").isin(*stages)).select(
+        key,
+        F.col("event_type").alias("et"),
+        F.unix_micros(F.col(ts)).alias("us"),
+    )
+    w = Window.partitionBy(key)
+    et, us = F.col("et"), F.col("us")
+    staged = (
+        base.withColumn("t0", F.min(F.when(et == s0, us)).over(w))
+        .withColumn(
+            "t1",
+            F.min(F.when((et == s1) & (us >= F.col("t0")), us)).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(F.when((et == s2) & (us >= F.col("t1")), us)).over(w),
+        )
+    )
+    per_key = staged.groupBy(key).agg(
+        F.max("t0").alias("t0"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
+    a = per_key.agg(
+        F.count("t0").alias("n0"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+    )
+    n0 = F.col("n0").cast("double")
+    rows = F.array(
+        F.struct(
+            F.lit(s0).alias("stage"),
+            F.col("n0").alias("n_users"),
+            F.lit(1.0).alias("share"),
+        ),
+        F.struct(
+            F.lit(s1).alias("stage"),
+            F.col("n1").alias("n_users"),
+            (F.col("n1").cast("double") / n0).alias("share"),
+        ),
+        F.struct(
+            F.lit(s2).alias("stage"),
+            F.col("n2").alias("n_users"),
+            (F.col("n2").cast("double") / n0).alias("share"),
+        ),
+    )
+    return a.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.n_users", "r.share"
+    )

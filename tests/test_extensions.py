@@ -1021,3 +1021,31 @@ def test_corpus_composition_invariants(spark, sf_dir):
     cums = [r.cum_share for r in ordered]
     assert all(b >= a for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - 1.0) < 1e-9
+
+
+def test_funnel_enforces_event_ordering(spark):
+    from datetime import datetime
+
+    from mapreduce_chisquare_spark.operators.timeseries import funnel
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: click BEFORE the view — must not convert past view
+        (2, "click", t(0)), (2, "view", t(1)),
+        # user 3: view + click, purchase before the click — stops at click
+        (3, "view", t(0)), (3, "purchase", t(1)), (3, "click", t(2)),
+        # user 4: no view at all — never enters the funnel
+        (4, "click", t(0)), (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.stage: r for r in funnel(ev).collect()}
+    assert out["view"].n_users == 3  # users 1, 2, 3
+    assert out["click"].n_users == 2  # users 1 and 3 (2's click too early)
+    assert out["purchase"].n_users == 1  # only user 1
+    assert out["purchase"].share == pytest.approx(1 / 3)
