@@ -200,8 +200,15 @@ def corpus_composition(
     exact integers, and the cumulative share is a running window sum —
     a sequential left-to-right addition in BOTH engines under the same
     total order (tokens DESC, lang, source), so even the float columns
-    are bit-stable cross-engine. Zero corpus-sized shuffles: the only
-    exchanges move the (langs x sources)-row cell relation."""
+    are bit-stable cross-engine.
+
+    One corpus scan, zero corpus-sized shuffles: the corpus-total
+    token count is an UNBOUNDED window over the cell relation, riding
+    the same single-partition pass the global cum_share ordering needs
+    anyway (cells = langs x sources rows) — a separate total-aggregate
+    branch would re-plan the corpus scan with differently-pruned
+    partial buffers that never stage-cache (the round-4 PLANS.md
+    lesson from the flagship's rollup)."""
     nt = F.greatest(F.size(_words(text_col)), F.lit(0)).cast("long")
     cells = (
         docs.select("lang", "source", nt.alias("nt"))
@@ -211,19 +218,18 @@ def corpus_composition(
             F.sum("nt").alias("n_tokens"),
         )
     )
-    tot = cells.agg(
-        F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("__t")
-    )
-    w = (
+    w_all = Window.partitionBy()  # whole (tiny) relation
+    w_cum = (
         Window.orderBy(
             F.desc("n_tokens"), F.asc("lang"), F.asc("source")
         ).rowsBetween(Window.unboundedPreceding, 0)
     )
-    share = F.col("n_tokens").cast("double") / F.col("__t").cast("double")
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        w_all
+    ).cast("double")
     return (
-        cells.join(F.broadcast(tot))
-        .withColumn("token_share", share)
-        .withColumn("cum_share", F.sum("token_share").over(w))
+        cells.withColumn("token_share", share)
+        .withColumn("cum_share", F.sum("token_share").over(w_cum))
         .select(
             "lang",
             "source",

@@ -2241,10 +2241,10 @@ WITH cells AS (
       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                       x -> x <> '')) END) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang, source),
-t AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt FROM cells),
-s AS (SELECT c.lang, c.source, c.n_docs, c.n_tokens,
-        CAST(c.n_tokens AS DOUBLE) / CAST(t.tt AS DOUBLE) AS token_share
-      FROM cells c CROSS JOIN t)
+s AS (SELECT lang, source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+          AS token_share
+      FROM cells)
 SELECT lang, source, n_docs, n_tokens, token_share,
   sum(token_share) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
                          ROWS UNBOUNDED PRECEDING) AS cum_share
