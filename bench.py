@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_incremental",
     "asof_nearest",
     "agg_linreg",
+    "snapshot_diff",
+    "corpus_composition",
+    "events_funnel",
 ]
 
 WARMUP = 1
