@@ -84,3 +84,20 @@ def test_readme_query_count_in_sync():
         text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_certification_window_leads_registry_order():
+    """The driver certifies the FIRST 50 registry entries per round;
+    the rotation splice must actually put the declared window there —
+    a silent ordering bug would burn a whole round's certification
+    budget on already-green entries."""
+    from mapreduce_chisquare_spark.plans.registry import (
+        _CERTIFY_WINDOW,
+        REGISTRY,
+    )
+
+    assert len(_CERTIFY_WINDOW) == 50
+    head = list(REGISTRY)[: len(_CERTIFY_WINDOW)]
+    assert head == [k for k in _CERTIFY_WINDOW if k in REGISTRY]
+    missing = [k for k in _CERTIFY_WINDOW if k not in REGISTRY]
+    assert not missing, f"window names absent from registry: {missing}"
