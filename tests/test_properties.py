@@ -386,3 +386,30 @@ def test_asof_nearest_matches_bruteforce(spark, left, right):
         want_ts = min(rt for rt, _ in at_best)  # equidistant -> earlier
         want_p = max(p for rt, p in at_best if rt == want_ts)  # tie -> max
         assert got[i] == (want_ts, want_p), (i, k, t, at_best)
+
+
+@given(base=kv_rows, updates=kv_rows)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_bruteforce(spark, base, updates):
+    from mapreduce_chisquare_spark.operators.warehouse import snapshot_diff
+
+    o = spark.createDataFrame(base, "k long, v double") if base else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    n = spark.createDataFrame(updates, "k long, v double") if updates else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    got = {
+        r.row_key: r.change
+        for r in snapshot_diff(o, n, "k", ["v"]).collect()
+    }
+    ob, nb = dict(base), dict(updates)
+    want = {}
+    for k in ob.keys() | nb.keys():
+        if k not in ob:
+            want[k] = "added"
+        elif k not in nb:
+            want[k] = "removed"
+        elif ob[k] != nb[k]:
+            want[k] = "changed"
+    assert got == want
