@@ -324,7 +324,13 @@ def source_temperature(
 
     Scale shape: per-source counts are a tiny hash aggregate; targets
     broadcast back; selection is a per-source row_number window —
-    partition-local sorts, no global funnel. One corpus scan."""
+    partition-local sorts, no global funnel. NULL-source rows are
+    dropped up front: they could never be selected (the quota join is
+    on source) but would still absorb budget weight — and the explicit
+    filter makes the weight branches canonically identical to the
+    selection branch, so the weight-total replan reuses the one
+    source-partitioned exchange instead of re-scanning."""
+    docs = docs.filter(F.col("source").isNotNull())
     n_s = F.col("n_s").cast("double")
     weight = F.sqrt(n_s) if alpha == 0.5 else F.pow(n_s, F.lit(alpha))
     w_fp = F.floor(weight * HASH_SCALE).cast("long")

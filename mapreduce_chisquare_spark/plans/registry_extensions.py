@@ -2047,7 +2047,7 @@ def source_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SOURCE_TEMPERATURE = f"""
 WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
-           FROM documents GROUP BY source),
+           FROM documents WHERE source IS NOT NULL GROUP BY source),
 w AS (SELECT source,
         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1048576) AS BIGINT) AS ws
       FROM c),
@@ -2057,7 +2057,7 @@ tgt AS (SELECT source, greatest(CAST(1 AS BIGINT), (200 * ws) // wt)
 r AS (SELECT doc_id, source,
         CAST(row_number() OVER (PARTITION BY source
              ORDER BY ({_ID_HASH32_SQL}), doc_id) AS BIGINT) AS pos
-      FROM documents)
+      FROM documents WHERE source IS NOT NULL)
 SELECT r.doc_id, r.source, r.pos
 FROM r JOIN tgt USING (source) WHERE r.pos <= tgt.target_n
 """
