@@ -732,3 +732,64 @@ def pq_refined_topk(
         )
     )
     return topk_per_group(rescored, "query_id", "cos", "vec_id", k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 20,
+    cents: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The full FAISS-style IVFPQ search: the IVF coarse quantizer
+    restricts each query to its OWN cell (nprobe=1), PQ codes score
+    the cell's members via ADC, and the shortlist alone is re-ranked
+    with exact cosine. Returns (query_id, vec_id, cos, rank).
+
+    This is THE 100 TB ANN shape: candidate generation touches only
+    corpus/C vectors per query AND reads M bytes per vector (codes,
+    not embeddings); the full-precision column is fetched for
+    shortlist x queries rows only. All three stages are row-local
+    projections or broadcast joins — the corpus never shuffles."""
+    if cents is None:
+        cents = kmeans_centroids(emb)
+    if books is None:
+        books = pq_codebooks(emb)
+    asg = with_centroid_assignment(emb, cents, use_arrow)
+    codes = asg.select(
+        "vec_id",
+        "centroid_id",
+        _pq_encode_arrow(books)(F.col("embedding")).alias("codes"),
+    )
+    q = asg.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    scored = (
+        codes.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _adc_dist_expr(books).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q.select("query_id", "q_emb")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(rescored, "query_id", "cos", "vec_id", k)

@@ -2083,7 +2083,10 @@ def _pq_l2_sql(emb: str, m: str, book: str) -> str:
     return " + ".join(terms)
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(p: str = "") -> str:
+    """PQ fit + encode CTE chain; `p` prefixes every generated CTE
+    name so the chain can coexist with the IVF k-means CTEs (which
+    also use a1/a2 internally) in one combined oracle."""
     seed_cols = ", ".join(
         f"CAST(list_extract(e.embedding, s.m*{_PQ_SD}+{d + 1}) AS DOUBLE) AS c{d}"
         for d in range(_PQ_SD)
@@ -2099,36 +2102,36 @@ def _pq_ctes() -> str:
         for d in range(_PQ_SD)
     )
     parts = [
-        f"subm AS (SELECT e.vec_id, e.embedding, s.m "
+        f"{p}subm AS (SELECT e.vec_id, e.embedding, s.m "
         f"FROM embeddings e, UNNEST({_PQ_MS}) AS s(m))",
-        f"b0 AS (SELECT s.m, e.vec_id AS code, {seed_cols} "
+        f"{p}b0 AS (SELECT s.m, e.vec_id AS code, {seed_cols} "
         f"FROM embeddings e, UNNEST({_PQ_MS}) AS s(m) "
         f"WHERE e.vec_id < {_PQ_K})",
     ]
     for t in range(_PQ_ITERS):
         parts.append(
-            f"a{t + 1} AS (SELECT vec_id, embedding, m, code FROM ("
+            f"{p}a{t + 1} AS (SELECT vec_id, embedding, m, code FROM ("
             f"SELECT x.vec_id, x.embedding, x.m, b.code, "
             f"row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY "
             f"{_pq_l2_sql('x.embedding', 'x.m', 'b')} ASC, b.code ASC) AS rn "
-            f"FROM subm x JOIN b{t} b ON b.m = x.m) WHERE rn = 1)"
+            f"FROM {p}subm x JOIN {p}b{t} b ON b.m = x.m) WHERE rn = 1)"
         )
         parts.append(
-            f"s{t + 1} AS (SELECT m, code, count(*) AS n, {sum_cols} "
-            f"FROM a{t + 1} GROUP BY m, code)"
+            f"{p}s{t + 1} AS (SELECT m, code, count(*) AS n, {sum_cols} "
+            f"FROM {p}a{t + 1} GROUP BY m, code)"
         )
         parts.append(
-            f"b{t + 1} AS (SELECT b.m, b.code, {mean_cols} "
-            f"FROM b{t} b LEFT JOIN s{t + 1} s "
+            f"{p}b{t + 1} AS (SELECT b.m, b.code, {mean_cols} "
+            f"FROM {p}b{t} b LEFT JOIN {p}s{t + 1} s "
             f"ON s.m = b.m AND s.code = b.code)"
         )
-    bf = f"b{_PQ_ITERS}"
+    bf = f"{p}b{_PQ_ITERS}"
     parts.append(
-        f"codes AS (SELECT vec_id, m, code FROM ("
+        f"{p}codes AS (SELECT vec_id, m, code FROM ("
         f"SELECT x.vec_id, x.m, b.code, "
         f"row_number() OVER (PARTITION BY x.vec_id, x.m ORDER BY "
         f"{_pq_l2_sql('x.embedding', 'x.m', 'b')} ASC, b.code ASC) AS rn "
-        f"FROM subm x JOIN {bf} b ON b.m = x.m) WHERE rn = 1)"
+        f"FROM {p}subm x JOIN {bf} b ON b.m = x.m) WHERE rn = 1)"
     )
     return ", ".join(parts)
 
@@ -2209,6 +2212,48 @@ def simsearch_pq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PQ_REFINED = (
     "WITH " + _pq_ctes() + ", " + _PQ_SCORED_CTES + ", "
     "cand AS (SELECT query_id, vec_id FROM r WHERE rank <= 50), "
+    "rs AS (SELECT c.query_id, c.vec_id, "
+    f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
+    "FROM cand c JOIN embeddings e USING (vec_id) "
+    "JOIN q ON q.query_id = c.query_id), "
+    "rr AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+    "AS INTEGER) AS rank FROM rs) "
+    "SELECT query_id, vec_id, cos, rank FROM rr WHERE rank <= 5"
+)
+
+
+def simsearch_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFPQ search: IVF cell probe (nprobe=1) -> ADC over PQ
+    codes -> exact cosine re-rank of the shortlist
+    (operators/simsearch.py ivfpq_topk); both fits cached per sf."""
+    return ss.ivfpq_topk(
+        _emb(spark, sf_dir),
+        cents=_km_cents(spark, sf_dir),
+        books=_pq_books(spark, sf_dir),
+    )
+
+
+SQL_IVFPQ = (
+    "WITH " + _IVF_ASG_CTES + ", " + _pq_ctes("p") + ", "
+    f"codes_w AS (SELECT vec_id, {_pq_code_cols()} FROM pcodes "
+    "GROUP BY vec_id), "
+    "vw AS (SELECT a.vec_id, a.centroid_id, w.* EXCLUDE (vec_id) "
+    "FROM codes_w w JOIN asg a USING (vec_id)), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id "
+    "FROM asg WHERE vec_id < 8), "
+    "scored AS (SELECT q.query_id, v.vec_id, "
+    f"{_pq_adc_sql()} AS adc "
+    "FROM vw v JOIN q ON q.centroid_id = v.centroid_id "
+    + " ".join(
+        f"JOIN pb{_PQ_ITERS} p{m} ON p{m}.m = {m} AND p{m}.code = v.k{m}"
+        for m in range(_PQ_M)
+    )
+    + " WHERE v.vec_id <> q.query_id), "
+    "r AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn "
+    "FROM scored), "
+    "cand AS (SELECT query_id, vec_id FROM r WHERE rn <= 20), "
     "rs AS (SELECT c.query_id, c.vec_id, "
     f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
     "FROM cand c JOIN embeddings e USING (vec_id) "
@@ -2361,4 +2406,5 @@ EXTENSION_QUERIES = {
     "snapshot_diff": (snapshot_diff_q, SQL_SNAPSHOT_DIFF),
     "corpus_composition": (corpus_composition_q, SQL_CORPUS_COMPOSITION),
     "events_funnel": (events_funnel_q, SQL_EVENTS_FUNNEL),
+    "simsearch_ivfpq": (simsearch_ivfpq_q, SQL_IVFPQ),
 }

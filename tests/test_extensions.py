@@ -1049,3 +1049,22 @@ def test_funnel_enforces_event_ordering(spark):
     assert out["click"].n_users == 2  # users 1 and 3 (2's click too early)
     assert out["purchase"].n_users == 1  # only user 1
     assert out["purchase"].share == pytest.approx(1 / 3)
+
+
+def test_ivfpq_candidates_respect_cell_and_determinism(spark, sf_dir):
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    emb = scan_parquet(spark, sf_dir, "embeddings")
+    cents = ss.kmeans_centroids(emb)
+    books = ss.pq_codebooks(emb)
+    out = ss.ivfpq_topk(emb, cents=cents, books=books).collect()
+    assert len(out) > 0
+    cell = {
+        r.vec_id: r.centroid_id
+        for r in ss.with_centroid_assignment(emb, cents).collect()
+    }
+    for r in out:  # nprobe=1: every hit lives in its query's own cell
+        assert cell[r.vec_id] == cell[r.query_id]
+        assert 1 <= r.rank <= 5 and r.vec_id != r.query_id
+    again = ss.ivfpq_topk(emb, cents=cents, books=books).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
