@@ -386,3 +386,34 @@ def sample_weighted(
         .orderBy(F.asc("es_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def sample_weighted_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    k: int = 10,
+) -> DataFrame:
+    """A-ES weighted sampling WITHIN each group: the k best
+    Efraimidis-Spirakis keys per group_col win — 'k documents per
+    domain, weighted by quality/length', the stratified counterpart of
+    sample_weighted. Same deterministic hash-derived uniforms (never
+    rand(): task retries re-draw), ranked by a per-group window
+    instead of a global TakeOrdered — partition-local sorts per
+    group, no global funnel, one corpus scan."""
+    u = (_id_hash32("doc_id") + F.lit(1).cast("double")) / F.lit(
+        float(2**32)
+    )
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(
+        F.asc("es_key"), F.asc("doc_id")
+    )
+    return (
+        docs.filter(w > 0)
+        .select(
+            "doc_id", group_col, F.col(weight_col), key.alias("es_key")
+        )
+        .withColumn("pos", F.row_number().over(win).cast("long"))
+        .filter(F.col("pos") <= k)
+    )

@@ -2041,6 +2041,23 @@ LIMIT 100
 """
 
 
+def sample_weighted_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.sample_weighted_per_group(_docs(spark, sf_dir))
+
+
+SQL_SAMPLE_WEIGHTED_PER_SOURCE = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+    -ln((({_ID_HASH32_SQL}) + CAST(1 AS DOUBLE)) / 4294967296.0)
+      / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+SELECT doc_id, source, n_chars, es_key, pos FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY es_key ASC, doc_id ASC) AS BIGINT) AS pos
+  FROM s) WHERE pos <= 10
+"""
+
+
 def source_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.source_temperature(_docs(spark, sf_dir))
 
@@ -2407,4 +2424,8 @@ EXTENSION_QUERIES = {
     "corpus_composition": (corpus_composition_q, SQL_CORPUS_COMPOSITION),
     "events_funnel": (events_funnel_q, SQL_EVENTS_FUNNEL),
     "simsearch_ivfpq": (simsearch_ivfpq_q, SQL_IVFPQ),
+    "sample_weighted_per_source": (
+        sample_weighted_per_source_q,
+        SQL_SAMPLE_WEIGHTED_PER_SOURCE,
+    ),
 }

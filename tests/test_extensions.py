@@ -1068,3 +1068,32 @@ def test_ivfpq_candidates_respect_cell_and_determinism(spark, sf_dir):
         assert 1 <= r.rank <= 5 and r.vec_id != r.query_id
     again = ss.ivfpq_topk(emb, cents=cents, books=books).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sample_weighted_per_group_quota_and_bias(spark, sf_dir):
+    from mapreduce_chisquare_spark.operators import curation as cu
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents")
+    rows = cu.sample_weighted_per_group(docs, k=10).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    sizes = {
+        r.source: r.n for r in docs.groupBy("source").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert set(by_src) == set(sizes)
+    for src, picked in by_src.items():
+        assert len(picked) == min(10, sizes[src])
+        assert sorted(p.pos for p in picked) == list(
+            range(1, len(picked) + 1)
+        )
+    # weighted bias within groups: the sample's mean length exceeds
+    # the corpus mean (same A-ES property as the global sampler)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, cu.sample_weighted_per_group(docs, k=10).collect())
+    )
