@@ -75,6 +75,8 @@ HEADLINE = [
     "snapshot_diff",
     "corpus_composition",
     "events_funnel",
+    "simsearch_ivfpq",
+    "sample_weighted_per_source",
 ]
 
 WARMUP = 1
