@@ -139,8 +139,8 @@ _CERTIFY_WINDOW = [
 # lm_unigram_score, simsearch_pq_encode, simsearch_pq_topk,
 # simsearch_pq_refined, dedup_keep_best, dedup_incremental,
 # asof_nearest, agg_linreg, snapshot_diff, corpus_composition,
-# events_funnel, simsearch_ivfpq, sample_weighted_per_source — then
-# fill remaining slots with §2-core re-certs.
+# events_funnel, simsearch_ivfpq, sample_weighted_per_source,
+# agg_mode — then fill remaining slots with §2-core re-certs.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -1632,6 +1632,44 @@ FROM a ORDER BY event_type
 """
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie rule: the most frequent
+    o_orderpriority per order status, ties to the lexicographically
+    first value — built as count + row_number rather than a native
+    mode() whose tie behaviour is engine-defined (DuckDB's mode()
+    picks an arbitrary tied value; this form is reproducible
+    everywhere). Two tiny hash aggregates + a per-group window; the
+    input shuffles once on the (status, priority) pair."""
+    od = _t(spark, sf_dir, "orders")
+    counts = od.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n_rows"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_rows",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_AGG_MODE = """
+WITH c AS (SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY n_rows DESC, o_orderpriority ASC) AS rn FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n_rows
+FROM r WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1690,4 +1728,5 @@ RELATIONAL_QUERIES = {
     "set_except_all": (set_except_all, SQL_SET_EXCEPT_ALL),
     # round-4 additions (tail; promote into the round-5 window)
     "agg_linreg": (agg_linreg, SQL_AGG_LINREG),
+    "agg_mode": (agg_mode, SQL_AGG_MODE),
 }

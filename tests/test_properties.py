@@ -413,3 +413,30 @@ def test_snapshot_diff_matches_bruteforce(spark, base, updates):
         elif ob[k] != nb[k]:
             want[k] = "changed"
     assert got == want
+
+
+@given(corpus=corpus_strategy)
+@settings(**_SETTINGS)
+def test_lm_unigram_score_duplication_invariant(spark, corpus):
+    """Duplicating every document k x leaves each document's unigram
+    LM score unchanged: counts and the corpus total both scale by k,
+    and ln(kc/kT) = ln(c/T). Guards the normalization against either
+    side forgetting the total."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        lm_unigram_score,
+    )
+
+    rows = [
+        (i, " ".join(words)) for i, (words, _cat) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dup_rows = [
+        (rep * 10_000 + i, t) for rep in range(3) for (i, t) in rows
+    ]
+    dup = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    base = {r.doc_id: r.avg_logprob for r in lm_unigram_score(docs).collect()}
+    tripled = {
+        r.doc_id: r.avg_logprob for r in lm_unigram_score(dup).collect()
+    }
+    for i, score in base.items():
+        assert abs(tripled[i] - score) < 1e-9, i
