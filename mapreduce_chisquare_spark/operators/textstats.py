@@ -219,9 +219,15 @@ def corpus_composition(
         )
     )
     w_all = Window.partitionBy()  # whole (tiny) relation
+    # Tie-break NULL order is pinned explicitly: Spark ASC defaults to
+    # NULLS FIRST while DuckDB defaults to NULLS LAST, so a NULL
+    # lang/source cell tying on n_tokens would otherwise diverge. The
+    # oracle twin says NULLS FIRST to match.
     w_cum = (
         Window.orderBy(
-            F.desc("n_tokens"), F.asc("lang"), F.asc("source")
+            F.desc("n_tokens"),
+            F.asc_nulls_first("lang"),
+            F.asc_nulls_first("source"),
         ).rowsBetween(Window.unboundedPreceding, 0)
     )
     share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(

@@ -135,21 +135,25 @@ def funnel(
         F.count("t2").alias("n2"),
     )
     n0 = F.col("n0").cast("double")
+    # NULL shares on an empty funnel (n0 = 0): Spark's x/0 is NULL but
+    # DuckDB's IEEE division is NaN/inf, so the guard pins the
+    # degenerate case to NULL in BOTH engines.
+    some = F.col("n0") > 0
     rows = F.array(
         F.struct(
             F.lit(s0).alias("stage"),
             F.col("n0").alias("n_users"),
-            F.lit(1.0).alias("share"),
+            F.when(some, F.lit(1.0)).alias("share"),
         ),
         F.struct(
             F.lit(s1).alias("stage"),
             F.col("n1").alias("n_users"),
-            (F.col("n1").cast("double") / n0).alias("share"),
+            F.when(some, F.col("n1").cast("double") / n0).alias("share"),
         ),
         F.struct(
             F.lit(s2).alias("stage"),
             F.col("n2").alias("n_users"),
-            (F.col("n2").cast("double") / n0).alias("share"),
+            F.when(some, F.col("n2").cast("double") / n0).alias("share"),
         ),
     )
     return a.select(F.explode(rows).alias("r")).select(

@@ -214,18 +214,21 @@ def snapshot_diff(
     Each side collapses to (key, content-hash of compare_cols) before
     the full-outer join, so the shuffle carries two hashes per key —
     never the row payloads — and the comparison is one string
-    equality. md5 over a unit-separator concat matches the DuckDB
-    twin byte-for-byte; NULLs hash as empty with a marker so
-    ('a', NULL) != ('', 'a')."""
+    equality. The content hash is md5 over per-column tokens, where
+    each token is the column's own md5 (32 lowercase hex chars) or
+    the literal 'N' for NULL: token boundaries are unambiguous ('N'
+    is not a hex digit and hashes are fixed-width), so no value —
+    including ones containing separator bytes or a literal NULL
+    marker — can collide across column boundaries or with NULL. The
+    DuckDB twin uses the identical scheme byte-for-byte."""
     def _hashed(df: DataFrame, alias: str) -> DataFrame:
-        parts = []
-        for c in compare_cols:
-            parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-            )
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
+            for c in compare_cols
+        ]
         return df.select(
             F.col(key).alias("key"),
-            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+            F.md5(F.concat(*parts)).alias(alias),
         )
 
     o = _hashed(old, "old_hash")

@@ -55,92 +55,86 @@ except ImportError:
 #   error on array<int>; value-correct — output reshaped to a CSV
 #   string this round, re-windowed below).
 #
-# Round-4 window (50) = the 35 entries never driver-certified in any
-# round (the 15 held in round 3's _DEFER_TO_NEXT_ROTATION plus the 20
-# round-3 tail additions), + embed_quantize with its fixed output
-# shape, + 14 re-certs of the §2 reference-core surface whose green
-# rows date to r2 (freshness for the flagship operators). A green
-# sweep certifies all 137 entries that existed at round-4 start; the
-# 13 operators ADDED during round 4 (tail; local oracle-green) queue
-# for the round-5 window per the TODO below.
-# Fast entries lead; streaming fixture builds close the window so a
+# Round-5 window (50) = the 19 round-4 tail entries never driver-
+# certified in any round (all local oracle-green), + window_moving_sum
+# (round 4's sole red — oracle-side DuckDB HUGEINT fixed with an
+# explicit BIGINT cast this round), + the 6 load-bearing extensions
+# rewritten since their r3 green rows (dedup_minhash_lsh(_k128),
+# dedup_components, tfidf, decontaminate, pipeline_training_corpus),
+# + 24 re-certs of entries whose newest green row dates to r2.
+# Fast entries lead; the heavier pipelines close the window so a
 # time-cut sweep still certifies the maximum prefix.
 _CERTIFY_WINDOW = [
-    # never-certified: scalar/function forms (cheap, map-side)
-    "date_scalars",
-    "string_scalars",
-    "array_scalars",
-    # never-certified: set operations
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    # never-certified: window functions
-    "window_lag",
+    # never-certified round-4 tail: cheap map-side / single-agg forms
+    "agg_linreg",
+    "agg_mode",
+    "corpus_shard",
+    "corpus_split",
+    "sample_weighted",
+    "sample_weighted_per_source",
+    "source_temperature",
+    "corpus_composition",
+    "snapshot_diff",
+    "events_funnel",
+    "asof_nearest",
+    "lm_unigram_score",
+    # never-certified round-4 tail: ANN PQ/IVFPQ family
+    "simsearch_pq_encode",
+    "simsearch_pq_topk",
+    "simsearch_pq_refined",
+    "simsearch_ivfpq",
+    # never-certified round-4 tail: dedup family
+    "dedup_keep_best",
+    "dedup_incremental",
+    # round-4 red, oracle SQL cast fixed (DuckDB HUGEINT → BIGINT)
     "window_moving_sum",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "window_range_frame",
-    "window_ntile",
-    # never-certified: relational forms
-    "top_n_global",
-    "sql_correlated_subquery",
-    "agg_unpivot",
-    "rollup_multigrain",
-    # never-certified: TPC-H-flavour proof queries
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    # never-certified: joins / text / packing / sinks
-    "join_bucketed",
-    "join_bloom_prefilter",
-    "ngram_counts",
-    "explode_outer_keywords",
-    "doc_chunk",
-    "pack_sequences",
-    "sink_orc_roundtrip",
-    # round-3 red, output reshaped (CSV string, driver-hashable)
-    "embed_quantize",
-    # §2 reference-core re-certs (green rows date to r2)
-    "scan_json",
-    "json_extract",
-    "tokenize",
-    "stopword_filter",
-    "count_term_cat",
-    "count_term",
-    "count_cat",
-    "count_total",
-    "join_term_totals",
-    "join_cat_totals",
-    "chi_square",
-    "topk_per_group",
-    "merged_dict",
-    "format_report",
-    # slow tail: streaming fixture builds
-    "stream_quality_filter",
-    "stream_doc_chunk",
+    # re-certs: rewritten since their r3 green rows
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_k128",
+    "dedup_components",
+    "tfidf",
+    "decontaminate",
+    # r2-only re-certs: §2-adjacent text/scalar surface
+    "project",
+    "nonempty_filter",
+    "casefold",
+    "length_filter",
+    "dedup_terms",
+    "anti_join_stopwords",
+    "tokenize_positions",
+    "sink_roundtrip",
+    "json_schema_parse",
+    "map_scalars",
+    "regexp_extract",
+    # r2-only re-certs: relational agg/join surface
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_revenue",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentile",
+    "distinct_agg",
+    "having_filter",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_broadcast_dim",
+    # slow tail: composed pipelines (never-certified + rewritten)
+    "pipeline_dedup_corpus",
+    "pipeline_training_corpus",
 ]
 
-# Round 4 windows every remaining never-certified entry — nothing is
-# deferred. Kept as a (now empty) list so the splice below and the
-# rotation protocol survive future rounds unchanged: register NEW
-# queries at the registry TAIL, then promote them into the next
-# round's _CERTIFY_WINDOW.
+# Register NEW queries at the registry TAIL, then promote them into
+# the next round's _CERTIFY_WINDOW.
 #
-# Round-5 window TODO: promote the round-4 tail additions (all local
-# oracle-green, never driver-certified): pipeline_dedup_corpus,
-# corpus_shard, corpus_split, sample_weighted, source_temperature,
-# lm_unigram_score, simsearch_pq_encode, simsearch_pq_topk,
-# simsearch_pq_refined, dedup_keep_best, dedup_incremental,
-# asof_nearest, agg_linreg, snapshot_diff, corpus_composition,
-# events_funnel, simsearch_ivfpq, sample_weighted_per_source,
-# agg_mode — then fill remaining slots with §2-core re-certs.
+# Round-6 window TODO: re-cert the 14 remaining r2-only entries
+# (sketch_countmin, sample_stratified, agg_approx_distinct_grouped,
+# agg_approx_percentile, case_when_bucket, multiway_join, join_salted,
+# agg_pivot, agg_cube, sample_hash, window_rank, window_ranking,
+# window_first_last, null_scalars), any queries ADDED during round 5,
+# then fill remaining slots with the oldest r3 rows (streaming,
+# multimodal, asof/range-join, sketches).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -168,9 +168,12 @@ pu AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
        FROM w2 GROUP BY user_id),
 a AS (SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
              CAST(count(t2) AS BIGINT) AS n2 FROM pu)
-SELECT 'view' AS stage, n0 AS n_users, 1.0 AS share FROM a
-UNION ALL SELECT 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
-UNION ALL SELECT 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+SELECT 'view' AS stage, n0 AS n_users,
+  CASE WHEN n0 > 0 THEN CAST(1.0 AS DOUBLE) END AS share FROM a
+UNION ALL SELECT 'click', n1,
+  CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END FROM a
+UNION ALL SELECT 'purchase', n2,
+  CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) END FROM a
 """
 
 
@@ -193,10 +196,10 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SD_HASH = (
-    "md5(concat_ws(chr(31), "
-    "coalesce(CAST({t} AS VARCHAR), chr(0)), "
-    "coalesce(CAST(lang AS VARCHAR), chr(0)), "
-    "coalesce(CAST(source AS VARCHAR), chr(0))))"
+    "md5(concat("
+    "coalesce(md5(CAST({t} AS VARCHAR)), 'N'), "
+    "coalesce(md5(CAST(lang AS VARCHAR)), 'N'), "
+    "coalesce(md5(CAST(source AS VARCHAR)), 'N')))"
 )
 
 SQL_SNAPSHOT_DIFF = f"""
@@ -2308,7 +2311,8 @@ s AS (SELECT lang, source, n_docs, n_tokens,
           AS token_share
       FROM cells)
 SELECT lang, source, n_docs, n_tokens, token_share,
-  sum(token_share) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
+  sum(token_share) OVER (ORDER BY n_tokens DESC,
+                         lang ASC NULLS FIRST, source ASC NULLS FIRST
                          ROWS UNBOUNDED PRECEDING) AS cum_share
 FROM s
 """

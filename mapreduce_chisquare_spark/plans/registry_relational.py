@@ -377,8 +377,9 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_MOVING = """
 SELECT event_id, user_id,
-  sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents
+  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS moving_cents
 FROM (SELECT event_id, user_id, ts,
         CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
 """

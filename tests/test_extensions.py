@@ -1097,3 +1097,73 @@ def test_sample_weighted_per_group_quota_and_bias(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, cu.sample_weighted_per_group(docs, k=10).collect())
     )
+
+
+def test_snapshot_diff_separator_and_marker_collisions(spark):
+    """The per-column-md5 token scheme kills both collision classes
+    the old concat_ws hash had: a value equal to the NULL marker, and
+    a separator byte shifting content across column boundaries."""
+    from mapreduce_chisquare_spark.operators.warehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a\x1fb", "c"), (3, "\x00", "y")],
+        "k long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(1, "\x00", "x"), (2, "a", "b\x1fc"), (3, None, "y")],
+        "k long, v string, w string",
+    )
+    out = {r.row_key: r.change for r in
+           snapshot_diff(old, new, "k", ["v", "w"]).collect()}
+    # every row differs: NULL vs literal "\x00" (both directions) and
+    # the column-boundary shift around "\x1f" are all real changes
+    assert out == {1: "changed", 2: "changed", 3: "changed"}
+
+
+def test_funnel_zero_entry_yields_null_shares(spark):
+    """n0 = 0 (nobody reaches stage 1): shares are NULL, not 0/0 —
+    pinned identically in the DuckDB oracle (CASE WHEN n0 > 0)."""
+    from datetime import datetime
+
+    from mapreduce_chisquare_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "click", datetime(2024, 1, 1)),
+         (2, "purchase", datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r.stage: r for r in funnel(ev).collect()}
+    assert out["view"].n_users == 0
+    assert all(out[s].share is None for s in ("view", "click", "purchase"))
+
+
+def test_corpus_composition_null_keyed_tie_matches_oracle(spark, tmp_path):
+    """A NULL lang/source cell TYING on n_tokens exercises the pinned
+    NULLS FIRST tie-break: Spark and the DuckDB oracle must agree on
+    cum_share row-for-row (ADVICE r4: Spark ASC is nulls-first,
+    DuckDB's default is nulls-last)."""
+    import duckdb
+
+    from mapreduce_chisquare_spark.operators import textstats as tx
+    from mapreduce_chisquare_spark.plans.registry_extensions import (
+        SQL_CORPUS_COMPOSITION,
+    )
+
+    rows = [
+        # two cells with IDENTICAL token counts, one NULL-keyed
+        (1, "alpha beta", None, "web", 10),
+        (2, "gamma delta", "en", None, 10),
+        (3, "x y z", "en", "web", 5),
+        (4, None, "de", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    orows = con.execute(SQL_CORPUS_COMPOSITION).fetchall()
+    srows = [tuple(r) for r in tx.corpus_composition(docs).collect()]
+    key = lambda r: (-r[3], r[0] is not None, r[0], r[1] is not None, r[1])  # noqa: E731
+    assert sorted(srows, key=key) == sorted(orows, key=key)

@@ -101,3 +101,24 @@ def test_certification_window_leads_registry_order():
     assert head == [k for k in _CERTIFY_WINDOW if k in REGISTRY]
     missing = [k for k in _CERTIFY_WINDOW if k not in REGISTRY]
     assert not missing, f"window names absent from registry: {missing}"
+
+
+def test_oracle_sql_never_widens_to_hugeint(duck):
+    """DuckDB widens sum(BIGINT) — including windowed sums — to
+    HUGEINT (int128), which the driver's canonicalizer hashes
+    differently from Spark's int64 even when values agree. This class
+    cost a red row two rounds running (embed_quantize r3,
+    window_moving_sum r4): every oracle SQL must CAST such aggregates
+    so no output column binds to HUGEINT. Binding is enough to get
+    types — nothing is executed."""
+    offenders = []
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = duck.sql(sql)
+        wide = [
+            (col, str(typ))
+            for col, typ in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(typ).upper()
+        ]
+        if wide:
+            offenders.append((name, wide))
+    assert not offenders, f"uncast DuckDB-widened outputs: {offenders}"
