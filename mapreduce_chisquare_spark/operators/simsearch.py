@@ -299,6 +299,38 @@ def _argmax_arrow(cents: list[list[float]]):
     return argmax_centroid
 
 
+def _top_cells_arrow(cents: list[list[float]], nprobe: int):
+    """Arrow-batched top-`nprobe` centroid ids by cosine, best first —
+    the multi-probe generalization of _argmax_arrow (identical
+    dimension-by-dimension accumulation, so element 0 is bit-identical
+    to the argmax assignment; ties break to the lowest centroid id via
+    a stable sort on (-cos, id))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(cents, dtype=np.float64)  # k x dim
+    cnorm = np.array([_norm(c) for c in cents], dtype=np.float64)
+    p = min(nprobe, len(cents))
+
+    @pandas_udf("array<long>")
+    def top_cells(a: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack raises on empty Arrow batches
+            return pd.Series([], dtype=object)
+        A = np.stack(a.to_numpy()).astype(np.float64)  # n x dim
+        dots = np.zeros((A.shape[0], C.shape[0]))
+        self_dot = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):  # sequential over dims = engine order
+            col = A[:, d]
+            dots = dots + col[:, None] * C[None, :, d]
+            self_dot = self_dot + col * col
+        cos = dots / (np.sqrt(self_dot)[:, None] * cnorm[None, :])
+        # stable sort on -cos: equal cosines keep ascending-id order
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(order.astype("int64")))
+
+    return top_cells
+
+
 def centroid_assignment_expr(cents: list[list[float]]):
     """Pure-JVM alternative to _argmax_arrow: literal argmax as array
     expressions (expanded element_at chains — zip_with/aggregate
@@ -380,21 +412,32 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     cents: list[list[float]] | None = None,
     use_arrow: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN via IVF: probe only the query's own cluster (nprobe=1), then
-    exact cosine within it. Complements LSH: clusters adapt to data
-    density, buckets don't. The fit runs once and both the corpus and
-    query assignments reuse its literal centroids (assignment is a
-    projection, so the probe is a broadcast equi-join on centroid_id).
-    Scorer defaults to the Arrow path (same tradeoff as cosine_topk)."""
+    """ANN via IVF: probe the query's `nprobe` nearest clusters
+    (default 1 = its own), then exact cosine within them. Complements
+    LSH: clusters adapt to data density, buckets don't. The fit runs
+    once and both the corpus and query assignments reuse its literal
+    centroids (assignment is a projection, so the probe is a broadcast
+    equi-join on centroid_id carrying n_queries*nprobe rows). Scorer
+    defaults to the Arrow path (same tradeoff as cosine_topk)."""
     if cents is None:
         cents = kmeans_centroids(emb, n_centroids)
     with_c = with_centroid_assignment(emb, cents)
-    q = with_c.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "centroid_id",
-    )
+    if nprobe <= 1:
+        q = with_c.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+        )
+    else:
+        q = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                _top_cells_arrow(cents, nprobe)(F.col("embedding"))
+            ).alias("centroid_id"),
+        )
     scored = (
         with_c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -742,15 +785,26 @@ def ivfpq_topk(
     cents: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
     use_arrow: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
     """The full FAISS-style IVFPQ search: the IVF coarse quantizer
-    restricts each query to its OWN cell (nprobe=1), PQ codes score
-    the cell's members via ADC, and the shortlist alone is re-ranked
-    with exact cosine. Returns (query_id, vec_id, cos, rank).
+    restricts each query to its `nprobe` nearest cells (default 1 =
+    its own cell), PQ codes score those cells' members via ADC, and
+    the shortlist alone is re-ranked with exact cosine. Returns
+    (query_id, vec_id, cos, rank).
+
+    nprobe is THE recall knob of real IVFPQ: a query near a cell
+    boundary has true neighbours in the adjacent cell, invisible at
+    nprobe=1. Probing P cells multiplies only the candidate relation
+    (corpus*P/C rows per query); the probe pairs come from the same
+    broadcast-literal centroid distances as the assignment, so the
+    plan shape is unchanged — the broadcast carries n_queries*P rows
+    instead of n_queries. Each corpus vector lives in exactly one
+    cell, so multi-probe never duplicates a (query, vec) candidate.
 
     This is THE 100 TB ANN shape: candidate generation touches only
-    corpus/C vectors per query AND reads M bytes per vector (codes,
-    not embeddings); the full-precision column is fetched for
+    nprobe*corpus/C vectors per query AND reads M bytes per vector
+    (codes, not embeddings); the full-precision column is fetched for
     shortlist x queries rows only. All three stages are row-local
     projections or broadcast joins — the corpus never shuffles."""
     if cents is None:
@@ -763,13 +817,22 @@ def ivfpq_topk(
         "centroid_id",
         _pq_encode_arrow(books)(F.col("embedding")).alias("codes"),
     )
-    q = asg.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "centroid_id",
-    )
+    if nprobe <= 1:
+        probe = asg.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+        )
+    else:
+        probe = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                _top_cells_arrow(cents, nprobe)(F.col("embedding"))
+            ).alias("centroid_id"),
+        )
     scored = (
-        codes.join(F.broadcast(q), "centroid_id")
+        codes.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _adc_dist_expr(books).alias("adc"))
     )
@@ -781,9 +844,13 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= shortlist)
         .select("query_id", "vec_id")
     )
+    q_base = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
     rescored = (
         cand.join(emb, "vec_id")
-        .join(F.broadcast(q.select("query_id", "q_emb")), "query_id")
+        .join(F.broadcast(q_base), "query_id")
         .select(
             "query_id",
             "vec_id",

@@ -2285,6 +2285,59 @@ SQL_IVFPQ = (
 )
 
 
+def simsearch_ivfpq_nprobe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with multi-probe (nprobe=2): each query's candidates come
+    from its TWO nearest IVF cells — the recall knob real IVFPQ
+    deployments turn (operators/simsearch.py ivfpq_topk nprobe arg;
+    recall gain pinned in tests/test_extensions.py's planted-ground-
+    truth harness). Same fits, cached per sf."""
+    return ss.ivfpq_topk(
+        _emb(spark, sf_dir),
+        cents=_km_cents(spark, sf_dir),
+        books=_pq_books(spark, sf_dir),
+        nprobe=2,
+    )
+
+
+# nprobe=2 oracle: identical to SQL_IVFPQ except the probe relation
+# keeps each query's TOP-2 cells (row_number <= 2 over the same
+# cos DESC, centroid_id ASC order the Spark top-cells sort uses) —
+# asgs already scores every vector against the final centroids c3.
+SQL_IVFPQ_NPROBE2 = (
+    "WITH " + _IVF_ASG_CTES + ", " + _pq_ctes("p") + ", "
+    f"codes_w AS (SELECT vec_id, {_pq_code_cols()} FROM pcodes "
+    "GROUP BY vec_id), "
+    "vw AS (SELECT a.vec_id, a.centroid_id, w.* EXCLUDE (vec_id) "
+    "FROM codes_w w JOIN asg a USING (vec_id)), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id "
+    "FROM (SELECT vec_id, embedding, centroid_id, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn "
+    "FROM asgs WHERE vec_id < 8) WHERE rn <= 2), "
+    "scored AS (SELECT q.query_id, v.vec_id, "
+    f"{_pq_adc_sql()} AS adc "
+    "FROM vw v JOIN q ON q.centroid_id = v.centroid_id "
+    + " ".join(
+        f"JOIN pb{_PQ_ITERS} p{m} ON p{m}.m = {m} AND p{m}.code = v.k{m}"
+        for m in range(_PQ_M)
+    )
+    + " WHERE v.vec_id <> q.query_id), "
+    "r AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn "
+    "FROM scored), "
+    "cand AS (SELECT query_id, vec_id FROM r WHERE rn <= 20), "
+    "qb AS (SELECT vec_id AS query_id, embedding AS q_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "rs AS (SELECT c.query_id, c.vec_id, "
+    f"{_cos_sql('q.q_emb', 'e.embedding')} AS cos "
+    "FROM cand c JOIN embeddings e USING (vec_id) "
+    "JOIN qb q ON q.query_id = c.query_id), "
+    "rr AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+    "AS INTEGER) AS rank FROM rs) "
+    "SELECT query_id, vec_id, cos, rank FROM rr WHERE rank <= 5"
+)
+
+
 # One PQ fit per sf_dir per session (same budget rationale as _KM_CACHE).
 _PQ_CACHE: dict[str, list] = {}
 
@@ -2432,4 +2485,5 @@ EXTENSION_QUERIES = {
         sample_weighted_per_source_q,
         SQL_SAMPLE_WEIGHTED_PER_SOURCE,
     ),
+    "simsearch_ivfpq_nprobe2": (simsearch_ivfpq_nprobe2_q, SQL_IVFPQ_NPROBE2),
 }

@@ -1167,3 +1167,88 @@ def test_corpus_composition_null_keyed_tie_matches_oracle(spark, tmp_path):
     srows = [tuple(r) for r in tx.corpus_composition(docs).collect()]
     key = lambda r: (-r[3], r[0] is not None, r[0], r[1] is not None, r[1])  # noqa: E731
     assert sorted(srows, key=key) == sorted(orows, key=key)
+
+
+def _planted_ann_fixture(spark):
+    """Clustered 64-dim corpus with known structure: 4 well-separated
+    centers, 48 members each, plus 4 in-cluster queries (vec_id 0-3)
+    and 4 BOUNDARY queries (vec_id 4-7) planted midway between two
+    centers so their true neighbours span two IVF cells — the case
+    nprobe=1 cannot see."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = np.zeros((4, 64))
+    for c in range(4):
+        centers[c, c * 16 : (c + 1) * 16] = 1.0
+    rows = []
+    # queries 0-3: one per cluster, small noise
+    for c in range(4):
+        rows.append(centers[c] + rng.normal(0, 0.05, 64))
+    # queries 4-7: midway between cluster pairs (0,1),(1,2),(2,3),(3,0)
+    for c in range(4):
+        mid = (centers[c] + centers[(c + 1) % 4]) / 2.0
+        rows.append(mid + rng.normal(0, 0.05, 64))
+    # corpus: 48 members per cluster
+    for c in range(4):
+        for _ in range(48):
+            rows.append(centers[c] + rng.normal(0, 0.15, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in c] for c in centers]
+    return df, cents
+
+
+def _recall_at_k(ann_rows, exact_rows, k=5):
+    truth, got = {}, {}
+    for r in exact_rows:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ann_rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    per_q = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_ann_ladder_recall_with_planted_ground_truth(spark):
+    """Retrieval QUALITY of the PQ/IVFPQ ladder against exact search
+    on a corpus with planted structure (oracle parity only proves
+    determinism). Bounds are pinned from the deterministic fixture:
+    PQ+refine is near-exact; IVFPQ at nprobe=1 drops the boundary
+    queries' cross-cell neighbours; nprobe=2 recovers them."""
+    df, cents = _planted_ann_fixture(spark)
+    books = ss.pq_codebooks(df)
+    exact = ss.cosine_topk(df, n_queries=8, k=5).collect()
+
+    refined = ss.pq_refined_topk(df, n_queries=8, k=5, books=books).collect()
+    r_refined = _recall_at_k(refined, exact)
+
+    # shortlist covers both probed cells (~48 members each) so cell
+    # MEMBERSHIP — not the coarse 2-bit ADC ranking — is the binding
+    # constraint, isolating what nprobe buys. (At the default
+    # shortlist the ADC cut dominates and masks the probe effect —
+    # measured while pinning these bounds.)
+    p1 = ss.ivfpq_topk(df, n_queries=8, k=5, shortlist=100, cents=cents,
+                       books=books, nprobe=1).collect()
+    p2 = ss.ivfpq_topk(df, n_queries=8, k=5, shortlist=100, cents=cents,
+                       books=books, nprobe=2).collect()
+    r1, r2 = _recall_at_k(p1, exact), _recall_at_k(p2, exact)
+    print(f"recall refined={r_refined} ivfpq@1={r1} ivfpq@2={r2}")
+
+    assert r_refined >= 0.9
+    assert r2 > r1  # the probe knob measurably buys recall
+    assert r2 >= 0.95  # measured 1.0 on the deterministic fixture
+    assert r1 <= 0.95  # nprobe=1 structurally misses cross-cell truth
+    # nprobe=1 still finds everything for the in-cluster queries
+    in_cluster = {q for q in range(4)}
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got1 = {}
+    for r in p1:
+        got1.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in in_cluster:
+        assert len(truth[q] & got1[q]) / len(truth[q]) >= 0.8
