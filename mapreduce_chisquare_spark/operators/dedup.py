@@ -148,34 +148,50 @@ def lsh_band_keys(
     banding them in a second projection.
 
     Semantically identical to lsh_bands(minhash_signatures(sh, k)) —
-    same mins, same keys — but the relation is `bands` columns wide
+    same mins, same BUCKETS — but the relation is `bands` columns wide
     instead of k, which matters for plan overhead at k in the hundreds:
     analysis/codegen over a 128-column signature relation costs whole
     seconds per query at k=128 (measured 3.7s -> 0.6s at sf0.01); the
     agg buffer is still k fixed-width longs, so it stays map-side
-    combinable HashAggregate either way."""
+    combinable HashAggregate either way.
+
+    The bucket key is an array<long> packing each PAIR of 31-bit
+    min-hashes into one signed long (h_even * 2^31 + h_odd < 2^62 —
+    exact, injective since h < _MOD = 2^31), not a string concat:
+    identical bucket partitions by construction (so the DuckDB twin's
+    string keys group the same docs), but the guard-window shuffle and
+    the self-join hash/compare fixed-width longs instead of ~10-char-
+    per-hash strings — at k=128 (8 rows/band) the key drops from ~87
+    bytes to 4 longs, ~2.5x fewer shuffle bytes for the band relation.
+    Local bench is NOISE-NEUTRAL on this (profiled 3.2-3.6s warm both
+    ways at sf0.1 — the k-hash agg and the one bucket-key exchange
+    dominate, and both are irreducible); the win is wire bytes and
+    fixed-width key compares at cluster scale. A collect_list-bucket
+    variant replacing window+self-join with one aggregation was also
+    profiled: identical results, same 3.3s — the exchange-reusing
+    window guard is not the bottleneck either."""
     rows = k // bands
     hp = hash_params(k)
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "long"
     )
     withb = sh.select("doc_id", base.alias("__b"))
-    aggs = [
-        F.concat_ws(
-            "_",
-            *[
-                F.min(
-                    (
-                        F.lit(hp[b * rows + r][0]) * F.col("__b")
-                        + F.lit(hp[b * rows + r][1])
-                    )
-                    % F.lit(_MOD)
-                )
-                for r in range(rows)
-            ],
-        ).alias(f"k{b}")
-        for b in range(bands)
-    ]
+
+    def _min(i: int):
+        return F.min(
+            (F.lit(hp[i][0]) * F.col("__b") + F.lit(hp[i][1])) % F.lit(_MOD)
+        )
+
+    def _band_key(b: int):
+        packed = [
+            _min(b * rows + 2 * j) * F.lit(_MOD) + _min(b * rows + 2 * j + 1)
+            for j in range(rows // 2)
+        ]
+        if rows % 2:
+            packed.append(_min(b * rows + rows - 1))
+        return F.array(*packed)
+
+    aggs = [_band_key(b).alias(f"k{b}") for b in range(bands)]
     sig = withb.groupBy("doc_id").agg(*aggs)
     entries = [
         F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
