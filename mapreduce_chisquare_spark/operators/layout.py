@@ -22,6 +22,8 @@ construction (both engines use 64-bit integer &, <<, >>).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +117,7 @@ def bucketed_table(
     if not spark.catalog.tableExists(name):
         if loc.exists():
             shutil.rmtree(loc)
+        fp = _fingerprint(df)
         (
             df.write.format("parquet")
             .mode("overwrite")
@@ -123,22 +126,47 @@ def bucketed_table(
             .sortBy(key)
             .saveAsTable(name)
         )
+        (loc / "_fingerprint.json").write_text(json.dumps(fp))
     return spark.table(name)
+
+
+def _fingerprint(df: DataFrame) -> dict:
+    """Content fingerprint of a DataFrame: schema JSON + row count +
+    an order-insensitive bit_xor of per-row xxhash64 over all columns.
+    Partition-parallel, one scan, no shuffle (partial xors combine);
+    two tables that differ in ANY row disagree on (count, xor) except
+    for engineered collisions — far stronger than the schema+count
+    check it extends."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(
+            F.xxhash64(*[F.col(c) for c in df.columns])
+        ).alias("x"),
+    ).collect()[0]
+    return {
+        "schema": df.schema.json(),
+        "count": row["n"],
+        "xor": row["x"] if row["x"] is not None else 0,
+    }
 
 
 def _table_matches(spark, name: str, df: DataFrame, loc) -> bool:
     """Reuse guard for bucketed_table: the catalog entry is only
-    trusted when its backing location still exists and the stored
-    schema + row count match the incoming df. Count on a parquet
-    table is a footer-stats aggregate, not a data scan — cheap
-    relative to the bucketed rewrite it avoids."""
+    trusted when its backing location still exists AND the fingerprint
+    sidecar written at save time matches the incoming df's fingerprint
+    (schema + count + content xor-hash — closing the reuse hole where
+    a name is re-bound to different data of the same shape). The
+    incoming-side fingerprint costs one scan of the SOURCE df — cheap
+    against the bucketed rewrite it can avoid; a location without a
+    sidecar (pre-fingerprint cache) is rebuilt once."""
     if not loc.exists():
         return False
     try:
-        t = spark.table(name)
-        if t.schema != df.schema:
+        side = loc / "_fingerprint.json"
+        if not side.exists():
             return False
-        return t.count() == df.count()
+        stored = json.loads(side.read_text())
+        return stored == _fingerprint(df)
     except Exception:
         return False
 

@@ -440,3 +440,58 @@ def test_lm_unigram_score_duplication_invariant(spark, corpus):
     }
     for i, score in base.items():
         assert abs(tripled[i] - score) < 1e-9, i
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_pandas_merge_asof(spark, left, right):
+    """asof_nearest's semantics CLAIM is pandas merge_asof
+    direction='nearest' — check it against pandas itself, not just the
+    python reference. Right sides are deduped to unique (key, ts)
+    first (pandas resolves duplicate-ts rows by frame order, which no
+    engine-side sort can reproduce; our max-payload tie rule for that
+    case is covered by the bruteforce test above)."""
+    import pandas as pd
+
+    from mapreduce_chisquare_spark.operators.asof import asof_nearest
+
+    uniq = {}
+    for k, t, p in right:
+        uniq[(k, t)] = max(uniq.get((k, t), -1), p)
+    r_rows = [(k, t, p) for (k, t), p in uniq.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts long",
+    )
+    rdf = (
+        spark.createDataFrame(r_rows, "k long, ts long, p long")
+        if r_rows
+        else spark.createDataFrame([], "k long, ts long, p long")
+    )
+    got = {
+        r.lid: (r.nearest_ts, r.nearest_p)
+        for r in asof_nearest(ldf, rdf, "k", "ts", "p").collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "p"]).sort_values(
+        "ts", kind="stable"
+    )
+    if rp.empty:
+        for i in got:
+            assert got[i] == (None, None)
+        return
+    m = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="nearest", suffixes=("", "_r")
+    )
+    # recover the matched right ts: |p -> (k, ts)| is not invertible,
+    # so rebuild from the reference rule pandas implements
+    for row in m.itertuples():
+        want_p = None if pd.isna(row.p) else int(row.p)
+        g, gp = got[row.lid]
+        assert gp == want_p, (row.lid, got[row.lid], want_p)
+        if want_p is not None:
+            # the matched ts must be a right ts for this key holding p
+            assert (row.k, g) in uniq and uniq[(row.k, g)] == want_p

@@ -193,3 +193,38 @@ def test_zorder_clustering_bounds_both_dimensions(spark, warehouse):
     # first dimension stays prunable too
     z_ok = file_ranges(zpath, "l_orderkey")
     assert all(b - a < 6001 for a, b in z_ok), z_ok  # sf0.001 keyspace
+
+
+def test_bucketed_table_reuse_is_content_fingerprinted(spark):
+    """Rebinding a bucketed-table name to DIFFERENT data of the same
+    schema and row count must trigger a rebuild — the fingerprint
+    sidecar (schema + count + content xor-hash) closes the reuse hole
+    the old schema+count guard left open — while byte-identical data
+    reuses the existing layout without a rewrite."""
+    import time
+
+    from mapreduce_chisquare_spark.operators.layout import bucketed_table
+    from mapreduce_chisquare_spark.sources.fixtures import _CACHE
+
+    name = "fp_guard_tbl"
+    loc = _CACHE / "bucketed" / name
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    b = spark.createDataFrame(  # same schema, same count, new data
+        [(1, "x"), (2, "y"), (3, "DIFFERENT")], "k long, v string"
+    )
+    try:
+        t1 = bucketed_table(a, name, "k")
+        assert {r.v for r in t1.collect()} == {"x", "y", "z"}
+        mtime1 = (loc / "_fingerprint.json").stat().st_mtime_ns
+        # identical data: reuse, no rewrite (sidecar untouched)
+        t1b = bucketed_table(a, name, "k")
+        assert (loc / "_fingerprint.json").stat().st_mtime_ns == mtime1
+        assert {r.v for r in t1b.collect()} == {"x", "y", "z"}
+        # same shape, different content: must rebuild and serve b
+        time.sleep(0.01)
+        t2 = bucketed_table(b, name, "k")
+        assert {r.v for r in t2.collect()} == {"x", "y", "DIFFERENT"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
