@@ -77,6 +77,10 @@ HEADLINE = [
     "events_funnel",
     "simsearch_ivfpq",
     "sample_weighted_per_source",
+    # round-5 additions (first measurement = their baseline)
+    "simsearch_ivfpq_nprobe2",
+    "dedup_spans",
+    "cross_doc_repetition",
 ]
 
 WARMUP = 1

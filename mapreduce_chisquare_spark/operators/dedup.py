@@ -465,3 +465,146 @@ def dedup_corpus_keep_best(
     )
     drop = ranked.filter(F.col("__rn") > 1).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-gram spans: the substring-granularity rung
+# of the dedup ladder. Document-level dedup (exact / MinHash above)
+# cannot see a boilerplate paragraph duplicated across thousands of
+# otherwise-distinct pages; span detection finds the exact token
+# ranges whose n-grams recur across documents — the signal behind
+# "deduplicating training data" substring dedup — as relational ops:
+# no suffix arrays, no per-node state, shapes that scale to 100 TB.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5  # tokens per matched window
+
+
+def ngram_positions(
+    docs: DataFrame, text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """(doc_id, start, end, gram): every n-token window with its
+    0-based token offsets (end exclusive). Map-side: tokenize once in
+    its own projection (interpreted HOFs get no CSE — the shingles
+    lesson above), then one explode carrying only the three scalars."""
+    base = docs.select("doc_id", _word_array(F.col(text_col)).alias("__arr"))
+    arr = F.col("__arr")
+    wins = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.struct(
+                i.alias("start"),
+                (i + n).alias("end"),
+                F.concat_ws(
+                    " ", *[F.element_at(arr, i + j + 1) for j in range(n)]
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<start:int,end:int,gram:string>>")
+    )
+    return base.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.start", "w.end", "w.gram"
+    )
+
+
+def _cross_doc_grams(grams: DataFrame) -> DataFrame:
+    """Grams occurring in >= 2 DISTINCT documents, as a 1-column
+    relation. min(doc_id) != max(doc_id) instead of countDistinct:
+    one map-side-combinable hash aggregate, no distinct expansion —
+    the shuffle carries (gram, 2 longs) partials only."""
+    return (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gram")
+    )
+
+
+def repeated_spans(
+    docs: DataFrame, text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """Merged token ranges covered by cross-document repeated n-grams:
+    (doc_id, span_start, span_end) with end exclusive — the "cut these
+    ranges" output of substring-level dedup.
+
+    Plan: one map-side window explode -> one hash agg on gram (the
+    min!=max cross-doc test) -> join positions back on gram (AQE
+    broadcasts when the repeated-gram relation is small; sort-merge at
+    scale) -> per-doc gaps-and-islands merge: overlapping/touching
+    [start, start+n) windows coalesce via a running max(end) window
+    and an island counter — two window functions over ONE (doc_id)
+    exchange, then the final tiny aggregate. All offsets are exact
+    ints; the DuckDB twin is line-for-line the same algebra."""
+    g = ngram_positions(docs, text_col, n)
+    hits = g.join(_cross_doc_grams(g), "gram").select(
+        "doc_id", "start", "end"
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "__ni",
+        F.when(
+            F.max("end").over(w_prev).isNull()
+            | (F.col("start") > F.max("end").over(w_prev)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("__isl", F.sum("__ni").over(w_run))
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def cross_doc_repetition(
+    docs: DataFrame, text_col: str = "text", n: int = SPAN_N
+) -> DataFrame:
+    """Per-document cross-corpus repetition metric:
+    (doc_id, n_grams, n_dup_grams, dup_gram_share) — the share of a
+    document's n-gram windows that also occur in ANOTHER document.
+    The curation-side companion of repeated_spans (filter on the
+    share, cut the spans); share is NULL for docs shorter than n
+    tokens in BOTH engines.
+
+    Same gram pipeline as repeated_spans; the per-doc totals are a
+    map-side count off the same explode, and the dup counts ride the
+    gram join's output partitioning into a doc_id aggregate."""
+    g = ngram_positions(docs, text_col, n)
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dup = (
+        g.join(_cross_doc_grams(g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(totals, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_gram_share",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+            ),
+        )
+    )

@@ -128,13 +128,15 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-6 window TODO: re-cert the 14 remaining r2-only entries
-# (sketch_countmin, sample_stratified, agg_approx_distinct_grouped,
-# agg_approx_percentile, case_when_bucket, multiway_join, join_salted,
-# agg_pivot, agg_cube, sample_hash, window_rank, window_ranking,
-# window_first_last, null_scalars), any queries ADDED during round 5,
-# then fill remaining slots with the oldest r3 rows (streaming,
-# multimodal, asof/range-join, sketches).
+# Round-6 window TODO: promote the round-5 tail additions (all local
+# oracle-green, never driver-certified): simsearch_ivfpq_nprobe2,
+# dedup_spans, cross_doc_repetition; re-cert the 14 remaining r2-only
+# entries (sketch_countmin, sample_stratified,
+# agg_approx_distinct_grouped, agg_approx_percentile, case_when_bucket,
+# multiway_join, join_salted, agg_pivot, agg_cube, sample_hash,
+# window_rank, window_ranking, window_first_last, null_scalars); then
+# fill remaining slots with the oldest r3 rows (streaming, multimodal,
+# asof/range-join, sketches).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

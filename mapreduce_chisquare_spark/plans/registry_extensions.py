@@ -2285,6 +2285,67 @@ SQL_IVFPQ = (
 )
 
 
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram spans: merged token ranges whose
+    5-gram windows recur in another document — substring-granularity
+    dedup output (operators/dedup.py repeated_spans)."""
+    return dd.repeated_spans(_docs(spark, sf_dir))
+
+
+def _span_gram_ctes(n: int) -> str:
+    """CTE pair (docsr, g): every n-gram window with 0-based token
+    offsets, mirroring operators/dedup.py ngram_positions (same
+    tokenizer as the shingle CTEs; s/e are start/end-exclusive)."""
+    gram = " || ' ' || ".join(f"arr[i+{j}]" if j else "arr[i]" for j in range(n))
+    return (
+        "docsr AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"lower(text), '{SQL_DELIM}'), x -> x <> '') AS arr FROM documents), "
+        f"g AS (SELECT doc_id, CAST(i - 1 AS INT) AS s, "
+        f"CAST(i - 1 + {n} AS INT) AS e, {gram} AS gram "
+        f"FROM docsr, UNNEST(range(1, len(arr) - {n - 2})) AS r(i))"
+    )
+
+
+SQL_DEDUP_SPANS = (
+    "WITH " + _span_gram_ctes(dd.SPAN_N) + ", "
+    "rep AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING min(doc_id) <> max(doc_id)), "
+    "h AS (SELECT g.doc_id, g.s, g.e FROM g JOIN rep USING (gram)), "
+    "f AS (SELECT doc_id, s, e, CASE WHEN max(e) OVER w IS NULL "
+    "OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni FROM h "
+    "WINDOW w AS (PARTITION BY doc_id ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "i AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id "
+    "ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl FROM f) "
+    "SELECT doc_id, CAST(min(s) AS INT) AS span_start, "
+    "CAST(max(e) AS INT) AS span_end FROM i GROUP BY doc_id, isl"
+)
+
+
+def cross_doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of n-gram windows that also occur in another
+    document (operators/dedup.py cross_doc_repetition)."""
+    return dd.cross_doc_repetition(_docs(spark, sf_dir))
+
+
+SQL_CROSS_DOC_REPETITION = (
+    "WITH " + _span_gram_ctes(dd.SPAN_N) + ", "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+    "FROM g GROUP BY doc_id), "
+    "rep AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING min(doc_id) <> max(doc_id)), "
+    "dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup "
+    "FROM g JOIN rep USING (gram) GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams, "
+    "CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+    "CASE WHEN coalesce(t.n_grams, 0) > 0 THEN "
+    "CAST(coalesce(p.n_dup, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) END "
+    "AS dup_gram_share "
+    "FROM documents d LEFT JOIN tot t USING (doc_id) "
+    "LEFT JOIN dup p USING (doc_id)"
+)
+
+
 def simsearch_ivfpq_nprobe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ with multi-probe (nprobe=2): each query's candidates come
     from its TWO nearest IVF cells — the recall knob real IVFPQ
@@ -2486,4 +2547,6 @@ EXTENSION_QUERIES = {
         SQL_SAMPLE_WEIGHTED_PER_SOURCE,
     ),
     "simsearch_ivfpq_nprobe2": (simsearch_ivfpq_nprobe2_q, SQL_IVFPQ_NPROBE2),
+    "dedup_spans": (dedup_spans_q, SQL_DEDUP_SPANS),
+    "cross_doc_repetition": (cross_doc_repetition_q, SQL_CROSS_DOC_REPETITION),
 }

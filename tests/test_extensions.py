@@ -1252,3 +1252,53 @@ def test_ann_ladder_recall_with_planted_ground_truth(spark):
         got1.setdefault(r.query_id, set()).add(r.vec_id)
     for q in in_cluster:
         assert len(truth[q] & got1[q]) / len(truth[q]) >= 0.8
+
+
+def test_repeated_spans_planted(spark):
+    """A 6-token run shared by docs 1 and 2 yields one merged span per
+    doc covering exactly the shared tokens (two overlapping 5-gram
+    windows coalesce); disjoint docs and docs shorter than n produce
+    no spans."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog entirely"),
+            (2, "something else but the quick brown fox jumps over too"),
+            (3, "totally unrelated text with no overlap whatsoever here"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.repeated_spans(docs, n=5).collect()
+    }
+    assert spans == {(1, 0, 6), (2, 3, 9)}
+    met = {r.doc_id: r for r in dd.cross_doc_repetition(docs, n=5).collect()}
+    assert (met[1].n_grams, met[1].n_dup_grams) == (6, 2)
+    assert met[1].dup_gram_share == pytest.approx(2 / 6)
+    assert met[3].n_dup_grams == 0 and met[3].dup_gram_share == 0.0
+    assert met[4].n_grams == 0 and met[4].dup_gram_share is None
+
+
+def test_repeated_spans_merges_disjoint_islands(spark):
+    """Two separate shared runs inside one doc stay two spans (the
+    gaps-and-islands merge only coalesces overlapping/touching
+    windows)."""
+    a = "alpha beta gamma delta epsilon zeta FILLER1 FILLER2 FILLER3 one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, a.lower()),
+            (2, "alpha beta gamma delta epsilon zeta unrelated tail words"),
+            (3, "prefix words here one two three four five six trailing"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.repeated_spans(docs, n=5).collect()
+    }
+    # doc 1: tokens 0-5 shared with doc 2, tokens 9-14 shared with doc 3
+    assert (1, 0, 6) in spans and (1, 9, 15) in spans
+    assert (2, 0, 6) in spans
+    assert (3, 3, 9) in spans
+    assert len([s for s in spans if s[0] == 1]) == 2
