@@ -81,6 +81,7 @@ HEADLINE = [
     "simsearch_ivfpq_nprobe2",
     "dedup_spans",
     "cross_doc_repetition",
+    "vocab_oov",
 ]
 
 WARMUP = 1

@@ -343,3 +343,80 @@ def tfidf(tokens_with_mult: DataFrame, n_docs_df: DataFrame) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+VOCAB_SIZE = 16
+
+
+def vocab_topv(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """The corpus vocabulary: top `vocab_size` terms by total
+    occurrence count, ties to the lexicographically smaller term.
+    (term, n_occurrences, vrank). One map-side-combined hash aggregate
+    on term; the top-V cut is a global TakeOrderedAndProject (V rows
+    per partition -> V rows on the driver side of the exchange), never
+    a full sort of the term relation."""
+    counts = (
+        docs.select(F.explode(_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(vocab_size)
+        .withColumn(
+            "vrank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+            )
+            .cast("int"),
+        )
+    )
+
+
+def vocab_oov(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-V vocabulary: (doc_id, n_tokens, n_oov, oov_rate) — the
+    classic tokenizer-fit / domain-shift signal (a doc whose tokens
+    miss the vocabulary is foreign to the corpus the tokenizer was
+    fitted on). oov_rate is NULL for empty docs in BOTH engines.
+
+    Shape: the vocabulary relation is V rows -> broadcast to the token
+    relation (left semi-style flag join, no shuffle of the corpus
+    side beyond the per-doc aggregate); the final window-free rollup
+    is one map-side-combinable aggregate on doc_id. The top-V limit
+    sort is the only global step and moves V rows."""
+    vocab = vocab_topv(docs, text_col, vocab_size).select(
+        "term", F.lit(1).alias("__in_v")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in_v").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ),
+        )
+    )

@@ -2285,6 +2285,49 @@ SQL_IVFPQ = (
 )
 
 
+def vocab_topv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-V vocabulary by occurrence count, ties to the
+    smaller term (operators/textstats.py vocab_topv)."""
+    return tx.vocab_topv(_docs(spark, sf_dir))
+
+
+_VOCAB_CTES = r"""
+toks AS (SELECT doc_id, u.term FROM documents,
+  UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS u(term)),
+vc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM toks GROUP BY term),
+v AS (SELECT term, n_occurrences,
+        CAST(row_number() OVER (ORDER BY n_occurrences DESC, term ASC)
+             AS INTEGER) AS vrank
+      FROM vc ORDER BY n_occurrences DESC, term ASC LIMIT {V})
+""".replace("{V}", str(tx.VOCAB_SIZE))
+
+SQL_VOCAB_TOPV = (
+    "WITH " + _VOCAB_CTES + " SELECT term, n_occurrences, vrank FROM v"
+)
+
+
+def vocab_oov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus's own top-V vocabulary
+    (operators/textstats.py vocab_oov)."""
+    return tx.vocab_oov(_docs(spark, sf_dir))
+
+
+SQL_VOCAB_OOV = (
+    "WITH " + _VOCAB_CTES + ", "
+    "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_oov FROM toks t LEFT JOIN v ON v.term = t.term "
+    "GROUP BY t.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov, "
+    "CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN "
+    "CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) END AS oov_rate "
+    "FROM documents d LEFT JOIN per p USING (doc_id)"
+)
+
+
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated n-gram spans: merged token ranges whose
     5-gram windows recur in another document — substring-granularity
@@ -2549,4 +2592,6 @@ EXTENSION_QUERIES = {
     "simsearch_ivfpq_nprobe2": (simsearch_ivfpq_nprobe2_q, SQL_IVFPQ_NPROBE2),
     "dedup_spans": (dedup_spans_q, SQL_DEDUP_SPANS),
     "cross_doc_repetition": (cross_doc_repetition_q, SQL_CROSS_DOC_REPETITION),
+    "vocab_topv": (vocab_topv_q, SQL_VOCAB_TOPV),
+    "vocab_oov": (vocab_oov_q, SQL_VOCAB_OOV),
 }

@@ -1302,3 +1302,29 @@ def test_repeated_spans_merges_disjoint_islands(spark):
     assert (2, 0, 6) in spans
     assert (3, 3, 9) in spans
     assert len([s for s in spans if s[0] == 1]) == 2
+
+
+def test_vocab_oov_planted(spark):
+    """Vocabulary = top-V terms by occurrence (ties to smaller term);
+    a doc of pure out-of-vocab terms rates 1.0, an all-vocab doc 0.0,
+    and the empty doc NULL."""
+    from mapreduce_chisquare_spark.operators import textstats as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),
+            (2, "aa bb cc cc"),
+            (3, "zz qq ww"),       # never-frequent terms
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = tx.vocab_topv(docs, vocab_size=3).collect()
+    # bb and cc tie at 3 occurrences -> smaller term (bb) ranks first
+    assert [(r.term, r.n_occurrences, r.vrank) for r in vocab] == [
+        ("aa", 4, 1), ("bb", 3, 2), ("cc", 3, 3),
+    ]
+    out = {r.doc_id: r for r in tx.vocab_oov(docs, vocab_size=3).collect()}
+    assert out[1].oov_rate == 0.0 and out[2].oov_rate == 0.0
+    assert out[3].oov_rate == 1.0 and out[3].n_oov == 3
+    assert out[4].n_tokens == 0 and out[4].oov_rate is None
