@@ -366,3 +366,31 @@ def test_asof_nearest_one_scan_one_exchange(spark, sf_dir):
     plan = plan_text(REGISTRY["asof_nearest"][0](spark, sf_dir), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_repeated_spans_plan_shape(spark, sf_dir):
+    """Span detection at scale: the gram cross-doc test is a plain
+    hash aggregate (no count-distinct Expand), the explode carries
+    scalars only (no token array replication through Generate), and no
+    Python touches the plan."""
+    df = REGISTRY["dedup_spans"][0](spark, sf_dir)
+    p = plan_text(df)
+    assert "Expand" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+    # the explode output list must not carry the token array
+    import re
+
+    gen = re.search(r"Generate .*", p)
+    assert gen and "__arr" not in gen.group(0).split("[", 1)[-1]
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The V-row vocabulary attaches to the token relation as a
+    broadcast join — the corpus side never shuffles for the lookup
+    (its only exchange is the per-doc rollup)."""
+    df = REGISTRY["vocab_oov"][0](spark, sf_dir)
+    p = plan_text(df)
+    assert "BroadcastHashJoin" in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p

@@ -495,3 +495,67 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, left, right):
         if want_p is not None:
             # the matched ts must be a right ts for this key holding p
             assert (row.k, g) in uniq and uniq[(row.k, g)] == want_p
+
+
+_span_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(corpus=_span_corpus)
+@settings(**_SETTINGS)
+def test_repeated_spans_match_bruteforce(spark, corpus):
+    """repeated_spans must equal the exhaustive reference: mark every
+    n-gram window whose gram occurs in a DIFFERENT document (intra-doc
+    repeats alone do not count), then merge overlapping/touching
+    windows per doc."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        cross_doc_repetition,
+        repeated_spans,
+    )
+
+    n = 3
+    docs_rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+
+    # python reference
+    grams = {}
+    windows = {}
+    for i, toks in enumerate(corpus):
+        windows[i] = []
+        for s in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[s : s + n])
+            windows[i].append((s, s + n, g))
+            grams.setdefault(g, set()).add(i)
+    cross = {g for g, ds in grams.items() if len(ds) >= 2}
+    want_spans = set()
+    want_dup = {}
+    for i in windows:
+        hits = sorted(
+            (s, e) for s, e, g in windows[i] if g in cross
+        )
+        want_dup[i] = len(hits)
+        cur = None
+        for s, e in hits:
+            if cur is None or s > cur[1]:
+                if cur:
+                    want_spans.add((i, cur[0], cur[1]))
+                cur = [s, e]
+            else:
+                cur[1] = max(cur[1], e)
+        if cur:
+            want_spans.add((i, cur[0], cur[1]))
+
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(docs, n=n).collect()
+    }
+    assert got_spans == want_spans
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in cross_doc_repetition(docs, n=n).collect()
+    }
+    for i, toks in enumerate(corpus):
+        assert got[i] == (len(windows[i]), want_dup[i]), (i, toks)
