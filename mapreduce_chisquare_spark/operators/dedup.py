@@ -580,20 +580,26 @@ def cross_doc_repetition(
     share, cut the spans); share is NULL for docs shorter than n
     tokens in BOTH engines.
 
-    Same gram pipeline as repeated_spans; the per-doc totals are a
-    map-side count off the same explode, and the dup counts ride the
-    gram join's output partitioning into a doc_id aggregate."""
+    Same gram pipeline as repeated_spans, but the totals and the dup
+    counts come from ONE doc_id aggregate over the flag-joined gram
+    relation (count + sum(flag)) — a left join against the repeated-
+    gram set instead of an inner-join branch plus a second totals
+    branch, so the gram lineage is computed twice (rep build + probe),
+    not three times. At 100 TB that is one fewer corpus scan and one
+    fewer doc_id exchange than the naive three-branch form."""
     g = ngram_positions(docs, text_col, n)
-    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    dup = (
-        g.join(_cross_doc_grams(g), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_grams"))
+    flagged = g.join(
+        _cross_doc_grams(g).withColumn("__rep", F.lit(1)), "gram", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("__rep").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
     )
     all_docs = docs.select("doc_id")
     return (
-        all_docs.join(totals, "doc_id", "left")
-        .join(dup, "doc_id", "left")
+        all_docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
