@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_spans",
     "cross_doc_repetition",
     "vocab_oov",
+    "decontaminate_spans",
 ]
 
 WARMUP = 1

@@ -75,6 +75,41 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_source: str = "src0",
+    n: int = DECONTAM_SHINGLE_N,
+) -> DataFrame:
+    """Surgical span-level decontamination: (doc_id, span_start,
+    span_end) — the merged token ranges in TRAINING documents (source
+    != eval_source) whose n-grams appear anywhere in the eval slice.
+    Where `decontaminate` flags whole documents for dropping, this
+    emits the exact ranges to CUT, keeping the rest of the document —
+    what modern pipelines do when a page quotes one benchmark question
+    amid pages of clean text.
+
+    Scale shape mirrors decontaminate: both sides shingle their OWN
+    source-filtered slice (predicate pushdown), the eval gram set is
+    a broadcast (a benchmark suite is MBs against a 100 TB corpus), so
+    the corpus pays one map-side hash-join pass; only the HIT relation
+    (matched windows, ≪ corpus) reaches the gaps-and-islands merge's
+    single doc_id exchange (dedup.merge_spans)."""
+    from .dedup import merge_spans, ngram_positions
+
+    eval_g = (
+        ngram_positions(docs.filter(F.col("source") == eval_source), n=n)
+        .select("gram")
+        .distinct()
+    )
+    train_g = ngram_positions(
+        docs.filter(F.col("source") != eval_source), n=n
+    )
+    hits = train_g.join(F.broadcast(eval_g), "gram").select(
+        "doc_id", "start", "end"
+    )
+    return merge_spans(hits)
+
+
 def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition/boilerplate metrics:
     (doc_id, n_tokens, dup_token_ratio, dup_3gram_ratio,

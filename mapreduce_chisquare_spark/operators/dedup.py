@@ -541,6 +541,15 @@ def repeated_spans(
     hits = g.join(_cross_doc_grams(g), "gram").select(
         "doc_id", "start", "end"
     )
+    return merge_spans(hits)
+
+
+def merge_spans(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands interval merge: coalesce overlapping/touching
+    (doc_id, start, end) windows into (doc_id, span_start, span_end).
+    Two window functions over ONE doc_id exchange of the hit relation,
+    then a tiny aggregate — shared by repeated_spans and the span-
+    level decontamination screen (curation.decontaminate_spans)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("start")

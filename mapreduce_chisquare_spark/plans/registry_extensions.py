@@ -2365,6 +2365,45 @@ SQL_DEDUP_SPANS = (
 )
 
 
+def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: token ranges in training docs whose
+    5-grams appear in the src0 eval slice
+    (operators/curation.py decontaminate_spans)."""
+    return cu.decontaminate_spans(_docs(spark, sf_dir))
+
+
+_SPAN_ISLANDS_SQL = (
+    "f AS (SELECT doc_id, s, e, CASE WHEN max(e) OVER w IS NULL "
+    "OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni FROM h "
+    "WINDOW w AS (PARTITION BY doc_id ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "i AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id "
+    "ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl FROM f) "
+    "SELECT doc_id, CAST(min(s) AS INT) AS span_start, "
+    "CAST(max(e) AS INT) AS span_end FROM i GROUP BY doc_id, isl"
+)
+
+
+def _decontam_span_sql(n: int, eval_source: str) -> str:
+    gram = " || ' ' || ".join(
+        f"arr[i+{j}]" if j else "arr[i]" for j in range(n)
+    )
+    return (
+        "WITH docsr AS (SELECT doc_id, source, "
+        "list_filter(regexp_split_to_array(lower(text), "
+        f"'{SQL_DELIM}'), x -> x <> '') AS arr FROM documents), "
+        f"g AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS s, "
+        f"CAST(i - 1 + {n} AS INT) AS e, {gram} AS gram "
+        f"FROM docsr, UNNEST(range(1, len(arr) - {n - 2})) AS r(i)), "
+        f"ev AS (SELECT DISTINCT gram FROM g WHERE source = '{eval_source}'), "
+        "h AS (SELECT g.doc_id, g.s, g.e FROM g JOIN ev USING (gram) "
+        f"WHERE g.source <> '{eval_source}'), " + _SPAN_ISLANDS_SQL
+    )
+
+
+SQL_DECONTAMINATE_SPANS = _decontam_span_sql(cu.DECONTAM_SHINGLE_N, "src0")
+
+
 def cross_doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc share of n-gram windows that also occur in another
     document (operators/dedup.py cross_doc_repetition)."""
@@ -2594,4 +2633,5 @@ EXTENSION_QUERIES = {
     "cross_doc_repetition": (cross_doc_repetition_q, SQL_CROSS_DOC_REPETITION),
     "vocab_topv": (vocab_topv_q, SQL_VOCAB_TOPV),
     "vocab_oov": (vocab_oov_q, SQL_VOCAB_OOV),
+    "decontaminate_spans": (decontaminate_spans_q, SQL_DECONTAMINATE_SPANS),
 }

@@ -1328,3 +1328,31 @@ def test_vocab_oov_planted(spark):
     assert out[1].oov_rate == 0.0 and out[2].oov_rate == 0.0
     assert out[3].oov_rate == 1.0 and out[3].n_oov == 3
     assert out[4].n_tokens == 0 and out[4].oov_rate is None
+
+
+def test_decontaminate_spans_planted(spark):
+    """The eval doc's 5-gram inside a training doc is emitted as the
+    exact token range to cut; clean training docs and eval docs
+    themselves produce no spans."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    rows = [
+        # eval doc (src0) holding the benchmark question
+        (1, "what is the capital of france", "src0"),
+        # training doc quoting it mid-text (tokens 2-7)
+        (2, "intro words what is the capital of france then clean tail",
+         "web"),
+        # clean training doc
+        (3, "completely unrelated training text with no overlap at all",
+         "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in decontaminate_spans(docs).collect()
+    }
+    # "what is the capital of france" = 6 tokens at offsets 2..8 ->
+    # two overlapping 5-gram hits merge to [2, 8)
+    assert spans == {(2, 2, 8)}
