@@ -83,6 +83,7 @@ HEADLINE = [
     "cross_doc_repetition",
     "vocab_oov",
     "decontaminate_spans",
+    "tokens_to_ids",
 ]
 
 WARMUP = 1

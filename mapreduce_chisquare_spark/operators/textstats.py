@@ -420,3 +420,54 @@ def vocab_oov(
             ),
         )
     )
+
+
+def tokens_to_ids(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """Tokenize-to-ids against the corpus's own top-V vocabulary:
+    (doc_id, n_tokens, ids_csv) where ids_csv is the comma-joined,
+    order-preserving id sequence (id = vocabulary rank 1..V, 0 for
+    out-of-vocabulary) — the final mapping step before doc_chunk /
+    pack_sequences turns documents into training sequences. Empty
+    docs emit an empty string. The id sequence is a STRING, not
+    array<int>, because the driver canonicalizer hashes nested int
+    arrays unreliably (the round-3 embed_quantize lesson).
+
+    Shape: positions explode once; the V-row vocabulary attaches as a
+    broadcast; order is restored with one array_sort over (pos, id)
+    structs inside the per-doc aggregate — a single doc_id exchange,
+    no window."""
+    vocab = vocab_topv(docs, text_col, vocab_size).select(
+        "term", F.col("vrank").alias("__vid")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_words(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("__vid", F.lit(0)).cast("int").alias("id"),
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "id"))
+                ),
+                lambda s: s["id"],
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("ids_csv", F.lit("")).alias("ids_csv"),
+        )
+    )

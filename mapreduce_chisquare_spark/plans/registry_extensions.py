@@ -2328,6 +2328,35 @@ SQL_VOCAB_OOV = (
 )
 
 
+def tokens_to_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving token->vocab-id mapping (OOV -> 0), ids as a
+    CSV string (operators/textstats.py tokens_to_ids)."""
+    return tx.tokens_to_ids(_docs(spark, sf_dir))
+
+
+SQL_TOKENS_TO_IDS = r"""
+WITH docsr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '') AS arr FROM documents),
+toks AS (SELECT doc_id, arr[i] AS term, i AS pos
+         FROM docsr, UNNEST(range(1, len(arr) + 1)) AS r(i)),
+vc AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY term),
+v AS (SELECT term,
+        CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+          AS vid
+      FROM vc ORDER BY n DESC, term ASC LIMIT {V}),
+j AS (SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
+      FROM toks t LEFT JOIN v USING (term)),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  coalesce(p.ids_csv, '') AS ids_csv
+FROM documents d LEFT JOIN per p USING (doc_id)
+""".replace("{V}", str(tx.VOCAB_SIZE))
+
+
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated n-gram spans: merged token ranges whose
     5-gram windows recur in another document — substring-granularity
@@ -2634,4 +2663,5 @@ EXTENSION_QUERIES = {
     "vocab_topv": (vocab_topv_q, SQL_VOCAB_TOPV),
     "vocab_oov": (vocab_oov_q, SQL_VOCAB_OOV),
     "decontaminate_spans": (decontaminate_spans_q, SQL_DECONTAMINATE_SPANS),
+    "tokens_to_ids": (tokens_to_ids_q, SQL_TOKENS_TO_IDS),
 }

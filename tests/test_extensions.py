@@ -1356,3 +1356,20 @@ def test_decontaminate_spans_planted(spark):
     # "what is the capital of france" = 6 tokens at offsets 2..8 ->
     # two overlapping 5-gram hits merge to [2, 8)
     assert spans == {(2, 2, 8)}
+
+
+def test_tokens_to_ids_planted(spark):
+    """Id sequence preserves token order, maps OOV to 0, and empty
+    docs emit empty strings; ids are the vocabulary ranks."""
+    from mapreduce_chisquare_spark.operators import textstats as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb zz aa"), (2, ""), (3, "zz qq")],
+        "doc_id long, text string",
+    )
+    # corpus counts: aa=2, zz=2, bb=1, qq=1 -> vocab(2) = [aa, zz]
+    out = {r.doc_id: r for r in
+           tx.tokens_to_ids(docs, vocab_size=2).collect()}
+    assert (out[1].n_tokens, out[1].ids_csv) == (4, "1,0,2,1")
+    assert (out[2].n_tokens, out[2].ids_csv) == (0, "")
+    assert (out[3].n_tokens, out[3].ids_csv) == (2, "2,0")
