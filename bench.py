@@ -84,6 +84,7 @@ HEADLINE = [
     "vocab_oov",
     "decontaminate_spans",
     "tokens_to_ids",
+    "corpus_cut_spans",
 ]
 
 WARMUP = 1

@@ -623,3 +623,61 @@ def cross_doc_repetition(
             ),
         )
     )
+
+
+def cut_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply a span relation (doc_id, span_start, span_end — token
+    offsets, end exclusive) to the corpus: (doc_id, clean_text,
+    n_tokens_kept, n_tokens_cut) with the covered tokens removed and
+    the survivors rejoined with single spaces (whitespace is
+    normalized — the standard trade of token-level surgery). Empty and
+    span-free documents pass through with n_tokens_cut = 0.
+
+    Shape: tokens explode with 0-based positions (matching
+    ngram_positions offsets); the span test is an equi-join on doc_id
+    with the range predicate inside it — spans per doc are few, so the
+    join output stays token-sized; the rebuild is ONE doc aggregate
+    with an in-agg position sort (no window). With repeated_spans /
+    decontaminate_spans as input this is the complete substring-dedup
+    rewrite: detect -> merge -> cut, all relational."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_word_array(F.col(text_col))).alias("pos", "tok"),
+    )
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") < F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").alias("__n_all"))
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (
+                F.coalesce("__n_all", F.lit(0))
+                - F.coalesce("n_tokens_kept", F.lit(0))
+            ).alias("n_tokens_cut"),
+        )
+    )

@@ -2433,6 +2433,46 @@ def _decontam_span_sql(n: int, eval_source: str) -> str:
 SQL_DECONTAMINATE_SPANS = _decontam_span_sql(cu.DECONTAM_SHINGLE_N, "src0")
 
 
+def corpus_cut_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full substring-dedup rewrite: detect cross-document
+    repeated 5-gram spans, merge them, and CUT them out of the corpus
+    text (operators/dedup.py repeated_spans + cut_spans)."""
+    d = _docs(spark, sf_dir)
+    return dd.cut_spans(d, dd.repeated_spans(d))
+
+
+SQL_CORPUS_CUT_SPANS = (
+    "WITH " + _span_gram_ctes(dd.SPAN_N) + ", "
+    "rep AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING min(doc_id) <> max(doc_id)), "
+    "h AS (SELECT g.doc_id, g.s, g.e FROM g JOIN rep USING (gram)), "
+    "f AS (SELECT doc_id, s, e, CASE WHEN max(e) OVER w IS NULL "
+    "OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni FROM h "
+    "WINDOW w AS (PARTITION BY doc_id ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "isl AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id "
+    "ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM f), "
+    "sp AS (SELECT doc_id, CAST(min(s) AS INT) AS span_start, "
+    "CAST(max(e) AS INT) AS span_end FROM isl GROUP BY doc_id, grp), "
+    "tk AS (SELECT doc_id, arr[i] AS tok, CAST(i - 1 AS INT) AS pos "
+    "FROM docsr, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+    "kept AS (SELECT t.doc_id, t.tok, t.pos FROM tk t "
+    "WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id "
+    "AND t.pos >= sp.span_start AND t.pos < sp.span_end)), "
+    "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept, "
+    "array_to_string(list(tok ORDER BY pos), ' ') AS clean_text "
+    "FROM kept GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all "
+    "FROM tk GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text, "
+    "CAST(coalesce(rb.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept, "
+    "CAST(coalesce(tot.n_all, 0) - coalesce(rb.n_tokens_kept, 0) "
+    "AS BIGINT) AS n_tokens_cut "
+    "FROM documents d LEFT JOIN rb USING (doc_id) "
+    "LEFT JOIN tot USING (doc_id)"
+)
+
+
 def cross_doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc share of n-gram windows that also occur in another
     document (operators/dedup.py cross_doc_repetition)."""
@@ -2664,4 +2704,5 @@ EXTENSION_QUERIES = {
     "vocab_oov": (vocab_oov_q, SQL_VOCAB_OOV),
     "decontaminate_spans": (decontaminate_spans_q, SQL_DECONTAMINATE_SPANS),
     "tokens_to_ids": (tokens_to_ids_q, SQL_TOKENS_TO_IDS),
+    "corpus_cut_spans": (corpus_cut_spans_q, SQL_CORPUS_CUT_SPANS),
 }

@@ -1373,3 +1373,26 @@ def test_tokens_to_ids_planted(spark):
     assert (out[1].n_tokens, out[1].ids_csv) == (4, "1,0,2,1")
     assert (out[2].n_tokens, out[2].ids_csv) == (0, "")
     assert (out[3].n_tokens, out[3].ids_csv) == (2, "2,0")
+
+
+def test_cut_spans_rewrites_corpus(spark):
+    """detect -> merge -> cut end to end: the shared 6-token run is
+    removed from both docs, survivors keep their relative order, and
+    clean/empty docs pass through untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog entirely"),
+            (2, "something else but the quick brown fox jumps over too"),
+            (3, "clean doc stays whole"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dd.cut_spans(docs, dd.repeated_spans(docs, n=5)).collect()}
+    assert out[1].clean_text == "the lazy dog entirely"
+    assert (out[1].n_tokens_kept, out[1].n_tokens_cut) == (4, 6)
+    assert out[2].clean_text == "something else but too"
+    assert out[3].clean_text == "clean doc stays whole"
+    assert out[3].n_tokens_cut == 0
+    assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
