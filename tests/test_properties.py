@@ -559,3 +559,39 @@ def test_repeated_spans_match_bruteforce(spark, corpus):
     }
     for i, toks in enumerate(corpus):
         assert got[i] == (len(windows[i]), want_dup[i]), (i, toks)
+
+
+@given(corpus=_span_corpus)
+@settings(**_SETTINGS)
+def test_cut_spans_matches_bruteforce(spark, corpus):
+    """cut_spans(docs, repeated_spans(docs)) must equal the python
+    reference: remove every token covered by a cross-doc repeated
+    window, rejoin survivors in order with single spaces."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        cut_spans,
+        repeated_spans,
+    )
+
+    n = 3
+    docs_rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+
+    grams = {}
+    for i, toks in enumerate(corpus):
+        for s in range(max(len(toks) - n + 1, 0)):
+            grams.setdefault(" ".join(toks[s : s + n]), set()).add(i)
+    cross = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = {}
+    for i, toks in enumerate(corpus):
+        covered = set()
+        for s in range(max(len(toks) - n + 1, 0)):
+            if " ".join(toks[s : s + n]) in cross:
+                covered.update(range(s, s + n))
+        keep = [t for p, t in enumerate(toks) if p not in covered]
+        want[i] = (" ".join(keep), len(keep), len(toks) - len(keep))
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_cut)
+        for r in cut_spans(docs, repeated_spans(docs, n=n)).collect()
+    }
+    assert got == want
