@@ -85,6 +85,7 @@ HEADLINE = [
     "decontaminate_spans",
     "tokens_to_ids",
     "corpus_cut_spans",
+    "select_token_budget",
 ]
 
 WARMUP = 1

@@ -452,3 +452,81 @@ def sample_weighted_per_group(
         .withColumn("pos", F.row_number().over(win).cast("long"))
         .filter(F.col("pos") <= k)
     )
+
+
+def select_token_budget(
+    docs: DataFrame, budget: int, text_col: str = "text"
+) -> DataFrame:
+    """Cut the corpus to a token budget in priority order: select
+    documents in (n_chars DESC, doc_id ASC) order while the running
+    token total BEFORE each document is < budget — "give me the best
+    ~budget tokens" (budget >= 1 always selects at least one
+    non-empty document when one exists). Returns (doc_id, n_chars, n_tokens) for
+    the selected set.
+
+    Scale shape — the naive form is a GLOBAL running-sum window
+    (single partition, the classic 100 TB non-starter). This is the
+    two-level exact equivalent:
+      1. aggregate tokens per n_chars BUCKET (one map-side-combined
+         hash agg; distinct n_chars values are bounded and tiny
+         relative to the corpus),
+      2. cumulative-sum over the BUCKET relation (a window over
+         thousands of rows, not billions),
+      3. buckets strictly inside the budget select wholesale
+         (map-side filter against two broadcast scalars); only the
+         single BOUNDARY bucket runs a per-doc running sum, and that
+         window is partitioned by the bucket key over that bucket's
+         rows alone.
+    Selection is identical to the global window by construction —
+    the order within a bucket (doc_id ASC) and across buckets
+    (n_chars DESC) compose to the same total order the oracle's
+    single window uses. Zero-token documents are excluded from the
+    selection domain (with n_tokens >= 1, "bucket cum_through <=
+    budget" is exactly "every member's before-total < budget", so
+    wholesale selection and the per-doc rule agree; a zero-token doc
+    sitting where the running total equals the budget would split
+    the engines on a boundary tie)."""
+    nt = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda t: t != "",
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    d = docs.select("doc_id", "n_chars", nt.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    buckets = d.groupBy("n_chars").agg(F.sum("n_tokens").alias("bt"))
+    w_b = (
+        Window.orderBy(F.desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bstat = buckets.withColumn(
+        "cum_through", F.sum("bt").over(w_b)
+    ).withColumn("cum_before", F.col("cum_through") - F.col("bt"))
+    inner = bstat.filter(F.col("cum_through") <= budget).select("n_chars")
+    boundary = bstat.filter(
+        (F.col("cum_before") < budget) & (F.col("cum_through") > budget)
+    ).select("n_chars", "cum_before")
+    whole = d.join(F.broadcast(inner), "n_chars").select(
+        "doc_id", "n_chars", "n_tokens"
+    )
+    w_doc = (
+        Window.partitionBy("n_chars")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    edge = (
+        d.join(F.broadcast(boundary), "n_chars")
+        .withColumn(
+            "__before",
+            F.col("cum_before")
+            + F.sum("n_tokens").over(w_doc)
+            - F.col("n_tokens"),
+        )
+        .filter(F.col("__before") < budget)
+        .select("doc_id", "n_chars", "n_tokens")
+    )
+    return whole.unionByName(edge)

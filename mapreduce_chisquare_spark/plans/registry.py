@@ -131,7 +131,8 @@ _CERTIFY_WINDOW = [
 # Round-6 window TODO: promote the round-5 tail additions (all local
 # oracle-green, never driver-certified): simsearch_ivfpq_nprobe2,
 # dedup_spans, cross_doc_repetition, vocab_topv, vocab_oov,
-# decontaminate_spans, tokens_to_ids, corpus_cut_spans; re-cert
+# decontaminate_spans, tokens_to_ids, corpus_cut_spans,
+# select_token_budget; re-cert
 # the 14 remaining r2-only
 # entries (sketch_countmin, sample_stratified,
 # agg_approx_distinct_grouped, agg_approx_percentile, case_when_bucket,

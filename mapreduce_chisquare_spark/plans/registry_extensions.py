@@ -2433,6 +2433,32 @@ def _decontam_span_sql(n: int, eval_source: str) -> str:
 SQL_DECONTAMINATE_SPANS = _decontam_span_sql(cu.DECONTAM_SHINGLE_N, "src0")
 
 
+TOKEN_BUDGET = 2000
+
+
+def select_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut the corpus to a token budget in (n_chars DESC, doc_id ASC)
+    priority order via the two-level bucket cumsum — no global
+    single-partition window (operators/curation.py
+    select_token_budget)."""
+    return cu.select_token_budget(_docs(spark, sf_dir), TOKEN_BUDGET)
+
+
+SQL_SELECT_TOKEN_BUDGET = r"""
+WITH d AS (SELECT doc_id, n_chars,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+dd AS (SELECT * FROM d WHERE n_tokens > 0),
+r AS (SELECT doc_id, n_chars, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens AS bef
+      FROM dd)
+SELECT doc_id, n_chars, n_tokens FROM r WHERE bef < {B}
+""".replace("{B}", "2000")
+
+
 def corpus_cut_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full substring-dedup rewrite: detect cross-document
     repeated 5-gram spans, merge them, and CUT them out of the corpus
@@ -2705,4 +2731,5 @@ EXTENSION_QUERIES = {
     "decontaminate_spans": (decontaminate_spans_q, SQL_DECONTAMINATE_SPANS),
     "tokens_to_ids": (tokens_to_ids_q, SQL_TOKENS_TO_IDS),
     "corpus_cut_spans": (corpus_cut_spans_q, SQL_CORPUS_CUT_SPANS),
+    "select_token_budget": (select_token_budget_q, SQL_SELECT_TOKEN_BUDGET),
 }

@@ -1396,3 +1396,35 @@ def test_cut_spans_rewrites_corpus(spark):
     assert out[3].clean_text == "clean doc stays whole"
     assert out[3].n_tokens_cut == 0
     assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
+
+
+def test_select_token_budget_planted(spark):
+    """Budget selection follows (n_chars DESC, doc_id ASC) with the
+    before-total rule: whole high-priority buckets select wholesale,
+    the boundary bucket splits per doc, zero-token docs never select,
+    and budget >= 1 always admits the first doc."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    rows = [
+        (1, "a b c d e", 50),       # 5 tokens, top bucket
+        (2, "a b c d e", 50),       # 5 tokens, same bucket
+        (3, "a b c", 30),           # 3 tokens
+        (4, "a b", 30),             # 2 tokens, same bucket, later id
+        (5, "", 0),                 # zero tokens: never selected
+        (6, "a", 10),               # 1 token, last bucket
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, c) for i, t, c in rows],
+        "doc_id long, text string, n_chars long",
+    )
+    pick = lambda b: {  # noqa: E731
+        r.doc_id for r in select_token_budget(docs, b).collect()
+    }
+    # order: 1(5) 2(5) 3(3) 4(2) 6(1); before: 0 5 10 13 15
+    assert pick(1) == {1}
+    assert pick(5) == {1}            # before(2)=5 not < 5
+    assert pick(11) == {1, 2, 3}     # boundary bucket 30 splits: 4 has before 13
+    assert pick(14) == {1, 2, 3, 4}
+    assert pick(100) == {1, 2, 3, 4, 6}
