@@ -595,3 +595,43 @@ def test_cut_spans_matches_bruteforce(spark, corpus):
         for r in cut_spans(docs, repeated_spans(docs, n=n)).collect()
     }
     assert got == want
+
+
+_budget_docs = st.lists(
+    st.tuples(
+        st.integers(0, 4),            # tokens in doc (0 = empty)
+        st.sampled_from([0, 10, 30, 50]),  # n_chars bucket
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(rows=_budget_docs, budget=st.integers(1, 30))
+@settings(**_SETTINGS)
+def test_select_token_budget_matches_global_window(spark, rows, budget):
+    """The two-level bucket-cumsum implementation must select exactly
+    the docs the naive global running-sum rule selects (before-total
+    < budget over (n_chars DESC, doc_id ASC), zero-token docs out)."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * nt), nc)
+            for i, (nt, nc) in enumerate(rows)
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id for r in select_token_budget(docs, budget).collect()}
+    ordered = sorted(
+        [(i, nt, nc) for i, (nt, nc) in enumerate(rows) if nt > 0],
+        key=lambda x: (-x[2], x[0]),
+    )
+    want, run = set(), 0
+    for i, nt, _ in ordered:
+        if run < budget:
+            want.add(i)
+        run += nt
+    assert got == want, (rows, budget, got, want)
