@@ -472,11 +472,11 @@ def select_token_budget(
          relative to the corpus),
       2. cumulative-sum over the BUCKET relation (a window over
          thousands of rows, not billions),
-      3. buckets strictly inside the budget select wholesale
-         (map-side filter against two broadcast scalars); only the
-         single BOUNDARY bucket runs a per-doc running sum, and that
-         window is partitioned by the bucket key over that bucket's
-         rows alone.
+      3. buckets strictly inside the budget select wholesale via a
+         literal IN-set that pushes down to the parquet scan; only
+         the single BOUNDARY bucket runs a per-doc running sum, and
+         that window is partitioned by the bucket key over that
+         bucket's rows alone (final plan: 1 exchange).
     Selection is identical to the global window by construction —
     the order within a bucket (doc_id ASC) and across buckets
     (n_chars DESC) compose to the same total order the oracle's
@@ -506,27 +506,48 @@ def select_token_budget(
     bstat = buckets.withColumn(
         "cum_through", F.sum("bt").over(w_b)
     ).withColumn("cum_before", F.col("cum_through") - F.col("bt"))
-    inner = bstat.filter(F.col("cum_through") <= budget).select("n_chars")
-    boundary = bstat.filter(
-        (F.col("cum_before") < budget) & (F.col("cum_through") > budget)
-    ).select("n_chars", "cum_before")
-    whole = d.join(F.broadcast(inner), "n_chars").select(
-        "doc_id", "n_chars", "n_tokens"
-    )
-    w_doc = (
-        Window.partitionBy("n_chars")
-        .orderBy(F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    edge = (
-        d.join(F.broadcast(boundary), "n_chars")
-        .withColumn(
-            "__before",
-            F.col("cum_before")
-            + F.sum("n_tokens").over(w_doc)
-            - F.col("n_tokens"),
+    # BOUNDED collect: one row per distinct n_chars value (<= max doc
+    # length, data-independent of corpus row count — same class as the
+    # centroid/Bloom collects). Joining the threshold relations as
+    # DataFrames instead re-derives this corpus-scan lineage once per
+    # consumer: the first form planned EIGHT parquet scans; literals
+    # cut the final plan to the two branch scans (+ this one).
+    stats = bstat.collect()
+    inner_vals = [r["n_chars"] for r in stats if r["cum_through"] <= budget]
+    brows = [
+        (r["n_chars"], r["cum_before"])
+        for r in stats
+        if r["cum_before"] < budget and r["cum_through"] > budget
+    ]
+    parts = []
+    if inner_vals:
+        # literal IN-set pushes down to the parquet scan
+        parts.append(
+            d.filter(F.col("n_chars").isin(inner_vals)).select(
+                "doc_id", "n_chars", "n_tokens"
+            )
         )
-        .filter(F.col("__before") < budget)
-        .select("doc_id", "n_chars", "n_tokens")
-    )
-    return whole.unionByName(edge)
+    if brows:
+        nc_b, cum_b = brows[0]
+        w_doc = (
+            Window.partitionBy("n_chars")
+            .orderBy(F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        parts.append(
+            d.filter(F.col("n_chars") == nc_b)
+            .withColumn(
+                "__before",
+                F.lit(cum_b)
+                + F.sum("n_tokens").over(w_doc)
+                - F.col("n_tokens"),
+            )
+            .filter(F.col("__before") < budget)
+            .select("doc_id", "n_chars", "n_tokens")
+        )
+    if not parts:
+        return d.filter(F.lit(False))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
