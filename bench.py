@@ -86,6 +86,7 @@ HEADLINE = [
     "tokens_to_ids",
     "corpus_cut_spans",
     "select_token_budget",
+    "pipeline_span_surgery",
 ]
 
 WARMUP = 1

@@ -132,7 +132,7 @@ _CERTIFY_WINDOW = [
 # oracle-green, never driver-certified): simsearch_ivfpq_nprobe2,
 # dedup_spans, cross_doc_repetition, vocab_topv, vocab_oov,
 # decontaminate_spans, tokens_to_ids, corpus_cut_spans,
-# select_token_budget; re-cert
+# select_token_budget, pipeline_span_surgery; re-cert
 # the 14 remaining r2-only
 # entries (sketch_countmin, sample_stratified,
 # agg_approx_distinct_grouped, agg_approx_percentile, case_when_bucket,

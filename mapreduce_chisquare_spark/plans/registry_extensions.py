@@ -2499,6 +2499,90 @@ SQL_CORPUS_CUT_SPANS = (
 )
 
 
+def pipeline_span_surgery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical corpus assembly in ONE plan: cross-document repeated
+    5-gram hits WITHIN the training slice and eval-contamination hits
+    AGAINST the src0 slice feed a single gaps-and-islands merge, the
+    combined spans are cut out of the text, and docs keeping < 5
+    tokens drop. The two detectors share one training-gram relation
+    (one explode); eval grams broadcast; only hit rows reach the
+    merge; the rebuild is one doc aggregate. Returns (doc_id,
+    clean_text, n_tokens_kept, n_tokens_cut) for surviving training
+    docs."""
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("source") != "src0")
+    g_train = dd.ngram_positions(train)
+    eval_g = (
+        dd.ngram_positions(d.filter(F.col("source") == "src0"))
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        g_train.join(dd._cross_doc_grams(g_train), "gram")
+        .select("doc_id", "start", "end")
+        .unionByName(
+            g_train.join(F.broadcast(eval_g), "gram").select(
+                "doc_id", "start", "end"
+            )
+        )
+    )
+    spans = dd.merge_spans(hits)
+    return dd.cut_spans(train, spans).filter(F.col("n_tokens_kept") >= 5)
+
+
+SQL_PIPELINE_SPAN_SURGERY = (
+    "WITH docsr AS (SELECT doc_id, source, "
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{SQL_DELIM}'), x -> x <> '') AS arr FROM documents), "
+    "gt AS (SELECT doc_id, CAST(i - 1 AS INT) AS s, "
+    f"CAST(i - 1 + {dd.SPAN_N} AS INT) AS e, "
+    + " || ' ' || ".join(
+        f"arr[i+{j}]" if j else "arr[i]" for j in range(dd.SPAN_N)
+    )
+    + " AS gram FROM docsr, "
+    f"UNNEST(range(1, len(arr) - {dd.SPAN_N - 2})) AS r(i) "
+    "WHERE source <> 'src0'), "
+    "ev AS (SELECT DISTINCT "
+    + " || ' ' || ".join(
+        f"arr[i+{j}]" if j else "arr[i]" for j in range(dd.SPAN_N)
+    )
+    + " AS gram FROM docsr, "
+    f"UNNEST(range(1, len(arr) - {dd.SPAN_N - 2})) AS r(i) "
+    "WHERE source = 'src0'), "
+    "rep AS (SELECT gram FROM gt GROUP BY gram "
+    "HAVING min(doc_id) <> max(doc_id)), "
+    "h AS (SELECT gt.doc_id, gt.s, gt.e FROM gt JOIN rep USING (gram) "
+    "UNION ALL "
+    "SELECT gt.doc_id, gt.s, gt.e FROM gt JOIN ev USING (gram)), "
+    "f AS (SELECT doc_id, s, e, CASE WHEN max(e) OVER w IS NULL "
+    "OR s > max(e) OVER w THEN 1 ELSE 0 END AS ni FROM h "
+    "WINDOW w AS (PARTITION BY doc_id ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "isl AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id "
+    "ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM f), "
+    "sp AS (SELECT doc_id, CAST(min(s) AS INT) AS span_start, "
+    "CAST(max(e) AS INT) AS span_end FROM isl GROUP BY doc_id, grp), "
+    "tk AS (SELECT doc_id, arr[i] AS tok, CAST(i - 1 AS INT) AS pos "
+    "FROM docsr, UNNEST(range(1, len(arr) + 1)) AS r(i) "
+    "WHERE source <> 'src0'), "
+    "kept AS (SELECT t.doc_id, t.tok, t.pos FROM tk t "
+    "WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id "
+    "AND t.pos >= sp.span_start AND t.pos < sp.span_end)), "
+    "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept, "
+    "array_to_string(list(tok ORDER BY pos), ' ') AS clean_text "
+    "FROM kept GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all "
+    "FROM tk GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text, "
+    "CAST(coalesce(rb.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept, "
+    "CAST(coalesce(tot.n_all, 0) - coalesce(rb.n_tokens_kept, 0) "
+    "AS BIGINT) AS n_tokens_cut "
+    "FROM documents d LEFT JOIN rb USING (doc_id) "
+    "LEFT JOIN tot USING (doc_id) "
+    "WHERE d.source <> 'src0' AND coalesce(rb.n_tokens_kept, 0) >= 5"
+)
+
+
 def cross_doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc share of n-gram windows that also occur in another
     document (operators/dedup.py cross_doc_repetition)."""
@@ -2732,4 +2816,5 @@ EXTENSION_QUERIES = {
     "tokens_to_ids": (tokens_to_ids_q, SQL_TOKENS_TO_IDS),
     "corpus_cut_spans": (corpus_cut_spans_q, SQL_CORPUS_CUT_SPANS),
     "select_token_budget": (select_token_budget_q, SQL_SELECT_TOKEN_BUDGET),
+    "pipeline_span_surgery": (pipeline_span_surgery_q, SQL_PIPELINE_SPAN_SURGERY),
 }

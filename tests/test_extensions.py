@@ -1428,3 +1428,49 @@ def test_select_token_budget_planted(spark):
     assert pick(11) == {1, 2, 3}     # boundary bucket 30 splits: 4 has before 13
     assert pick(14) == {1, 2, 3, 4}
     assert pick(100) == {1, 2, 3, 4, 6}
+
+
+def test_pipeline_span_surgery_planted(spark):
+    """Both span sources cut in one pass: the cross-doc repeated run
+    between docs 10/11 AND the eval-quoted question in doc 10 are
+    removed (overlaps would merge); short survivors drop; eval docs
+    never appear in the output."""
+    from mapreduce_chisquare_spark.plans.registry_extensions import (
+        pipeline_span_surgery_q,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os, shutil
+
+    rows = [
+        (1, "what is the capital of france", "src0", 29),
+        (10, "intro text what is the capital of france middle part "
+             "shared run alpha beta gamma delta epsilon plus a clean "
+             "tail of many extra words here", "web", 0),
+        (11, "other doc shared run alpha beta gamma delta epsilon and "
+             "its own completely unrelated continuation words", "web", 0),
+        (12, "tiny doc", "web", 0),
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        pq.write_table(
+            pa.table({
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            }),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = {r.doc_id: r for r in pipeline_span_surgery_q(spark, d).collect()}
+    finally:
+        shutil.rmtree(d)
+    assert set(out) <= {10, 11}  # eval + too-short docs never survive
+    # doc 10 lost both the eval question and the shared run
+    assert "capital" not in out[10].clean_text
+    assert "alpha" not in out[10].clean_text
+    assert "intro" in out[10].clean_text and "tail" in out[10].clean_text
+    assert out[10].n_tokens_cut > 0
+    assert "alpha" not in out[11].clean_text
+    assert "continuation" in out[11].clean_text
