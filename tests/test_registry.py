@@ -122,3 +122,16 @@ def test_oracle_sql_never_widens_to_hugeint(duck):
         if wide:
             offenders.append((name, wide))
     assert not offenders, f"uncast DuckDB-widened outputs: {offenders}"
+
+
+def test_bench_headline_names_exist():
+    """bench.py silently skips HEADLINE names missing from REGISTRY
+    (REGISTRY.get -> continue) — a typo would silently shrink the
+    benchmark instead of failing. Pin every name."""
+    import bench
+
+    from mapreduce_chisquare_spark.plans.registry import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE names absent from registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
