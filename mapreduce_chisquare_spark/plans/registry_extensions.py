@@ -2517,15 +2517,16 @@ def pipeline_span_surgery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
-    hits = (
-        g_train.join(dd._cross_doc_grams(g_train), "gram")
-        .select("doc_id", "start", "end")
-        .unionByName(
-            g_train.join(F.broadcast(eval_g), "gram").select(
-                "doc_id", "start", "end"
-            )
-        )
+    probed = g_train.join(
+        dd._cross_doc_grams(g_train).withColumn("__r", F.lit(1)),
+        "gram",
+        "left",
+    ).join(
+        F.broadcast(eval_g.withColumn("__e", F.lit(1))), "gram", "left"
     )
+    hits = probed.filter(
+        F.col("__r").isNotNull() | F.col("__e").isNotNull()
+    ).select("doc_id", "start", "end")
     spans = dd.merge_spans(hits)
     return dd.cut_spans(train, spans).filter(F.col("n_tokens_kept") >= 5)
 
