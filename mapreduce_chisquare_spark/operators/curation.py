@@ -485,7 +485,15 @@ def select_token_budget(
     budget" is exactly "every member's before-total < budget", so
     wholesale selection and the per-doc rule agree; a zero-token doc
     sitting where the running total equals the budget would split
-    the engines on a boundary tie)."""
+    the engines on a boundary tie).
+
+    Freeze-at-build semantics: the bucket thresholds come from a
+    bounded collect that runs WHEN THIS FUNCTION IS CALLED, not when
+    the returned DataFrame executes — mutate the source between build
+    and action and the cut reflects build-time data. Timing consumers
+    must wrap the builder call plus the action (bench.py does: its
+    timed region starts before fn(spark, sf_dir)), or the corpus scan
+    behind the thresholds escapes the measurement."""
     nt = F.greatest(
         F.size(
             F.filter(

@@ -132,21 +132,26 @@ def bucketed_table(
 
 def _fingerprint(df: DataFrame) -> dict:
     """Content fingerprint of a DataFrame: schema JSON + row count +
-    an order-insensitive bit_xor of per-row xxhash64 over all columns.
-    Partition-parallel, one scan, no shuffle (partial xors combine);
-    two tables that differ in ANY row disagree on (count, xor) except
-    for engineered collisions — far stronger than the schema+count
-    check it extends."""
+    TWO order-insensitive combines of per-row xxhash64 over all
+    columns — bit_xor AND an arbitrary-precision sum. xor alone
+    cancels on even multiplicities (datasets {A,A,A,B} vs {A,B,B,B}
+    collide — natural in dedup-heavy fixtures, not just engineered),
+    and sum alone cancels on additive swaps; together a collision
+    needs simultaneous xor- and sum-preserving multiplicity shifts,
+    essentially impossible by accident. Partition-parallel, one scan,
+    no shuffle (both partials combine); the sum rides decimal(38,0)
+    so it cannot overflow below ~1e19 rows (ANSI-safe)."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
     row = df.agg(
         F.count("*").alias("n"),
-        F.bit_xor(
-            F.xxhash64(*[F.col(c) for c in df.columns])
-        ).alias("x"),
+        F.bit_xor(h).alias("x"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
     return {
         "schema": df.schema.json(),
         "count": row["n"],
         "xor": row["x"] if row["x"] is not None else 0,
+        "sum": int(row["s"]) if row["s"] is not None else 0,
     }
 
 

@@ -47,16 +47,62 @@ def binarize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(blob: bytes, kind: str):  # pragma: no cover - stub
-    """REAL decoder stub: would dispatch to PIL/libav/ffmpeg.
+def codec_available() -> bool:
+    """True when a real image codec (PIL) is importable. Audio/video
+    (libav/ffmpeg) are probed the same way when those paths grow a
+    real decoder."""
+    import importlib.util
 
-    Not available in this container; the plumbing uses
-    fake_decode_batch below, which is deterministic and schema-
-    identical, so swapping in this function is a one-line change.
-    """
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_media(blob: bytes, kind: str):
+    """REAL per-blob decoder: dispatches to PIL for images when the
+    codec is importable (width, height, n_frames from the actual
+    container bytes — animated GIFs report their frame count). The
+    per-blob C-library call IS the cost model at scale; batching
+    happens a level up in real_decode_batch. Audio/video decode
+    (libav/ffmpeg) is not wired in this container and raises
+    NotImplementedError — callers fall back to fake_decode_batch,
+    which is deterministic and schema-identical."""
+    if kind == "image" and codec_available():
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
     raise NotImplementedError(
-        "media codecs (PIL/av) not installed; use fake_decode_batch"
+        f"no codec for kind={kind!r} in this environment; "
+        "use fake_decode_batch"
     )
+
+
+def real_decode_batch(batches):
+    """Arrow-batched wrapper over decode_media: batch iteration and
+    schema identical to fake_decode_batch, so the two are drop-in
+    interchangeable — only the per-blob metadata source differs."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        meta = [
+            decode_media(blob, "image") for blob in pdf["payload"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].str.len().astype("int64"),
+                "width": pd.Series(
+                    [m[0] for m in meta], dtype="int32"
+                ),
+                "height": pd.Series(
+                    [m[1] for m in meta], dtype="int32"
+                ),
+                "n_frames": pd.Series(
+                    [m[2] for m in meta], dtype="int32"
+                ),
+            }
+        )
 
 
 def fake_decode_batch(batches):
@@ -80,10 +126,23 @@ def fake_decode_batch(batches):
         )
 
 
-def decode_documents(media: DataFrame) -> DataFrame:
-    """mapInPandas over the binary column → typed metadata relation."""
+def decode_documents(
+    media: DataFrame, use_codec: bool | None = None
+) -> DataFrame:
+    """mapInPandas over the binary column → typed metadata relation.
+
+    use_codec=None auto-selects: the real PIL-backed batch decoder
+    when the codec is importable, the deterministic fake otherwise.
+    The registered oracle query pins use_codec=False — its payloads
+    are utf-8 text stand-ins the fake derives metadata from, and the
+    DuckDB twin mirrors those formulas; real codec output is pinned
+    by tests/test_multimodal.py's PNG round-trip instead (skipped
+    where PIL is absent)."""
+    if use_codec is None:
+        use_codec = codec_available()
+    fn = real_decode_batch if use_codec else fake_decode_batch
     return media.select("doc_id", "payload").mapInPandas(
-        fake_decode_batch, DECODED_SCHEMA
+        fn, DECODED_SCHEMA
     )
 
 

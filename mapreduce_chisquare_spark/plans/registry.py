@@ -55,91 +55,90 @@ except ImportError:
 #   error on array<int>; value-correct — output reshaped to a CSV
 #   string this round, re-windowed below).
 #
-# Round-5 window (50) = the 19 round-4 tail entries never driver-
-# certified in any round (all local oracle-green), + window_moving_sum
-# (round 4's sole red — oracle-side DuckDB HUGEINT fixed with an
-# explicit BIGINT cast this round), + the 6 load-bearing extensions
-# rewritten since their r3 green rows (dedup_minhash_lsh(_k128),
-# dedup_components, tfidf, decontaminate, pipeline_training_corpus),
-# + 24 re-certs of entries whose newest green row dates to r2.
-# Fast entries lead; the heavier pipelines close the window so a
-# time-cut sweep still certifies the maximum prefix.
+# - r5 greens (CORRECTNESS_r05): all 50 of the round-5 window —
+#   first all-green board since r2; includes the 19 round-4 tail
+#   entries, window_moving_sum's HUGEINT fix, and the rewritten
+#   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
+#
+# Round-6 window (50) = the 10 round-5 tail entries never driver-
+# certified (all local oracle-green at sf0.001 and sf0.01), + the 14
+# stalest re-certs (newest green r1/r2), + 26 re-certs of the oldest
+# r3 rows, prioritizing families whose code churned since r3
+# (multimodal_decode's real-codec gating lands this round; the sketch,
+# asof/range-join, simsearch-IVF and streaming families). Fast entries
+# lead; heavier pipelines close the window so a time-cut sweep still
+# certifies the maximum prefix.
 _CERTIFY_WINDOW = [
-    # never-certified round-4 tail: cheap map-side / single-agg forms
-    "agg_linreg",
-    "agg_mode",
-    "corpus_shard",
-    "corpus_split",
-    "sample_weighted",
-    "sample_weighted_per_source",
-    "source_temperature",
-    "corpus_composition",
-    "snapshot_diff",
-    "events_funnel",
-    "asof_nearest",
-    "lm_unigram_score",
-    # never-certified round-4 tail: ANN PQ/IVFPQ family
-    "simsearch_pq_encode",
-    "simsearch_pq_topk",
-    "simsearch_pq_refined",
-    "simsearch_ivfpq",
-    # never-certified round-4 tail: dedup family
-    "dedup_keep_best",
-    "dedup_incremental",
-    # round-4 red, oracle SQL cast fixed (DuckDB HUGEINT → BIGINT)
-    "window_moving_sum",
-    # re-certs: rewritten since their r3 green rows
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_k128",
-    "dedup_components",
-    "tfidf",
-    "decontaminate",
-    # r2-only re-certs: §2-adjacent text/scalar surface
-    "project",
-    "nonempty_filter",
-    "casefold",
-    "length_filter",
-    "dedup_terms",
-    "anti_join_stopwords",
-    "tokenize_positions",
-    "sink_roundtrip",
-    "json_schema_parse",
-    "map_scalars",
-    "regexp_extract",
-    # r2-only re-certs: relational agg/join surface
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_revenue",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentile",
-    "distinct_agg",
-    "having_filter",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_broadcast_dim",
-    # slow tail: composed pipelines (never-certified + rewritten)
-    "pipeline_dedup_corpus",
-    "pipeline_training_corpus",
+    # never-certified round-5 tail: vocab / token surface
+    "vocab_topv",
+    "vocab_oov",
+    "tokens_to_ids",
+    # never-certified round-5 tail: span-dedup family
+    "dedup_spans",
+    "cross_doc_repetition",
+    "decontaminate_spans",
+    "corpus_cut_spans",
+    "select_token_budget",
+    # never-certified round-5 tail: ANN recall knob
+    "simsearch_ivfpq_nprobe2",
+    # r1/r2-only re-certs: scalar/window/relational surface
+    "null_scalars",
+    "window_first_last",
+    "window_rank",
+    "window_ranking",
+    "case_when_bucket",
+    "sample_hash",
+    "sample_stratified",
+    "agg_approx_distinct_grouped",
+    "agg_approx_percentile",
+    "agg_pivot",
+    "agg_cube",
+    "multiway_join",
+    "join_salted",
+    "sketch_countmin",
+    # oldest r3 re-certs: scan/sketch/asof surface
+    "scan_csv",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "agg_approx_distinct",
+    "agg_histogram",
+    "asof_join",
+    "asof_tolerance",
+    "join_range",
+    # oldest r3 re-certs: dedup + simsearch ladders
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "simsearch_topk",
+    "simsearch_topk_pandas",
+    "simsearch_lsh",
+    "simsearch_lsh_topk",
+    "simsearch_ivf_assign",
+    "simsearch_ivf_topk",
+    # oldest r3 re-certs: multimodal (decode path re-gated this round)
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    # oldest r3 re-certs + slow tail: streaming and the span pipeline
+    "stream_tumbling",
+    "stream_sessionize",
+    "stream_chi_square",
+    "stream_dedup",
+    "stream_interval_join",
+    "pipeline_span_surgery",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-6 window TODO: promote the round-5 tail additions (all local
-# oracle-green, never driver-certified): simsearch_ivfpq_nprobe2,
-# dedup_spans, cross_doc_repetition, vocab_topv, vocab_oov,
-# decontaminate_spans, tokens_to_ids, corpus_cut_spans,
-# select_token_budget, pipeline_span_surgery; re-cert
-# the 14 remaining r2-only
-# entries (sketch_countmin, sample_stratified,
-# agg_approx_distinct_grouped, agg_approx_percentile, case_when_bucket,
-# multiway_join, join_salted, agg_pivot, agg_cube, sample_hash,
-# window_rank, window_ranking, window_first_last, null_scalars); then
-# fill remaining slots with the oldest r3 rows (streaming, multimodal,
-# asof/range-join, sketches).
+# Round-7 window TODO: promote any round-6 tail additions first, then
+# re-cert the 17 remaining r3-era rows (doc_fingerprint, dq_profile,
+# embed_label_means, embed_neardup, lang_id, pii_redact,
+# pipeline_curation, quality_score, repetition_metrics, resample_ffill,
+# sample_per_source, scd2_merge, sink_partitioned, stream_static_join,
+# token_count, winsorize, zorder_values), then the oldest r4 rows
+# (set ops, window frames, TPC-H q4-q19 family).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -955,7 +955,12 @@ FROM documents
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_documents(binarize_documents(_docs(spark, sf_dir)))
+    # use_codec=False: payloads are utf-8 text stand-ins and the
+    # DuckDB twin mirrors the fake decoder's metadata formulas; the
+    # real-codec path is pinned by tests/test_multimodal.py instead.
+    return decode_documents(
+        binarize_documents(_docs(spark, sf_dir)), use_codec=False
+    )
 
 
 SQL_MULTIMODAL_DECODE = """

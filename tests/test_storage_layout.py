@@ -228,3 +228,27 @@ def test_bucketed_table_reuse_is_content_fingerprinted(spark):
         assert {r.v for r in t2.collect()} == {"x", "y", "DIFFERENT"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_fingerprint_is_multiplicity_sensitive(spark):
+    """bit_xor alone cancels on even multiplicities: {A,A,A,B} and
+    {A,B,B,B} have equal schema, count, AND xor (x^x^x^y == x^y^y^y).
+    The sum combiner must split them — a rebound name serving stale
+    bucketed data on duplicate-heavy dedup fixtures is exactly the
+    silent-reuse hole the sidecar exists to close."""
+    from mapreduce_chisquare_spark.operators.layout import _fingerprint
+
+    a = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "A"), (2, "B")], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (2, "B"), (2, "B")], "k long, v string"
+    )
+    fa, fb = _fingerprint(a), _fingerprint(b)
+    assert (fa["schema"], fa["count"], fa["xor"]) == (
+        fb["schema"],
+        fb["count"],
+        fb["xor"],
+    )  # the collision the xor-only scheme missed
+    assert fa["sum"] != fb["sum"]
+    assert fa != fb
