@@ -301,7 +301,10 @@ def incremental_dup_flags(
 
 
 def neardup_components(
-    docs: DataFrame, text_col: str = "text", max_iter: int = 20
+    docs: DataFrame,
+    text_col: str = "text",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash candidate-pair graph:
     (doc_id, component_id) with component_id = min doc_id reachable.
@@ -314,6 +317,11 @@ def neardup_components(
     Lineage is truncated per round (localCheckpoint — a reliable
     checkpoint dir on a real cluster), the classic Spark pattern for
     iterative algorithms; the driver only sees one scalar per round.
+
+    stats, when given, receives {"rounds": n, "converged": bool} —
+    the scale-stress suite uses it to assert the propagation stays
+    inside graph-diameter rounds on planted mega-clusters instead of
+    crawling to the max_iter cap.
     """
     pairs = minhash_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
     edges = (
@@ -327,7 +335,10 @@ def neardup_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             edges.join(
                 labels.select(
@@ -358,7 +369,11 @@ def neardup_components(
         changed = stepped.filter(F.col("changed")).count()
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
