@@ -87,6 +87,13 @@ HEADLINE = [
     "corpus_cut_spans",
     "select_token_budget",
     "pipeline_span_surgery",
+    # round-6 additions (first measurement = their baseline)
+    "bm25_score",
+    "lm_bigram_score",
+    "similarity_join_minhash",
+    "dedup_jaccard_estimate",
+    "split_no_leakage",
+    "winnowing_fingerprint",
 ]
 
 WARMUP = 1

@@ -338,6 +338,54 @@ def train_split(
     return docs.select("doc_id", split.alias("split"))
 
 
+def split_no_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: like train_split, but
+    the split hash keys on the near-dup COMPONENT id (min doc_id of
+    the MinHash-connected cluster; the doc's own id when it has no
+    near-dup), so every member of a duplicate cluster lands in the
+    SAME split. Per-doc hashing lets near-copies straddle the
+    train/test boundary — the quiet contamination that survives
+    upstream dedup whenever the keep-one rule and the split
+    disagree; grouping by component closes it structurally.
+
+    Scale shape: the component labels come from the iterative
+    min-label propagation (neardup_components — bounded rounds,
+    lineage-truncated); the label relation covers only docs that
+    COLLIDE (collision-sized, not corpus-sized), so the corpus pays
+    one left join against a small relation (AQE broadcasts it) and
+    the split itself stays a map-side projection.
+
+    Freeze-at-build: the component iteration executes (and
+    localCheckpoints its labels) WHEN THIS FUNCTION IS CALLED — the
+    select_token_budget semantics; timing consumers must wrap the
+    builder call plus the action (bench.py does)."""
+    from .dedup import neardup_components
+
+    comp = neardup_components(docs, text_col)
+    gid = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(gid.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", split.alias("split"))
+    )
+
+
 HASH_SCALE = 1048576  # 2^20: fixed-point scale for exact weight sums
 
 

@@ -247,6 +247,95 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for candidate pairs: the share of
+    the k min-hashes that agree — the standard unbiased MinHash
+    estimator of Jaccard similarity. The CHEAP verification tier
+    between an LSH band collision (binary, coarse) and the exact
+    n-gram Jaccard (ngram_jaccard re-joins the shingle relation per
+    pair): O(k) integer compares per candidate, no re-shingling.
+
+    Scale shape: the signature relation is corpus-ROW-sized but only
+    k longs wide (one hash-agg pass, shared with the band pipeline);
+    it joins to the candidate pairs on each side's doc id. Candidates
+    are collision-sized — AQE broadcasts them against the signatures
+    when small, sort-merges otherwise; either way nothing quadratic
+    and no gram-level data moves."""
+    sig = minhash_signatures(shingles(docs, text_col), k)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(k)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(k)],
+    )
+    agree = None
+    for i in range(k):
+        t = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(k))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def lsh_similarity_join(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Cross-corpus LSH similarity join — the FUZZY decontamination /
+    cross-source near-dup shape: (corpus_doc, probe_doc, n_bands) for
+    cross-side pairs sharing >= 1 MinHash band bucket. Complements the
+    exact n-gram-overlap screen (curation.decontaminate): paraphrased
+    or lightly-edited benchmark leakage that exact 13-gram matching
+    misses still collides here at the (k, bands) S-curve's Jaccard
+    operating point.
+
+    Unlike the self-join candidate generator there is no quadratic
+    bucket risk to guard: per band key the work is |corpus bucket| x
+    |probe bucket| — linear in the corpus for a bounded probe set
+    (an eval suite is thousands of docs against billions). The probe
+    band relation broadcasts by default, so the corpus pays ONLY the
+    doc_id signature aggregate every LSH consumer pays — its band
+    relation is never re-exchanged on (band, key) for the join, and
+    the post-join aggregate shuffles collision pairs, not the corpus.
+    That is the shape that makes run-per-release decontamination
+    affordable at 100 TB. Set broadcast_probe=False for probe sets
+    too big to broadcast; AQE then picks the strategy on a
+    (band, key) exchange."""
+    cb = lsh_band_keys(shingles(corpus, text_col), k, bands).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
+    )
+    pb = lsh_band_keys(shingles(probe, text_col), k, bands).select(
+        F.col("doc_id").alias("probe_doc"), "band", "key"
+    )
+    if broadcast_probe:
+        pb = F.broadcast(pb)
+    return (
+        cb.join(pb, ["band", "key"])
+        .groupBy("corpus_doc", "probe_doc")
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
 def incremental_dup_flags(
     old: DataFrame,
     new: DataFrame,

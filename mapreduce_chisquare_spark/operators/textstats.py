@@ -471,3 +471,187 @@ def tokens_to_ids(
             F.coalesce("ids_csv", F.lit("")).alias("ids_csv"),
         )
     )
+
+
+def bm25(
+    docs: DataFrame,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Lucene formulation) per (doc, term):
+    (doc_id, term, tf, df, bm25) — the retrieval-scoring upgrade of
+    tfidf, with document-length normalization so long documents stop
+    winning on raw term counts.
+
+      idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      bm25 = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape — the tfidf/lm_unigram skeleton: tokens shuffle ONCE
+    on term; the (doc, term) tf aggregate and the per-term df window
+    share that exchange (ReusedExchange), as does the corpus-stats
+    branch (N docs, total length -> avgdl), which collapses to a
+    1-row broadcast before it touches the scored relation (the J3
+    pattern — no driver .count() re-scanning the corpus). Only dl
+    (per-doc length) needs the second, doc_id exchange. Every float
+    op is a per-row expression over exact integer inputs, so the
+    score is bit-identical cross-engine."""
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    )
+    tf = (
+        toks.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w_t = Window.partitionBy("term")
+    w_d = Window.partitionBy("doc_id")
+    dld = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dld.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    dfd = F.col("df").cast("double")
+    nd = F.col("n_docs").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("total_len").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    norm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    )
+    return (
+        tf.withColumn("df", F.count("*").over(w_t))
+        .withColumn("dl", F.sum("tf").over(w_d))
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (idf * norm).alias("bm25"),
+        )
+    )
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self-trained bigram language-model scoring: mean bigram
+    log-probability per document under add-one smoothing,
+    p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,.) + V), with V = number of
+    distinct observed context tokens (w1 types). The sharper
+    perplexity-filter companion of lm_unigram_score — repeated
+    boilerplate scores high, token-salad gibberish that unigram
+    statistics cannot see scores low. Returns (doc_id, n_bigrams,
+    avg_logprob) for documents with >= 2 tokens.
+
+    V comes from the bigram relation itself (distinct w1), not a
+    separate unigram pass, so the corpus is scanned and tokenized
+    exactly once. Shapes: one corpus-sized exchange on (w1, w2)
+    serves the per-doc tf aggregate AND the corpus bigram counts
+    (ReusedExchange); the context roll-up and V are vocabulary-sized;
+    V attaches as a 1-row broadcast (J3)."""
+    base = docs.select(
+        "doc_id", _words(text_col).alias("__arr")
+    )
+    arr = F.col("__arr")
+    bg = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias("w1"),
+                F.element_at(arr, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    pairs = base.select("doc_id", F.explode(bg).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+    tfb = (
+        pairs.repartition("w1", "w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    c12 = tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    scored = (
+        tfb.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(v))
+    )
+    lp = F.log(
+        (F.col("c12").cast("double") + F.lit(1.0))
+        / (F.col("c1").cast("double") + F.col("v").cast("double"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf").cast("double") * lp).alias("__s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("__s") / F.col("n_bigrams").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def winnowing_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every `gram`-char window of the lowered text,
+    slide a `window` over the hash sequence keeping each window's
+    MINIMUM, and emit the distinct kept values as (doc_id, fp). The
+    selection guarantee: any substring shared by two documents of
+    length >= gram + window - 1 contributes at least one shared
+    fingerprint — the plagiarism/boilerplate-detection primitive with
+    a fingerprint density of ~2/(window+1) instead of every gram
+    (doc_fingerprint keeps only the single global min; this keeps a
+    position-spread sample, robust to local edits).
+
+    Scale shape: ENTIRELY map-side — the hash sequence, the sliding
+    minima, and the distinct-set all happen as array expressions
+    inside one projection (zero shuffles, scan-speed); only the final
+    explode to rows fans out. The hash is the engine-portable 32-bit
+    md5-prefix (same family as the id/sample hashes), so the DuckDB
+    twin computes identical values. Documents shorter than `gram`
+    chars fingerprint as the hash of their whole text."""
+    base = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
+
+    def h32(expr):
+        return F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    n = F.length(t) - (gram - 1)
+    harr = F.when(
+        F.length(t) >= gram,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: h32(t.substr(i, F.lit(gram))),
+        ),
+    ).otherwise(F.array(h32(t)))
+    # hash array materialized in its own projection (interpreted HOF
+    # lambdas get no CSE — the shingles lesson)
+    hd = base.select("doc_id", harr.alias("__h"))
+    ha = F.col("__h")
+    wins = F.greatest(F.size(ha) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), wins),
+            lambda j: F.array_min(F.slice(ha, j, window)),
+        )
+    )
+    return hd.select("doc_id", F.explode(fps).alias("fp"))

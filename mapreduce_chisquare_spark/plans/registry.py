@@ -60,11 +60,12 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 10 round-5 tail entries never driver-
-# certified (all local oracle-green at sf0.001 and sf0.01), + the 14
-# stalest re-certs (newest green r1/r2), + 26 re-certs of the oldest
-# r3 rows, prioritizing families whose code churned since r3
-# (multimodal_decode's real-codec gating lands this round; the sketch,
+# Round-6 window (50) = the 16 never-driver-certified entries (the 10
+# round-5 tail entries + the 6 round-6 additions, all local
+# oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
+# the 14 stalest re-certs (newest green r1/r2), + 20 re-certs of the
+# oldest r3 rows, prioritizing families whose code churned since r3
+# (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
 # lead; heavier pipelines close the window so a time-cut sweep still
 # certifies the maximum prefix.
@@ -81,6 +82,13 @@ _CERTIFY_WINDOW = [
     "select_token_budget",
     # never-certified round-5 tail: ANN recall knob
     "simsearch_ivfpq_nprobe2",
+    # never-certified round-6 additions (local-green both SFs)
+    "winnowing_fingerprint",
+    "bm25_score",
+    "lm_bigram_score",
+    "similarity_join_minhash",
+    "dedup_jaccard_estimate",
+    "split_no_leakage",
     # r1/r2-only re-certs: scalar/window/relational surface
     "null_scalars",
     "window_first_last",
@@ -96,21 +104,15 @@ _CERTIFY_WINDOW = [
     "multiway_join",
     "join_salted",
     "sketch_countmin",
-    # oldest r3 re-certs: scan/sketch/asof surface
-    "scan_csv",
+    # oldest r3 re-certs: sketch/asof surface
     "sketch_kmv_distinct",
-    "sketch_kmv_overlap",
-    "agg_approx_distinct",
-    "agg_histogram",
     "asof_join",
-    "asof_tolerance",
     "join_range",
     # oldest r3 re-certs: dedup + simsearch ladders
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "simsearch_topk",
-    "simsearch_topk_pandas",
     "simsearch_lsh",
     "simsearch_lsh_topk",
     "simsearch_ivf_assign",
@@ -132,13 +134,18 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-7 window TODO: promote any round-6 tail additions first, then
-# re-cert the 17 remaining r3-era rows (doc_fingerprint, dq_profile,
+# Round-7 window TODO: promote any round-7 tail additions first, then
+# re-cert the 22 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# agg_approx_distinct, agg_histogram, asof_tolerance,
+# simsearch_topk_pandas — displaced from the round-6 window by the six
+# round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,
 # sample_per_source, scd2_merge, sink_partitioned, stream_static_join,
 # token_count, winsorize, zorder_values), then the oldest r4 rows
-# (set ops, window frames, TPC-H q4-q19 family).
+# (set ops, window frames, TPC-H q4-q19 family). dedup_components and
+# pipeline_dedup_corpus carry r5 greens with a behavior-neutral stats
+# out-param added in r6 — re-cert them too if slots remain.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -89,11 +89,12 @@ _BASE32_SQL = " + ".join(
     for i in range(8)
 )
 
-def _minhash_pair_ctes(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str:
-    """CTE chain for MinHash+LSH candidate pairs at a chosen (k, bands)
-    operating point — generated from the same hash_params(k) family as
-    the Spark plan, so any point the engine exposes has an exact
-    oracle."""
+def _minhash_band_ctes(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str:
+    """CTE chain documents -> shingles -> signatures -> `bands`
+    (doc_id, band, key) at a chosen (k, bands) operating point,
+    generated from the same hash_params(k) family as the Spark plan.
+    String band keys group documents identically to the Spark side's
+    packed-long array keys (injectivity argued at lsh_band_keys)."""
     sig_cols = ", ".join(
         f"min(({a} * b32 + {b}) % {dd._MOD}) AS h{s}"
         for s, (a, b) in enumerate(dd.hash_params(k))
@@ -112,7 +113,17 @@ def _minhash_pair_ctes(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str
         _SH_CTES + ", "
         f"shb AS (SELECT doc_id, ({_BASE32_SQL}) AS b32 FROM sh), "
         f"sig AS (SELECT doc_id, {sig_cols} FROM shb GROUP BY doc_id), "
-        f"bands AS ({band_selects}), "
+        f"bands AS ({band_selects})"
+    )
+
+
+def _minhash_pair_ctes(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str:
+    """CTE chain for MinHash+LSH candidate pairs at a chosen (k, bands)
+    operating point — generated from the same hash_params(k) family as
+    the Spark plan, so any point the engine exposes has an exact
+    oracle."""
+    return (
+        _minhash_band_ctes(k, bands) + ", "
         "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
         f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
         "g AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN buckets USING (band, key)), "
@@ -2722,6 +2733,194 @@ FROM pd CROSS JOIN tot
 """
 
 
+def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 per (doc, term) over the documents table
+    (operators/textstats.py bm25)."""
+    return tx.bm25(_docs(spark, sf_dir))
+
+
+SQL_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, u.term FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS u(term)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+wtf AS (SELECT doc_id, term, tf,
+          CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+          CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+        FROM tf),
+dld AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS total_len FROM dld)
+SELECT doc_id, term, tf, df,
+  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5))
+  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+    / (CAST(tf AS DOUBLE)
+       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+                       / (CAST(total_len AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE)))) AS bm25
+FROM wtf CROSS JOIN st
+"""
+
+
+def lm_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per doc under the corpus's own
+    add-one-smoothed bigram model (operators/textstats.py
+    lm_bigram_score)."""
+    return tx.lm_bigram_score(_docs(spark, sf_dir))
+
+
+SQL_LM_BIGRAM = r"""
+WITH b AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS arr
+  FROM documents
+),
+pairs AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          FROM b, UNNEST(range(1, len(arr))) AS r(i)),
+tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        FROM pairs GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+        FROM tfb GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         sum(CAST(tf AS DOUBLE)
+             * ln((CAST(c12 AS DOUBLE) + 1.0)
+                  / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS s
+       FROM tfb JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       CROSS JOIN v GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  s / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+FROM pd
+"""
+
+
+def similarity_join_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus decontamination screen: LSH similarity join
+    of the corpus (doc_id % 10 != 0) against a benchmark stand-in
+    (doc_id % 10 == 0; a tenth of the corpus, dense enough that the
+    value gate sees real collisions), probe side broadcast
+    (operators/dedup.py lsh_similarity_join)."""
+    d = _docs(spark, sf_dir)
+    return dd.lsh_similarity_join(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+SQL_SIMILARITY_JOIN_MINHASH = (
+    "WITH " + _minhash_band_ctes() + ", "
+    "cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0), "
+    "pb AS (SELECT * FROM bands WHERE doc_id % 10 = 0) "
+    "SELECT c.doc_id AS corpus_doc, p.doc_id AS probe_doc, "
+    "CAST(count(DISTINCT c.band) AS BIGINT) AS n_bands "
+    "FROM cb c JOIN pb p ON c.band = p.band AND c.key = p.key "
+    "GROUP BY c.doc_id, p.doc_id"
+)
+
+
+def dedup_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature-agreement Jaccard estimate for every LSH
+    candidate pair — the cheap verification tier
+    (operators/dedup.py minhash_jaccard_estimate)."""
+    d = _docs(spark, sf_dir)
+    return dd.minhash_jaccard_estimate(d, dd.minhash_candidate_pairs(d))
+
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+    for i in range(dd.NUM_HASHES)
+)
+
+SQL_DEDUP_JACCARD_ESTIMATE = (
+    "WITH " + _PAIR_CTES + " "
+    "SELECT p.doc_a, p.doc_b, "
+    f"CAST(({_AGREE_SQL}) AS DOUBLE) / {float(dd.NUM_HASHES)} "
+    "AS est_jaccard "
+    "FROM pairs p JOIN sig a ON a.doc_id = p.doc_a "
+    "JOIN sig b ON b.doc_id = p.doc_b"
+)
+
+
+def split_no_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-grouped train/val/test split: near-dup clusters never
+    straddle the train/test boundary
+    (operators/curation.py split_no_leakage)."""
+    return cu.split_no_leakage(_docs(spark, sf_dir))
+
+
+def _hash32_sql(expr: str) -> str:
+    """Engine-portable 32-bit hash of an integer SQL expression: digit
+    value of the first 8 md5 hex chars — the DuckDB mirror of
+    curation._id_hash32 for arbitrary expressions."""
+    return " + ".join(
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({expr} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        + f" * {16 ** (8 - i - 1)}"
+        for i in range(8)
+    )
+
+
+SQL_SPLIT_NO_LEAKAGE = (
+    "WITH RECURSIVE " + _PAIR_CTES + ", "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+    "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component_id "
+    "FROM reach GROUP BY src) "
+    "SELECT d.doc_id, CASE WHEN ("
+    + _hash32_sql("coalesce(c.component_id, d.doc_id)")
+    + ") % 100 < 90 THEN 'train' WHEN ("
+    + _hash32_sql("coalesce(c.component_id, d.doc_id)")
+    + ") % 100 < 95 THEN 'val' ELSE 'test' END AS split "
+    "FROM documents d LEFT JOIN comp c USING (doc_id)"
+)
+
+
+def winnowing_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints over documents
+    (operators/textstats.py winnowing_fingerprint)."""
+    return tx.winnowing_fingerprint(_docs(spark, sf_dir))
+
+
+def _hash32_of(expr: str) -> str:
+    """32-bit md5-prefix hash of an arbitrary VARCHAR expression (no
+    int cast), BIGINT-cast for the binding guard."""
+    return (
+        "CAST(("
+        + " + ".join(
+            "(strpos('0123456789abcdef', "
+            f"substr(md5({expr}), {i + 1}, 1)) - 1)"
+            + f" * {16 ** (8 - i - 1)}"
+            for i in range(8)
+        )
+        + ") AS BIGINT)"
+    )
+
+
+SQL_WINNOWING = f"""
+WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+h AS (SELECT doc_id,
+        CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+                              i -> {_hash32_of("substr(t, i, 5)")})
+          ELSE [{_hash32_of("t")}] END AS harr
+      FROM b),
+f AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(harr) - 3, 1) + 1),
+          j -> list_min(harr[j:j+3]))) AS fps
+      FROM h)
+SELECT doc_id, u.fp FROM f, UNNEST(fps) AS u(fp)
+"""
+
+
 EXTENSION_QUERIES = {
     "decontaminate": (decontaminate_q, SQL_DECONTAMINATE),
     "repetition_metrics": (repetition_q, SQL_REPETITION),
@@ -2823,4 +3022,18 @@ EXTENSION_QUERIES = {
     "corpus_cut_spans": (corpus_cut_spans_q, SQL_CORPUS_CUT_SPANS),
     "select_token_budget": (select_token_budget_q, SQL_SELECT_TOKEN_BUDGET),
     "pipeline_span_surgery": (pipeline_span_surgery_q, SQL_PIPELINE_SPAN_SURGERY),
+    # round-6 tail additions — queued for the round-7 certification
+    # window per the registry rotation protocol (plans/registry.py)
+    "bm25_score": (bm25_score_q, SQL_BM25),
+    "lm_bigram_score": (lm_bigram_score_q, SQL_LM_BIGRAM),
+    "similarity_join_minhash": (
+        similarity_join_minhash_q,
+        SQL_SIMILARITY_JOIN_MINHASH,
+    ),
+    "dedup_jaccard_estimate": (
+        dedup_jaccard_estimate_q,
+        SQL_DEDUP_JACCARD_ESTIMATE,
+    ),
+    "split_no_leakage": (split_no_leakage_q, SQL_SPLIT_NO_LEAKAGE),
+    "winnowing_fingerprint": (winnowing_fingerprint_q, SQL_WINNOWING),
 }

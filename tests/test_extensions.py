@@ -1474,3 +1474,200 @@ def test_pipeline_span_surgery_planted(spark):
     assert out[10].n_tokens_cut > 0
     assert "alpha" not in out[11].clean_text
     assert "continuation" in out[11].clean_text
+
+
+def test_bm25_matches_reference_formula(spark):
+    """BM25 on a hand corpus equals the Lucene-formulation reference
+    computed in plain python, and a rare term outranks a ubiquitous
+    one at equal tf — the property tfidf shares and raw tf lacks."""
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "apple durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): r for r in bm25(docs).collect()
+    }
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    def ref(tf, df, dl, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[(1, "apple")].tf == 2 and out[(1, "apple")].df == 3
+    assert abs(out[(1, "apple")].bm25 - ref(2, 3, 3)) < 1e-12
+    assert abs(out[(3, "durian")].bm25 - ref(3, 1, 4)) < 1e-12
+    # rare "cherry" beats ubiquitous "apple" in the same doc, same tf
+    assert out[(2, "cherry")].bm25 > out[(2, "apple")].bm25
+
+
+def test_lm_bigram_score_prefers_seen_orderings(spark):
+    """A document reusing the corpus's frequent bigrams must outscore
+    one with the same tokens in never-seen orders — the signal the
+    unigram scorer is blind to (identical unigram distributions)."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        lm_bigram_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "the cat sat on the mat"),
+            # same unigrams as doc 1, shuffled into unseen bigrams
+            (4, "mat the on sat cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert out[1].n_bigrams == 5
+    assert out[1].avg_logprob > out[4].avg_logprob
+    # single-token docs are out of the model's domain: absent
+    solo = lm_bigram_score(
+        spark.createDataFrame([(9, "hello")], "doc_id long, text string")
+    )
+    assert solo.count() == 0
+
+
+def test_lsh_similarity_join_finds_cross_side_dups_only(spark):
+    """A probe doc identical to a corpus doc collides in every band;
+    an unrelated probe doc yields nothing; corpus-internal duplicate
+    pairs never appear (cross-side join, not a self-join)."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        NUM_BANDS,
+        lsh_similarity_join,
+    )
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog near the quiet "
+        "river bank every single morning before sunrise happens"
+    )
+    other = (
+        "completely unrelated legal boilerplate about warranty terms "
+        "and limitation of liability for the provided software product"
+    )
+    corpus = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "short text here")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, shared), (101, other)],
+        "doc_id long, text string",
+    )
+    rows = lsh_similarity_join(corpus, probe).collect()
+    got = {(r.corpus_doc, r.probe_doc): r.n_bands for r in rows}
+    assert got.get((1, 100)) == NUM_BANDS
+    assert got.get((2, 100)) == NUM_BANDS
+    assert all(p == 100 for _, p in got)  # 101 matches nothing
+    assert (1, 2) not in got and (2, 1) not in got
+
+
+def test_minhash_jaccard_estimate_orders_pairs(spark):
+    """Identical docs estimate 1.0; a near-dup (one word changed)
+    estimates high; an unrelated pair estimates low — and the
+    estimate brackets the exact shingle Jaccard computed in python."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    a = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every morning before sunrise"
+    )
+    near = a.replace("lazy", "sleepy")
+    other = (
+        "completely different legal boilerplate about warranty and "
+        "liability limitation for software products sold worldwide"
+    )
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(docs, pairs).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 2)] > est[(1, 3)] > est[(1, 4)]
+    # python exact Jaccard of 3-shingle sets for the near pair
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    exact = len(sh(a) & sh(near)) / len(sh(a) | sh(near))
+    assert abs(est[(1, 3)] - exact) <= 0.25  # k=16: +-1/16 granularity
+
+
+def test_split_no_leakage_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must land in ONE split even
+    when their per-doc hashes disagree; docs with no near-dup match
+    train_split exactly (same hash, same buckets)."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        split_no_leakage,
+        train_split,
+    )
+
+    dup = (
+        "shared boilerplate paragraph that repeats across documents "
+        "word for word in every mirror of the original page exactly"
+    )
+    # NOTE: singleton texts must share NO 3-shingles — the tokenizer
+    # strips digits and even a common sentence template collides under
+    # the high-recall (16, 8) screen — so each doc draws 7 pseudo-words
+    # from its own disjoint slice of a synthetic vocabulary
+    import itertools
+
+    syll = "ba ce di fo gu ha ki lo mu ne pi ro sa te vi".split()
+    vocab = ["".join(p) for p in itertools.product(syll, repeat=2)]
+    rows = [(i, dup) for i in range(1, 40)] + [
+        (100 + i, " ".join(vocab[7 * i : 7 * i + 7]))
+        for i in range(1, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    leak_safe = {
+        r.doc_id: r.split for r in split_no_leakage(docs).collect()
+    }
+    naive = {r.doc_id: r.split for r in train_split(docs).collect()}
+    dup_ids = [i for i in range(1, 40)]
+    assert len({leak_safe[i] for i in dup_ids}) == 1  # one split
+    assert len({naive[i] for i in dup_ids}) > 1  # per-doc hash straddles
+    for i in range(101, 130):  # singletons: identical to train_split
+        assert leak_safe[i] == naive[i]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a substring of
+    length >= gram + window - 1 (= 8 chars) share at least one
+    fingerprint; fingerprints are far fewer than grams; sub-gram
+    documents fingerprint as one whole-text hash."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        winnowing_fingerprint,
+    )
+
+    shared = "unmistakable-shared-run-of-text"
+    docs = spark.createDataFrame(
+        [
+            (1, f"left context AAA {shared} right tail one"),
+            (2, f"other words BBBB {shared} different ending"),
+            (3, "nothing in common here at all with those"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set(), 4: set()}
+    for r in winnowing_fingerprint(docs).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], "shared 31-char run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1
+    n_grams_1 = len(f"left context AAA {shared} right tail one") - 4
+    assert len(fps[1]) < n_grams_1 / 2  # winnowed density, not all grams
