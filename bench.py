@@ -94,6 +94,8 @@ HEADLINE = [
     "dedup_jaccard_estimate",
     "split_no_leakage",
     "winnowing_fingerprint",
+    "bm25_topk",
+    "winnowing_pairs",
 ]
 
 WARMUP = 1

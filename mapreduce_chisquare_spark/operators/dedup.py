@@ -798,3 +798,44 @@ def cut_spans(
             ).alias("n_tokens_cut"),
         )
     )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs from WINNOWING fingerprint overlap:
+    (doc_a, doc_b, n_shared) for pairs sharing >= min_shared
+    fingerprints. The LOCAL-overlap complement of MinHash LSH: band
+    collision needs global set similarity, while a single shared
+     8-char run guarantees a shared winnowing fingerprint — so a page
+    that embeds one plagiarized paragraph in otherwise-novel text
+    pairs up here and scores ~0 Jaccard there.
+
+    Same guarded self-join shape as the MinHash candidate generator:
+    fingerprint buckets above MAX_BUCKET (stop-gram territory — a
+    boilerplate fingerprint shared by everyone) are dropped by the
+    window guard BEFORE the self-join, so no task goes quadratic;
+    n_shared then thresholds the pair noise floor. The fingerprint
+    relation itself is map-side (textstats.winnowing_fingerprint:
+    zero shuffles), so the whole operator pays one (fp) exchange the
+    guard window and self-join share (ReuseExchange)."""
+    from .textstats import winnowing_fingerprint
+
+    fp = winnowing_fingerprint(docs, text_col)
+    w = Window.partitionBy("fp")
+    guarded = (
+        fp.withColumn("sz", F.count("*").over(w))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= MAX_BUCKET))
+        .drop("sz")
+    )
+    a = guarded.select("fp", F.col("doc_id").alias("doc_a"))
+    b = guarded.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -655,3 +655,41 @@ def winnowing_fingerprint(
         )
     )
     return hd.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k retrieval: the k documents scoring highest on the SUM of
+    per-term BM25 for a fixed query term set — what a user of the
+    scoring relation actually runs. Returns (doc_id, score), selection
+    tie-broken by doc_id so the cut is deterministic.
+
+    The per-doc combine pivots each query term's score into its own
+    column (max-of-matches per term: the (doc, term) relation is
+    unique, so max is just "the score if present") and adds them in
+    the QUERY'S WRITTEN ORDER — a fixed left-to-right float sum both
+    engines reproduce bit-identically, where sum() over a group would
+    add in engine-chosen order. The global cut executes as
+    TakeOrderedAndProject: k rows per partition move, never a full
+    sort — the only corpus-wide ordering primitive that scales."""
+    s = bm25(docs, text_col).filter(F.col("term").isin(list(terms)))
+    cols = [
+        F.max(
+            F.when(F.col("term") == t, F.col("bm25"))
+        ).alias(f"__s{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = s.groupBy("doc_id").agg(*cols)
+    score = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        per_doc.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

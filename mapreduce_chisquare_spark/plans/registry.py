@@ -60,10 +60,10 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 16 never-driver-certified entries (the 10
-# round-5 tail entries + the 6 round-6 additions, all local
+# Round-6 window (50) = the 18 never-driver-certified entries (the 10
+# round-5 tail entries + the 8 round-6 additions, all local
 # oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 20 re-certs of the
+# the 14 stalest re-certs (newest green r1/r2), + 18 re-certs of the
 # oldest r3 rows, prioritizing families whose code churned since r3
 # (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
@@ -84,7 +84,9 @@ _CERTIFY_WINDOW = [
     "simsearch_ivfpq_nprobe2",
     # never-certified round-6 additions (local-green both SFs)
     "winnowing_fingerprint",
+    "winnowing_pairs",
     "bm25_score",
+    "bm25_topk",
     "lm_bigram_score",
     "similarity_join_minhash",
     "dedup_jaccard_estimate",
@@ -109,10 +111,8 @@ _CERTIFY_WINDOW = [
     "asof_join",
     "join_range",
     # oldest r3 re-certs: dedup + simsearch ladders
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "simsearch_topk",
     "simsearch_lsh",
     "simsearch_lsh_topk",
     "simsearch_ivf_assign",
@@ -135,9 +135,10 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 22 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# re-cert the 24 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
-# simsearch_topk_pandas — displaced from the round-6 window by the six
+# simsearch_topk_pandas, dedup_exact, simsearch_topk — displaced from
+# the round-6 window by the eight
 # round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,

@@ -2739,8 +2739,8 @@ def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bm25(_docs(spark, sf_dir))
 
 
-SQL_BM25 = r"""
-WITH toks AS (
+_BM25_CTES = r"""
+toks AS (
   SELECT doc_id, u.term FROM documents,
     UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
                        x -> x <> '')) AS u(term)
@@ -2754,8 +2754,8 @@ wtf AS (SELECT doc_id, term, tf,
 dld AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
         FROM tf GROUP BY doc_id),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(dl) AS BIGINT) AS total_len FROM dld)
-SELECT doc_id, term, tf, df,
+              CAST(sum(dl) AS BIGINT) AS total_len FROM dld),
+sc AS (SELECT doc_id, term, tf, df,
   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
            / (CAST(df AS DOUBLE) + 0.5))
   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
@@ -2763,8 +2763,12 @@ SELECT doc_id, term, tf, df,
        + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
                        / (CAST(total_len AS DOUBLE)
                           / CAST(n_docs AS DOUBLE)))) AS bm25
-FROM wtf CROSS JOIN st
+FROM wtf CROSS JOIN st)
 """
+
+SQL_BM25 = (
+    "WITH " + _BM25_CTES + " SELECT doc_id, term, tf, df, bm25 FROM sc"
+)
 
 
 def lm_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2904,21 +2908,67 @@ def _hash32_of(expr: str) -> str:
     )
 
 
-SQL_WINNOWING = f"""
-WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
-h AS (SELECT doc_id,
+_WINNOW_CTES = f"""
+wb AS (SELECT doc_id, lower(text) AS t FROM documents),
+wh AS (SELECT doc_id,
         CASE WHEN len(t) >= 5
           THEN list_transform(range(1, len(t) - 3),
                               i -> {_hash32_of("substr(t, i, 5)")})
           ELSE [{_hash32_of("t")}] END AS harr
-      FROM b),
-f AS (SELECT doc_id,
+      FROM wb),
+wf AS (SELECT doc_id,
         list_distinct(list_transform(
           range(1, greatest(len(harr) - 3, 1) + 1),
           j -> list_min(harr[j:j+3]))) AS fps
-      FROM h)
-SELECT doc_id, u.fp FROM f, UNNEST(fps) AS u(fp)
+      FROM wh),
+wfp AS (SELECT doc_id, u.fp FROM wf, UNNEST(fps) AS u(fp))
 """
+
+SQL_WINNOWING = "WITH " + _WINNOW_CTES + " SELECT doc_id, fp FROM wfp"
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed query {vector, merge, stream}
+    by summed BM25 (operators/textstats.py bm25_topk)."""
+    return tx.bm25_topk(
+        _docs(spark, sf_dir), ["vector", "merge", "stream"], k=20
+    )
+
+
+SQL_BM25_TOPK = (
+    "WITH " + _BM25_CTES + ", "
+    "q AS (SELECT doc_id, "
+    "max(CASE WHEN term = 'vector' THEN bm25 END) AS s0, "
+    "max(CASE WHEN term = 'merge' THEN bm25 END) AS s1, "
+    "max(CASE WHEN term = 'stream' THEN bm25 END) AS s2 "
+    "FROM sc WHERE term IN ('vector', 'merge', 'stream') "
+    "GROUP BY doc_id) "
+    "SELECT doc_id, "
+    "coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score "
+    "FROM q ORDER BY score DESC, doc_id LIMIT 20"
+)
+
+
+def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprint overlap
+    (operators/dedup.py winnowing_pairs). min_shared=40 is calibrated
+    to this synthetic corpus: its ~30-word vocabulary makes every doc
+    pair share a handful of 8-char runs (99.9th pct n_shared = 22),
+    while true near-dups sit at 40+ — a real-text corpus would use a
+    far lower threshold."""
+    return dd.winnowing_pairs(_docs(spark, sf_dir), min_shared=40)
+
+
+SQL_WINNOWING_PAIRS = (
+    "WITH " + _WINNOW_CTES + ", "
+    f"wsz AS (SELECT fp FROM wfp GROUP BY fp "
+    f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
+    "wg AS (SELECT w.doc_id, w.fp FROM wfp w JOIN wsz USING (fp)) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM wg a JOIN wg b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 40"
+)
 
 
 EXTENSION_QUERIES = {
@@ -3036,4 +3086,6 @@ EXTENSION_QUERIES = {
     ),
     "split_no_leakage": (split_no_leakage_q, SQL_SPLIT_NO_LEAKAGE),
     "winnowing_fingerprint": (winnowing_fingerprint_q, SQL_WINNOWING),
+    "bm25_topk": (bm25_topk_q, SQL_BM25_TOPK),
+    "winnowing_pairs": (winnowing_pairs_q, SQL_WINNOWING_PAIRS),
 }

@@ -1671,3 +1671,63 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(fps[4]) == 1
     n_grams_1 = len(f"left context AAA {shared} right tail one") - 4
     assert len(fps[1]) < n_grams_1 / 2  # winnowed density, not all grams
+
+
+def test_bm25_topk_retrieves_and_breaks_ties(spark):
+    """The top-k combine must sum per-term scores in the query's
+    written order, rank multi-term matches above single-term ones on
+    this fixture, and cut deterministically (doc_id tie-break)."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        bm25,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector merge stream pipeline"),
+            (2, "vector only document padding words here"),
+            (3, "unrelated text about nothing relevant"),
+            (4, "vector merge stream pipeline"),  # tie with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, ["vector", "merge", "stream"], k=3).collect()
+    ids = [r.doc_id for r in top]
+    assert ids[:2] == [1, 4]  # equal scores -> doc_id ascending
+    assert top[0].score == top[1].score
+    assert ids[2] == 2 and len(ids) == 3  # doc 3 never scores
+    # score equals the sum of the per-term relation's rows
+    s = {
+        (r.doc_id, r.term): r.bm25
+        for r in bm25(docs)
+        .filter(F.col("term").isin(["vector", "merge", "stream"]))
+        .collect()
+    }
+    want = s[(1, "vector")] + s[(1, "merge")] + s[(1, "stream")]
+    assert abs(top[0].score - want) < 1e-12
+
+
+def test_winnowing_pairs_guarded_and_thresholded(spark):
+    """Docs sharing a long run pair up with high n_shared; a universal
+    boilerplate fingerprint (bucket > MAX_BUCKET would be dropped —
+    here below the guard) still needs min_shared to matter; unrelated
+    docs never pair."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} with a unique suffix here"),
+            (2, f"{run} and a different ending text"),
+            (3, "totally disjoint content qqq www zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all({a, b} == {1, 2} for a, b in pairs)

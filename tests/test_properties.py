@@ -635,3 +635,50 @@ def test_select_token_budget_matches_global_window(spark, rows, budget):
             want.add(i)
         run += nt
     assert got == want, (rows, budget, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints vs a literal python reference (round 6)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(text: str, gram: int = 5, window: int = 4) -> set:
+    """Literal transcription of the operator's contract: 32-bit
+    md5-prefix hash per char gram, sliding-window minima, distinct."""
+    import hashlib
+
+    t = text.lower()
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    if len(t) < gram:
+        return {h32(t)}
+    hashes = [h32(t[i : i + gram]) for i in range(len(t) - gram + 1)]
+    wins = max(len(hashes) - window + 1, 1)
+    return {min(hashes[j : j + window]) for j in range(wins)}
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cd", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_winnowing_matches_python_reference(spark, texts):
+    from mapreduce_chisquare_spark.operators.textstats import (
+        winnowing_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnowing_fingerprint(docs).collect():
+        got[r.doc_id].add(r.fp)
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t)
