@@ -1,11 +1,12 @@
-"""Empirical scale/skew stress for the dedup ladder.
+"""Empirical scale/skew stress for the dedup and ANN ladders.
 
 The correctness suite runs at sf0.001-0.01 (500 docs) and bench at
 sf0.1 (5k docs); every 100 TB claim above that was design-argued only.
-This module executes the claims at 100k docs (20x the largest test
-parquet) with a planted mega-cluster — one boilerplate paragraph
-shared by 5% of the corpus, the "same footer on every page" skew that
-breaks naive LSH — and asserts the three load-bearing behaviors:
+This module executes the claims at 100k docs/vectors (20-50x the
+largest test parquet). The dedup half plants a mega-cluster — one
+boilerplate paragraph shared by 5% of the corpus, the "same footer on
+every page" skew that breaks naive LSH — and asserts the three
+load-bearing behaviors:
 
   (a) the LSH bucket-size guard caps pairwise work: raw band buckets
       blow past MAX_BUCKET (the stress is real) but no document's
@@ -16,6 +17,11 @@ breaks naive LSH — and asserts the three load-bearing behaviors:
   (c) connected-components label propagation converges in a bounded
       handful of rounds despite the mega-cluster, never crawling to
       the max_iter cap.
+
+The ANN half plants each base vector's clones as its ground-truth
+neighbours and asserts IVF candidate generation is sublinear (~N/C),
+brute-force top-k is linear, and IVF recall on the planted truth
+holds at nprobe=1.
 
 Measured numbers live in SCALE.md ("Executed stress" section).
 """
@@ -165,3 +171,117 @@ def test_components_converge_in_bounded_rounds(spark, big):
         .collect()[0][0]
     )
     assert n_rows > 0 and biggest >= 20, (n_rows, biggest)
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search ladder at 100k vectors (round 6): the ANN scale
+# claims executed, mirroring the dedup stress above.
+# ---------------------------------------------------------------------------
+
+EMB_DIR = "/root/testdata/sf0.1"
+
+
+def _stress_embeddings(spark, tmpdir, copies: int):
+    """copies x the sf0.1 embeddings with disjoint vec_id ranges; each
+    copy perturbs dimension 0 by copy*1e-3, so a base vector's clones
+    are its true nearest neighbours (planted ground truth) while
+    distinct bases stay far apart."""
+    base = spark.read.parquet(f"{EMB_DIR}/embeddings.parquet")
+    out = str(tmpdir / f"emb_{copies}x.parquet")
+    parts = []
+    for c in range(copies):
+        bumped = F.concat(
+            F.array(
+                (F.element_at(F.col("embedding"), 1) + F.lit(c * 1e-3))
+                .cast("float")
+            ),
+            F.slice(F.col("embedding"), 2, 63),
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(c * 1_000_000)).alias("vec_id"),
+                bumped.alias("embedding"),
+                "label",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@pytest.fixture(scope="module")
+def emb_big(spark, tmp_path_factory):
+    return _stress_embeddings(
+        spark, tmp_path_factory.mktemp("emb_stress"), copies=50
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, tmp_path_factory):
+    return _stress_embeddings(
+        spark, tmp_path_factory.mktemp("emb_stress_small"), copies=2
+    )
+
+
+@pytest.mark.slow
+def test_ivf_candidates_sublinear_and_fit_bounded(spark, emb_big):
+    """The IVF probe must touch ~N/C candidates per query, not N —
+    the sublinearity that makes ANN an ANN — and the k-means fit's
+    driver state stays k x dim floats however big the corpus."""
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        DIM,
+        N_CENTROIDS,
+        kmeans_centroids,
+        with_centroid_assignment,
+    )
+
+    n = emb_big.count()
+    cents = kmeans_centroids(emb_big)
+    assert len(cents) == N_CENTROIDS
+    assert all(len(c) == DIM for c in cents)
+
+    asg = with_centroid_assignment(emb_big, cents)
+    n_queries = 8
+    q = asg.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    candidates = asg.join(F.broadcast(q), "centroid_id").count()
+    brute = n_queries * n
+    assert candidates < 0.5 * brute, (candidates, brute)
+
+
+@pytest.mark.slow
+def test_brute_force_topk_scales_linearly(spark, emb_small, emb_big):
+    """Exact cosine top-k is a broadcast-join scan: 25x the vectors
+    (4k -> 100k) must cost ~25x, bounded at 75x for noise — a
+    quadratic shape would land at ~625x."""
+    from mapreduce_chisquare_spark.operators.simsearch import cosine_topk
+
+    def run(emb):
+        t0 = time.perf_counter()
+        cosine_topk(emb, n_queries=8, k=5).collect()
+        return time.perf_counter() - t0
+
+    run(emb_small)  # warm-up
+    t_small = run(emb_small)
+    t_big = run(emb_big)
+    assert t_big / t_small < 75.0, (t_small, t_big)
+
+
+@pytest.mark.slow
+def test_ivf_recall_on_planted_clones(spark, emb_big):
+    """Each query's 49 planted clones are its true nearest
+    neighbours; IVF at nprobe=1 must put mostly clones in its top-5
+    (clones share a cell by construction — they differ by 1e-3 in one
+    of 64 dimensions)."""
+    from mapreduce_chisquare_spark.operators.simsearch import ivf_topk
+
+    n_queries = 8
+    rows = ivf_topk(emb_big, n_queries=n_queries, k=5).collect()
+    assert rows, "ivf returned nothing"
+    clone_hits = sum(
+        1 for r in rows if r.vec_id % 1_000_000 == r.query_id
+    )
+    assert clone_hits / len(rows) >= 0.8, (clone_hits, len(rows))
