@@ -202,6 +202,73 @@ def lsh_band_keys(
     ).select("doc_id", "e.band", "e.key")
 
 
+def row_local_band_keys(
+    text: Column, k: int = NUM_HASHES, bands: int = NUM_BANDS
+) -> Column:
+    """The lsh_band_keys relation as a ROW-LOCAL expression:
+    array<struct<band:int, key:array<long>>> computed entirely from
+    one document's text — same shingles, same universal-hash mins,
+    same packed-long band keys, byte-identical buckets (equality
+    pinned by tests/test_extensions.py against the aggregate form).
+
+    The aggregate form needs a groupBy(doc_id) over the exploded
+    shingle relation; this form computes each min with array_min over
+    the shingle array inside a single projection. That makes it LEGAL
+    IN APPEND-MODE STREAMING (stateless — no aggregation state, no
+    watermark) and the natural shape for an ingest-time screen: each
+    arriving document computes its own band keys at map speed and
+    probes a static index. Batch pipelines keep the aggregate form —
+    one explode+agg beats per-row array transforms when the corpus is
+    scanned anyway."""
+    rows = k // bands
+    hp = hash_params(k)
+    arr = _word_array(text)
+    sh = F.when(
+        F.size(arr) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(arr, i + j + 1) for j in range(SHINGLE_N)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    barr = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+
+    def _min(i: int):
+        return F.array_min(
+            F.transform(
+                barr,
+                lambda b: (F.lit(hp[i][0]) * b + F.lit(hp[i][1]))
+                % F.lit(_MOD),
+            )
+        )
+
+    def _key(b: int):
+        packed = [
+            _min(b * rows + 2 * j) * F.lit(_MOD)
+            + _min(b * rows + 2 * j + 1)
+            for j in range(rows // 2)
+        ]
+        if rows % 2:
+            packed.append(_min(b * rows + rows - 1))
+        return F.array(*packed)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), _key(b).alias("key")
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",

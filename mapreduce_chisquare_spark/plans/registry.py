@@ -60,10 +60,10 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 18 never-driver-certified entries (the 10
-# round-5 tail entries + the 8 round-6 additions, all local
+# Round-6 window (50) = the 19 never-driver-certified entries (the 10
+# round-5 tail entries + the 9 round-6 additions, all local
 # oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 18 re-certs of the
+# the 14 stalest re-certs (newest green r1/r2), + 17 re-certs of the
 # oldest r3 rows, prioritizing families whose code churned since r3
 # (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
@@ -91,6 +91,7 @@ _CERTIFY_WINDOW = [
     "similarity_join_minhash",
     "dedup_jaccard_estimate",
     "split_no_leakage",
+    "stream_neardup",
     # r1/r2-only re-certs: scalar/window/relational surface
     "null_scalars",
     "window_first_last",
@@ -114,7 +115,6 @@ _CERTIFY_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "simsearch_lsh",
-    "simsearch_lsh_topk",
     "simsearch_ivf_assign",
     "simsearch_ivf_topk",
     # oldest r3 re-certs: multimodal (decode path re-gated this round)
@@ -135,10 +135,11 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 24 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# re-cert the 25 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
-# simsearch_topk_pandas, dedup_exact, simsearch_topk — displaced from
-# the round-6 window by the eight
+# simsearch_topk_pandas, dedup_exact, simsearch_topk,
+# simsearch_lsh_topk — displaced from
+# the round-6 window by the nine
 # round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,

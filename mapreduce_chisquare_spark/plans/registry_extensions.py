@@ -2733,6 +2733,25 @@ FROM pd CROSS JOIN tot
 """
 
 
+def stream_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming near-dup ingest screen: row-local band keys
+    probed against the existing corpus's static band index
+    (streaming/dedup.py neardup_screen_stream)."""
+    from ..streaming.dedup import neardup_screen_stream
+
+    return neardup_screen_stream(spark, sf_dir)
+
+
+SQL_STREAM_NEARDUP = (
+    "WITH " + _minhash_band_ctes() + ", "
+    "nidx AS (SELECT doc_id AS dup_of, band, key FROM bands "
+    "WHERE doc_id % 10 <> 0), "
+    "nn AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 0) "
+    "SELECT n.doc_id, n.band, i.dup_of "
+    "FROM nn n JOIN nidx i USING (band, key)"
+)
+
+
 def bm25_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 per (doc, term) over the documents table
     (operators/textstats.py bm25)."""
@@ -3088,4 +3107,5 @@ EXTENSION_QUERIES = {
     "winnowing_fingerprint": (winnowing_fingerprint_q, SQL_WINNOWING),
     "bm25_topk": (bm25_topk_q, SQL_BM25_TOPK),
     "winnowing_pairs": (winnowing_pairs_q, SQL_WINNOWING_PAIRS),
+    "stream_neardup": (stream_neardup_q, SQL_STREAM_NEARDUP),
 }

