@@ -328,11 +328,15 @@ def minhash_jaccard_estimate(
     pair): O(k) integer compares per candidate, no re-shingling.
 
     Scale shape: the signature relation is corpus-ROW-sized but only
-    k longs wide (one hash-agg pass, shared with the band pipeline);
-    it joins to the candidate pairs on each side's doc id. Candidates
-    are collision-sized — AQE broadcasts them against the signatures
-    when small, sort-merges otherwise; either way nothing quadratic
-    and no gram-level data moves."""
+    k longs wide (one map-side-combined hash agg). When the pairs come
+    from the LSH generator in the same plan, the shingle lineage IS
+    computed twice (the band aggregate and this signature aggregate
+    emit different buffers, so their exchanges cannot reuse); a
+    persisted signature/band index — the dedup_incremental shape every
+    production corpus keeps anyway — removes the second pass. The
+    pair joins are collision-sized: AQE broadcasts them against the
+    signatures when small, sort-merges otherwise; either way nothing
+    quadratic and no gram-level data moves."""
     sig = minhash_signatures(shingles(docs, text_col), k)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
