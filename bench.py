@@ -96,6 +96,9 @@ HEADLINE = [
     "winnowing_fingerprint",
     "bm25_topk",
     "winnowing_pairs",
+    "q13_customer_distribution",
+    "q21_sole_blame_supplier",
+    "q22_idle_capital",
 ]
 
 WARMUP = 1

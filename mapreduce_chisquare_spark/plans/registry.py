@@ -134,7 +134,10 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-7 window TODO: promote any round-7 tail additions first, then
+# Round-7 window TODO: promote the round-6 tail additions first
+# (q13_customer_distribution, q21_sole_blame_supplier,
+# q22_idle_capital — local oracle-green at both SFs) and any round-7
+# tail additions, then
 # re-cert the 25 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
 # simsearch_topk_pandas, dedup_exact, simsearch_topk,

@@ -1671,6 +1671,160 @@ FROM r WHERE rn = 1 ORDER BY o_orderstatus
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 flavour (reduced schema: no o_comment filter): the
+    orders-per-customer distribution — customer LEFT OUTER orders,
+    a per-customer count, then a tiny second aggregate over the count
+    domain. Zero-order customers keep c_count = 0, the outer-join
+    semantic an inner form silently drops; count(o_orderkey) skips
+    the NULLs the outer join manufactures. One shuffle join + one
+    custkey aggregate; the distribution aggregate runs over at most
+    max(c_count)+1 distinct values."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+SQL_Q13 = """
+WITH per AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+"""
+
+
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavour (reduced schema: l_returnflag = 'R' stands in
+    for the commit/receipt lateness predicate): per supplier, the
+    number of multi-supplier orders where that supplier was the ONLY
+    one with a returned line — Q21's EXISTS (another supplier touched
+    the order) + NOT EXISTS (another supplier also failed) double
+    correlation. Instead of two correlated self-join probes of the
+    fact table, both tests are window aggregates over ONE l_orderkey
+    exchange: per-(order, supplier) flags from a hash aggregate, then
+    supplier-count and failed-supplier-count windows on the same
+    partitioning (no second exchange), then a supplier-keyed count
+    with the dim broadcast in."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    per_os = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_ret")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn(
+        "n_supp", F.count("*").over(w)
+    ).withColumn("n_ret_supp", F.sum("has_ret").over(w))
+    blamed = flagged.filter(
+        (F.col("has_ret") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_ret_supp") == 1)
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+    )
+
+
+SQL_Q21 = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+flagged AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_supp,
+         CAST(sum(has_ret) OVER (PARTITION BY l_orderkey) AS BIGINT)
+           AS n_ret_supp
+  FROM per_os)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_ret = 1 AND n_supp >= 2 AND n_ret_supp = 1
+GROUP BY s_name
+"""
+
+
+def q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavour (reduced schema: nation replaces the phone
+    prefix bucket): customers with an above-average positive account
+    balance and NO orders, per nation — (n_name, numcust,
+    totacctbal_cents). The 'above average' scalar attaches as a 1-row
+    broadcast (J3) holding EXACT integer sums, and the comparison
+    cross-multiplies (cents * n > sum_cents) instead of dividing, so
+    the threshold is integer-exact on both engines — a float average
+    would flip boundary customers between engines. Q22's NOT EXISTS
+    over raw orders matches nothing in this synthetic data (every
+    customer orders), so the anti-join targets the derived
+    frequent-customer relation (>= 6 orders) instead — same anti-join
+    shape, one extra key-only aggregate of the fact table; at scale
+    the fact table is touched once and contributes one slim key
+    column."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").select("o_custkey")
+    na = _t(spark, sf_dir, "nation")
+    cents = _cents("c_acctbal")
+    ap = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("__s"), F.count("*").alias("__n")
+    )
+    rich = cu.join(F.broadcast(ap)).filter(
+        cents * F.col("__n") > F.col("__s")
+    )
+    frequent = (
+        od.groupBy("o_custkey").count().filter(F.col("count") >= 6)
+    )
+    idle = rich.join(
+        frequent, cu.c_custkey == frequent.o_custkey, "left_anti"
+    )
+    return (
+        idle.join(
+            F.broadcast(na),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(cents).alias("totacctbal_cents"),
+        )
+    )
+
+
+SQL_Q22 = """
+WITH ap AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS totacctbal_cents
+FROM customer CROSS JOIN ap
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM (SELECT o_custkey FROM orders
+                   GROUP BY o_custkey HAVING count(*) >= 6) f
+    WHERE f.o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1730,4 +1884,8 @@ RELATIONAL_QUERIES = {
     # round-4 additions (tail; promote into the round-5 window)
     "agg_linreg": (agg_linreg, SQL_AGG_LINREG),
     "agg_mode": (agg_mode, SQL_AGG_MODE),
+    # round-6 additions (tail; promote into the round-7 window)
+    "q13_customer_distribution": (q13_customer_distribution, SQL_Q13),
+    "q21_sole_blame_supplier": (q21_sole_blame_supplier, SQL_Q21),
+    "q22_idle_capital": (q22_idle_capital, SQL_Q22),
 }

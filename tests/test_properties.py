@@ -682,3 +682,138 @@ def test_winnowing_matches_python_reference(spark, texts):
         got[r.doc_id].add(r.fp)
     for i, t in enumerate(texts):
         assert got[i] == _py_winnow(t), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 scorers vs literal python references
+# ---------------------------------------------------------------------------
+
+word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsil", "zeta"]
+)
+textdoc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+textcorpus = st.lists(textdoc, min_size=1, max_size=6)
+
+
+@given(texts=textcorpus)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, texts):
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import bm25
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.term): r for r in bm25(docs).collect()}
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    nonempty = {i: w for i, w in toks.items() if w}
+    n = len(nonempty)
+    if n == 0:
+        assert not got
+        return
+    avgdl = sum(len(w) for w in nonempty.values()) / n
+    df: dict[str, int] = {}
+    for w in nonempty.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for i, w in nonempty.items():
+        for t in set(w):
+            tf, d, dl = w.count(t), df[t], len(w)
+            idf = math.log(1 + (n - d + 0.5) / (d + 0.5))
+            want[(i, t)] = idf * tf * 2.2 / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+            )
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k].bm25 - v) < 1e-9, (k, got[k].bm25, v)
+
+
+@given(texts=textcorpus)
+@settings(**_SETTINGS)
+def test_lm_bigram_matches_python_reference(spark, texts):
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        lm_bigram_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+
+    bigrams = {
+        i: list(zip(t.split(), t.split()[1:]))
+        for i, t in enumerate(texts)
+    }
+    c12: dict = {}
+    c1: dict = {}
+    for bs in bigrams.values():
+        for b in bs:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    v = len(c1)
+    expected_docs = {i for i, bs in bigrams.items() if bs}
+    assert set(got) == expected_docs
+    for i in expected_docs:
+        bs = bigrams[i]
+        s = sum(math.log((c12[b] + 1) / (c1[b[0]] + v)) for b in bs)
+        assert got[i].n_bigrams == len(bs)
+        assert abs(got[i].avg_logprob - s / len(bs)) < 1e-9
+
+
+@given(texts=st.lists(textdoc, min_size=2, max_size=5))
+@settings(**_SETTINGS)
+def test_jaccard_estimate_matches_python_reference(spark, texts):
+    """The signature-agreement estimate is deterministic integer math
+    — the Spark value must EQUAL the python replication, not just
+    approximate it."""
+    import hashlib
+
+    from mapreduce_chisquare_spark.operators.dedup import (
+        NUM_HASHES,
+        _MOD,
+        hash_params,
+        minhash_jaccard_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    pairs = [(a, b) for a in range(len(texts)) for b in range(len(texts)) if a < b]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def shingle_set(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def sig(t):
+        ss = shingle_set(t)
+        if not ss:
+            return None
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for s in ss
+        ]
+        return [
+            min((a * b + bb) % _MOD for b in bases)
+            for a, bb in hash_params(NUM_HASHES)
+        ]
+    sigs = {i: sig(t) for i, t in enumerate(texts)}
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(docs, pdf).collect()
+    }
+    for a, b in pairs:
+        sa, sb = sigs[a], sigs[b]
+        if sa is None or sb is None:
+            assert (a, b) not in got  # inner join drops sig-less docs
+            continue
+        want = sum(x == y for x, y in zip(sa, sb)) / NUM_HASHES
+        assert got[(a, b)] == want, ((a, b), got[(a, b)], want)
