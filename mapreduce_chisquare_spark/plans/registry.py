@@ -60,10 +60,10 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 19 never-driver-certified entries (the 10
-# round-5 tail entries + the 9 round-6 additions, all local
+# Round-6 window (50) = the 22 never-driver-certified entries (the 10
+# round-5 tail entries + the 12 round-6 additions, all local
 # oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 17 re-certs of the
+# the 14 stalest re-certs (newest green r1/r2), + 14 re-certs of the
 # oldest r3 rows, prioritizing families whose code churned since r3
 # (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
@@ -92,6 +92,9 @@ _CERTIFY_WINDOW = [
     "dedup_jaccard_estimate",
     "split_no_leakage",
     "stream_neardup",
+    "q13_customer_distribution",
+    "q21_sole_blame_supplier",
+    "q22_idle_capital",
     # r1/r2-only re-certs: scalar/window/relational surface
     "null_scalars",
     "window_first_last",
@@ -117,11 +120,9 @@ _CERTIFY_WINDOW = [
     "simsearch_lsh",
     "simsearch_ivf_assign",
     "simsearch_ivf_topk",
-    # oldest r3 re-certs: multimodal (decode path re-gated this round)
-    "multimodal_meta",
+    # oldest r3 re-cert: multimodal decode (real-codec path re-gated
+    # this round; meta/frames/resize are unchanged and deferred to r7)
     "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_resize",
     # oldest r3 re-certs + slow tail: streaming and the span pipeline
     "stream_tumbling",
     "stream_sessionize",
@@ -134,15 +135,13 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-7 window TODO: promote the round-6 tail additions first
-# (q13_customer_distribution, q21_sole_blame_supplier,
-# q22_idle_capital — local oracle-green at both SFs) and any round-7
-# tail additions, then
-# re-cert the 25 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# Round-7 window TODO: promote any round-7 tail additions first, then
+# re-cert the 28 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
 # simsearch_topk_pandas, dedup_exact, simsearch_topk,
-# simsearch_lsh_topk — displaced from
-# the round-6 window by the nine
+# simsearch_lsh_topk, multimodal_meta, multimodal_frames,
+# multimodal_resize — displaced from
+# the round-6 window by the twelve
 # round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,
