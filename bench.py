@@ -99,6 +99,8 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_sole_blame_supplier",
     "q22_idle_capital",
+    "normalize_text",
+    "dedup_normalized",
 ]
 
 WARMUP = 1

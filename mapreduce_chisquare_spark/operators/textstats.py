@@ -693,3 +693,41 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüñçýÿ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuncyy"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the pass every dedup/fingerprint
+    stage should share so near-identical variants collapse: lowercase,
+    fold Latin-1 accents through an EXPLICIT literal translate table
+    (both engines apply the same mapping — no reliance on
+    locale/ICU-dependent strip-accents builtins), squeeze every
+    non-alphanumeric run to one space, and trim. Returns
+    (doc_id, norm_text). Pure projection: zero shuffles, scan speed,
+    trivially partition-parallel at any corpus size."""
+    t = F.lower(F.col(text_col))
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, "[^a-z0-9]+", " ")
+    t = F.trim(t)
+    return docs.select("doc_id", t.alias("norm_text"))
+
+
+def dedup_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup over the NORMALIZED text: (norm_hash, n_variants,
+    keep_doc_id) for groups of >= 2 — catches the case/punctuation/
+    accent variants a raw md5(text) group-by calls distinct (the
+    'Same title!' vs 'same title' mirror-page case). One hash-agg
+    shuffle on the normalized content hash, same shape and survivor
+    rule (min doc_id) as dedup_exact."""
+    n = normalize_text(docs, text_col)
+    return (
+        n.groupBy(F.md5(F.col("norm_text")).alias("norm_hash"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

@@ -2733,6 +2733,54 @@ FROM pd CROSS JOIN tot
 """
 
 
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization pass
+    (operators/textstats.py normalize_text)."""
+    return tx.normalize_text(_docs(spark, sf_dir))
+
+
+def _norm_sql(col: str) -> str:
+    from ..operators.textstats import ACCENT_DST, ACCENT_SRC
+
+    return (
+        "trim(regexp_replace(translate(lower("
+        + col
+        + f"), '{ACCENT_SRC}', '{ACCENT_DST}'), '[^a-z0-9]+', ' ', 'g'))"
+    )
+
+
+SQL_NORMALIZE_TEXT = (
+    "SELECT doc_id, "
+    + _norm_sql("text")
+    + " AS norm_text FROM documents"
+)
+
+
+def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over normalized text
+    (operators/textstats.py dedup_normalized). The synthetic corpus
+    has zero byte-identical duplicates, so the query unions in an
+    UPPERCASED, punctuation-suffixed copy of every 25th document —
+    exactly the variant class raw md5(text) dedup calls distinct and
+    this operator collapses (n_variants = 2 per planted group)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return tx.dedup_normalized(d.unionByName(variants))
+
+
+SQL_DEDUP_NORMALIZED = (
+    "WITH u AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000000, upper(text) || ' !!' "
+    "FROM documents WHERE doc_id % 25 = 0) "
+    "SELECT md5(" + _norm_sql("text") + ") AS norm_hash, "
+    "CAST(count(*) AS BIGINT) AS n_variants, min(doc_id) AS keep_doc_id "
+    "FROM u GROUP BY 1 HAVING count(*) >= 2"
+)
+
+
 def stream_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming near-dup ingest screen: row-local band keys
     probed against the existing corpus's static band index
@@ -3108,4 +3156,6 @@ EXTENSION_QUERIES = {
     "bm25_topk": (bm25_topk_q, SQL_BM25_TOPK),
     "winnowing_pairs": (winnowing_pairs_q, SQL_WINNOWING_PAIRS),
     "stream_neardup": (stream_neardup_q, SQL_STREAM_NEARDUP),
+    "normalize_text": (normalize_text_q, SQL_NORMALIZE_TEXT),
+    "dedup_normalized": (dedup_normalized_q, SQL_DEDUP_NORMALIZED),
 }

@@ -1779,3 +1779,29 @@ def test_stream_neardup_flags_cross_side_collisions(spark):
     assert len(rows) >= 0  # may legitimately be empty at tiny sf
     for r in rows:
         assert r.doc_id % 10 == 0 and r.dup_of % 10 != 0
+
+
+def test_normalize_and_dedup_normalized(spark):
+    """Accent folding, punctuation squeeze, and case folding collapse
+    the variant classes raw md5 dedup calls distinct; unrelated docs
+    stay distinct."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        dedup_normalized,
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café naïve, RÉSUMÉ!"),
+            (2, "cafe naive resume"),
+            (3, "  cafe   naive -- resume?? "),
+            (4, "entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = {r.doc_id: r.norm_text for r in normalize_text(docs).collect()}
+    assert norm[1] == norm[2] == norm[3] == "cafe naive resume"
+    assert norm[4] == "entirely different words"
+    groups = dedup_normalized(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_variants == 3 and groups[0].keep_doc_id == 1
