@@ -101,6 +101,7 @@ HEADLINE = [
     "q22_idle_capital",
     "normalize_text",
     "dedup_normalized",
+    "skew_profile",
 ]
 
 WARMUP = 1

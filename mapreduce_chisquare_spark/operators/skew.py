@@ -101,3 +101,37 @@ def adaptive_salted_join(
     if n <= 1:
         return big.join(small, on, how)
     return salted_join(big, small, on, how, n, salt_cols)
+
+
+def skew_profile(
+    df: DataFrame, keys: str | list[str], top_n: int = 20
+) -> DataFrame:
+    """Join-key skew diagnostic: the top_n heaviest key values with
+    row counts and corpus share — the probe to run BEFORE picking a
+    join strategy (broadcast? AQE skew split? explicit salt? drop the
+    key as a stop-value?). decide_num_salts automates one consumer of
+    this signal; the profile itself is the human-facing report.
+
+    Shape: one map-side-combined count aggregate on the key, the
+    total attached as a 1-row broadcast (the J3 pattern — no second
+    scan), and a TakeOrderedAndProject cut: top_n rows per partition
+    move, never a full sort. Ties break on the key columns so the
+    selection is deterministic cross-engine."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*ks).agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("__t"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            *ks,
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                / F.col("__t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(
+            F.desc("n_rows"), *[F.asc(k) for k in ks]
+        )
+        .limit(top_n)
+    )

@@ -60,10 +60,10 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 24 never-driver-certified entries (the 10
-# round-5 tail entries + the 14 round-6 additions, all local
+# Round-6 window (50) = the 25 never-driver-certified entries (the 10
+# round-5 tail entries + the 15 round-6 additions, all local
 # oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 12 re-certs of the
+# the 14 stalest re-certs (newest green r1/r2), + 11 re-certs of the
 # oldest r3 rows, prioritizing families whose code churned since r3
 # (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
@@ -97,6 +97,7 @@ _CERTIFY_WINDOW = [
     "q22_idle_capital",
     "normalize_text",
     "dedup_normalized",
+    "skew_profile",
     # r1/r2-only re-certs: scalar/window/relational surface
     "null_scalars",
     "window_first_last",
@@ -112,8 +113,6 @@ _CERTIFY_WINDOW = [
     "multiway_join",
     "join_salted",
     "sketch_countmin",
-    # oldest r3 re-cert: asof surface
-    "asof_join",
     # oldest r3 re-certs: dedup + simsearch ladders
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -136,13 +135,13 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 30 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
-# sketch_kmv_distinct, join_range,
+# re-cert the 31 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# sketch_kmv_distinct, join_range, asof_join,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
 # simsearch_topk_pandas, dedup_exact, simsearch_topk,
 # simsearch_lsh_topk, multimodal_meta, multimodal_frames,
 # multimodal_resize — displaced from
-# the round-6 window by the fourteen
+# the round-6 window by the fifteen
 # round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,

@@ -2733,6 +2733,25 @@ FROM pd CROSS JOIN tot
 """
 
 
+def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest user_id keys in events with corpus share — the
+    pre-join skew probe (operators/skew.py skew_profile)."""
+    from ..operators.skew import skew_profile
+
+    return skew_profile(_events(spark, sf_dir), "user_id", top_n=20)
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tt FROM c)
+SELECT user_id, n_rows,
+  CAST(n_rows AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, user_id ASC LIMIT 20
+"""
+
+
 def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization pass
     (operators/textstats.py normalize_text)."""
@@ -3158,4 +3177,5 @@ EXTENSION_QUERIES = {
     "stream_neardup": (stream_neardup_q, SQL_STREAM_NEARDUP),
     "normalize_text": (normalize_text_q, SQL_NORMALIZE_TEXT),
     "dedup_normalized": (dedup_normalized_q, SQL_DEDUP_NORMALIZED),
+    "skew_profile": (skew_profile_q, SQL_SKEW_PROFILE),
 }
