@@ -286,14 +286,31 @@ def winsorize(
     )
 
 
-def _id_hash32(id_col: str) -> F.Column:
-    """Deterministic 32-bit hash of an id column, engine-portable: the
-    first 8 hex digits of md5 of the DECIMAL STRING rendering. Both
-    Spark and DuckDB render integers identically, so an oracle can
-    embed the same expression — unlike xxhash64, which only Spark has."""
+def _id_hash32(id_col: str | F.Column) -> F.Column:
+    """Deterministic 32-bit hash of an id column or expression,
+    engine-portable: the first 8 hex digits of md5 of the DECIMAL
+    STRING rendering. Both Spark and DuckDB render integers
+    identically, so an oracle can embed the same expression — unlike
+    xxhash64, which only Spark has."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
     ).cast("long")
+
+
+def _bucket_split(
+    id_expr: str | F.Column, train_pct: int, val_pct: int
+) -> F.Column:
+    """hash-bucket -> 'train'/'val'/'test' label — the ONE when-chain
+    train_split and split_no_leakage share, so the singleton-parity
+    property between them (same id => same split) holds by
+    construction, not by keeping two copies in sync."""
+    bucket = _id_hash32(id_expr) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
 
 
 def corpus_shard(docs: DataFrame, n_shards: int = 16) -> DataFrame:
@@ -329,13 +346,10 @@ def train_split(
     migrates a document between splits (the property that prevents
     silent train-on-test leakage). Entirely map-side: a projection at
     scan speed, no shuffle, no state."""
-    bucket = _id_hash32("doc_id") % 100
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
+    return docs.select(
+        "doc_id",
+        _bucket_split("doc_id", train_pct, val_pct).alias("split"),
     )
-    return docs.select("doc_id", split.alias("split"))
 
 
 def split_no_leakage(
@@ -363,26 +377,32 @@ def split_no_leakage(
     Freeze-at-build: the component iteration executes (and
     localCheckpoints its labels) WHEN THIS FUNCTION IS CALLED — the
     select_token_budget semantics; timing consumers must wrap the
-    builder call plus the action (bench.py does)."""
+    builder call plus the action (bench.py does). The iteration must
+    CONVERGE (it raises otherwise): a max_iter-truncated label is
+    non-minimal on pathological long-chain components, which would
+    silently split a cluster across the train/test boundary — the
+    exact leak this operator exists to prevent (and would diverge
+    from the exact transitive-closure oracle). Propagation finishes
+    in graph-diameter rounds; the 100k-doc planted-skew stress
+    converges in 10 of the default 20."""
     from .dedup import neardup_components
 
-    comp = neardup_components(docs, text_col)
+    stats: dict = {}
+    comp = neardup_components(docs, text_col, stats=stats)
+    if not stats.get("converged", False):
+        raise RuntimeError(
+            "split_no_leakage: component labels did not converge in "
+            f"{stats.get('rounds')} rounds — raise max_iter rather "
+            "than risk splitting a near-dup cluster across splits"
+        )
     gid = F.coalesce(F.col("component_id"), F.col("doc_id"))
-    bucket = (
-        F.conv(
-            F.substring(F.md5(gid.cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
-        .select("doc_id", split.alias("split"))
+        .select(
+            "doc_id",
+            _bucket_split(gid, train_pct, val_pct).alias("split"),
+        )
     )
 
 

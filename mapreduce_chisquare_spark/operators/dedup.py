@@ -202,70 +202,116 @@ def lsh_band_keys(
     ).select("doc_id", "e.band", "e.key")
 
 
-def row_local_band_keys(
-    text: Column, k: int = NUM_HASHES, bands: int = NUM_BANDS
-) -> Column:
-    """The lsh_band_keys relation as a ROW-LOCAL expression:
+def with_row_local_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    out: str = "__bands",
+) -> DataFrame:
+    """Append `out` = the lsh_band_keys relation as a ROW-LOCAL array:
     array<struct<band:int, key:array<long>>> computed entirely from
     one document's text — same shingles, same universal-hash mins,
     same packed-long band keys, byte-identical buckets (equality
-    pinned by tests/test_extensions.py against the aggregate form).
+    pinned by tests/test_extensions.py against the aggregate form,
+    WITHOUT any caller-side length guard). Documents shorter than
+    SHINGLE_N words get an EMPTY array — exploding it yields no rows,
+    exactly like the aggregate form's absent doc (never NULL-filled
+    keys that would bucket all short docs together).
 
     The aggregate form needs a groupBy(doc_id) over the exploded
-    shingle relation; this form computes each min with array_min over
-    the shingle array inside a single projection. That makes it LEGAL
+    shingle relation; this form stays row-local, which makes it LEGAL
     IN APPEND-MODE STREAMING (stateless — no aggregation state, no
-    watermark) and the natural shape for an ingest-time screen: each
-    arriving document computes its own band keys at map speed and
-    probes a static index. Batch pipelines keep the aggregate form —
-    one explode+agg beats per-row array transforms when the corpus is
-    scanned anyway."""
+    watermark): each arriving document computes its own band keys at
+    map speed and probes a static index. Cost discipline (the
+    interpreted-HOF no-CSE lesson this module documents): the token
+    array, the shingle-hash array, and the k mins each materialize in
+    their OWN projection, and the k mins come from ONE array pass
+    (aggregate + zip_with/least — k multiplies per shingle), not k
+    array_min scans that would re-tokenize the document 16x. Batch
+    pipelines keep the aggregate form — one explode+agg beats per-row
+    array transforms when the corpus is scanned anyway."""
     rows = k // bands
     hp = hash_params(k)
-    arr = _word_array(text)
-    sh = F.when(
-        F.size(arr) >= SHINGLE_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(arr, i + j + 1) for j in range(SHINGLE_N)],
+    base = df.withColumn(
+        "__rl_arr", _word_array(F.col(text_col))
+    ).withColumn(
+        "__rl_barr",
+        F.when(
+            F.size(F.col("__rl_arr")) >= SHINGLE_N,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size(F.col("__rl_arr")) - SHINGLE_N
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(
+                                        F.col("__rl_arr"), i + j + 1
+                                    )
+                                    for j in range(SHINGLE_N)
+                                ],
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    barr = F.transform(
-        sh,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
-            "long"
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    # ONE pass over the hash array: fold k running minima together
+    def hash_row(b):
+        return F.array(
+            *[
+                (F.lit(a) * b + F.lit(bb)) % F.lit(_MOD)
+                for a, bb in hp
+            ]
+        )
+
+    init = F.array(*[F.lit(_MOD).cast("long")] * k)  # > any hash value
+    mins = F.aggregate(
+        F.col("__rl_barr"),
+        init,
+        lambda acc, b: F.zip_with(
+            acc, hash_row(b), lambda x, y: F.least(x, y)
         ),
     )
-
-    def _min(i: int):
-        return F.array_min(
-            F.transform(
-                barr,
-                lambda b: (F.lit(hp[i][0]) * b + F.lit(hp[i][1]))
-                % F.lit(_MOD),
-            )
-        )
+    withm = base.withColumn("__rl_mins", mins)
+    m = F.col("__rl_mins")
 
     def _key(b: int):
         packed = [
-            _min(b * rows + 2 * j) * F.lit(_MOD)
-            + _min(b * rows + 2 * j + 1)
+            F.element_at(m, b * rows + 2 * j + 1) * F.lit(_MOD)
+            + F.element_at(m, b * rows + 2 * j + 2)
             for j in range(rows // 2)
         ]
         if rows % 2:
-            packed.append(_min(b * rows + rows - 1))
+            packed.append(F.element_at(m, b * rows + rows))
         return F.array(*packed)
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), _key(b).alias("key")
-            )
-            for b in range(bands)
-        ]
+    entries = F.when(
+        F.size(F.col("__rl_barr")) > 0,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), _key(b).alias("key")
+                )
+                for b in range(bands)
+            ]
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<band:int,key:array<bigint>>>"
+        )
+    )
+    return withm.withColumn(out, entries).drop(
+        "__rl_arr", "__rl_barr", "__rl_mins"
     )
 
 

@@ -78,15 +78,33 @@ def decode_media(blob: bytes, kind: str):
     )
 
 
+def _fake_meta(doc_id: int, blob: bytes):
+    """The fake decoder's per-blob metadata formulas (scalar form,
+    shared with fake_decode_batch's vectorized path)."""
+    n = len(blob)
+    first = blob[0] if n else 0
+    return 16 + first % 16, 16 + n % 16, 1 + doc_id % 8
+
+
 def real_decode_batch(batches):
     """Arrow-batched wrapper over decode_media: batch iteration and
     schema identical to fake_decode_batch, so the two are drop-in
-    interchangeable — only the per-blob metadata source differs."""
+    interchangeable. Dispatch is PER KIND: image blobs go through the
+    real codec (PIL — corrupt image bytes fail LOUD with the codec's
+    own error), while kinds with no wired codec (audio/video) fall
+    back to the deterministic fake metadata per row — the documented
+    degradation, not a crash on the two-thirds of a media table PIL
+    cannot read. Requires the `kind` column in the batch."""
     import pandas as pd  # local import: executors only
 
     for pdf in batches:
         meta = [
-            decode_media(blob, "image") for blob in pdf["payload"]
+            decode_media(blob, kind)
+            if kind == "image"
+            else _fake_meta(doc_id, blob)
+            for doc_id, blob, kind in zip(
+                pdf["doc_id"], pdf["payload"], pdf["kind"]
+            )
         ]
         yield pd.DataFrame(
             {
@@ -132,17 +150,22 @@ def decode_documents(
     """mapInPandas over the binary column → typed metadata relation.
 
     use_codec=None auto-selects: the real PIL-backed batch decoder
-    when the codec is importable, the deterministic fake otherwise.
-    The registered oracle query pins use_codec=False — its payloads
-    are utf-8 text stand-ins the fake derives metadata from, and the
-    DuckDB twin mirrors those formulas; real codec output is pinned
-    by tests/test_multimodal.py's PNG round-trip instead (skipped
-    where PIL is absent)."""
+    when the codec is importable (images through PIL — corrupt image
+    bytes fail loud; codec-less kinds degrade to the deterministic
+    fake per row), the fake for everything otherwise. The registered
+    oracle query pins use_codec=False — its payloads are utf-8 text
+    stand-ins the fake derives metadata from, and the DuckDB twin
+    mirrors those formulas; real codec output is pinned by
+    tests/test_multimodal.py's PNG round-trip instead (skipped where
+    PIL is absent)."""
     if use_codec is None:
         use_codec = codec_available()
-    fn = real_decode_batch if use_codec else fake_decode_batch
+    if use_codec:
+        return media.select("doc_id", "payload", "kind").mapInPandas(
+            real_decode_batch, DECODED_SCHEMA
+        )
     return media.select("doc_id", "payload").mapInPandas(
-        fn, DECODED_SCHEMA
+        fake_decode_batch, DECODED_SCHEMA
     )
 
 

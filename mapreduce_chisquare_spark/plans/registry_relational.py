@@ -1734,14 +1734,16 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_supp") >= 2)
         & (F.col("n_ret_supp") == 1)
     )
+    # group by s_name AFTER the dim join — structurally identical to
+    # the oracle's GROUP BY s_name, so duplicate supplier names can
+    # never split the twins (grouping by suppkey then joining would)
     return (
-        blamed.groupBy("l_suppkey")
-        .agg(F.count("*").cast("long").alias("numwait"))
-        .join(
+        blamed.join(
             F.broadcast(su.select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
     )
 
 

@@ -4,8 +4,9 @@ the batch dedup_incremental shape.
 The batch MinHash pipeline aggregates shingles per doc — illegal in
 append-mode streaming without state. The screen instead computes each
 arriving document's LSH band keys ROW-LOCALLY
-(operators/dedup.row_local_band_keys: same shingles, same hash family,
-same packed-long keys, equality-tested against the aggregate form) and
+(operators/dedup.with_row_local_band_keys: same shingles, same hash
+family, same packed-long keys, equality-tested against the aggregate
+form) and
 probes a STATIC band index of the existing corpus via a stream-static
 broadcast join. The whole query is stateless — no watermark, no
 aggregation state, append mode — so a 100 TB/day ingest screens at
@@ -28,11 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    SHINGLE_N,
-    _word_array,
     lsh_band_keys,
-    row_local_band_keys,
     shingles,
+    with_row_local_band_keys,
 )
 from ..schemas import DOCUMENTS
 from ..sources.fixtures import docs_multifile_dir
@@ -61,13 +60,11 @@ def neardup_screen_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    new = stream.filter(
-        (F.col("doc_id") % 10 == 0)
-        & (F.size(_word_array(F.col("text"))) >= SHINGLE_N)
-    )
-    keyed = new.select(
-        "doc_id",
-        F.explode(row_local_band_keys(F.col("text"))).alias("e"),
+    new = stream.filter(F.col("doc_id") % 10 == 0)
+    # sub-shingle docs emit an EMPTY band array (no rows on explode),
+    # mirroring the aggregate form — no extra length guard needed
+    keyed = with_row_local_band_keys(new).select(
+        "doc_id", F.explode(F.col("__bands")).alias("e")
     ).select("doc_id", "e.band", "e.key")
     flagged = keyed.join(
         F.broadcast(index), ["band", "key"]

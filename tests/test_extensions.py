@@ -1737,48 +1737,71 @@ def test_row_local_band_keys_match_aggregate_form(spark, sf_dir):
     """The stateless per-row band-key expression must produce the
     exact (doc_id, band, key) relation of the aggregate lsh_band_keys
     pipeline — the equality that lets the streaming screen share the
-    batch index."""
+    batch index — with NO caller-side guard: sub-shingle documents
+    (planted here) must vanish from both relations identically, never
+    emit NULL-filled keys that would bucket all short docs together."""
     from mapreduce_chisquare_spark.operators.dedup import (
-        SHINGLE_N,
-        _word_array,
         lsh_band_keys,
-        row_local_band_keys,
         shingles,
+        with_row_local_band_keys,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+        200
+    ).unionByName(
+        spark.createDataFrame(
+            [(901, "two words"), (902, ""), (903, "one")],
+            "doc_id long, text string",
+        ).selectExpr(
+            "doc_id", "text", "'xx' AS lang", "'t' AS source",
+            "length(text) AS n_chars",
+        )
+    )
     agg = {
         (r.doc_id, r.band, tuple(r.key))
         for r in lsh_band_keys(shingles(docs)).collect()
     }
-    eligible = docs.filter(
-        F.size(_word_array(F.col("text"))) >= SHINGLE_N
-    )
     row_local = {
         (r.doc_id, r.e.band, tuple(r.e.key))
-        for r in eligible.select(
-            "doc_id",
-            F.explode(
-                row_local_band_keys(F.col("text"))
-            ).alias("e"),
-        ).collect()
+        for r in with_row_local_band_keys(docs)
+        .select("doc_id", F.explode(F.col("__bands")).alias("e"))
+        .collect()
     }
     assert row_local == agg
+    assert not any(d in (901, 902, 903) for d, _, _ in row_local)
 
 
 def test_stream_neardup_flags_cross_side_collisions(spark):
-    """The streamed screen must flag exactly the band collisions the
-    batch join produces — exercised through the registry entry so the
-    memory-sink round trip is covered too."""
+    """The streamed screen must flag EXACTLY the band collisions the
+    batch join produces (set equality, not a vacuous length check) —
+    exercised through the registry entry so the memory-sink round
+    trip is covered too."""
     import __spark_entry__ as entry_mod
-
-    out = entry_mod.queries()["stream_neardup"](
-        spark, "/root/testdata/sf0.001"
+    from mapreduce_chisquare_spark.operators.dedup import (
+        lsh_band_keys,
+        shingles,
     )
-    rows = out.collect()
-    assert len(rows) >= 0  # may legitimately be empty at tiny sf
-    for r in rows:
-        assert r.doc_id % 10 == 0 and r.dup_of % 10 != 0
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.band, r.dup_of)
+        for r in entry_mod.queries()["stream_neardup"](
+            spark, sf
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bands = lsh_band_keys(shingles(docs))
+    idx = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("dup_of"), "band", "key"
+    )
+    new = bands.filter(F.col("doc_id") % 10 == 0)
+    want = {
+        (r.doc_id, r.band, r.dup_of)
+        for r in new.join(idx, ["band", "key"])
+        .select("doc_id", "band", "dup_of")
+        .collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_normalize_and_dedup_normalized(spark):
