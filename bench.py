@@ -102,6 +102,8 @@ HEADLINE = [
     "normalize_text",
     "dedup_normalized",
     "skew_profile",
+    "ts_paa",
+    "ts_similarity_topk",
 ]
 
 WARMUP = 1

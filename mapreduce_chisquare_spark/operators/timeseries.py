@@ -159,3 +159,118 @@ def funnel(
     return a.select(F.explode(rows).alias("r")).select(
         "r.stage", "r.n_users", "r.share"
     )
+
+
+def ts_paa(
+    events: DataFrame, segments: int = 8, value_col: str = "value"
+) -> DataFrame:
+    """Piecewise Aggregate Approximation sketches per entity: each
+    user's time-ordered value series splits into `segments` equal-ish
+    chunks whose means form a fixed-length sketch — the data-series
+    indexing primitive of the iSAX family (PAA distance lower-bounds
+    Euclidean distance on the raw series, so sketch-level pruning
+    never produces false dismissals; see the Odyssey/data-series
+    similarity literature in PAPERS.md). Returns (user_id, seg,
+    paa_value, n_points) for users with >= `segments` points (shorter
+    series have no well-defined `segments`-chunk sketch and are
+    excluded in BOTH engines).
+
+    Scale shape: one user-keyed exchange serves the ordering window
+    AND the (user, seg) mean aggregate (same partitioning); segment
+    assignment is exact integer arithmetic (floor(pos*segments/n)) on
+    the (ts, event_id)-ordered rank, so chunk boundaries are
+    deterministic cross-engine, and so is the segment MEAN: values
+    sum as exact integer cents before ONE final division, so the
+    sketch is bit-identical on both engines (a float sum's
+    engine-chosen addition order is not). The sketch relation is
+    users x segments rows — vanishing next to the event log it
+    summarizes, which is what makes series similarity affordable at
+    100 TB: downstream search touches sketches, not raw series."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pos = (F.row_number().over(w) - 1).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        events.select("user_id", "ts", "event_id", value_col)
+        .withColumn("__pos", pos)
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__n") >= segments)
+        .withColumn(
+            "seg",
+            (
+                (F.col("__pos") * segments) / F.col("__n")
+            ).cast("long"),
+        )
+    )
+    return (
+        base.groupBy("user_id", "seg")
+        .agg(
+            F.sum(cents).alias("__sc"),
+            F.count("*").cast("long").alias("n_points"),
+        )
+        .select(
+            "user_id",
+            "seg",
+            (
+                F.col("__sc").cast("double")
+                / (F.lit(100.0) * F.col("n_points").cast("double"))
+            ).alias("paa_value"),
+            "n_points",
+        )
+    )
+
+
+def ts_similarity_topk(
+    events: DataFrame,
+    query_user: int = 0,
+    k: int = 10,
+    segments: int = 8,
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k most similar entity series to `query_user` by squared
+    PAA distance: (user_id, dist2, rank). The sketch-level search of
+    a data-series index — at scale the raw-series refinement step
+    would re-rank this shortlist exactly, touching only k series
+    (the lower-bounding property guarantees the true nearest is in
+    any shortlist its PAA distance admits).
+
+    Scale shape: the query sketch is `segments` rows broadcast
+    against the sketch relation (itself users x segments); the
+    per-user distance is one aggregate on the sketch relation's
+    existing user partitioning, and the top-k cut is
+    TakeOrderedAndProject with a user_id tie-break. The distance
+    folds its `segments` squared diffs IN SEG ORDER (in-agg sort +
+    left-to-right fold; the oracle uses an ORDER BY aggregate) over
+    the bit-identical sketch values, so dist2 — the ranking key — is
+    bit-stable cross-engine and the top-k boundary can never flake
+    on engine-chosen addition order."""
+    sk = ts_paa(events, segments, value_col)
+    q = sk.filter(F.col("user_id") == query_user).select(
+        "seg", F.col("paa_value").alias("q_value")
+    )
+    d = F.col("paa_value") - F.col("q_value")
+    per_user = (
+        sk.filter(F.col("user_id") != query_user)
+        .join(F.broadcast(q), "seg")
+        .groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("seg"), (d * d).alias("d2"))
+                        )
+                    ),
+                    lambda s: s["d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2")
+        )
+    )
+    w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
+    return (
+        per_user.orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

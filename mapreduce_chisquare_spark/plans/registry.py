@@ -60,10 +60,10 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 25 never-driver-certified entries (the 10
-# round-5 tail entries + the 15 round-6 additions, all local
+# Round-6 window (50) = the 27 never-driver-certified entries (the 10
+# round-5 tail entries + the 17 round-6 additions, all local
 # oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 11 re-certs of the
+# the 14 stalest re-certs (newest green r1/r2), + 9 re-certs of the
 # oldest r3 rows, prioritizing families whose code churned since r3
 # (multimodal_decode's real-codec gating lands this round; the
 # asof/range-join, simsearch-IVF and streaming families). Fast entries
@@ -98,6 +98,8 @@ _CERTIFY_WINDOW = [
     "normalize_text",
     "dedup_normalized",
     "skew_profile",
+    "ts_paa",
+    "ts_similarity_topk",
     # r1/r2-only re-certs: scalar/window/relational surface
     "null_scalars",
     "window_first_last",
@@ -123,10 +125,8 @@ _CERTIFY_WINDOW = [
     # this round; meta/frames/resize are unchanged and deferred to r7)
     "multimodal_decode",
     # oldest r3 re-certs + slow tail: streaming and the span pipeline
-    "stream_tumbling",
     "stream_sessionize",
     "stream_chi_square",
-    "stream_dedup",
     "stream_interval_join",
     "pipeline_span_surgery",
 ]
@@ -135,13 +135,14 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 31 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
-# sketch_kmv_distinct, join_range, asof_join,
+# re-cert the 33 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# sketch_kmv_distinct, join_range, asof_join, stream_tumbling,
+# stream_dedup,
 # agg_approx_distinct, agg_histogram, asof_tolerance,
 # simsearch_topk_pandas, dedup_exact, simsearch_topk,
 # simsearch_lsh_topk, multimodal_meta, multimodal_frames,
 # multimodal_resize — displaced from
-# the round-6 window by the fifteen
+# the round-6 window by the seventeen
 # round-6 additions — plus doc_fingerprint, dq_profile,
 # embed_label_means, embed_neardup, lang_id, pii_redact,
 # pipeline_curation, quality_score, repetition_metrics, resample_ffill,

@@ -2733,6 +2733,59 @@ FROM pd CROSS JOIN tot
 """
 
 
+def ts_paa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA sketches of each user's event-value series
+    (operators/timeseries.py ts_paa)."""
+    from ..operators.timeseries import ts_paa
+
+    return ts_paa(_events(spark, sf_dir))
+
+
+_PAA_CTES = """
+tsb AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1
+              AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events),
+tsf AS (SELECT *, (pos * 8) // n AS seg FROM tsb WHERE n >= 8),
+tsk AS (SELECT user_id, seg,
+          CAST(sum(cents) AS DOUBLE)
+            / (100.0 * CAST(count(*) AS DOUBLE)) AS paa_value,
+          CAST(count(*) AS BIGINT) AS n_points
+        FROM tsf GROUP BY user_id, seg)
+"""
+
+SQL_TS_PAA = (
+    "WITH " + _PAA_CTES
+    + " SELECT user_id, seg, paa_value, n_points FROM tsk"
+)
+
+
+def ts_similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar user series to user 0 by squared PAA
+    distance (operators/timeseries.py ts_similarity_topk)."""
+    from ..operators.timeseries import ts_similarity_topk
+
+    return ts_similarity_topk(_events(spark, sf_dir))
+
+
+SQL_TS_SIMILARITY = (
+    "WITH " + _PAA_CTES + ", "
+    "tq AS (SELECT seg, paa_value AS q_value FROM tsk WHERE user_id = 0), "
+    "td AS (SELECT s.user_id, "
+    "sum((s.paa_value - q_value) * (s.paa_value - q_value) "
+    "    ORDER BY s.seg) AS dist2 "
+    "FROM tsk s JOIN tq USING (seg) WHERE s.user_id <> 0 "
+    "GROUP BY s.user_id) "
+    "SELECT user_id, dist2, "
+    "CAST(row_number() OVER (ORDER BY dist2 ASC, user_id ASC) "
+    "     AS INTEGER) AS rank "
+    "FROM td ORDER BY dist2 ASC, user_id ASC LIMIT 10"
+)
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3178,4 +3231,6 @@ EXTENSION_QUERIES = {
     "normalize_text": (normalize_text_q, SQL_NORMALIZE_TEXT),
     "dedup_normalized": (dedup_normalized_q, SQL_DEDUP_NORMALIZED),
     "skew_profile": (skew_profile_q, SQL_SKEW_PROFILE),
+    "ts_paa": (ts_paa_q, SQL_TS_PAA),
+    "ts_similarity_topk": (ts_similarity_topk_q, SQL_TS_SIMILARITY),
 }

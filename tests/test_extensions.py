@@ -1828,3 +1828,77 @@ def test_normalize_and_dedup_normalized(spark):
     groups = dedup_normalized(docs).collect()
     assert len(groups) == 1
     assert groups[0].n_variants == 3 and groups[0].keep_doc_id == 1
+
+
+def test_ts_paa_matches_hand_computation(spark):
+    """PAA segment boundaries (floor(pos*segments/n)) and means match
+    a literal python computation; series shorter than `segments`
+    points are excluded."""
+    import datetime as dt
+
+    rows = []
+    vals = [float(v) for v in range(1, 13)]  # user 1: 12 points
+    for i, v in enumerate(vals):
+        rows.append(
+            (i, dt.datetime(2024, 1, 1, 0, i), 1, "view", v, "{}")
+        )
+    rows.append(  # user 2: 3 points < 8 segments -> excluded
+        (100, dt.datetime(2024, 1, 1), 2, "view", 5.0, "{}")
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from mapreduce_chisquare_spark.operators.timeseries import ts_paa
+
+    got = {
+        (r.user_id, r.seg): (r.paa_value, r.n_points)
+        for r in ts_paa(ev).collect()
+    }
+    assert not any(u == 2 for u, _ in got)
+    segs: dict[int, list[float]] = {}
+    for pos, v in enumerate(vals):
+        segs.setdefault(pos * 8 // 12, []).append(v)
+    for s, vs in segs.items():
+        pv, n = got[(1, s)]
+        assert n == len(vs) and abs(pv - sum(vs) / n) < 1e-12
+
+
+def test_ts_similarity_ranks_planted_clone_first(spark):
+    """A series identical to the query's must rank 1 with dist2 = 0;
+    a far-off series ranks behind a near one."""
+    import datetime as dt
+
+    def series(uid, base, off):
+        return [
+            (
+                uid * 1000 + i,
+                dt.datetime(2024, 1, 1, 0, i),
+                uid,
+                "view",
+                float(base + i % 4 + off),
+                "{}",
+            )
+            for i in range(16)
+        ]
+
+    rows = (
+        series(0, 10, 0)       # query
+        + series(1, 10, 0)     # clone: dist2 == 0
+        + series(2, 10, 0.5)   # near
+        + series(3, 50, 0)     # far
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_topk,
+    )
+
+    out = ts_similarity_topk(ev, query_user=0, k=3).collect()
+    assert [r.user_id for r in out] == [1, 2, 3]
+    assert out[0].dist2 == 0.0
+    assert out[1].dist2 < out[2].dist2
