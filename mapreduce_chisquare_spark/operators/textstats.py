@@ -675,7 +675,13 @@ def bm25_topk(
     engines reproduce bit-identically, where sum() over a group would
     add in engine-chosen order. The global cut executes as
     TakeOrderedAndProject: k rows per partition move, never a full
-    sort — the only corpus-wide ordering primitive that scales."""
+    sort — the only corpus-wide ordering primitive that scales.
+
+    Query terms form a SET: duplicates in `terms` are dropped (first
+    occurrence kept, written order preserved) — each would otherwise
+    pivot into its own column holding the same per-term score and be
+    summed twice."""
+    terms = list(dict.fromkeys(terms))
     s = bm25(docs, text_col).filter(F.col("term").isin(list(terms)))
     cols = [
         F.max(
@@ -721,8 +727,13 @@ def dedup_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
     accent variants a raw md5(text) group-by calls distinct (the
     'Same title!' vs 'same title' mirror-page case). One hash-agg
     shuffle on the normalized content hash, same shape and survivor
-    rule (min doc_id) as dedup_exact."""
-    n = normalize_text(docs, text_col)
+    rule (min doc_id) as dedup_exact.
+
+    Documents whose normalization is EMPTY (all punctuation/digits…
+    nothing in [a-z0-9] survives) are excluded: they are not variants
+    of one another, and grouping them would drop unrelated docs as
+    'duplicates' of the min doc_id."""
+    n = normalize_text(docs, text_col).filter(F.col("norm_text") != "")
     return (
         n.groupBy(F.md5(F.col("norm_text")).alias("norm_hash"))
         .agg(

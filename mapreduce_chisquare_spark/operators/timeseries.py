@@ -196,10 +196,11 @@ def ts_paa(
         .withColumn("__n", F.count("*").over(wn))
         .filter(F.col("__n") >= segments)
         .withColumn(
+            # true integer floor division (`div`), matching the
+            # oracle's `//` exactly — a DOUBLE divide + cast agrees
+            # only while pos*segments is well inside 2^53
             "seg",
-            (
-                (F.col("__pos") * segments) / F.col("__n")
-            ).cast("long"),
+            F.expr(f"(__pos * {int(segments)}) div __n"),
         )
     )
     return (
@@ -245,11 +246,28 @@ def ts_similarity_topk(
     bit-stable cross-engine and the top-k boundary can never flake
     on engine-chosen addition order."""
     sk = ts_paa(events, segments, value_col)
+    per_user = _sketch_dist2(sk, query_user)
+    w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
+    return (
+        per_user.orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def _sketch_dist2(sk: DataFrame, query_user: int) -> DataFrame:
+    """Per-user squared Euclidean distance between each user's sketch
+    and `query_user`'s, over a (user_id, seg, paa_value) relation:
+    broadcast the query's rows, join on seg, fold the squared diffs
+    IN SEG ORDER (in-agg sort + left-to-right fold) so the float sum
+    is bit-stable cross-engine. Returns (user_id, dist2), query user
+    excluded. Sketches of different lengths never meet: seg ranges
+    are equal by construction for every user in `sk`."""
     q = sk.filter(F.col("user_id") == query_user).select(
         "seg", F.col("paa_value").alias("q_value")
     )
     d = F.col("paa_value") - F.col("q_value")
-    per_user = (
+    return (
         sk.filter(F.col("user_id") != query_user)
         .join(F.broadcast(q), "seg")
         .groupBy("user_id")
@@ -268,9 +286,69 @@ def ts_similarity_topk(
             ).alias("dist2")
         )
     )
+
+
+def ts_similarity_refined(
+    events: DataFrame,
+    query_user: int = 0,
+    k: int = 10,
+    segments: int = 8,
+    shortlist: int = 40,
+    grid: int = 32,
+    value_col: str = "value",
+) -> DataFrame:
+    """The data-series index's REFINE step (the simsearch_pq_refined
+    analogue): the coarse `segments`-cell PAA prunes the corpus to a
+    `shortlist`, then ONLY those candidates are re-scored at full
+    `grid`-cell resolution and re-ranked exactly. Returns (user_id,
+    paa_dist2, dist2, rank) — coarse bound and refined distance side
+    by side, ranked by the refined distance (user_id tie-break).
+
+    Variable-length series are compared on the standard
+    length-normalized representation (UCR-style): each series
+    resampled to `grid` equal-occupancy cells via the same exact
+    integer-floor assignment and exact-cents means as ts_paa — at
+    grid = series length this IS the raw series, and the coarse
+    sketch is the PAA of it. PAA lower-bounds Euclidean on that
+    representation, so the refined top-k over the shortlist is
+    provably exact whenever the k-th refined distance <=
+    (grid/segments) * the best coarse distance among non-shortlisted
+    users — asserted as a property test (tests/test_timeseries.py).
+    Candidates with fewer than `grid` points have no grid-resolution
+    form and drop from the refined ranking (inner join, both
+    engines).
+
+    Scale shape: the corpus-sized work is the two sketch relations
+    (users x segments and users x grid rows — both vanishing next to
+    the event log, built off ONE user-keyed exchange each); the
+    shortlist cut is TakeOrderedAndProject on the bit-stable coarse
+    distance, and the refine tier touches shortlist x grid rows via
+    broadcast joins — the event log itself never re-shuffles. At 100
+    TB the expensive exact scorer runs on a fixed, tiny candidate
+    relation exactly like the PQ refine path."""
+    coarse = ts_paa(events, segments, value_col)
+    cand = (
+        _sketch_dist2(coarse, query_user)
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(shortlist)
+        .select("user_id", F.col("dist2").alias("paa_dist2"))
+    )
+    fine = ts_paa(events, grid, value_col)
+    refined = _sketch_dist2(
+        fine.join(
+            F.broadcast(cand.select("user_id")), "user_id"
+        ).unionByName(fine.filter(F.col("user_id") == query_user)),
+        query_user,
+    )
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (
-        per_user.orderBy(F.asc("dist2"), F.asc("user_id"))
+        refined.join(F.broadcast(cand), "user_id")
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
         .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "user_id",
+            "paa_dist2",
+            "dist2",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
     )

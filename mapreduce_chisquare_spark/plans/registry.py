@@ -135,7 +135,7 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 33 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
+# re-cert the 34 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
 # sketch_kmv_distinct, join_range, asof_join, stream_tumbling,
 # stream_dedup,
 # agg_approx_distinct, agg_histogram, asof_tolerance,

@@ -54,13 +54,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_duplicates(_docs(spark, sf_dir))
+    """Exact (byte-identical) dedup. The synthetic corpus is
+    duplicate-free, so the query unions in an UNMODIFIED copy of
+    every 20th document under a fresh doc_id — the gate exercises
+    real duplicate groups (n_dupes = 2, keep_doc_id = the original)
+    instead of certifying empty == empty."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+    )
+    return dd.exact_duplicates(d.unionByName(copies))
 
 
 SQL_DEDUP_EXACT = """
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text
+           FROM documents WHERE doc_id % 20 = 0)
 SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dupes,
        min(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+FROM u GROUP BY md5(text) HAVING count(*) >= 2
 """
 
 # Shared shingle CTE chain (mirrors operators/dedup.py shingles for
@@ -2741,21 +2754,30 @@ def ts_paa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_paa(_events(spark, sf_dir))
 
 
-_PAA_CTES = """
-tsb AS (
+def _paa_ctes(segments: int, tag: str) -> str:
+    """PAA sketch CTEs at a given resolution; final CTE is {tag}k =
+    (user_id, seg, paa_value, n_points). Mirrors ts_paa exactly:
+    integer floor division for segment assignment, exact-cents sums
+    before one final divide."""
+    return f"""
+{tag}b AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
          CAST(row_number() OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) - 1
               AS BIGINT) AS pos,
          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
   FROM events),
-tsf AS (SELECT *, (pos * 8) // n AS seg FROM tsb WHERE n >= 8),
-tsk AS (SELECT user_id, seg,
+{tag}f AS (SELECT *, (pos * {segments}) // n AS seg
+           FROM {tag}b WHERE n >= {segments}),
+{tag}k AS (SELECT user_id, seg,
           CAST(sum(cents) AS DOUBLE)
             / (100.0 * CAST(count(*) AS DOUBLE)) AS paa_value,
           CAST(count(*) AS BIGINT) AS n_points
-        FROM tsf GROUP BY user_id, seg)
+        FROM {tag}f GROUP BY user_id, seg)
 """
+
+
+_PAA_CTES = _paa_ctes(8, "ts")
 
 SQL_TS_PAA = (
     "WITH " + _PAA_CTES
@@ -2783,6 +2805,41 @@ SQL_TS_SIMILARITY = (
     "CAST(row_number() OVER (ORDER BY dist2 ASC, user_id ASC) "
     "     AS INTEGER) AS rank "
     "FROM td ORDER BY dist2 ASC, user_id ASC LIMIT 10"
+)
+
+
+def ts_similarity_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA-shortlist + grid-resolution exact re-rank: top-10 series
+    nearest user 0, coarse 8-segment prune to a 40-user shortlist,
+    refined at 32 cells (operators/timeseries.py
+    ts_similarity_refined)."""
+    from ..operators.timeseries import ts_similarity_refined
+
+    return ts_similarity_refined(_events(spark, sf_dir))
+
+
+SQL_TS_SIMILARITY_REFINED = (
+    "WITH " + _PAA_CTES + ", " + _paa_ctes(32, "fg") + ", "
+    "tq AS (SELECT seg, paa_value AS q_value FROM tsk WHERE user_id = 0), "
+    "td AS (SELECT s.user_id, "
+    "sum((s.paa_value - q_value) * (s.paa_value - q_value) "
+    "    ORDER BY s.seg) AS dist2 "
+    "FROM tsk s JOIN tq USING (seg) WHERE s.user_id <> 0 "
+    "GROUP BY s.user_id), "
+    "cand AS (SELECT user_id, dist2 AS paa_dist2 FROM td "
+    "ORDER BY dist2 ASC, user_id ASC LIMIT 40), "
+    "fq AS (SELECT seg, paa_value AS q_value FROM fgk WHERE user_id = 0), "
+    "fd AS (SELECT f.user_id, "
+    "sum((f.paa_value - q_value) * (f.paa_value - q_value) "
+    "    ORDER BY f.seg) AS dist2 "
+    "FROM fgk f JOIN fq USING (seg) "
+    "JOIN cand c ON f.user_id = c.user_id "
+    "GROUP BY f.user_id) "
+    "SELECT c.user_id, c.paa_dist2, f.dist2, "
+    "CAST(row_number() OVER (ORDER BY f.dist2 ASC, f.user_id ASC) "
+    "     AS INTEGER) AS rank "
+    "FROM fd f JOIN cand c USING (user_id) "
+    "ORDER BY f.dist2 ASC, f.user_id ASC LIMIT 10"
 )
 
 
@@ -2846,10 +2903,12 @@ def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_NORMALIZED = (
     "WITH u AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 10000000, upper(text) || ' !!' "
-    "FROM documents WHERE doc_id % 25 = 0) "
-    "SELECT md5(" + _norm_sql("text") + ") AS norm_hash, "
+    "FROM documents WHERE doc_id % 25 = 0), "
+    "n AS (SELECT doc_id, " + _norm_sql("text") + " AS norm_text "
+    "FROM u) "
+    "SELECT md5(norm_text) AS norm_hash, "
     "CAST(count(*) AS BIGINT) AS n_variants, min(doc_id) AS keep_doc_id "
-    "FROM u GROUP BY 1 HAVING count(*) >= 2"
+    "FROM n WHERE norm_text <> '' GROUP BY 1 HAVING count(*) >= 2"
 )
 
 
@@ -2897,11 +2956,11 @@ st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
 sc AS (SELECT doc_id, term, tf, df,
   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
            / (CAST(df AS DOUBLE) + 0.5))
-  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-    / (CAST(tf AS DOUBLE)
-       + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
-                       / (CAST(total_len AS DOUBLE)
-                          / CAST(n_docs AS DOUBLE)))) AS bm25
+  * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+     / (CAST(tf AS DOUBLE)
+        + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+                        / (CAST(total_len AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE))))) AS bm25
 FROM wtf CROSS JOIN st)
 """
 
@@ -3233,4 +3292,8 @@ EXTENSION_QUERIES = {
     "skew_profile": (skew_profile_q, SQL_SKEW_PROFILE),
     "ts_paa": (ts_paa_q, SQL_TS_PAA),
     "ts_similarity_topk": (ts_similarity_topk_q, SQL_TS_SIMILARITY),
+    "ts_similarity_refined": (
+        ts_similarity_refined_q,
+        SQL_TS_SIMILARITY_REFINED,
+    ),
 }

@@ -236,9 +236,17 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders."""
+    """Left-anti: customers with no URGENT order. Every customer in
+    the synthetic data has orders, so the unrestricted 'customers
+    with no orders' anti-join certifies on 0 rows (empty == empty —
+    the q22 trap); restricting the right side to '1-URGENT' orders
+    makes the gate exercise real anti-join survivors (18 rows at
+    sf0.001, 203 at sf0.01) while keeping the left-anti physical
+    shape."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -246,7 +254,9 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 

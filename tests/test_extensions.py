@@ -1902,3 +1902,121 @@ def test_ts_similarity_ranks_planted_clone_first(spark):
     assert [r.user_id for r in out] == [1, 2, 3]
     assert out[0].dist2 == 0.0
     assert out[1].dist2 < out[2].dist2
+
+
+def test_bm25_topk_deduplicates_query_terms(spark):
+    """Duplicate query terms count once: each would otherwise pivot
+    into its own column holding the same score and sum twice."""
+    from mapreduce_chisquare_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector merge stream pipeline"),
+            (2, "vector only document padding words here"),
+            (3, "unrelated text about nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    once = bm25_topk(docs, ["vector", "merge"], k=3).collect()
+    twice = bm25_topk(
+        docs, ["vector", "vector", "merge", "vector"], k=3
+    ).collect()
+    assert [(r.doc_id, r.score) for r in once] == [
+        (r.doc_id, r.score) for r in twice
+    ]
+
+
+def test_dedup_normalized_skips_empty_normalizations(spark):
+    """Docs whose normalization is empty (pure punctuation/symbols)
+    are NOT variants of one another and must not merge into a fake
+    duplicate group."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        dedup_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "!!! ??? ..."),
+            (2, "@@@ ###"),
+            (3, "---"),
+            (4, "real words here"),
+            (5, "Real! Words! Here!"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = dedup_normalized(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_variants == 2 and groups[0].keep_doc_id == 4
+
+
+def test_ts_similarity_refined_reorders_and_is_provably_exact(spark):
+    """The refine step of the PAA index: (a) the coarse distance is a
+    LOWER BOUND of the refined distance after the (grid/segments)
+    rescale; (b) refinement fixes a coarse mis-ranking the sketch
+    cannot see (within-segment oscillation averages to zero); (c)
+    whenever the k-th refined distance <= the rescaled best coarse
+    distance among NON-shortlisted users, the refined top-k equals
+    the brute-force exact top-k over the raw series."""
+    import datetime as dt
+
+    n, segments, grid, shortlist, k = 16, 4, 16, 6, 3
+
+    def series(uid, offsets):
+        return [
+            (
+                uid * 1000 + i,
+                dt.datetime(2024, 1, 1, 0, i),
+                uid,
+                "view",
+                float(10 + (i % 4)) + offsets[i],
+                "{}",
+            )
+            for i in range(n)
+        ]
+
+    flat = lambda c: [c] * n  # noqa: E731
+    osc = [1.0 if i % 2 == 0 else -1.0 for i in range(n)]
+    fixture = {0: flat(0.0), 1: flat(0.0), 2: osc, 3: flat(0.5)}
+    for u in range(4, 21):
+        fixture[u] = flat(float(u))
+    rows = [r for u, off in fixture.items() for r in series(u, off)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_refined,
+    )
+
+    out = ts_similarity_refined(
+        ev, query_user=0, k=k, segments=segments,
+        shortlist=shortlist, grid=grid,
+    ).collect()
+    scale = grid / segments
+    # (a) lower bound holds on every returned row
+    for r in out:
+        assert r.paa_dist2 * scale <= r.dist2 + 1e-9
+    # (b) coarse ranks the oscillating user 2 at dist 0 (tied with
+    # the true clone); refined demotes it below the flat +0.5 user 3
+    assert [r.user_id for r in out] == [1, 3, 2]
+    assert out[0].dist2 == 0.0
+    # (c) provable exactness: brute-force exact top-k over raw series
+    q = fixture[0]
+    exact = sorted(
+        (
+            sum(
+                (off[i] - q[i]) ** 2 for i in range(n)
+            ),
+            u,
+        )
+        for u, off in fixture.items()
+        if u != 0
+    )
+    brute = [u for _, u in exact[:k]]
+    # rescaled best coarse distance among users outside the shortlist
+    # (flat offsets: paa_dist2 = segments * c^2); shortlist holds the
+    # 6 coarsely-nearest users, so user 7.. are excluded
+    min_excluded_paa = segments * float(7) ** 2
+    assert out[-1].dist2 <= scale * min_excluded_paa
+    assert [r.user_id for r in out] == brute
