@@ -104,6 +104,11 @@ HEADLINE = [
     "skew_profile",
     "ts_paa",
     "ts_similarity_topk",
+    # round-7 additions (first measurement = their baseline)
+    "ts_similarity_refined",
+    "ts_sax",
+    "ts_sax_group",
+    "dedup_semantic",
 ]
 
 WARMUP = 1

@@ -56,22 +56,92 @@ def codec_available() -> bool:
     return importlib.util.find_spec("PIL") is not None
 
 
+def probe_image_header(blob: bytes):
+    """Pure-Python image header probe: (width, height, n_frames) from
+    the PUBLIC byte layouts of PNG (incl. APNG acTL frame count) and
+    GIF (87a/89a, frames counted by walking the block structure), or
+    None when the bytes are neither. Reads ONLY headers/descriptors —
+    never inflates pixel data — so it is O(container structure), not
+    O(pixels): the codec-less fallback that keeps real image metadata
+    extraction executable in containers without PIL.
+
+    PNG layout: 8-byte signature, then length-prefixed chunks
+    (4B big-endian length, 4B type, data, 4B CRC); IHDR data starts
+    with width/height as big-endian uint32; an APNG's acTL chunk
+    (before IDAT) carries num_frames. GIF layout: 6B signature,
+    logical-screen w/h as little-endian uint16, optional global color
+    table, then a block stream where 0x2C introduces an image
+    descriptor (one per frame), 0x21 an extension, 0x3B the trailer;
+    tables/sub-blocks are skipped by their declared sizes."""
+    import struct
+
+    if len(blob) >= 24 and blob[:8] == b"\x89PNG\r\n\x1a\n":
+        if blob[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", blob[16:24])
+        n_frames, pos = 1, 8
+        while pos + 8 <= len(blob):
+            (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+            ctype = blob[pos + 4 : pos + 8]
+            if ctype == b"acTL" and pos + 12 <= len(blob):
+                (n_frames,) = struct.unpack(
+                    ">I", blob[pos + 8 : pos + 12]
+                )
+            if ctype in (b"IDAT", b"IEND"):
+                break
+            pos += 12 + ln
+        return int(w), int(h), max(int(n_frames), 1)
+    if len(blob) >= 13 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        packed = blob[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+
+        def skip_subblocks(p: int) -> int:
+            while p < len(blob) and blob[p] != 0:
+                p += 1 + blob[p]
+            return p + 1
+
+        frames = 0
+        while pos < len(blob):
+            b = blob[pos]
+            if b == 0x2C:  # image descriptor -> one frame
+                frames += 1
+                lpacked = blob[pos + 9] if pos + 9 < len(blob) else 0
+                pos += 10
+                if lpacked & 0x80:
+                    pos += 3 * (2 << (lpacked & 7))
+                pos += 1  # LZW minimum code size
+                pos = skip_subblocks(pos)
+            elif b == 0x21:  # extension: label + sub-blocks
+                pos = skip_subblocks(pos + 2)
+            else:  # 0x3B trailer or junk
+                break
+        return int(w), int(h), max(frames, 1)
+    return None
+
+
 def decode_media(blob: bytes, kind: str):
     """REAL per-blob decoder: dispatches to PIL for images when the
     codec is importable (width, height, n_frames from the actual
-    container bytes — animated GIFs report their frame count). The
-    per-blob C-library call IS the cost model at scale; batching
-    happens a level up in real_decode_batch. Audio/video decode
-    (libav/ffmpeg) is not wired in this container and raises
+    container bytes — animated GIFs report their frame count), else
+    to the pure-Python PNG/GIF header probe (probe_image_header), so
+    real image metadata decode executes even in codec-less
+    containers. The per-blob call IS the cost model at scale;
+    batching happens a level up in real_decode_batch. Audio/video
+    decode (libav/ffmpeg) is not wired in this container and raises
     NotImplementedError — callers fall back to fake_decode_batch,
     which is deterministic and schema-identical."""
-    if kind == "image" and codec_available():
-        import io
+    if kind == "image":
+        if codec_available():
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        with Image.open(io.BytesIO(blob)) as im:
-            return im.width, im.height, getattr(im, "n_frames", 1)
+            with Image.open(io.BytesIO(blob)) as im:
+                return im.width, im.height, getattr(im, "n_frames", 1)
+        probed = probe_image_header(blob)
+        if probed is not None:
+            return probed
     raise NotImplementedError(
         f"no codec for kind={kind!r} in this environment; "
         "use fake_decode_batch"

@@ -405,6 +405,84 @@ def ivf_assign(
     return with_centroid_assignment(emb, cents).select("vec_id", "centroid_id")
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    n_centroids: int = N_CENTROIDS,
+    cents: list[list[float]] | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public arXiv):
+    cluster the embedding space with the IVF k-means fit, then within
+    each cluster drop every item whose cosine to a LOWER-vec_id
+    cluster-mate reaches `threshold` — the keep-one-per-semantic-
+    duplicate-group rule that removes paraphrases and re-renderings
+    exact/MinHash text dedup cannot see. Per-doc verdict output:
+    (vec_id, centroid_id, is_kept, dup_of, max_cos) where dup_of is
+    the smallest qualifying lower-id mate and max_cos the strongest
+    such similarity (NULL for kept rows). No transitive closure is
+    needed: the paper's rule is pairwise-to-smaller-index, so a
+    drop decision never depends on another drop decision.
+
+    Scale shape: assignment is the shuffle-free row-local argmax
+    (with_centroid_assignment), MATERIALIZED ONCE (localCheckpoint —
+    the dedup_components pattern; production writes the assigned
+    corpus out) because three plan references read it (both pairwise
+    sides + the verdict base) and each DataFrame reference otherwise
+    re-plans the whole scan+assign lineage — the unchecked plan paid
+    6 corpus scans and 12 Arrow assignment passes. The pairwise stage
+    self-joins the materialized relation on centroid_id and costs
+    Σ (cluster size)², WHICH IS THE SEMDEDUP DEAL: production fits
+    C ∝ N/target_cluster_size (the paper runs ~100-doc clusters at
+    web scale) so per-cluster work is a bounded constant² and
+    clusters parallelize embarrassingly. The verdict join back to the
+    corpus is by vec_id. Cosines fold dimension-by-dimension in
+    engine order (bit-identical cross-engine); the drop aggregate
+    (min id, max cos) is order-independent exactly.
+    Freeze-at-build semantics (the select_token_budget pattern): the
+    assignment materializes when this function runs."""
+    asg = with_centroid_assignment(
+        emb, cents or kmeans_centroids(emb, n_centroids)
+    ).localCheckpoint()
+    a = asg.select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = asg.select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    hits = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            "a_id",
+            _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("b_id")
+        .agg(
+            F.min("a_id").alias("dup_of"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return (
+        asg.select("vec_id", "centroid_id")
+        .join(hits, asg["vec_id"] == hits["b_id"], "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            "max_cos",
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 8,

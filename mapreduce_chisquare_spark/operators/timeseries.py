@@ -288,6 +288,111 @@ def _sketch_dist2(sk: DataFrame, query_user: int) -> DataFrame:
     )
 
 
+SAX_BREAKS_CENTS = (2000, 5000, 8000)
+
+
+def ts_sax(
+    events: DataFrame,
+    segments: int = 8,
+    breaks_cents: tuple = SAX_BREAKS_CENTS,
+    value_col: str = "value",
+) -> DataFrame:
+    """SAX symbolization of the PAA sketch (Lin/Keogh et al.'s
+    Symbolic Aggregate approXimation — the symbol tier of an iSAX
+    index): each segment mean quantizes to the number of breakpoints
+    at or below it, and the per-user symbols concatenate IN SEG ORDER
+    into a fixed-length word over a card = len(breaks)+1 alphabet.
+    Returns (user_id, sax_word, card). Two series whose words share a
+    prefix fall in the same iSAX subtree; equal words land in the
+    same index leaf — the grouping ts_sax_group exploits.
+
+    Determinism: the symbol comparison never touches floats — a
+    segment mean sc/(100*n) cents crosses breakpoint b exactly when
+    sc >= b*n with sc, b, n all integers (cross-multiplied cents, the
+    q22 scalar pattern), so the word is exact on both engines.
+    Classic SAX z-normalizes first and uses N(0,1) breakpoints; the
+    value-domain breakpoints here are the calibration knob for the
+    synthetic corpus' [0,100] uniform values (a production fit takes
+    the same table after its normalization pass).
+
+    Scale shape: ts_paa's one user-keyed exchange + a user-keyed
+    aggregate on the SAME partitioning (no new shuffle); the word
+    relation is one short string per user — the in-memory index
+    footprint of a 100 TB series corpus, which is the entire point of
+    iSAX."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pos = (F.row_number().over(w) - 1).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        events.select("user_id", "ts", "event_id", value_col)
+        .withColumn("__pos", pos)
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__n") >= segments)
+        .withColumn("seg", F.expr(f"(__pos * {int(segments)}) div __n"))
+    )
+    seg = base.groupBy("user_id", "seg").agg(
+        F.sum(cents).alias("__sc"),
+        F.count("*").cast("long").alias("__np"),
+    )
+    sym = F.lit(0)
+    for b in breaks_cents:
+        # mean >= b cents  <=>  sc >= b * n  (exact integers)
+        sym = sym + F.when(
+            F.col("__sc") >= F.lit(int(b)) * F.col("__np"), 1
+        ).otherwise(0)
+    return (
+        seg.withColumn("__sym", sym)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("seg"), F.col("__sym"))
+                        )
+                    ),
+                    lambda s: s["__sym"].cast("string"),
+                ),
+            ).alias("sax_word")
+        )
+        .select(
+            "user_id",
+            "sax_word",
+            F.lit(len(breaks_cents) + 1).cast("int").alias("card"),
+        )
+    )
+
+
+def ts_sax_group(
+    events: DataFrame,
+    segments: int = 8,
+    breaks_cents: tuple = SAX_BREAKS_CENTS,
+    value_col: str = "value",
+) -> DataFrame:
+    """iSAX leaf occupancy: group entities by identical SAX word —
+    the index's coarsest series-family clustering (same leaf = same
+    quantized shape; candidates for series dedup / cohort analysis).
+    Returns (sax_word, n_users, min_user) for words shared by >= 2
+    users, the non-singleton leaves.
+
+    Scale shape: one aggregate over the users-row word relation —
+    work after ts_sax is proportional to the number of ENTITIES, not
+    events; the hot-leaf histogram this emits is exactly the split
+    diagnostic an iSAX builder uses to decide which subtree to
+    refine."""
+    words = ts_sax(events, segments, breaks_cents, value_col)
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+        )
+        .filter(F.col("n_users") >= 2)
+    )
+
+
 def ts_similarity_refined(
     events: DataFrame,
     query_user: int = 0,
@@ -322,24 +427,42 @@ def ts_similarity_refined(
     (users x segments and users x grid rows — both vanishing next to
     the event log, built off ONE user-keyed exchange each); the
     shortlist cut is TakeOrderedAndProject on the bit-stable coarse
-    distance, and the refine tier touches shortlist x grid rows via
-    broadcast joins — the event log itself never re-shuffles. At 100
-    TB the expensive exact scorer runs on a fixed, tiny candidate
-    relation exactly like the PQ refine path."""
+    distance, collected ONCE (<= `shortlist` rows — a bounded,
+    driver-safe collect) and re-broadcast as a literal relation so
+    the coarse tier's lineage runs exactly once instead of once per
+    downstream reference; the refine tier then touches shortlist x
+    grid rows via broadcast joins — the event log itself never
+    re-shuffles. At 100 TB the expensive exact scorer runs on a
+    fixed, tiny candidate relation exactly like the PQ refine path.
+    Freeze-at-build semantics (select_token_budget pattern): the
+    shortlist is fixed when this function runs."""
     coarse = ts_paa(events, segments, value_col)
-    cand = (
+    # The shortlist is <= `shortlist` rows by construction; collect it
+    # once and re-broadcast as a literal relation so the coarse-tier
+    # lineage (event scan -> sketch -> distance -> cut) isn't re-run
+    # for every reference downstream (each DataFrame reference
+    # re-plans its lineage). Build-time freeze semantics like
+    # select_token_budget: the shortlist is fixed when the plan is
+    # built. Values survive the round-trip exactly (IEEE doubles).
+    cand_rows = (
         _sketch_dist2(coarse, query_user)
         .orderBy(F.asc("dist2"), F.asc("user_id"))
         .limit(shortlist)
-        .select("user_id", F.col("dist2").alias("paa_dist2"))
+        .collect()
     )
-    fine = ts_paa(events, grid, value_col)
-    refined = _sketch_dist2(
-        fine.join(
-            F.broadcast(cand.select("user_id")), "user_id"
-        ).unionByName(fine.filter(F.col("user_id") == query_user)),
-        query_user,
+    spark = events.sparkSession
+    cand = spark.createDataFrame(
+        [(r.user_id, float(r.dist2)) for r in cand_rows],
+        "user_id long, paa_dist2 double",
     )
+    members = spark.createDataFrame(
+        [(r.user_id,) for r in cand_rows] + [(query_user,)],
+        "user_id long",
+    )
+    fine = ts_paa(events, grid, value_col).join(
+        F.broadcast(members), "user_id"
+    )
+    refined = _sketch_dist2(fine, query_user)
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (
         refined.join(F.broadcast(cand), "user_id")

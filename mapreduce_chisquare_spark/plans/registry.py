@@ -60,97 +60,99 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-6 window (50) = the 27 never-driver-certified entries (the 10
-# round-5 tail entries + the 17 round-6 additions, all local
-# oracle-green at sf0.001 AND sf0.01 under the driver's own gate), +
-# the 14 stalest re-certs (newest green r1/r2), + 9 re-certs of the
-# oldest r3 rows, prioritizing families whose code churned since r3
-# (multimodal_decode's real-codec gating lands this round; the
-# asof/range-join, simsearch-IVF and streaming families). Fast entries
-# lead; heavier pipelines close the window so a time-cut sweep still
+# Round-7 window (50) = the 11 round-7 changed/new entries (the new
+# ts_similarity_refined; the ts_paa family's integer-div fix; the
+# bm25 oracle-paren + term-dedup fixes; the de-trivialized
+# dedup_exact/join_anti gates; dedup_normalized's empty-norm guard;
+# winnowing's polynomial-hash rewrite; multimodal_decode's header
+# probe), + the 33 remaining r3-era stale re-certs, + the 2 r5
+# entries that gained a behavior-neutral stats out-param in r6
+# (dedup_components, pipeline_dedup_corpus), + 4 oldest-r4 fills
+# (set ops / window frames / TPC-H). Fast entries lead; multimodal
+# and streaming fixtures close the window so a time-cut sweep still
 # certifies the maximum prefix.
 _CERTIFY_WINDOW = [
-    # never-certified round-5 tail: vocab / token surface
-    "vocab_topv",
-    "vocab_oov",
-    "tokens_to_ids",
-    # never-certified round-5 tail: span-dedup family
-    "dedup_spans",
-    "cross_doc_repetition",
-    "decontaminate_spans",
-    "corpus_cut_spans",
-    "select_token_budget",
-    # never-certified round-5 tail: ANN recall knob
-    "simsearch_ivfpq_nprobe2",
-    # never-certified round-6 additions (local-green both SFs)
-    "winnowing_fingerprint",
-    "winnowing_pairs",
-    "bm25_score",
-    "bm25_topk",
-    "lm_bigram_score",
-    "similarity_join_minhash",
-    "dedup_jaccard_estimate",
-    "split_no_leakage",
-    "stream_neardup",
-    "q13_customer_distribution",
-    "q21_sole_blame_supplier",
-    "q22_idle_capital",
-    "normalize_text",
-    "dedup_normalized",
-    "skew_profile",
+    # round-7 new + changed (all local oracle-green at both SFs)
+    "ts_similarity_refined",
     "ts_paa",
     "ts_similarity_topk",
-    # r1/r2-only re-certs: scalar/window/relational surface
-    "null_scalars",
-    "window_first_last",
-    "window_rank",
-    "window_ranking",
-    "case_when_bucket",
-    "sample_hash",
-    "sample_stratified",
-    "agg_approx_distinct_grouped",
-    "agg_approx_percentile",
-    "agg_pivot",
-    "agg_cube",
-    "multiway_join",
-    "join_salted",
-    "sketch_countmin",
-    # oldest r3 re-certs: dedup + simsearch ladders
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "simsearch_lsh",
-    "simsearch_ivf_assign",
-    "simsearch_ivf_topk",
-    # oldest r3 re-cert: multimodal decode (real-codec path re-gated
-    # this round; meta/frames/resize are unchanged and deferred to r7)
+    "dedup_exact",
+    "join_anti",
+    "dedup_normalized",
+    "bm25_score",
+    "bm25_topk",
+    "winnowing_fingerprint",
+    "winnowing_pairs",
+    # r3-era stale re-certs: scans, sketches, joins, aggregates
+    "scan_csv",
+    "sketch_kmv_overlap",
+    "sketch_kmv_distinct",
+    "join_range",
+    "asof_join",
+    "asof_tolerance",
+    "agg_approx_distinct",
+    "agg_histogram",
+    # r3-era stale re-certs: similarity-search brute-force tier
+    "simsearch_topk",
+    "simsearch_topk_pandas",
+    "simsearch_lsh_topk",
+    "embed_neardup",
+    "embed_label_means",
+    # r3-era stale re-certs: text analysis + curation
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "repetition_metrics",
+    "pii_redact",
+    "winsorize",
+    "sample_per_source",
+    "pipeline_curation",
+    # r3-era stale re-certs: warehouse / layout / time-series
+    "dq_profile",
+    "scd2_merge",
+    "zorder_values",
+    "sink_partitioned",
+    "resample_ffill",
+    # r5 re-certs: behavior-neutral stats out-param added in r6
+    "dedup_components",
+    "pipeline_dedup_corpus",
+    # oldest-r4 fills: set ops, window frames, TPC-H
+    "set_union",
+    "set_intersect",
+    "window_range_frame",
+    "q4_order_priority",
+    # round-7 changed: decode dispatch grew the PNG/GIF header probe
     "multimodal_decode",
-    # oldest r3 re-certs + slow tail: streaming and the span pipeline
-    "stream_sessionize",
-    "stream_chi_square",
-    "stream_interval_join",
-    "pipeline_span_surgery",
+    # r3-era stale re-certs: multimodal + streaming (slow fixtures)
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "stream_tumbling",
+    "stream_dedup",
+    "stream_static_join",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-7 window TODO: promote any round-7 tail additions first, then
-# re-cert the 34 remaining r3-era rows (scan_csv, sketch_kmv_overlap,
-# sketch_kmv_distinct, join_range, asof_join, stream_tumbling,
-# stream_dedup,
-# agg_approx_distinct, agg_histogram, asof_tolerance,
-# simsearch_topk_pandas, dedup_exact, simsearch_topk,
-# simsearch_lsh_topk, multimodal_meta, multimodal_frames,
-# multimodal_resize — displaced from
-# the round-6 window by the seventeen
-# round-6 additions — plus doc_fingerprint, dq_profile,
-# embed_label_means, embed_neardup, lang_id, pii_redact,
-# pipeline_curation, quality_score, repetition_metrics, resample_ffill,
-# sample_per_source, scd2_merge, sink_partitioned, stream_static_join,
-# token_count, winsorize, zorder_values), then the oldest r4 rows
-# (set ops, window frames, TPC-H q4-q19 family). dedup_components and
-# pipeline_dedup_corpus carry r5 greens with a behavior-neutral stats
-# out-param added in r6 — re-cert them too if slots remain.
+# Round-8 window TODO: promote any round-8 tail additions first, then
+# the 3 round-7 tail additions (never driver-certified, local
+# oracle-green at both SFs: ts_sax, ts_sax_group, dedup_semantic), then
+# re-cert the 45 remaining r4-era rows (the r4 list minus the four
+# promoted this round: agg_unpivot, array_scalars, chi_square,
+# count_cat, count_term, count_term_cat, count_total, date_scalars,
+# doc_chunk, embed_quantize, explode_outer_keywords, format_report,
+# join_bloom_prefilter, join_bucketed, join_cat_totals,
+# join_term_totals, json_extract, merged_dict, ngram_counts,
+# pack_sequences, q10_returned_items, q14_promo_effect,
+# q18_large_volume, q19_discounted_revenue, q6_forecast_revenue,
+# q7_nation_volume, rollup_multigrain, scan_json, set_except,
+# set_except_all, set_intersect_all, sink_orc_roundtrip,
+# sql_correlated_subquery, stopword_filter, stream_doc_chunk,
+# stream_quality_filter, string_scalars, tokenize, top_n_global,
+# topk_per_group, window_lag, window_ntile, window_session,
+# window_sliding, window_tumbling), then the oldest r5 rows.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -1006,13 +1006,14 @@ FROM documents
 # engines compute bit-identical centroid doubles). Empty clusters keep
 # the previous centroid (LEFT JOIN + CASE).
 
-def _km_assign_ctes(cents_cte: str, out: str) -> str:
-    """Assignment CTE pair: score every vector against `cents_cte`,
-    keep the argmax (ties to lowest centroid_id) as `out`."""
+def _km_assign_ctes(cents_cte: str, out: str, src: str = "embeddings") -> str:
+    """Assignment CTE pair: score every vector of `src` against
+    `cents_cte`, keep the argmax (ties to lowest centroid_id) as
+    `out`."""
     return (
         f"{out}s AS (SELECT e.vec_id, e.embedding, c.centroid_id, "
         f"{_cos_sql('e.embedding', 'c.c_emb')} AS cos "
-        f"FROM embeddings e CROSS JOIN {cents_cte} c), "
+        f"FROM {src} e CROSS JOIN {cents_cte} c), "
         f"{out} AS (SELECT vec_id, embedding, centroid_id FROM ("
         f"SELECT vec_id, embedding, centroid_id, row_number() OVER "
         f"(PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn "
@@ -1034,7 +1035,11 @@ _KM_MEAN_LIST = (
 )
 
 
-def _km_ctes() -> str:
+def _km_cent_ctes() -> str:
+    """The Lloyd-fit CTE chain alone: c0 .. c{ITERS} centroid
+    relations, no final corpus assignment — for queries that assign a
+    DIFFERENT relation (e.g. a clone-augmented corpus) against the
+    base-table fit."""
     parts = [
         "c0 AS (SELECT vec_id AS centroid_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb "
@@ -1051,8 +1056,16 @@ def _km_ctes() -> str:
             f"CASE WHEN m.n IS NULL THEN c.c_emb ELSE {_KM_MEAN_LIST} END AS c_emb "
             f"FROM c{t} c LEFT JOIN m{t + 1} m USING (centroid_id))"
         )
-    parts.append(_km_assign_ctes(f"c{ss.KMEANS_ITERS}", "asg"))
     return ", ".join(parts)
+
+
+def _km_ctes() -> str:
+    return ", ".join(
+        [
+            _km_cent_ctes(),
+            _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "asg"),
+        ]
+    )
 
 
 _IVF_ASG_CTES = _km_ctes()
@@ -1094,6 +1107,64 @@ SQL_IVF_TOPK = (
     "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank "
     "FROM scored) "
     "SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"
+)
+
+
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts (operators/simsearch.py semantic_dedup) over
+    a clone-augmented corpus: the synthetic embeddings are near-random
+    (max within-cluster cosine ~0.51, far below any semantic-dup
+    threshold), so the query unions in a copy of every 20th vector
+    with dimension 1 perturbed by +0.001 — the scale-stress clone
+    pattern — giving 25 real planted duplicate groups the keep-rule
+    must drop (is_kept = false, dup_of = the base vec_id) while every
+    base row survives. Centroids come from the shared base-table
+    Lloyd fit (_km_cents — the production shape: fit on the corpus,
+    assign anything against it), mirrored CTE-for-CTE in the oracle;
+    all clone arithmetic is CAST-to-double + one exact double add, so
+    both engines see bit-identical vectors."""
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x.cast("double")).alias("embedding"),
+    )
+    clones = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1).cast("double") + F.lit(0.001)),
+            F.transform(
+                F.slice(e, 2, ss.DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return ss.semantic_dedup(
+        base.unionByName(clones), cents=_km_cents(spark, sf_dir)
+    )
+
+
+SQL_DEDUP_SEMANTIC = (
+    "WITH "
+    + _km_cent_ctes()
+    + ", embx AS ("
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 1000000, "
+    "[CAST(embedding[1] AS DOUBLE) + 0.001] || "
+    "list_transform(embedding[2:], x -> CAST(x AS DOUBLE)) "
+    "FROM embeddings WHERE vec_id % 20 = 0), "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "sda", src="embx")
+    + ", hits AS (SELECT b.vec_id AS b_id, "
+    "min(a.vec_id) AS dup_of, "
+    f"max({_cos_sql('a.embedding', 'b.embedding')}) AS max_cos "
+    "FROM sda a JOIN sda b "
+    "ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id "
+    f"WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.92 "
+    "GROUP BY b.vec_id) "
+    "SELECT e.vec_id, e.centroid_id, h.dup_of IS NULL AS is_kept, "
+    "h.dup_of, h.max_cos "
+    "FROM sda e LEFT JOIN hits h ON e.vec_id = h.b_id"
 )
 
 
@@ -2843,6 +2914,69 @@ SQL_TS_SIMILARITY_REFINED = (
 )
 
 
+def ts_sax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words per user series — the symbol tier of an iSAX index
+    (operators/timeseries.py ts_sax)."""
+    from ..operators.timeseries import ts_sax
+
+    return ts_sax(_events(spark, sf_dir))
+
+
+# SAX CTEs: PAA segment sums kept as exact integers (never divided);
+# the symbol comparison is the cross-multiplied-cents form
+# (mean >= b  <=>  sc >= b_cents * n) so no float exists anywhere.
+def _sax_ctes() -> str:
+    from ..operators.timeseries import SAX_BREAKS_CENTS
+
+    sym = " + ".join(
+        f"(CASE WHEN sc >= {int(b)} * np THEN 1 ELSE 0 END)"
+        for b in SAX_BREAKS_CENTS
+    )
+    return f"""
+sxb AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1
+              AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events),
+sxf AS (SELECT *, (pos * 8) // n AS seg FROM sxb WHERE n >= 8),
+sxs AS (SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS sc,
+               CAST(count(*) AS BIGINT) AS np
+        FROM sxf GROUP BY user_id, seg),
+sxw AS (SELECT user_id,
+               string_agg(CAST(({sym}) AS VARCHAR), '' ORDER BY seg)
+                 AS sax_word
+        FROM sxs GROUP BY user_id)
+"""
+
+
+SQL_TS_SAX = (
+    "WITH "
+    + _sax_ctes()
+    + " SELECT user_id, sax_word, CAST(4 AS INTEGER) AS card FROM sxw"
+)
+
+
+def ts_sax_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-singleton iSAX leaves: users grouped by identical SAX word
+    (operators/timeseries.py ts_sax_group)."""
+    from ..operators.timeseries import ts_sax_group
+
+    return ts_sax_group(_events(spark, sf_dir))
+
+
+SQL_TS_SAX_GROUP = (
+    "WITH "
+    + _sax_ctes()
+    + """
+SELECT sax_word, CAST(count(*) AS BIGINT) AS n_users,
+       min(user_id) AS min_user
+FROM sxw GROUP BY sax_word HAVING count(*) >= 2
+"""
+)
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3091,29 +3225,32 @@ def winnowing_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnowing_fingerprint(_docs(spark, sf_dir))
 
 
-def _hash32_of(expr: str) -> str:
-    """32-bit md5-prefix hash of an arbitrary VARCHAR expression (no
-    int cast), BIGINT-cast for the binding guard."""
-    return (
-        "CAST(("
-        + " + ".join(
-            "(strpos('0123456789abcdef', "
-            f"substr(md5({expr}), {i + 1}, 1)) - 1)"
-            + f" * {16 ** (8 - i - 1)}"
-            for i in range(8)
-        )
-        + ") AS BIGINT)"
-    )
-
+# Polynomial gram hash mirroring winnowing_fingerprint: codepoint
+# array once, then (c[i]*257^4 + ... + c[i+4]) mod 2^31, scrambled
+# by the odd-constant multiply (a bijection mod 2^31 — without it
+# window minima cluster on space-led grams). Unreduced sum < 2^53,
+# mix product < 2^63 — exact BIGINT on both engines.
+_WINNOW_POLY = " + ".join(
+    f"c[i+{j}] * {257 ** (5 - 1 - j)}" if j else f"c[i] * {257 ** 4}"
+    for j in range(5)
+)
 
 _WINNOW_CTES = f"""
 wb AS (SELECT doc_id, lower(text) AS t FROM documents),
-wh AS (SELECT doc_id,
-        CASE WHEN len(t) >= 5
-          THEN list_transform(range(1, len(t) - 3),
-                              i -> {_hash32_of("substr(t, i, 5)")})
-          ELSE [{_hash32_of("t")}] END AS harr
+wc AS (SELECT doc_id, len(t) AS n,
+        CASE WHEN len(t) = 0 THEN [CAST(0 AS BIGINT)]
+          ELSE list_transform(range(1, len(t) + 1),
+                 p -> CAST(ascii(substr(t, p, 1)) AS BIGINT)) END AS c
       FROM wb),
+wh AS (SELECT doc_id,
+        CASE WHEN n >= 5
+          THEN list_transform(range(1, n - 3),
+                 i -> ({_WINNOW_POLY}) % 2147483648
+                      * 2654435761 % 2147483648)
+          ELSE [list_reduce(c,
+                 (acc, x) -> (acc * 257 + x) % 2147483648)
+                * 2654435761 % 2147483648] END AS harr
+      FROM wc),
 wf AS (SELECT doc_id,
         list_distinct(list_transform(
           range(1, greatest(len(harr) - 3, 1) + 1),
@@ -3151,9 +3288,10 @@ def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs from winnowing fingerprint overlap
     (operators/dedup.py winnowing_pairs). min_shared=40 is calibrated
     to this synthetic corpus: its ~30-word vocabulary makes every doc
-    pair share a handful of 8-char runs (99.9th pct n_shared = 22),
-    while true near-dups sit at 40+ — a real-text corpus would use a
-    far lower threshold."""
+    pair share a handful of 8-char runs (background tail reaches
+    n_shared=37 under the mixed polynomial hash), while true
+    near-dups sit at 48+ — a real-text corpus would use a far lower
+    threshold."""
     return dd.winnowing_pairs(_docs(spark, sf_dir), min_shared=40)
 
 
@@ -3296,4 +3434,9 @@ EXTENSION_QUERIES = {
         ts_similarity_refined_q,
         SQL_TS_SIMILARITY_REFINED,
     ),
+    # round-7 tail additions — queued for the round-8 certification
+    # window per the registry rotation protocol (plans/registry.py)
+    "ts_sax": (ts_sax_q, SQL_TS_SAX),
+    "ts_sax_group": (ts_sax_group_q, SQL_TS_SAX_GROUP),
+    "dedup_semantic": (dedup_semantic_q, SQL_DEDUP_SEMANTIC),
 }

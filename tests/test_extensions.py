@@ -2020,3 +2020,116 @@ def test_ts_similarity_refined_reorders_and_is_provably_exact(spark):
     min_excluded_paa = segments * float(7) ** 2
     assert out[-1].dist2 <= scale * min_excluded_paa
     assert [r.user_id for r in out] == brute
+
+
+def test_winnowing_poly_and_md5_ladders_agree_on_planted_pairs(spark):
+    """The polynomial hash is a drop-in for the md5 ladder: fp VALUES
+    differ, but the winnowing guarantee is hash-independent, so both
+    variants must connect the planted near-dup pair and neither may
+    connect the unrelated doc. Cross-checks the 1.65x-faster default
+    against the reference construction."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        winnowing_fingerprint,
+    )
+
+    shared = "boilerplate footer every mirror page carries verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha preamble {shared} omega suffix"),
+            (2, f"zeta intro {shared} closing words"),
+            (3, "disjoint pseudowords qvx brm klp wzn drf"),
+        ],
+        "doc_id long, text string",
+    )
+    for variant in ("poly", "md5"):
+        fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+        for r in winnowing_fingerprint(docs, hash_fn=variant).collect():
+            fps[r.doc_id].add(r.fp)
+        assert fps[1] & fps[2], variant
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3]), variant
+
+
+def test_ts_sax_words_and_integer_boundaries(spark):
+    """SAX symbolization: known segment means map to the expected
+    word, and a mean EXACTLY on a breakpoint takes the upper symbol
+    via the exact integer comparison (sc >= b*n) — no float boundary
+    to flake on."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_sax
+
+    # user 1: 8 points, segments=4 -> means 10, 30, 60, 90
+    # vs breaks (20, 50, 80) dollars -> symbols 0, 1, 2, 3
+    vals1 = [10.0, 10.0, 30.0, 30.0, 60.0, 60.0, 90.0, 90.0]
+    # user 2: means exactly ON the breakpoints: 20, 50, 80, 80
+    vals2 = [20.0, 20.0, 50.0, 50.0, 80.0, 80.0, 80.0, 80.0]
+    rows = []
+    for u, vals in ((1, vals1), (2, vals2)):
+        for i, v in enumerate(vals):
+            rows.append(
+                (u * 100 + i, dt.datetime(2024, 1, 1, 0, i), u, "view", v, "{}")
+            )
+    rows.append((999, dt.datetime(2024, 1, 1), 3, "view", 5.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {r.user_id: (r.sax_word, r.card) for r in ts_sax(ev, segments=4).collect()}
+    assert got == {1: ("0123", 4), 2: ("1233", 4)}  # user 3 too short
+
+
+def test_ts_sax_group_collects_same_shape_series(spark):
+    """Two series with the same quantized shape share a SAX word and
+    group; a different-shape series stays a singleton (excluded)."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_sax_group
+
+    def series(uid, vals):
+        return [
+            (uid * 100 + i, dt.datetime(2024, 1, 1, 0, i), uid, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    up = [10.0, 10.0, 30.0, 30.0, 60.0, 60.0, 90.0, 90.0]
+    up_jitter = [12.0, 14.0, 31.0, 29.0, 61.0, 59.0, 95.0, 85.0]
+    down = list(reversed(up))
+    rows = series(1, up) + series(2, up_jitter) + series(3, down)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = ts_sax_group(ev, segments=4).collect()
+    assert len(out) == 1
+    assert (out[0].sax_word, out[0].n_users, out[0].min_user) == ("0123", 2, 1)
+
+
+def test_semantic_dedup_drops_clones_keeps_originals(spark):
+    """SemDeDup keep-rule: within a cluster, an item is dropped iff a
+    LOWER-id mate reaches the threshold; cross-cluster near-dups are
+    NOT compared (the paper's trade); dup_of is the smallest
+    qualifying mate."""
+    # 4-dim embeddings, two obvious regions; centroids passed
+    # explicitly so the test pins the keep-rule, not the fit
+    e = {
+        10: [1.0, 0.0, 0.0, 0.0],
+        11: [0.999, 0.01, 0.0, 0.0],   # clone of 10 -> dropped
+        12: [0.998, 0.02, 0.001, 0.0],  # clone of 10/11 -> dropped
+        20: [0.0, 1.0, 0.0, 0.0],
+        21: [0.0, 0.0, 1.0, 0.0],      # same cluster A? no - region 2
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in e.items()], "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 1.0, 0.0]]
+    out = {
+        r.vec_id: (r.is_kept, r.dup_of)
+        for r in ss.semantic_dedup(emb, threshold=0.9, cents=cents).collect()
+    }
+    assert out[10] == (True, None)
+    assert out[11] == (False, 10)
+    assert out[12] == (False, 10)  # min qualifying mate, not 11
+    assert out[20] == (True, None)
+    assert out[21] == (True, None)  # cos(20, 21) = 0 < threshold

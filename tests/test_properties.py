@@ -641,19 +641,47 @@ def test_select_token_budget_matches_global_window(spark, rows, budget):
 # Winnowing fingerprints vs a literal python reference (round 6)
 # ---------------------------------------------------------------------------
 
-def _py_winnow(text: str, gram: int = 5, window: int = 4) -> set:
-    """Literal transcription of the operator's contract: 32-bit
-    md5-prefix hash per char gram, sliding-window minima, distinct."""
+def _py_winnow(
+    text: str, gram: int = 5, window: int = 4, hash_fn: str = "poly"
+) -> set:
+    """Literal transcription of the operator's contract: per-gram
+    hash (default: the mixed polynomial over codepoints; 'md5': the
+    32-bit md5-prefix ladder), sliding-window minima, distinct."""
     import hashlib
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        WINNOW_BASE,
+        WINNOW_MIX,
+        WINNOW_MOD,
+    )
 
     t = text.lower()
 
-    def h32(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    if hash_fn == "md5":
 
-    if len(t) < gram:
-        return {h32(t)}
-    hashes = [h32(t[i : i + gram]) for i in range(len(t) - gram + 1)]
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        if len(t) < gram:
+            return {h32(t)}
+        hashes = [
+            h32(t[i : i + gram]) for i in range(len(t) - gram + 1)
+        ]
+    else:
+        codes = [ord(ch) for ch in t] or [0]
+
+        def fold(cs) -> int:
+            acc = 0
+            for c in cs:
+                acc = (acc * WINNOW_BASE + c) % WINNOW_MOD
+            return acc * WINNOW_MIX % WINNOW_MOD
+
+        if len(t) < gram:
+            return {fold(codes)}
+        hashes = [
+            fold(codes[i : i + gram])
+            for i in range(len(codes) - gram + 1)
+        ]
     wins = max(len(hashes) - window + 1, 1)
     return {min(hashes[j : j + window]) for j in range(wins)}
 
@@ -677,11 +705,16 @@ def test_winnowing_matches_python_reference(spark, texts):
         [(i, t) for i, t in enumerate(texts)],
         "doc_id long, text string",
     )
-    got: dict[int, set] = {i: set() for i in range(len(texts))}
-    for r in winnowing_fingerprint(docs).collect():
-        got[r.doc_id].add(r.fp)
-    for i, t in enumerate(texts):
-        assert got[i] == _py_winnow(t), (i, t)
+    for variant in ("poly", "md5"):
+        got: dict[int, set] = {i: set() for i in range(len(texts))}
+        for r in winnowing_fingerprint(docs, hash_fn=variant).collect():
+            got[r.doc_id].add(r.fp)
+        for i, t in enumerate(texts):
+            assert got[i] == _py_winnow(t, hash_fn=variant), (
+                variant,
+                i,
+                t,
+            )
 
 
 # ---------------------------------------------------------------------------
