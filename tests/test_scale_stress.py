@@ -403,3 +403,171 @@ def test_winnowing_pairs_guard_caps_boilerplate_buckets(spark, big):
     # the guard drops mega-buckets so partners stay 1-2 orders below
     assert partner_max is not None and partner_max < 1000, partner_max
     assert elapsed < 300, f"pair generation took {elapsed:.0f}s"
+
+
+# ---------------------------------------------------------------------------
+# Data-series family at 100k entities (round 7): ts_paa/ts_sax are one
+# user-keyed exchange + same-key aggregates, so 10x the entities must
+# cost ~10x; the PAA lower bound must surface planted clone series as
+# the exact top-k at scale, refined tier included.
+
+
+def _series_corpus(spark, tmpdir, users: int):
+    """`users` synthetic series x 32 points: hash-derived pseudo-random
+    values in [0, 100); every 10,000th user (and user 0) carries a
+    planted RAMP shape (value = 3*pos + user/1e6) instead — user 0's
+    true nearest series, in user order, for similarity recall checks.
+    Written to parquet so scans exercise the real source path."""
+    df = (
+        spark.range(users)
+        .select(
+            F.col("id").alias("user_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos"),
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") * 32 + F.col("pos")).alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("pos") * 3600
+            ).alias("ts"),
+            F.when(
+                F.col("user_id") % 10_000 == 0,
+                F.col("pos") * 3.0
+                + F.col("user_id").cast("double") / 1e6,
+            )
+            .otherwise(
+                (
+                    (
+                        F.col("user_id") * 2654435761
+                        + F.col("pos") * 40503
+                    )
+                    % 10000
+                ).cast("double")
+                / 100.0
+            )
+            .alias("value"),
+        )
+    )
+    out = str(tmpdir / f"series_{users}.parquet")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@pytest.mark.slow
+def test_series_sketch_family_scales_linearly(spark, tmp_path_factory):
+    """ts_paa + ts_sax at 10k vs 100k users: both are one user-keyed
+    exchange + same-key aggregates, so 10x entities must stay well
+    under the 30x noise bound; the word relation is exactly one row
+    per user."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_paa,
+        ts_sax,
+    )
+
+    tmp = tmp_path_factory.mktemp("series_stress")
+    small = _series_corpus(spark, tmp, 10_000)
+    big = _series_corpus(spark, tmp, 100_000)
+
+    def run(docs):
+        t0 = time.perf_counter()
+        n_paa = ts_paa(docs).count()
+        n_sax = ts_sax(docs).count()
+        return time.perf_counter() - t0, n_paa, n_sax
+
+    run(small)  # warm-up
+    t_small, _, sax_small = run(small)
+    t_big, paa_big, sax_big = run(big)
+    assert sax_small == 10_000 and sax_big == 100_000
+    assert paa_big == 100_000 * 8
+    ratio = t_big / t_small
+    assert ratio < 30.0, (
+        f"series sketches super-linear: {ratio:.1f}x "
+        f"({t_small:.2f}s -> {t_big:.2f}s)"
+    )
+
+
+@pytest.mark.slow
+def test_series_similarity_recalls_planted_clones_at_scale(
+    spark, tmp_path_factory
+):
+    """At 100k series the PAA shortlist must surface user 0's 9
+    planted ramp clones as the exact top-9 in user order (their
+    pairwise distances are the user/1e6 offsets — far below any
+    random series' distance), and the refined tier must preserve
+    that ranking while staying bounded: its per-run cost is the two
+    sketch relations plus a <= 40-row driver collect."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_refined,
+        ts_similarity_topk,
+    )
+
+    tmp = tmp_path_factory.mktemp("series_sim")
+    big = _series_corpus(spark, tmp, 100_000)
+    planted = [u for u in range(10_000, 100_000, 10_000)]
+
+    t0 = time.perf_counter()
+    coarse = ts_similarity_topk(big, query_user=0, k=9).collect()
+    t_coarse = time.perf_counter() - t0
+    assert [r.user_id for r in coarse] == planted
+
+    t0 = time.perf_counter()
+    refined = ts_similarity_refined(big, query_user=0, k=9).collect()
+    t_refined = time.perf_counter() - t0
+    assert [r.user_id for r in refined] == planted
+    assert all(r.dist2 >= 0 for r in refined)
+    assert t_coarse < 120 and t_refined < 240, (t_coarse, t_refined)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup at 80k vectors (round 7): the pairwise stage must pay
+# SUM(cluster size^2), not N^2 — C=64 bounds clusters near ~1,250 —
+# and the keep-rule must drop every planted clone toward its base
+# while keeping every base.
+
+
+@pytest.mark.slow
+def test_semantic_dedup_drops_planted_clones_at_scale(
+    spark, tmp_path_factory
+):
+    """40x-cloned corpus (80k vectors: each of the 2,000 bases gets
+    39 clones perturbing dim 0 by <= 0.039 -> cosine to base ~0.999,
+    while distinct bases sit below ~0.52): with a 64-centroid fit,
+    every copy-0 base must be kept (it has the smallest id of its
+    family, and nothing else reaches the threshold), >= 95% of clones
+    must be dropped (a clone survives only if a knife-edge assignment
+    splits its family across clusters), and every drop must blame a
+    family member."""
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = _stress_embeddings(
+        spark, tmp_path_factory.mktemp("semdedup"), copies=40
+    )
+    n_base = emb.filter(F.col("vec_id") < 1_000_000).count()
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(emb, k=64)
+    out = semantic_dedup(emb, threshold=0.9, cents=cents).cache()
+    try:
+        base_dropped = out.filter(
+            (F.col("vec_id") < 1_000_000) & ~F.col("is_kept")
+        ).count()
+        clones = out.filter(F.col("vec_id") >= 1_000_000)
+        n_clones = clones.count()
+        n_dropped = clones.filter(~F.col("is_kept")).count()
+        wrong_blame = clones.filter(
+            ~F.col("is_kept")
+            & (
+                F.col("dup_of") % 1_000_000
+                != F.col("vec_id") % 1_000_000
+            )
+        ).count()
+    finally:
+        out.unpersist()
+    elapsed = time.perf_counter() - t0
+    assert base_dropped == 0
+    assert n_clones == 39 * n_base
+    assert n_dropped >= 0.95 * n_clones, (n_dropped, n_clones)
+    assert wrong_blame == 0
+    assert elapsed < 300, f"semantic dedup took {elapsed:.0f}s"
