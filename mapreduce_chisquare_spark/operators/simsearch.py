@@ -442,9 +442,9 @@ def semantic_dedup(
     (min id, max cos) is order-independent exactly.
     Freeze-at-build semantics (the select_token_budget pattern): the
     assignment materializes when this function runs."""
-    asg = with_centroid_assignment(
-        emb, cents or kmeans_centroids(emb, n_centroids)
-    ).localCheckpoint()
+    if cents is None:  # `or` would silently refit on an explicit []
+        cents = kmeans_centroids(emb, n_centroids)
+    asg = with_centroid_assignment(emb, cents).localCheckpoint()
     a = asg.select(
         "centroid_id",
         F.col("vec_id").alias("a_id"),

@@ -186,6 +186,29 @@ def ts_paa(
     users x segments rows — vanishing next to the event log it
     summarizes, which is what makes series similarity affordable at
     100 TB: downstream search touches sketches, not raw series."""
+    return _paa_segments(events, segments, value_col).select(
+        "user_id",
+        "seg",
+        (
+            F.col("__sc").cast("double")
+            / (F.lit(100.0) * F.col("n_points").cast("double"))
+        ).alias("paa_value"),
+        "n_points",
+    )
+
+
+def _paa_segments(
+    events: DataFrame, segments: int, value_col: str
+) -> DataFrame:
+    """The ONE place the PAA segmentation lives (ts_paa divides these
+    sums into means; ts_sax compares them against breakpoints in
+    exact integers): (user_id, seg, __sc exact-cent segment sum,
+    n_points) for users with >= `segments` points. Segment
+    assignment is true integer floor division (`div`, matching the
+    oracle's `//` exactly — a DOUBLE divide + cast agrees only while
+    pos*segments is well inside 2^53) on the (ts, event_id)-ordered
+    rank; one user-keyed exchange serves the ordering window AND the
+    (user, seg) aggregate."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wn = Window.partitionBy("user_id")
     pos = (F.row_number().over(w) - 1).cast("long")
@@ -195,29 +218,11 @@ def ts_paa(
         .withColumn("__pos", pos)
         .withColumn("__n", F.count("*").over(wn))
         .filter(F.col("__n") >= segments)
-        .withColumn(
-            # true integer floor division (`div`), matching the
-            # oracle's `//` exactly — a DOUBLE divide + cast agrees
-            # only while pos*segments is well inside 2^53
-            "seg",
-            F.expr(f"(__pos * {int(segments)}) div __n"),
-        )
+        .withColumn("seg", F.expr(f"(__pos * {int(segments)}) div __n"))
     )
-    return (
-        base.groupBy("user_id", "seg")
-        .agg(
-            F.sum(cents).alias("__sc"),
-            F.count("*").cast("long").alias("n_points"),
-        )
-        .select(
-            "user_id",
-            "seg",
-            (
-                F.col("__sc").cast("double")
-                / (F.lit(100.0) * F.col("n_points").cast("double"))
-            ).alias("paa_value"),
-            "n_points",
-        )
+    return base.groupBy("user_id", "seg").agg(
+        F.sum(cents).alias("__sc"),
+        F.count("*").cast("long").alias("n_points"),
     )
 
 
@@ -320,26 +325,17 @@ def ts_sax(
     relation is one short string per user — the in-memory index
     footprint of a 100 TB series corpus, which is the entire point of
     iSAX."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wn = Window.partitionBy("user_id")
-    pos = (F.row_number().over(w) - 1).cast("long")
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    base = (
-        events.select("user_id", "ts", "event_id", value_col)
-        .withColumn("__pos", pos)
-        .withColumn("__n", F.count("*").over(wn))
-        .filter(F.col("__n") >= segments)
-        .withColumn("seg", F.expr(f"(__pos * {int(segments)}) div __n"))
-    )
-    seg = base.groupBy("user_id", "seg").agg(
-        F.sum(cents).alias("__sc"),
-        F.count("*").cast("long").alias("__np"),
-    )
+    if len(breaks_cents) > 9:
+        # one digit per symbol: above cardinality 10 the
+        # separator-free word would read '1','0' as '10', silently
+        # merging distinct iSAX leaves downstream
+        raise ValueError("ts_sax supports at most 9 breakpoints")
+    seg = _paa_segments(events, segments, value_col)
     sym = F.lit(0)
     for b in breaks_cents:
-        # mean >= b cents  <=>  sc >= b * n  (exact integers)
+        # mean >= b cents  <=>  sc >= b * n_points  (exact integers)
         sym = sym + F.when(
-            F.col("__sc") >= F.lit(int(b)) * F.col("__np"), 1
+            F.col("__sc") >= F.lit(int(b)) * F.col("n_points"), 1
         ).otherwise(0)
     return (
         seg.withColumn("__sym", sym)
@@ -444,6 +440,18 @@ def ts_similarity_refined(
     # re-plans its lineage). Build-time freeze semantics like
     # select_token_budget: the shortlist is fixed when the plan is
     # built. Values survive the round-trip exactly (IEEE doubles).
+    # The query series must exist at GRID resolution too: ts_paa's
+    # n >= grid cut would otherwise drop it silently and the refined
+    # relation would come back empty with no signal (shortlisted
+    # CANDIDATES with 8..grid-1 points dropping is the documented
+    # inner-join semantic; the QUERY degrading is an error).
+    n_q = events.filter(F.col("user_id") == query_user).count()
+    if n_q < grid:
+        raise ValueError(
+            f"query user {query_user} has {n_q} points < grid={grid}; "
+            "refinement would silently return nothing — lower `grid` "
+            "or use ts_similarity_topk"
+        )
     cand_rows = (
         _sketch_dist2(coarse, query_user)
         .orderBy(F.asc("dist2"), F.asc("user_id"))

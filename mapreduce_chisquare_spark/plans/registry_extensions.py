@@ -1155,13 +1155,15 @@ SQL_DEDUP_SEMANTIC = (
     "list_transform(embedding[2:], x -> CAST(x AS DOUBLE)) "
     "FROM embeddings WHERE vec_id % 20 = 0), "
     + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "sda", src="embx")
-    + ", hits AS (SELECT b.vec_id AS b_id, "
-    "min(a.vec_id) AS dup_of, "
-    f"max({_cos_sql('a.embedding', 'b.embedding')}) AS max_cos "
+    # cos projected ONCE per pair: inlining _cos_sql in both the
+    # WHERE and the max() would evaluate the 64-term fold twice
+    # (DuckDB does not CSE across predicate and aggregate)
+    + ", sdp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+    f"{_cos_sql('a.embedding', 'b.embedding')} AS cos "
     "FROM sda a JOIN sda b "
-    "ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id "
-    f"WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.92 "
-    "GROUP BY b.vec_id) "
+    "ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id), "
+    "hits AS (SELECT b_id, min(a_id) AS dup_of, max(cos) AS max_cos "
+    "FROM sdp WHERE cos >= 0.92 GROUP BY b_id) "
     "SELECT e.vec_id, e.centroid_id, h.dup_of IS NULL AS is_kept, "
     "h.dup_of, h.max_cos "
     "FROM sda e LEFT JOIN hits h ON e.vec_id = h.b_id"
@@ -2826,10 +2828,13 @@ def ts_paa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _paa_ctes(segments: int, tag: str) -> str:
-    """PAA sketch CTEs at a given resolution; final CTE is {tag}k =
-    (user_id, seg, paa_value, n_points). Mirrors ts_paa exactly:
-    integer floor division for segment assignment, exact-cents sums
-    before one final divide."""
+    """PAA sketch CTEs at a given resolution, mirroring
+    operators/timeseries.py _paa_segments — the ONE segmentation
+    definition on the oracle side too: {tag}s = (user_id, seg, sc
+    exact-cent sum, np) is the shared base (ts_sax compares it in
+    exact integers), {tag}k divides it into the sketch
+    (user_id, seg, paa_value, n_points). Integer floor division for
+    segment assignment, exact-cents sums before one final divide."""
     return f"""
 {tag}b AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
@@ -2840,11 +2845,14 @@ def _paa_ctes(segments: int, tag: str) -> str:
   FROM events),
 {tag}f AS (SELECT *, (pos * {segments}) // n AS seg
            FROM {tag}b WHERE n >= {segments}),
+{tag}s AS (SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS sc,
+                  CAST(count(*) AS BIGINT) AS np
+           FROM {tag}f GROUP BY user_id, seg),
 {tag}k AS (SELECT user_id, seg,
-          CAST(sum(cents) AS DOUBLE)
-            / (100.0 * CAST(count(*) AS DOUBLE)) AS paa_value,
-          CAST(count(*) AS BIGINT) AS n_points
-        FROM {tag}f GROUP BY user_id, seg)
+          CAST(sc AS DOUBLE) / (100.0 * CAST(np AS DOUBLE))
+            AS paa_value,
+          np AS n_points
+        FROM {tag}s)
 """
 
 
@@ -2922,9 +2930,10 @@ def ts_sax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_sax(_events(spark, sf_dir))
 
 
-# SAX CTEs: PAA segment sums kept as exact integers (never divided);
-# the symbol comparison is the cross-multiplied-cents form
-# (mean >= b  <=>  sc >= b_cents * n) so no float exists anywhere.
+# SAX CTEs: built on _paa_ctes' shared exact-sums base ({tag}s — the
+# one segmentation definition); the symbol comparison is the
+# cross-multiplied-cents form (mean >= b  <=>  sc >= b_cents * n) so
+# no float exists anywhere.
 def _sax_ctes() -> str:
     from ..operators.timeseries import SAX_BREAKS_CENTS
 
@@ -2932,29 +2941,28 @@ def _sax_ctes() -> str:
         f"(CASE WHEN sc >= {int(b)} * np THEN 1 ELSE 0 END)"
         for b in SAX_BREAKS_CENTS
     )
-    return f"""
-sxb AS (
-  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
-         CAST(row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) - 1
-              AS BIGINT) AS pos,
-         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-  FROM events),
-sxf AS (SELECT *, (pos * 8) // n AS seg FROM sxb WHERE n >= 8),
-sxs AS (SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS sc,
-               CAST(count(*) AS BIGINT) AS np
-        FROM sxf GROUP BY user_id, seg),
+    return (
+        _paa_ctes(8, "sx")
+        + f""",
 sxw AS (SELECT user_id,
                string_agg(CAST(({sym}) AS VARCHAR), '' ORDER BY seg)
                  AS sax_word
         FROM sxs GROUP BY user_id)
 """
+    )
+
+
+def _sax_card() -> int:
+    from ..operators.timeseries import SAX_BREAKS_CENTS
+
+    return len(SAX_BREAKS_CENTS) + 1
 
 
 SQL_TS_SAX = (
     "WITH "
     + _sax_ctes()
-    + " SELECT user_id, sax_word, CAST(4 AS INTEGER) AS card FROM sxw"
+    + f" SELECT user_id, sax_word, CAST({_sax_card()} AS INTEGER)"
+    " AS card FROM sxw"
 )
 
 
