@@ -109,6 +109,9 @@ HEADLINE = [
     "ts_sax",
     "ts_sax_group",
     "dedup_semantic",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
 ]
 
 WARMUP = 1

@@ -1837,6 +1837,176 @@ GROUP BY n_name
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavour (reduced schema: p_type is a single word):
+    NATION_7's share of ASIA's PROMO-part import revenue by order
+    year — the national-market-share ratio. All five dims broadcast
+    against the one lineitem-orders shuffle join; revenue accumulates
+    as exact 10^-4-dollar integers and the share is ONE BIGINT/BIGINT
+    double division per year row, so the ratio column is bit-stable
+    cross-engine (a sum of per-row float shares would not be)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cu = _t(spark, sf_dir, "customer")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(re), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("__nat"),
+            F.sum(rev).alias("__tot"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("__nat").cast("double") / F.col("__tot").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+SQL_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(CAST(sum(CASE WHEN n1.n_name = 'NATION_7'
+    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+    ELSE 0 END) AS BIGINT) AS DOUBLE)
+  / CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+  AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 flavour: the supplier(s) with the maximum revenue in
+    1996 Q1 — Q15's revenue view + correlated max. The max attaches
+    as a 1-row broadcast (the q22 scalar pattern, not an unpartitioned
+    window), and the tie test compares exact 10^-4-dollar BIGINTs, so
+    'equals the max' can never flake on float representation; revenue
+    divides back to dollars only in the final projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    su = _t(spark, sf_dir, "supplier")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rc"))
+    mx = per.agg(F.max("__rc").alias("__mx"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rc") == F.col("__mx"))
+        .join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("__rc").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+SQL_Q15 = """
+WITH per AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(rc) AS m FROM per)
+SELECT s_suppkey, s_name, CAST(rc AS DOUBLE) / 10000.0 AS total_revenue
+FROM per CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rc = m
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavour (reduced schema: p_type = 'SMALL' stands in
+    for the brand+container pair): average yearly revenue lost if
+    small-quantity orders of SMALL parts stopped shipping — Q17's
+    correlated per-part average. The avg threshold is evaluated
+    WITHOUT floats: q < 0.2 * avg(q) cross-multiplies to
+    5*q_cents*n < sum_q_cents over exact integers (the q22 scalar
+    pattern), computed by two aggregate-windows on ONE l_partkey
+    exchange instead of a correlated self-join probe; the final sum
+    divides once by 7*10^4 (7 years of data, cents scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    qc = _cents("l_quantity")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).select(
+        "l_partkey",
+        qc.alias("__qc"),
+        _cents(F.col("l_extendedprice"), 10000).alias("__ec"),
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = (
+        j.withColumn("__n", F.count("*").over(w))
+        .withColumn("__sq", F.sum("__qc").over(w))
+        .filter(F.lit(5) * F.col("__qc") * F.col("__n") < F.col("__sq"))
+    )
+    return flt.agg(
+        (F.sum("__ec").cast("double") / F.lit(70000.0)).alias("avg_yearly")
+    )
+
+
+SQL_Q17 = """
+WITH j AS (
+  SELECT l_partkey,
+    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+    CAST(round(l_extendedprice * 10000) AS BIGINT) AS ec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'),
+f AS (
+  SELECT qc, ec,
+    CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n,
+    CAST(sum(qc) OVER (PARTITION BY l_partkey) AS BIGINT) AS sq
+  FROM j)
+SELECT CAST(CAST(sum(ec) AS BIGINT) AS DOUBLE) / 70000.0 AS avg_yearly
+FROM f WHERE 5 * qc * n < sq
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -1900,4 +2070,11 @@ RELATIONAL_QUERIES = {
     "q13_customer_distribution": (q13_customer_distribution, SQL_Q13),
     "q21_sole_blame_supplier": (q21_sole_blame_supplier, SQL_Q21),
     "q22_idle_capital": (q22_idle_capital, SQL_Q22),
+    # round-7 additions (tail; promote into the round-8 window).
+    # q8/q15/q17 complete the TPC-H flavours expressible on this
+    # reduced schema (q2/q9/q11/q16/q20 need partsupp, q12 needs
+    # l_shipmode/commit dates — neither exists in the testdata).
+    "q8_market_share": (q8_market_share, SQL_Q8),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, SQL_Q17),
 }
