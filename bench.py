@@ -112,6 +112,7 @@ HEADLINE = [
     "q8_market_share",
     "q15_top_supplier",
     "q17_small_qty_revenue",
+    "ts_similarity_sax_topk",
 ]
 
 WARMUP = 1

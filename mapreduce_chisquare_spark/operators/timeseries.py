@@ -330,15 +330,8 @@ def ts_sax(
         # separator-free word would read '1','0' as '10', silently
         # merging distinct iSAX leaves downstream
         raise ValueError("ts_sax supports at most 9 breakpoints")
-    seg = _paa_segments(events, segments, value_col)
-    sym = F.lit(0)
-    for b in breaks_cents:
-        # mean >= b cents  <=>  sc >= b * n_points  (exact integers)
-        sym = sym + F.when(
-            F.col("__sc") >= F.lit(int(b)) * F.col("n_points"), 1
-        ).otherwise(0)
     return (
-        seg.withColumn("__sym", sym)
+        _sax_symbols(events, segments, breaks_cents, value_col)
         .groupBy("user_id")
         .agg(
             F.concat_ws(
@@ -359,6 +352,28 @@ def ts_sax(
             F.lit(len(breaks_cents) + 1).cast("int").alias("card"),
         )
     )
+
+
+def _sax_symbols(
+    events: DataFrame,
+    segments: int,
+    breaks_cents: tuple,
+    value_col: str,
+) -> DataFrame:
+    """(user_id, seg, __sym) — the per-segment SAX symbol relation
+    shared by the word builder (ts_sax) and the symbol-tier search
+    (ts_similarity_sax_topk). The symbol comparison never touches
+    floats: a segment mean sc/(100*n) crosses breakpoint b exactly
+    when sc >= b*n with everything integer (cross-multiplied cents);
+    rides _paa_segments' one user-keyed exchange."""
+    seg = _paa_segments(events, segments, value_col)
+    sym = F.lit(0)
+    for b in breaks_cents:
+        # mean >= b cents  <=>  sc >= b * n_points  (exact integers)
+        sym = sym + F.when(
+            F.col("__sc") >= F.lit(int(b)) * F.col("n_points"), 1
+        ).otherwise(0)
+    return seg.withColumn("__sym", sym)
 
 
 def ts_sax_group(
@@ -386,6 +401,93 @@ def ts_sax_group(
             F.min("user_id").alias("min_user"),
         )
         .filter(F.col("n_users") >= 2)
+    )
+
+
+def ts_similarity_sax_topk(
+    events: DataFrame,
+    query_user: int = 0,
+    k: int = 10,
+    segments: int = 8,
+    shortlist: int = 40,
+    breaks_cents: tuple = SAX_BREAKS_CENTS,
+    value_col: str = "value",
+) -> DataFrame:
+    """The SYMBOL tier of the iSAX search ladder (symbols -> PAA ->
+    raw; the two finer tiers are ts_similarity_topk and
+    ts_similarity_refined): prune by SAX MINDIST — per segment, two
+    symbols differing by >= 2 are provably separated by the gap
+    between their nearest breakpoints, so mindist2 = sum of squared
+    gaps (EXACT integer cents^2) lower-bounds the squared PAA
+    distance x 10^4 and admits no false dismissal THROUGH the
+    shortlist cut — then re-rank the shortlist exactly at PAA
+    resolution. Returns (user_id, mindist2, dist2, rank) ranked by
+    the exact PAA distance.
+
+    The honest iSAX caveat, same as a real index: MINDIST is the
+    COARSEST bound — every series whose symbols all sit within +-1
+    of the query's scores mindist2 = 0, and when that zero bucket
+    exceeds `shortlist` the (mindist2, user_id) cut can drop true
+    neighbours. A production index answers with higher cardinality
+    (more breakpoints) or a bigger leaf budget; the property test
+    pins exactness whenever `shortlist` covers the corpus.
+
+    Scale shape: the symbol relation rides _paa_segments' one
+    user-keyed exchange; the query's `segments` symbol rows broadcast
+    and the per-user MINDIST is an integer aggregate on the existing
+    partitioning; the shortlist cut is TakeOrderedAndProject and the
+    PAA re-rank touches shortlist-many sketches via broadcast joins
+    — symbols are ~2 orders smaller than sketches, which is why the
+    symbol tier exists: at 100 TB it is the only relation small
+    enough to pin in memory index-wide."""
+    syms = _sax_symbols(events, segments, breaks_cents, value_col)
+    q = syms.filter(F.col("user_id") == query_user).select(
+        "seg", F.col("__sym").alias("q_sym")
+    )
+    barr = F.array(*[F.lit(int(b)).cast("long") for b in breaks_cents])
+    lo = F.least(F.col("__sym"), F.col("q_sym"))
+    hi = F.greatest(F.col("__sym"), F.col("q_sym"))
+    # symbols >= 2 apart: the value gap is at least
+    # breaks[hi] - breaks[lo + 1] (1-based list indexing)
+    cell = F.when(hi - lo <= 1, F.lit(0).cast("long")).otherwise(
+        F.element_at(barr, hi.cast("int"))
+        - F.element_at(barr, (lo + 1).cast("int"))
+    )
+    mind = (
+        syms.filter(F.col("user_id") != query_user)
+        .join(F.broadcast(q), "seg")
+        .groupBy("user_id")
+        .agg(F.sum(cell * cell).alias("mindist2"))
+    )
+    cand_rows = (
+        mind.orderBy(F.asc("mindist2"), F.asc("user_id"))
+        .limit(shortlist)
+        .collect()
+    )
+    spark = events.sparkSession
+    cand = spark.createDataFrame(
+        [(r.user_id, int(r.mindist2)) for r in cand_rows],
+        "user_id long, mindist2 long",
+    )
+    members = spark.createDataFrame(
+        [(r.user_id,) for r in cand_rows] + [(query_user,)],
+        "user_id long",
+    )
+    sk = ts_paa(events, segments, value_col).join(
+        F.broadcast(members), "user_id"
+    )
+    ranked = _sketch_dist2(sk, query_user)
+    w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
+    return (
+        ranked.join(F.broadcast(cand), "user_id")
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(k)
+        .select(
+            "user_id",
+            "mindist2",
+            "dist2",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
     )
 
 

@@ -137,9 +137,10 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-8 window TODO: promote any round-8 tail additions first, then
-# the 6 round-7 tail additions (never driver-certified, local
+# the 7 round-7 tail additions (never driver-certified, local
 # oracle-green at both SFs: ts_sax, ts_sax_group, dedup_semantic,
-# q8_market_share, q15_top_supplier, q17_small_qty_revenue), then
+# ts_similarity_sax_topk, q8_market_share, q15_top_supplier,
+# q17_small_qty_revenue), then
 # re-cert the 45 remaining r4-era rows (the r4 list minus the four
 # promoted this round: agg_unpivot, array_scalars, chi_square,
 # count_cat, count_term, count_term_cat, count_total, date_scalars,

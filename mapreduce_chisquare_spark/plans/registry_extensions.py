@@ -2985,6 +2985,64 @@ FROM sxw GROUP BY sax_word HAVING count(*) >= 2
 )
 
 
+def ts_similarity_sax_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-tier iSAX search: MINDIST prune + exact PAA re-rank
+    (operators/timeseries.py ts_similarity_sax_topk)."""
+    from ..operators.timeseries import ts_similarity_sax_topk
+
+    return ts_similarity_sax_topk(_events(spark, sf_dir))
+
+
+def _sax_sym_expr() -> str:
+    from ..operators.timeseries import SAX_BREAKS_CENTS
+
+    return " + ".join(
+        f"(CASE WHEN sc >= {int(b)} * np THEN 1 ELSE 0 END)"
+        for b in SAX_BREAKS_CENTS
+    )
+
+
+def _sql_ts_sax_topk() -> str:
+    from ..operators.timeseries import SAX_BREAKS_CENTS
+
+    blist = "[" + ", ".join(
+        f"CAST({int(b)} AS BIGINT)" for b in SAX_BREAKS_CENTS
+    ) + "]"
+    return (
+        "WITH "
+        + _paa_ctes(8, "sx")
+        + f""",
+sxy AS (SELECT user_id, seg, ({_sax_sym_expr()}) AS sym FROM sxs),
+sq AS (SELECT seg, sym AS q_sym FROM sxy WHERE user_id = 0),
+mdc AS (SELECT s.user_id,
+  CASE WHEN greatest(s.sym, q_sym) - least(s.sym, q_sym) <= 1
+    THEN CAST(0 AS BIGINT)
+    ELSE {blist}[greatest(s.sym, q_sym)]
+         - {blist}[least(s.sym, q_sym) + 1] END AS cell
+  FROM sxy s JOIN sq USING (seg) WHERE s.user_id <> 0),
+md AS (SELECT user_id, CAST(sum(cell * cell) AS BIGINT) AS mindist2
+       FROM mdc GROUP BY user_id),
+cand AS (SELECT user_id, mindist2 FROM md
+         ORDER BY mindist2 ASC, user_id ASC LIMIT 40),
+pq AS (SELECT seg, paa_value AS q_value FROM sxk WHERE user_id = 0),
+pd AS (SELECT s.user_id,
+  sum((s.paa_value - q_value) * (s.paa_value - q_value)
+      ORDER BY s.seg) AS dist2
+  FROM sxk s JOIN pq USING (seg)
+  JOIN cand c ON s.user_id = c.user_id
+  GROUP BY s.user_id)
+SELECT c.user_id, c.mindist2, d.dist2,
+  CAST(row_number() OVER (ORDER BY d.dist2 ASC, d.user_id ASC)
+       AS INTEGER) AS rank
+FROM pd d JOIN cand c USING (user_id)
+ORDER BY d.dist2 ASC, d.user_id ASC LIMIT 10
+"""
+    )
+
+
+SQL_TS_SAX_TOPK = _sql_ts_sax_topk()
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3447,4 +3505,8 @@ EXTENSION_QUERIES = {
     "ts_sax": (ts_sax_q, SQL_TS_SAX),
     "ts_sax_group": (ts_sax_group_q, SQL_TS_SAX_GROUP),
     "dedup_semantic": (dedup_semantic_q, SQL_DEDUP_SEMANTIC),
+    "ts_similarity_sax_topk": (
+        ts_similarity_sax_topk_q,
+        SQL_TS_SAX_TOPK,
+    ),
 }

@@ -2133,3 +2133,53 @@ def test_semantic_dedup_drops_clones_keeps_originals(spark):
     assert out[12] == (False, 10)  # min qualifying mate, not 11
     assert out[20] == (True, None)
     assert out[21] == (True, None)  # cos(20, 21) = 0 < threshold
+
+
+def test_ts_sax_topk_mindist_lower_bounds_and_is_exact_when_uncut(spark):
+    """Symbol-tier iSAX search: (a) mindist2 (cents^2) lower-bounds
+    the exact squared PAA distance x 10^4 for every returned row;
+    (b) with `shortlist` covering the corpus the final ranking equals
+    ts_similarity_topk's exactly (no false dismissal through the
+    symbol tier); (c) a far-off series scores a POSITIVE mindist2 —
+    the separation that lets the symbol tier prune at all."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_sax_topk,
+        ts_similarity_topk,
+    )
+
+    def series(uid, base, step):
+        return [
+            (
+                uid * 1000 + i,
+                dt.datetime(2024, 1, 1, 0, i),
+                uid,
+                "view",
+                float(base + step * i),
+                "{}",
+            )
+            for i in range(16)
+        ]
+
+    rows = (
+        series(0, 10, 2)      # query: ramp 10..40
+        + series(1, 11, 2)    # clone, +1 offset
+        + series(2, 15, 2)    # near
+        + series(3, 90, 0)    # flat far -> symbols 3,3,... vs query's
+        + series(4, 12, 2)
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = ts_similarity_sax_topk(ev, query_user=0, k=4, shortlist=100).collect()
+    brute = ts_similarity_topk(ev, query_user=0, k=4).collect()
+    assert [(r.user_id, r.dist2) for r in out] == [
+        (r.user_id, r.dist2) for r in brute
+    ]
+    for r in out:
+        assert r.mindist2 <= r.dist2 * 10_000 + 1e-6, r
+    far = {r.user_id: r.mindist2 for r in out}[3]
+    assert far > 0

@@ -850,3 +850,155 @@ def test_jaccard_estimate_matches_python_reference(spark, texts):
             continue
         want = sum(x == y for x, y in zip(sa, sb)) / NUM_HASHES
         assert got[(a, b)] == want, ((a, b), got[(a, b)], want)
+
+
+# ---------------------------------------------------------------------------
+# SAX words vs a literal python reference (round 7)
+# ---------------------------------------------------------------------------
+
+def _py_sax(series: dict[int, list[float]], segments=8, breaks=None):
+    """Literal transcription of ts_sax's contract: positions in
+    series order, seg = pos*segments//n, exact-cent segment sums,
+    symbol = # breakpoints with sum >= b*n (cross-multiplied), word =
+    digits in seg order; users with < segments points excluded."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        SAX_BREAKS_CENTS,
+    )
+
+    breaks = breaks or SAX_BREAKS_CENTS
+    words = {}
+    for uid, vals in series.items():
+        n = len(vals)
+        if n < segments:
+            continue
+        segs: dict[int, list[int]] = {}
+        for pos, v in enumerate(vals):
+            segs.setdefault(pos * segments // n, []).append(
+                round(v * 100)
+            )
+        word = ""
+        for s in sorted(segs):
+            sc, np = sum(segs[s]), len(segs[s])
+            word += str(sum(1 for b in breaks if sc >= b * np))
+        words[uid] = word
+    return words
+
+
+series_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(series=series_strategy)
+@settings(**_SETTINGS)
+def test_ts_sax_matches_python_reference(spark, series):
+    """The distributed SAX word equals a literal python transcription
+    for every generated series, including exact-breakpoint means and
+    lengths straddling the n >= segments cut."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_sax
+
+    rows = [
+        (uid * 1000 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), uid, "view", v, "{}")
+        for uid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {r.user_id: r.sax_word for r in ts_sax(ev).collect()}
+    assert got == _py_sax(series)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup keep-rule vs a literal python reference (round 7)
+# ---------------------------------------------------------------------------
+
+def _py_semantic_dedup(vecs: dict[int, list[float]], cents, threshold):
+    """Literal keep-rule: assign each vector to its argmax-cosine
+    centroid (first maximal index), then drop any id with a
+    same-cluster LOWER id at cosine >= threshold; dup_of = the
+    smallest such id."""
+    import math
+
+    def cos(a, b):
+        num = aa = bb = 0.0
+        for x, y in zip(a, b):  # left-to-right, the engines' order
+            num += x * y
+            aa += x * x
+            bb += y * y
+        return num / (math.sqrt(aa) * math.sqrt(bb))
+
+    asg = {}
+    for vid, v in vecs.items():
+        scores = [cos(v, c) for c in cents]
+        asg[vid] = scores.index(max(scores))
+    out = {}
+    for vid in vecs:
+        mates = [
+            a
+            for a in vecs
+            if a < vid
+            and asg[a] == asg[vid]
+            and cos(vecs[a], vecs[vid]) >= threshold
+        ]
+        out[vid] = (not mates, min(mates) if mates else None)
+    return out
+
+
+vec_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, width=32),
+        min_size=4,
+        max_size=4,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vecs=vec_strategy)
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_python_reference(spark, vecs):
+    """The distributed SemDeDup verdicts equal a literal python
+    transcription of the keep-rule for every generated corpus (fixed
+    explicit centroids so the property pins the rule, not the
+    fit)."""
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    emb = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.is_kept, r.dup_of)
+        for r in ss.semantic_dedup(
+            emb, threshold=0.8, cents=cents
+        ).collect()
+    }
+    assert got == _py_semantic_dedup(
+        {k: [float(x) for x in v] for k, v in vecs.items()},
+        cents,
+        0.8,
+    )
