@@ -362,11 +362,18 @@ def _sax_symbols(
 ) -> DataFrame:
     """(user_id, seg, __sym) — the per-segment SAX symbol relation
     shared by the word builder (ts_sax) and the symbol-tier search
-    (ts_similarity_sax_topk). The symbol comparison never touches
-    floats: a segment mean sc/(100*n) crosses breakpoint b exactly
-    when sc >= b*n with everything integer (cross-multiplied cents);
-    rides _paa_segments' one user-keyed exchange."""
-    seg = _paa_segments(events, segments, value_col)
+    (ts_similarity_sax_topk); rides _paa_segments' one user-keyed
+    exchange."""
+    return _sym_from_segments(
+        _paa_segments(events, segments, value_col), breaks_cents
+    )
+
+
+def _sym_from_segments(seg: DataFrame, breaks_cents: tuple) -> DataFrame:
+    """Symbolize an existing _paa_segments relation. The comparison
+    never touches floats: a segment mean sc/(100*n) crosses
+    breakpoint b exactly when sc >= b*n with everything integer
+    (cross-multiplied cents)."""
     sym = F.lit(0)
     for b in breaks_cents:
         # mean >= b cents  <=>  sc >= b * n_points  (exact integers)
@@ -419,28 +426,39 @@ def ts_similarity_sax_topk(
     symbols differing by >= 2 are provably separated by the gap
     between their nearest breakpoints, so mindist2 = sum of squared
     gaps (EXACT integer cents^2) lower-bounds the squared PAA
-    distance x 10^4 and admits no false dismissal THROUGH the
-    shortlist cut — then re-rank the shortlist exactly at PAA
+    distance x 10^4 — then re-rank the shortlist exactly at PAA
     resolution. Returns (user_id, mindist2, dist2, rank) ranked by
     the exact PAA distance.
 
-    The honest iSAX caveat, same as a real index: MINDIST is the
-    COARSEST bound — every series whose symbols all sit within +-1
-    of the query's scores mindist2 = 0, and when that zero bucket
-    exceeds `shortlist` the (mindist2, user_id) cut can drop true
-    neighbours. A production index answers with higher cardinality
-    (more breakpoints) or a bigger leaf budget; the property test
-    pins exactness whenever `shortlist` covers the corpus.
+    The honest iSAX caveat, same as a real index: the result is
+    EXACT over the shortlist, and globally exact when `shortlist`
+    covers the corpus (pinned by test) — but a fixed-size cut on a
+    LOWER BOUND can drop a true neighbour whenever `shortlist` other
+    series carry smaller mindist2 values (the degenerate case being
+    the all-zeros bucket of series whose symbols all sit within +-1
+    of the query's). A production index answers with higher
+    cardinality, a bigger leaf budget, or the refined tier's
+    certificate (compare the k-th re-ranked distance against the
+    best EXCLUDED mindist2 — ts_similarity_refined's pattern);
+    certifying here would mean re-ranking grows until the bound
+    clears, which is a search-loop policy, not a plan shape.
 
-    Scale shape: the symbol relation rides _paa_segments' one
-    user-keyed exchange; the query's `segments` symbol rows broadcast
-    and the per-user MINDIST is an integer aggregate on the existing
-    partitioning; the shortlist cut is TakeOrderedAndProject and the
-    PAA re-rank touches shortlist-many sketches via broadcast joins
-    — symbols are ~2 orders smaller than sketches, which is why the
-    symbol tier exists: at 100 TB it is the only relation small
-    enough to pin in memory index-wide."""
-    syms = _sax_symbols(events, segments, breaks_cents, value_col)
+    Scale shape: the segment relation materializes ONCE
+    (localCheckpoint — the dedup_semantic lesson: the symbol join
+    reads it twice and the re-rank a third time, and each
+    un-checkpointed reference re-plans the full event scan + window);
+    symbols and sketches are both derived from it map-side. The
+    query's `segments` symbol rows broadcast and the per-user MINDIST
+    is an integer aggregate on the existing partitioning; the
+    shortlist cut is TakeOrderedAndProject and the PAA re-rank
+    touches shortlist-many sketches via broadcast joins — symbols
+    are ~2 orders smaller than sketches, which is why the symbol
+    tier exists: at 100 TB it is the only relation small enough to
+    pin in memory index-wide. Freeze-at-build semantics: segments
+    materialize and the shortlist is collected when this function
+    runs."""
+    segs = _paa_segments(events, segments, value_col).localCheckpoint()
+    syms = _sym_from_segments(segs, breaks_cents)
     q = syms.filter(F.col("user_id") == query_user).select(
         "seg", F.col("__sym").alias("q_sym")
     )
@@ -473,9 +491,16 @@ def ts_similarity_sax_topk(
         [(r.user_id,) for r in cand_rows] + [(query_user,)],
         "user_id long",
     )
-    sk = ts_paa(events, segments, value_col).join(
-        F.broadcast(members), "user_id"
-    )
+    # sketch derived from the SAME checkpointed segment relation the
+    # symbol tier used — no second event scan
+    sk = segs.select(
+        "user_id",
+        "seg",
+        (
+            F.col("__sc").cast("double")
+            / (F.lit(100.0) * F.col("n_points").cast("double"))
+        ).alias("paa_value"),
+    ).join(F.broadcast(members), "user_id")
     ranked = _sketch_dist2(sk, query_user)
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (

@@ -2930,17 +2930,22 @@ def ts_sax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_sax(_events(spark, sf_dir))
 
 
-# SAX CTEs: built on _paa_ctes' shared exact-sums base ({tag}s — the
-# one segmentation definition); the symbol comparison is the
-# cross-multiplied-cents form (mean >= b  <=>  sc >= b_cents * n) so
-# no float exists anywhere.
-def _sax_ctes() -> str:
+# The ONE symbol expression both SAX oracles share (word builder +
+# symbol-tier search): the cross-multiplied-cents comparison
+# (mean >= b  <=>  sc >= b_cents * n) — no float exists anywhere.
+def _sax_sym_expr() -> str:
     from ..operators.timeseries import SAX_BREAKS_CENTS
 
-    sym = " + ".join(
+    return " + ".join(
         f"(CASE WHEN sc >= {int(b)} * np THEN 1 ELSE 0 END)"
         for b in SAX_BREAKS_CENTS
     )
+
+
+# SAX CTEs: built on _paa_ctes' shared exact-sums base ({tag}s — the
+# one segmentation definition).
+def _sax_ctes() -> str:
+    sym = _sax_sym_expr()
     return (
         _paa_ctes(8, "sx")
         + f""",
@@ -2991,15 +2996,6 @@ def ts_similarity_sax_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ts_similarity_sax_topk
 
     return ts_similarity_sax_topk(_events(spark, sf_dir))
-
-
-def _sax_sym_expr() -> str:
-    from ..operators.timeseries import SAX_BREAKS_CENTS
-
-    return " + ".join(
-        f"(CASE WHEN sc >= {int(b)} * np THEN 1 ELSE 0 END)"
-        for b in SAX_BREAKS_CENTS
-    )
 
 
 def _sql_ts_sax_topk() -> str:

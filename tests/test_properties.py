@@ -860,7 +860,12 @@ def _py_sax(series: dict[int, list[float]], segments=8, breaks=None):
     """Literal transcription of ts_sax's contract: positions in
     series order, seg = pos*segments//n, exact-cent segment sums,
     symbol = # breakpoints with sum >= b*n (cross-multiplied), word =
-    digits in seg order; users with < segments points excluded."""
+    digits in seg order; users with < segments points excluded.
+    Cent rounding is HALF-UP like both engines (Spark F.round /
+    DuckDB round) — python's round() is half-to-even and diverges on
+    exact half-cents like 0.125*100 = 12.5."""
+    import math
+
     from mapreduce_chisquare_spark.operators.timeseries import (
         SAX_BREAKS_CENTS,
     )
@@ -874,7 +879,7 @@ def _py_sax(series: dict[int, list[float]], segments=8, breaks=None):
         segs: dict[int, list[int]] = {}
         for pos, v in enumerate(vals):
             segs.setdefault(pos * segments // n, []).append(
-                round(v * 100)
+                int(math.floor(v * 100 + 0.5))  # values are >= 0
             )
         word = ""
         for s in sorted(segs):
