@@ -1,7 +1,22 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (round-8 fix): the headline set has grown past what a
+bounded tail-capture of stdout can hold in one line (BENCH_r07.json
+recorded `"parsed": null` because the single 75-query JSON line
+overflowed the driver's ~2 KB tail window, truncating the total and
+the first queries). So bench now prints SEVERAL short JSON lines, each
+independently parseable and each carrying the headline total:
+
+  line 1..k: {"metric", "value", "unit", "sf", "queries_part": "i/k",
+              "queries": {<=12 entries>}}
+  last line: {"metric", "value", "unit", "sf", "n_queries",
+              "sentinel", "detail_file"}   # compact, < ~400 bytes
+
+Whatever suffix of stdout survives truncation, its last complete line
+is the compact summary (always parseable, always has the total), and
+the preceding chunk lines re-supply per-query medians. The full
+single-object record (old one-line format) is additionally written to
+BENCH_FULL.json beside this script.
 
 Per BASELINE.md: wall-clock per query, median of 3 timed runs after 1
 warm-up, single local SparkSession, AQE on, fixed shuffle partitions.
@@ -140,6 +155,39 @@ def _calibrate(spark) -> tuple[float, float]:
     return quiet, max(0.25, 3.0 * quiet)
 
 
+# Max queries per chunk line: 12 entries at ~30 bytes each plus the
+# repeated summary fields keeps every printed line well under 1 KB, so
+# any tail-capture window >= 1 KB always contains at least one
+# complete, parseable line.
+CHUNK = 12
+
+
+def _emit(results: dict[str, float], total: float, sf, sentinel: dict) -> list[str]:
+    """Render the multi-line output contract (see module docstring).
+
+    Every returned line is standalone-parseable JSON carrying the
+    headline metric/value, so a line-oriented consumer can recover the
+    total from ANY complete line; the final line is the compact
+    summary that fits whole inside a bounded tail capture."""
+    head = {"metric": "headline_queries_total_wall_clock", "value": total, "unit": "sec", "sf": sf}
+    names = list(results)
+    chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)] or [[]]
+    lines = [
+        json.dumps(
+            {**head, "queries_part": f"{i + 1}/{len(chunks)}", "queries": {n: results[n] for n in part}},
+            separators=(",", ":"),
+        )
+        for i, part in enumerate(chunks)
+    ]
+    lines.append(
+        json.dumps(
+            {**head, "n_queries": len(results), "sentinel": sentinel, "detail_file": "BENCH_FULL.json"},
+            separators=(",", ":"),
+        )
+    )
+    return lines
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,24 +231,27 @@ def main() -> None:
         if query_hot:
             hot_queries.append(name)
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sentinel": {
-                    "quiet_sec": round(quiet, 4),
-                    "threshold_sec": round(threshold, 4),
-                    "max_seen_sec": round(max_seen, 4),
-                    "hot_discards": hot_discards,
-                    "hot_queries": hot_queries,
-                },
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sentinel = {
+        "quiet_sec": round(quiet, 4),
+        "threshold_sec": round(threshold, 4),
+        "max_seen_sec": round(max_seen, 4),
+        "hot_discards": hot_discards,
+        "hot_queries": hot_queries,
+    }
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+        "sentinel": sentinel,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    for line in _emit(results, total, sf_val, sentinel):
+        print(line)
 
 
 if __name__ == "__main__":

@@ -60,101 +60,87 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-7 window (50) = the 11 round-7 changed/new entries (the new
-# ts_similarity_refined; the ts_paa family's integer-div fix; the
-# bm25 oracle-paren + term-dedup fixes; the de-trivialized
-# dedup_exact/join_anti gates; dedup_normalized's empty-norm guard;
-# winnowing's polynomial-hash rewrite; multimodal_decode's header
-# probe), + the 33 remaining r3-era stale re-certs, + the 2 r5
-# entries that gained a behavior-neutral stats out-param in r6
-# (dedup_components, pipeline_dedup_corpus), + 4 oldest-r4 fills
-# (set ops / window frames / TPC-H). Fast entries lead; multimodal
-# and streaming fixtures close the window so a time-cut sweep still
-# certifies the maximum prefix.
+# Round-8 window (50) = the 7 round-7 tail additions (never
+# driver-certified; local oracle-green at both SFs), + the round-8
+# changed entries (ts_similarity_refined's validation scan folded into
+# the shortlist pass; multimodal_decode's JPEG header probe), + 41 of
+# the 45 remaining r4-era stale rows — led by the entire §2 reference
+# surface (scan_json..merged_dict per chi_square.py:30-103), whose
+# greens were the board's oldest. Fast entries lead; streaming
+# fixtures close the window so a time-cut sweep still certifies the
+# maximum prefix.
 _CERTIFY_WINDOW = [
-    # round-7 new + changed (all local oracle-green at both SFs)
+    # round-7 tail — never driver-certified (judge-verified PASS sf0.01)
+    "ts_sax",
+    "ts_sax_group",
+    "dedup_semantic",
+    "ts_similarity_sax_topk",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
-    "ts_paa",
-    "ts_similarity_topk",
-    "dedup_exact",
-    "join_anti",
-    "dedup_normalized",
-    "bm25_score",
-    "bm25_topk",
-    "winnowing_fingerprint",
-    "winnowing_pairs",
-    # r3-era stale re-certs: scans, sketches, joins, aggregates
-    "scan_csv",
-    "sketch_kmv_overlap",
-    "sketch_kmv_distinct",
-    "join_range",
-    "asof_join",
-    "asof_tolerance",
-    "agg_approx_distinct",
-    "agg_histogram",
-    # r3-era stale re-certs: similarity-search brute-force tier
-    "simsearch_topk",
-    "simsearch_topk_pandas",
-    "simsearch_lsh_topk",
-    "embed_neardup",
-    "embed_label_means",
-    # r3-era stale re-certs: text analysis + curation
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "repetition_metrics",
-    "pii_redact",
-    "winsorize",
-    "sample_per_source",
-    "pipeline_curation",
-    # r3-era stale re-certs: warehouse / layout / time-series
-    "dq_profile",
-    "scd2_merge",
-    "zorder_values",
-    "sink_partitioned",
-    "resample_ffill",
-    # r5 re-certs: behavior-neutral stats out-param added in r6
-    "dedup_components",
-    "pipeline_dedup_corpus",
-    # oldest-r4 fills: set ops, window frames, TPC-H
-    "set_union",
-    "set_intersect",
-    "window_range_frame",
-    "q4_order_priority",
-    # round-7 changed: decode dispatch grew the PNG/GIF header probe
+    # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
+    "scan_json",
+    "json_extract",
+    "tokenize",
+    "stopword_filter",
+    "count_term_cat",
+    "count_term",
+    "count_cat",
+    "count_total",
+    "join_term_totals",
+    "join_cat_totals",
+    "chi_square",
+    "topk_per_group",
+    "format_report",
+    "merged_dict",
+    # r4-era stale re-certs: TPC-H flavours
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    # r4-era stale re-certs: joins / windows / set-ops / misc
+    "join_bucketed",
+    "join_bloom_prefilter",
+    "sql_correlated_subquery",
+    "top_n_global",
+    "window_lag",
+    "window_ntile",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+    "rollup_multigrain",
+    "set_except",
+    "agg_unpivot",
+    "array_scalars",
+    "ngram_counts",
+    "doc_chunk",
+    "pack_sequences",
+    "explode_outer_keywords",
+    "embed_quantize",
+    "sink_orc_roundtrip",
+    # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
-    # r3-era stale re-certs: multimodal + streaming (slow fixtures)
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_resize",
-    "stream_tumbling",
-    "stream_dedup",
-    "stream_static_join",
+    # r4-era stale re-certs: streaming (slow fixtures close the window)
+    "stream_doc_chunk",
+    "stream_quality_filter",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-8 window TODO: promote any round-8 tail additions first, then
-# the 7 round-7 tail additions (never driver-certified, local
-# oracle-green at both SFs: ts_sax, ts_sax_group, dedup_semantic,
-# ts_similarity_sax_topk, q8_market_share, q15_top_supplier,
-# q17_small_qty_revenue), then
-# re-cert the 45 remaining r4-era rows (the r4 list minus the four
-# promoted this round: agg_unpivot, array_scalars, chi_square,
-# count_cat, count_term, count_term_cat, count_total, date_scalars,
-# doc_chunk, embed_quantize, explode_outer_keywords, format_report,
-# join_bloom_prefilter, join_bucketed, join_cat_totals,
-# join_term_totals, json_extract, merged_dict, ngram_counts,
-# pack_sequences, q10_returned_items, q14_promo_effect,
-# q18_large_volume, q19_discounted_revenue, q6_forecast_revenue,
-# q7_nation_volume, rollup_multigrain, scan_json, set_except,
-# set_except_all, set_intersect_all, sink_orc_roundtrip,
-# sql_correlated_subquery, stopword_filter, stream_doc_chunk,
-# stream_quality_filter, string_scalars, tokenize, top_n_global,
-# topk_per_group, window_lag, window_ntile, window_session,
-# window_sliding, window_tumbling), then the oldest r5 rows.
+# Round-9 window TODO: promote any round-9 tail additions first, then
+# any round-8 tail additions not certified in the round-8 window, then
+# the 4 r4-era rows deferred this round (date_scalars, string_scalars,
+# set_except_all, set_intersect_all), then the oldest r5 rows
+# (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
+# agg_linreg, snapshot_diff, corpus_composition, events_funnel,
+# simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,
+# lm_unigram_score, dedup_incremental, pipeline_training_corpus, ... —
+# plus window_moving_sum and the r5 dedup/tfidf/decontaminate re-certs).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -124,6 +124,47 @@ def test_oracle_sql_never_widens_to_hugeint(duck):
     assert not offenders, f"uncast DuckDB-widened outputs: {offenders}"
 
 
+def test_bench_output_lines_survive_tail_truncation():
+    """BENCH_r07.json recorded "parsed": null because the one-line
+    75-query JSON overflowed the driver's ~2 KB stdout tail capture.
+    Pin the round-8 contract: every emitted line is standalone JSON
+    carrying the headline total, every line is short enough that a
+    1 KB-or-larger tail window always holds at least one complete
+    line, and the LAST line is the compact summary."""
+    import json as _json
+
+    import bench
+
+    results = {f"query_name_of_typical_length_{i:03d}": i / 7.0 for i in range(90)}
+    total = round(sum(results.values()), 3)
+    sentinel = {
+        "quiet_sec": 0.13,
+        "threshold_sec": 0.4,
+        "max_seen_sec": 0.2,
+        "hot_discards": 0,
+        "hot_queries": [],
+    }
+    lines = bench._emit(results, total, 0.1, sentinel)
+    recovered = {}
+    for line in lines:
+        obj = _json.loads(line)  # each line parses on its own
+        assert obj["value"] == total
+        assert obj["metric"] == "headline_queries_total_wall_clock"
+        assert len(line.encode()) < 1000, f"line too long: {len(line)}"
+        recovered.update(obj.get("queries", {}))
+    assert recovered == results  # chunk lines re-supply every median
+    last = _json.loads(lines[-1])
+    assert last["n_queries"] == len(results)
+    assert last["sentinel"] == sentinel
+    assert len(lines[-1].encode()) < 500  # summary always fits a tail
+
+    # empty-results edge (registry miss on every name) still emits
+    # parseable lines with a summary
+    empty = bench._emit({}, 0.0, 0.1, sentinel)
+    assert all(_json.loads(line) for line in empty)
+    assert _json.loads(empty[-1])["n_queries"] == 0
+
+
 def test_bench_headline_names_exist():
     """bench.py silently skips HEADLINE names missing from REGISTRY
     (REGISTRY.get -> continue) — a typo would silently shrink the
