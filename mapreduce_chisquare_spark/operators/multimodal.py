@@ -123,10 +123,12 @@ def probe_image_header(blob: bytes):
 def decode_media(blob: bytes, kind: str):
     """REAL per-blob decoder: dispatches to PIL for images when the
     codec is importable (width, height, n_frames from the actual
-    container bytes — animated GIFs report their frame count), else
-    to the pure-Python PNG/GIF header probe (probe_image_header), so
-    real image metadata decode executes even in codec-less
-    containers. The per-blob call IS the cost model at scale;
+    container bytes — animated GIFs report their frame count); when
+    PIL is absent OR raises on a specific blob (corrupt tail,
+    unsupported variant), the pure-Python header probe
+    (probe_image_header) gets its shot before the
+    NotImplementedError contract applies, so real image metadata
+    decode executes even in codec-less containers. The per-blob call IS the cost model at scale;
     batching happens a level up in real_decode_batch. Audio/video
     decode (libav/ffmpeg) is not wired in this container and raises
     NotImplementedError — callers fall back to fake_decode_batch,
@@ -137,8 +139,20 @@ def decode_media(blob: bytes, kind: str):
 
             from PIL import Image
 
-            with Image.open(io.BytesIO(blob)) as im:
-                return im.width, im.height, getattr(im, "n_frames", 1)
+            try:
+                with Image.open(io.BytesIO(blob)) as im:
+                    return (
+                        im.width,
+                        im.height,
+                        getattr(im, "n_frames", 1),
+                    )
+            except Exception:
+                # PIL importable but this blob defeats it (corrupt
+                # tail, unsupported variant): fall through to the
+                # header probe, which may still parse the header —
+                # only if BOTH fail does the NotImplementedError
+                # contract below apply.
+                pass
         probed = probe_image_header(blob)
         if probed is not None:
             return probed

@@ -759,7 +759,11 @@ def bm25_topk(
     Query terms form a SET: duplicates in `terms` are dropped (first
     occurrence kept, written order preserved) — each would otherwise
     pivot into its own column holding the same per-term score and be
-    summed twice."""
+    summed twice. This is deliberate: classic BM25's query-term-
+    frequency (qtf) weighting, where a term repeated in the query
+    legitimately counts multiple times, is NOT supported here — a
+    caller who wants qtf weighting should weight terms explicitly
+    rather than rely on duplicates in `terms`."""
     terms = list(dict.fromkeys(terms))
     s = bm25(docs, text_col).filter(F.col("term").isin(list(terms)))
     cols = [

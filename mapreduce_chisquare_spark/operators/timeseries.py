@@ -428,7 +428,9 @@ def ts_similarity_sax_topk(
     gaps (EXACT integer cents^2) lower-bounds the squared PAA
     distance x 10^4 — then re-rank the shortlist exactly at PAA
     resolution. Returns (user_id, mindist2, dist2, rank) ranked by
-    the exact PAA distance.
+    the exact PAA distance. Raises ValueError when the query user has
+    fewer than `segments` points (no symbol word exists) — the same
+    degenerate-query contract as ts_similarity_refined.
 
     The honest iSAX caveat, same as a real index: the result is
     EXACT over the shortlist, and globally exact when `shortlist`
@@ -458,6 +460,22 @@ def ts_similarity_sax_topk(
     materialize and the shortlist is collected when this function
     runs."""
     segs = _paa_segments(events, segments, value_col).localCheckpoint()
+    # Same degenerate-query contract as ts_similarity_refined (the
+    # ladder's tiers must agree): a query with fewer than `segments`
+    # points has no symbol word — raise instead of silently returning
+    # an empty result. Cheap: one aggregate on the already-
+    # materialized segment relation, no extra event scan.
+    n_q = int(
+        segs.filter(F.col("user_id") == query_user)
+        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_q < segments:
+        raise ValueError(
+            f"query user {query_user} has {n_q} points < "
+            f"segments={segments}; the symbol tier would silently "
+            "return nothing — lower `segments`"
+        )
     syms = _sym_from_segments(segs, breaks_cents)
     q = syms.filter(F.col("user_id") == query_user).select(
         "seg", F.col("__sym").alias("q_sym")
@@ -541,7 +559,8 @@ def ts_similarity_refined(
     representation, so the refined top-k over the shortlist is
     provably exact whenever the k-th refined distance <=
     (grid/segments) * the best coarse distance among non-shortlisted
-    users — asserted as a property test (tests/test_timeseries.py).
+    users — asserted as a property test (tests/test_extensions.py::
+    test_ts_similarity_refined_reorders_and_is_provably_exact).
     Candidates with fewer than `grid` points have no grid-resolution
     form and drop from the refined ranking (inner join, both
     engines).
@@ -549,36 +568,47 @@ def ts_similarity_refined(
     Scale shape: the corpus-sized work is the two sketch relations
     (users x segments and users x grid rows — both vanishing next to
     the event log, built off ONE user-keyed exchange each); the
+    coarse sketch materializes ONCE (localCheckpoint, the
+    ts_similarity_sax_topk pattern) and serves BOTH the degenerate-
+    query guard and the shortlist cut, so the event log is scanned
+    exactly twice per call (coarse + fine) — round 7 paid a third
+    full event scan for a dedicated validation `count()`. The
     shortlist cut is TakeOrderedAndProject on the bit-stable coarse
     distance, collected ONCE (<= `shortlist` rows — a bounded,
-    driver-safe collect) and re-broadcast as a literal relation so
-    the coarse tier's lineage runs exactly once instead of once per
-    downstream reference; the refine tier then touches shortlist x
-    grid rows via broadcast joins — the event log itself never
-    re-shuffles. At 100 TB the expensive exact scorer runs on a
+    driver-safe collect) and re-broadcast as a literal relation; the
+    refine tier then touches shortlist x grid rows via broadcast
+    joins — the event log itself never re-shuffles. At 100 TB the expensive exact scorer runs on a
     fixed, tiny candidate relation exactly like the PQ refine path.
     Freeze-at-build semantics (select_token_budget pattern): the
     shortlist is fixed when this function runs."""
-    coarse = ts_paa(events, segments, value_col)
-    # The shortlist is <= `shortlist` rows by construction; collect it
-    # once and re-broadcast as a literal relation so the coarse-tier
-    # lineage (event scan -> sketch -> distance -> cut) isn't re-run
-    # for every reference downstream (each DataFrame reference
-    # re-plans its lineage). Build-time freeze semantics like
-    # select_token_budget: the shortlist is fixed when the plan is
-    # built. Values survive the round-trip exactly (IEEE doubles).
+    coarse = ts_paa(events, segments, value_col).localCheckpoint()
     # The query series must exist at GRID resolution too: ts_paa's
     # n >= grid cut would otherwise drop it silently and the refined
     # relation would come back empty with no signal (shortlisted
     # CANDIDATES with 8..grid-1 points dropping is the documented
-    # inner-join semantic; the QUERY degrading is an error).
-    n_q = events.filter(F.col("user_id") == query_user).count()
+    # inner-join semantic; the QUERY degrading is an error). The
+    # point count comes off the materialized coarse sketch (PAA
+    # segments partition the series, so sum(n_points) is the series
+    # length; a sub-`segments` query has no sketch rows -> 0) — not
+    # from a dedicated count() action over the event log.
+    n_q = int(
+        coarse.filter(F.col("user_id") == query_user)
+        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
     if n_q < grid:
         raise ValueError(
-            f"query user {query_user} has {n_q} points < grid={grid}; "
-            "refinement would silently return nothing — lower `grid` "
-            "or use ts_similarity_topk"
+            f"query user {query_user} has {n_q} points < grid={grid} "
+            "(0 means fewer than `segments` points); refinement would "
+            "silently return nothing — lower `grid` or use "
+            "ts_similarity_topk"
         )
+    # Shortlist is <= `shortlist` rows by construction; collect once
+    # and re-broadcast as a literal relation so the coarse-tier
+    # lineage isn't re-run per downstream reference. Build-time
+    # freeze semantics like select_token_budget: the shortlist is
+    # fixed when the plan is built. Values survive the round-trip
+    # exactly (IEEE doubles).
     cand_rows = (
         _sketch_dist2(coarse, query_user)
         .orderBy(F.asc("dist2"), F.asc("user_id"))

@@ -2183,3 +2183,56 @@ def test_ts_sax_topk_mindist_lower_bounds_and_is_exact_when_uncut(spark):
         assert r.mindist2 <= r.dist2 * 10_000 + 1e-6, r
     far = {r.user_id: r.mindist2 for r in out}[3]
     assert far > 0
+
+
+def test_ts_search_ladder_raises_on_degenerate_query(spark):
+    """Guard consistency across the search ladder (round-8 ADVICE):
+    BOTH ts_similarity_refined and ts_similarity_sax_topk raise
+    ValueError — instead of silently returning an empty result — when
+    the query user is missing or has fewer points than the tier
+    needs, and neither pays a dedicated event-log scan to find out
+    (the count comes off the materialized sketch relation)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_refined,
+        ts_similarity_sax_topk,
+    )
+
+    rows = []
+    for uid, npts in [(0, 16), (1, 16), (2, 16), (7, 3)]:
+        rows += [
+            (
+                uid * 1000 + i,
+                dt.datetime(2024, 1, 1, 0, i),
+                uid,
+                "view",
+                float(10 + i % 4),
+                "{}",
+            )
+            for i in range(npts)
+        ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    # refined: query exists but lacks grid resolution (16 < 32)
+    with _pytest.raises(ValueError, match="points < grid"):
+        ts_similarity_refined(ev, query_user=0, segments=4, grid=32)
+    # refined: query user does not exist at all -> reported as 0
+    with _pytest.raises(ValueError, match="has 0 points"):
+        ts_similarity_refined(ev, query_user=42, segments=4, grid=8)
+    # symbol tier: query below `segments` points (3 < 8)
+    with _pytest.raises(ValueError, match="points < segments"):
+        ts_similarity_sax_topk(ev, query_user=7, segments=8)
+    # symbol tier: nonexistent query user
+    with _pytest.raises(ValueError, match="has 0 points"):
+        ts_similarity_sax_topk(ev, query_user=42, segments=8)
+    # the guard must NOT fire for a well-resolved query
+    ok = ts_similarity_refined(
+        ev, query_user=0, k=2, segments=4, shortlist=4, grid=16
+    ).collect()
+    assert [r.user_id for r in ok] == [1, 2]

@@ -142,3 +142,34 @@ def test_header_probe_parses_png_gif_apng():
     assert probe_image_header(apng) == (5, 5, 7)
     assert probe_image_header(b"\x89PNG") is None  # truncated
     assert probe_image_header(b"plain text bytes") is None
+
+
+def test_decode_media_falls_back_to_probe_when_pil_fails(monkeypatch):
+    """Round-8 ADVICE fix: when PIL is importable but Image.open
+    raises on a specific blob (corrupt tail, unsupported variant),
+    decode_media must fall through to the pure-Python header probe
+    instead of propagating PIL's error — NotImplementedError is
+    reserved for blobs NEITHER path can read. Simulated with an
+    injected PIL whose open() always raises, so the test runs the
+    same way with or without a real PIL in the container."""
+    import sys
+    import types
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    class _Boom:
+        @staticmethod
+        def open(_):
+            raise OSError("simulated codec failure")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _Boom
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Boom)
+    monkeypatch.setattr(mm, "codec_available", lambda: True)
+
+    # probe-parseable PNG: fallback returns real header metadata
+    assert mm.decode_media(_png_bytes(6, 4), "image") == (6, 4, 1)
+    # bytes neither PIL (simulated failure) nor the probe can read
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x00\x01junk", "image")
