@@ -58,12 +58,14 @@ def codec_available() -> bool:
 
 def probe_image_header(blob: bytes):
     """Pure-Python image header probe: (width, height, n_frames) from
-    the PUBLIC byte layouts of PNG (incl. APNG acTL frame count) and
-    GIF (87a/89a, frames counted by walking the block structure), or
-    None when the bytes are neither. Reads ONLY headers/descriptors —
-    never inflates pixel data — so it is O(container structure), not
-    O(pixels): the codec-less fallback that keeps real image metadata
-    extraction executable in containers without PIL.
+    the PUBLIC byte layouts of PNG (incl. APNG acTL frame count),
+    GIF (87a/89a, frames counted by walking the block structure) and
+    JPEG (SOI + marker segments, dimensions from the first SOFn frame
+    header), or None when the bytes are none of these. Reads ONLY
+    headers/descriptors — never inflates pixel data — so it is
+    O(container structure), not O(pixels): the codec-less fallback
+    that keeps real image metadata extraction executable in
+    containers without PIL.
 
     PNG layout: 8-byte signature, then length-prefixed chunks
     (4B big-endian length, 4B type, data, 4B CRC); IHDR data starts
@@ -72,7 +74,18 @@ def probe_image_header(blob: bytes):
     logical-screen w/h as little-endian uint16, optional global color
     table, then a block stream where 0x2C introduces an image
     descriptor (one per frame), 0x21 an extension, 0x3B the trailer;
-    tables/sub-blocks are skipped by their declared sizes."""
+    tables/sub-blocks are skipped by their declared sizes.
+
+    JPEG layout (ITU T.81): 0xFFD8 SOI, then marker segments — 0xFF,
+    a marker code, and (for non-standalone markers) a 2-byte
+    big-endian length that includes itself. The first frame header
+    SOFn (0xC0-0xCF minus 0xC4 DHT / 0xC8 JPG / 0xCC DAC) carries
+    sample precision (1B) then height and width as big-endian
+    uint16s. The walk stops — returning None — at SOS/EOI without a
+    SOF (no dimensions exist) or on a broken marker stream; RST/TEM
+    standalone markers and 0xFF fill bytes are skipped per spec.
+    Baseline and progressive both answer, since every SOFn shares
+    the frame-header layout; n_frames is 1 (JPEG has no animation)."""
     import struct
 
     if len(blob) >= 24 and blob[:8] == b"\x89PNG\r\n\x1a\n":
@@ -117,6 +130,31 @@ def probe_image_header(blob: bytes):
             else:  # 0x3B trailer or junk
                 break
         return int(w), int(h), max(frames, 1)
+    if len(blob) >= 4 and blob[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None  # broken marker stream
+            while blob[pos + 1] == 0xFF:  # fill bytes before a marker
+                pos += 1
+                if pos + 4 > len(blob):
+                    return None
+            marker = blob[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2  # standalone: TEM, RSTn, (redundant) SOI
+                continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / scan start with no SOF seen
+            (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            if ln < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(blob):
+                    return None  # SOF truncated before dimensions
+                h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+                return int(w), int(h), 1
+            pos += 2 + ln
+        return None
     return None
 
 

@@ -2236,3 +2236,21 @@ def test_ts_search_ladder_raises_on_degenerate_query(spark):
         ev, query_user=0, k=2, segments=4, shortlist=4, grid=16
     ).collect()
     assert [r.user_id for r in ok] == [1, 2]
+
+
+def test_auto_n_centroids_follows_paper_rule():
+    """C ∝ N/target with the N_CENTROIDS floor: exact values at the
+    stress scales (80k -> 800, 160k -> 1600 with target 100), ceil
+    behavior between multiples, floor for tiny corpora, and an
+    explicit target override."""
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        N_CENTROIDS,
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(80_000) == 800
+    assert auto_n_centroids(160_000) == 1_600
+    assert auto_n_centroids(401) == 5  # ceil, not floor-div
+    assert auto_n_centroids(1) == N_CENTROIDS
+    assert auto_n_centroids(0) == N_CENTROIDS  # empty corpus: floor
+    assert auto_n_centroids(10_000, target_cluster_size=1_000) == 10

@@ -173,3 +173,69 @@ def test_decode_media_falls_back_to_probe_when_pil_fails(monkeypatch):
     # bytes neither PIL (simulated failure) nor the probe can read
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x00\x01junk", "image")
+
+
+def _jpeg_bytes(w, h, sof=0xC0, fill=False):
+    """Hand-crafted minimal JPEG (public ITU T.81 marker layout): SOI,
+    JFIF APP0, one SOFn frame header carrying the dimensions, EOI.
+    Header-only — no entropy-coded scan — which is exactly what the
+    probe reads (and what PIL chokes on, exercising the fallback
+    where PIL exists)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    soff = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    pad = b"\xff" if fill else b""  # a legal fill byte before a marker
+    return b"\xff\xd8" + app0 + pad + soff + b"\xff\xd9"
+
+
+def test_header_probe_parses_jpeg():
+    """Round-8 addition: the probe walks the JPEG marker stream —
+    baseline SOF0 and progressive SOF2 both yield (w, h, 1), fill
+    bytes are skipped per spec, and streams with no frame header
+    (EOI before SOF) or truncated mid-marker probe as None instead
+    of a wrong answer."""
+    from mapreduce_chisquare_spark.operators.multimodal import (
+        probe_image_header,
+    )
+
+    assert probe_image_header(_jpeg_bytes(640, 480)) == (640, 480, 1)
+    assert probe_image_header(_jpeg_bytes(3, 5, sof=0xC2)) == (3, 5, 1)
+    assert probe_image_header(_jpeg_bytes(7, 2, fill=True)) == (7, 2, 1)
+    # SOI + EOI only: a dimension-less stream answers None
+    assert probe_image_header(b"\xff\xd8\xff\xd9\x00\x00") is None
+    # truncated inside the SOF dimensions
+    assert probe_image_header(_jpeg_bytes(640, 480)[:13]) is None
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    import struct
+
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert (
+        probe_image_header(b"\xff\xd8" + dht + _jpeg_bytes(9, 4)[2:])
+        == (9, 4, 1)
+    )
+
+
+def test_real_decoder_jpeg_roundtrip(spark):
+    """JPEG joins the real-decode branch: actual marker-stream bytes
+    flow through the same mapInPandas plumbing as PNG/GIF and report
+    their true dimensions — via the header probe in codec-less
+    containers, and via the PIL-failure fallback (header-only JPEGs
+    have no scan data for PIL) where PIL exists."""
+    rows = [
+        (1, _jpeg_bytes(12, 34), "image", 0),
+        (2, _jpeg_bytes(56, 78, sof=0xC2), "image", 0),
+    ]
+    out = {
+        r.doc_id: (r.width, r.height, r.n_frames)
+        for r in decode_documents(
+            _media(spark, rows), use_codec=True
+        ).collect()
+    }
+    assert out == {1: (12, 34, 1), 2: (56, 78, 1)}

@@ -571,3 +571,50 @@ def test_semantic_dedup_drops_planted_clones_at_scale(
     assert n_dropped >= 0.95 * n_clones, (n_dropped, n_clones)
     assert wrong_blame == 0
     assert elapsed < 300, f"semantic dedup took {elapsed:.0f}s"
+
+
+@pytest.mark.slow
+def test_semantic_dedup_auto_c_keeps_clusters_bounded_as_corpus_doubles(
+    spark, tmp_path_factory
+):
+    """The SemDeDup paper's C ∝ N/target rule is now semantic_dedup's
+    DEFAULT (auto_n_centroids): doubling the corpus 80k -> 160k
+    doubles the derived C exactly, the LARGEST cluster stays bounded
+    by a small multiple of TARGET_CLUSTER_SIZE at BOTH scales
+    (measured: max 320 = a handful of clone families at either
+    scale), and the pairwise stage's Σ(cluster²)/N² fraction FALLS
+    as the corpus grows (measured 0.0015 -> 0.0007; a lagging C
+    would hold it flat and drift the stage toward N²). The fraction
+    bound is scale-aware: Σs² <= max_s * N, so frac <= (bound * N)/N²
+    = bound/N with bound = 4x target."""
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        TARGET_CLUSTER_SIZE,
+        auto_n_centroids,
+        kmeans_centroids,
+        with_centroid_assignment,
+    )
+
+    bound = 4 * TARGET_CLUSTER_SIZE
+    stats = {}
+    for copies in (40, 80):
+        emb = _stress_embeddings(
+            spark, tmp_path_factory.mktemp(f"autoc{copies}"), copies
+        )
+        n = emb.count()
+        c = auto_n_centroids(n)
+        cents = kmeans_centroids(emb, k=c)
+        sizes = [
+            r["count"]
+            for r in with_centroid_assignment(emb, cents)
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        ]
+        stats[copies] = (n, c, max(sizes), sum(s * s for s in sizes) / (n * n))
+    (n1, c1, max1, frac1) = stats[40]
+    (n2, c2, max2, frac2) = stats[80]
+    assert (n1, n2) == (80_000, 160_000)
+    assert c2 == 2 * c1 == 1_600  # C doubled with the corpus
+    assert max1 <= bound and max2 <= bound, (max1, max2)
+    assert frac2 < frac1, (frac1, frac2)  # pairwise share FALLS with N
+    assert frac1 <= bound / n1 and frac2 <= bound / n2, (frac1, frac2)
