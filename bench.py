@@ -128,6 +128,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "ts_similarity_sax_topk",
+    # round-8 additions (first measurement = their baseline)
+    "ts_similarity_dtw_topk",
 ]
 
 WARMUP = 1

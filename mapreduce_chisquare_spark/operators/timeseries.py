@@ -10,7 +10,8 @@ every step distributed and bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HOUR = 3600
@@ -568,11 +569,15 @@ def ts_similarity_refined(
     Scale shape: the corpus-sized work is the two sketch relations
     (users x segments and users x grid rows — both vanishing next to
     the event log, built off ONE user-keyed exchange each); the
-    coarse sketch materializes ONCE (localCheckpoint, the
-    ts_similarity_sax_topk pattern) and serves BOTH the degenerate-
-    query guard and the shortlist cut, so the event log is scanned
-    exactly twice per call (coarse + fine) — round 7 paid a third
-    full event scan for a dedicated validation `count()`. The
+    coarse and fine sketches each materialize ONCE (localCheckpoint,
+    the ts_similarity_sax_topk pattern): coarse serves the
+    degenerate-query guard, the shortlist cut, and its own distance
+    fold; fine (after the members cut a shortlist x grid relation)
+    serves both _sketch_dist2 sides. The event log is therefore
+    scanned exactly TWICE per call — round 7 paid five scans: a
+    dedicated validation `count()`, two through the un-checkpointed
+    coarse lineage, and two through the fine tier's double
+    reference. The
     shortlist cut is TakeOrderedAndProject on the bit-stable coarse
     distance, collected ONCE (<= `shortlist` rows — a bounded,
     driver-safe collect) and re-broadcast as a literal relation; the
@@ -624,8 +629,17 @@ def ts_similarity_refined(
         [(r.user_id,) for r in cand_rows] + [(query_user,)],
         "user_id long",
     )
-    fine = ts_paa(events, grid, value_col).join(
-        F.broadcast(members), "user_id"
+    # The fine sketch is ALSO referenced twice downstream
+    # (_sketch_dist2 reads a query side and a candidate side), and
+    # each reference would re-plan the full event scan + ordering
+    # window. After the members cut it is a shortlist x grid relation
+    # — vanishing — so materialize it once: the whole call now scans
+    # the event log exactly twice (coarse checkpoint + fine
+    # checkpoint), round 7 paid four scans plus the validation scan.
+    fine = (
+        ts_paa(events, grid, value_col)
+        .join(F.broadcast(members), "user_id")
+        .localCheckpoint()
     )
     refined = _sketch_dist2(fine, query_user)
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
@@ -637,6 +651,197 @@ def ts_similarity_refined(
             "user_id",
             "paa_dist2",
             "dist2",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+def _ordered_sum(df: DataFrame, key: str, val_col: Column) -> DataFrame:
+    """Per-`key` sum of `val_col` folded IN SEG ORDER (in-agg sort +
+    left-to-right fold — the _sketch_dist2 discipline): the float sum
+    is bit-stable cross-engine where a plain sum() would add in
+    engine-chosen order. Input must carry a `seg` column."""
+    return df.groupBy(key).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg"), val_col.alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum")
+    )
+
+
+def _dtw_band_arrow(q: list, band: int):
+    """Arrow-batched banded DTW (Sakoe-Chiba radius `band`) against
+    the closure query vector: classic O(G*band) two-row DP in plain
+    Python floats (IEEE doubles), each cell
+    dp[i][j] = (c[i]-q[j])^2 + min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1]) evaluated in the SAME fixed order as the oracle's
+    recursive-CTE fold — no engine-chosen reduction order anywhere,
+    so dtw2 is bit-identical cross-engine. Batches come through
+    Arrow; the per-row loop is G*(2*band+1) flops over a
+    shortlist-sized relation, never the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    g = len(q)
+    inf = float("inf")
+
+    @pandas_udf("double")
+    def dtw2(arrs: pd.Series) -> pd.Series:
+        out = []
+        for arr in arrs:
+            c = [float(x) for x in arr]
+            prev = [0.0] + [inf] * g
+            for i in range(1, g + 1):
+                cur = [inf] * (g + 1)
+                lo = max(1, i - band)
+                hi = min(g, i + band)
+                for j in range(lo, hi + 1):
+                    d = c[i - 1] - q[j - 1]
+                    m = prev[j]
+                    if prev[j - 1] < m:
+                        m = prev[j - 1]
+                    if cur[j - 1] < m:
+                        m = cur[j - 1]
+                    cur[j] = d * d + m
+                prev = cur
+            out.append(prev[g])
+        return pd.Series(out, dtype="float64")
+
+    return dtw2
+
+
+def ts_similarity_dtw_topk(
+    events: DataFrame,
+    query_user: int = 0,
+    k: int = 10,
+    grid: int = 16,
+    band: int = 2,
+    shortlist: int = 40,
+    value_col: str = "value",
+) -> DataFrame:
+    """The ELASTIC tier of the series-search ladder (above the
+    Euclidean PAA/SAX tiers): top-k nearest series to `query_user`
+    under banded Dynamic Time Warping, pruned by the LB_Keogh lower
+    bound (Keogh & Ratanamahatana 2005, public) — the canonical
+    shape-matching search a data-series user reaches for when phase
+    shift should not count as distance. Returns (user_id, lb2, dtw2,
+    rank): the lower bound and exact banded-DTW distance side by
+    side, ranked by dtw2 (user_id tie-break). Raises ValueError for
+    a query with fewer than `grid` points — the ladder's shared
+    degenerate-query contract.
+
+    Series are compared on the `grid`-cell length-normalized
+    representation (ts_paa — exact-cents means, bit-identical
+    cross-engine). The query's band envelope U[j]/L[j] =
+    max/min(q[j-band..j+band]) is built driver-side from the
+    collected query sketch (exact: max/min pick existing doubles)
+    and broadcast as literal arrays; LB_Keogh(c) = sum of
+    (c_j - U_j)^2 when above, (L_j - c_j)^2 when below, else 0 —
+    provably <= banded DTW^2 on the same representation (the DTW
+    path must match each c_j against SOME q within the band, whose
+    distance the envelope minorizes; property-tested with no false
+    dismissal through an uncut shortlist).
+
+    Scale shape: the grid sketch materializes ONCE (localCheckpoint)
+    and serves guard, envelope, LB and refine; LB is one ordered
+    fold per user on the sketch relation's existing user
+    partitioning (bit-stable seg-order sum) + a
+    TakeOrderedAndProject cut; ONLY the <= `shortlist` collected
+    candidates (re-broadcast as literals) reach the O(G*band) DTW
+    DP, which runs as an Arrow-batched UDF over shortlist-many
+    G-cell arrays — the event log is scanned once and never
+    re-shuffled, and the expensive elastic scorer touches a fixed,
+    tiny relation exactly like the PQ/PAA refine paths. The honest
+    index caveat (same as the SAX tier): the result is exact over
+    the shortlist; a fixed-size cut on a lower bound can drop a true
+    neighbour whenever `shortlist` others carry smaller LB values.
+    Freeze-at-build semantics: sketches materialize and the
+    shortlist is collected when this function runs."""
+    g = ts_paa(events, grid, value_col).localCheckpoint()
+    n_q = int(
+        g.filter(F.col("user_id") == query_user)
+        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_q < grid:
+        raise ValueError(
+            f"query user {query_user} has {n_q} points < grid={grid} "
+            "(0 means fewer than `grid` points); the DTW tier would "
+            "silently return nothing — lower `grid`"
+        )
+    q_rows = (
+        g.filter(F.col("user_id") == query_user)
+        .select("seg", "paa_value")
+        .collect()
+    )
+    qv = [0.0] * grid
+    for r in q_rows:
+        qv[int(r.seg)] = float(r.paa_value)
+    upper = [
+        max(qv[max(0, j - band) : min(grid, j + band + 1)])
+        for j in range(grid)
+    ]
+    lower = [
+        min(qv[max(0, j - band) : min(grid, j + band + 1)])
+        for j in range(grid)
+    ]
+    uarr = F.array(*[F.lit(float(u)) for u in upper])
+    larr = F.array(*[F.lit(float(x)) for x in lower])
+    v = F.col("paa_value")
+    u = F.element_at(uarr, F.col("seg").cast("int") + 1)
+    lo = F.element_at(larr, F.col("seg").cast("int") + 1)
+    contrib = (
+        F.when(v > u, (v - u) * (v - u))
+        .when(v < lo, (lo - v) * (lo - v))
+        .otherwise(F.lit(0.0))
+    )
+    lb = _ordered_sum(
+        g.filter(F.col("user_id") != query_user).select(
+            "user_id", "seg", contrib.alias("c")
+        ),
+        "user_id",
+        F.col("c"),
+    ).select("user_id", F.col("__sum").alias("lb2"))
+    cand_rows = (
+        lb.orderBy(F.asc("lb2"), F.asc("user_id")).limit(shortlist).collect()
+    )
+    spark = events.sparkSession
+    cand = spark.createDataFrame(
+        [(r.user_id, float(r.lb2)) for r in cand_rows],
+        "user_id long, lb2 double",
+    )
+    members = spark.createDataFrame(
+        [(r.user_id,) for r in cand_rows], "user_id long"
+    )
+    arrs = (
+        g.join(F.broadcast(members), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "paa_value"))
+                ),
+                lambda s: s["paa_value"],
+            ).alias("cells")
+        )
+    )
+    scored = arrs.select(
+        "user_id", _dtw_band_arrow(qv, band)(F.col("cells")).alias("dtw2")
+    )
+    w = Window.orderBy(F.asc("dtw2"), F.asc("user_id"))
+    return (
+        scored.join(F.broadcast(cand), "user_id")
+        .orderBy(F.asc("dtw2"), F.asc("user_id"))
+        .limit(k)
+        .select(
+            "user_id",
+            "lb2",
+            "dtw2",
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )

@@ -78,6 +78,8 @@ _CERTIFY_WINDOW = [
     "q8_market_share",
     "q15_top_supplier",
     "q17_small_qty_revenue",
+    # round-8 new: the elastic (LB_Keogh + banded DTW) search tier
+    "ts_similarity_dtw_topk",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -115,7 +117,6 @@ _CERTIFY_WINDOW = [
     "rollup_multigrain",
     "set_except",
     "agg_unpivot",
-    "array_scalars",
     "ngram_counts",
     "doc_chunk",
     "pack_sequences",
@@ -134,8 +135,9 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 4 r4-era rows deferred this round (date_scalars, string_scalars,
-# set_except_all, set_intersect_all), then the oldest r5 rows
+# the 5 r4-era rows deferred this round (array_scalars, date_scalars,
+# string_scalars, set_except_all, set_intersect_all), then the oldest
+# r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,
 # simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,

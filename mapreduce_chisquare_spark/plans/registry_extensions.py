@@ -3039,6 +3039,100 @@ ORDER BY d.dist2 ASC, d.user_id ASC LIMIT 10
 SQL_TS_SAX_TOPK = _sql_ts_sax_topk()
 
 
+def ts_similarity_dtw_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic tier of the series-search ladder: LB_Keogh-pruned
+    banded DTW top-10 around user 0 at 16 grid cells, band radius 2,
+    40-candidate shortlist (operators/timeseries.py
+    ts_similarity_dtw_topk)."""
+    from ..operators.timeseries import ts_similarity_dtw_topk
+
+    return ts_similarity_dtw_topk(_events(spark, sf_dir))
+
+
+def _sql_ts_dtw_topk(
+    grid: int = 16, band: int = 2, shortlist: int = 40, k: int = 10
+) -> str:
+    """DuckDB twin of the DTW tier. The DP runs as ONE recursive CTE
+    in (i, j) lexicographic order carrying the previous and current
+    DP rows as LIST(DOUBLE) — each step evaluates EXACTLY the Spark
+    UDF's cell formula (cs[i]-q[j])^2 + least(prev-up, prev-diag,
+    cur-left) in the same operation order, so dtw2 is bit-identical.
+    Out-of-band cells stay at the same +Infinity sentinel both
+    engines use; the envelope is a seg-range window min/max (picks
+    existing doubles — exact); the LB fold is an ORDER BY seg sum
+    (bit-stable)."""
+    g1 = grid + 1
+    inf = "'Infinity'::DOUBLE"
+    inf_row = f"list_transform(range({g1}), x -> {inf})"
+    zero_row = (
+        f"list_transform(range({g1}), "
+        f"x -> CASE WHEN x = 0 THEN 0.0 ELSE {inf} END)"
+    )
+    hi = f"LEAST({grid}, i + {band})"
+    # Index map (SQL carries j = nj - 1 for the DP column nj being
+    # filled): 1-based list index of 0-based DP position p is p + 1,
+    # so dp[i-1][nj] = prev[j + 2], dp[i-1][nj-1] = prev[j + 1],
+    # dp[i][nj-1] = cur[j + 1], and the query cell q[nj] = q[j + 1].
+    cell = (
+        "((cs[i] - q[j + 1]) * (cs[i] - q[j + 1]))"
+        " + least(prev[j + 2], prev[j + 1], cur[j + 1])"
+    )
+    return (
+        "WITH RECURSIVE "
+        + _paa_ctes(grid, "dw")
+        + f""",
+qg AS (SELECT seg, paa_value FROM dwk WHERE user_id = 0),
+qe AS (SELECT seg,
+         max(paa_value) OVER (ORDER BY seg RANGE BETWEEN {band}
+           PRECEDING AND {band} FOLLOWING) AS u,
+         min(paa_value) OVER (ORDER BY seg RANGE BETWEEN {band}
+           PRECEDING AND {band} FOLLOWING) AS l
+       FROM qg),
+lbc AS (SELECT s.user_id, s.seg,
+          CASE WHEN s.paa_value > e.u
+                 THEN (s.paa_value - e.u) * (s.paa_value - e.u)
+               WHEN s.paa_value < e.l
+                 THEN (e.l - s.paa_value) * (e.l - s.paa_value)
+               ELSE 0.0 END AS c
+        FROM dwk s JOIN qe e USING (seg) WHERE s.user_id <> 0),
+lb AS (SELECT user_id, sum(c ORDER BY seg) AS lb2
+       FROM lbc GROUP BY user_id),
+cand AS (SELECT user_id, lb2 FROM lb
+         ORDER BY lb2 ASC, user_id ASC LIMIT {shortlist}),
+qa AS (SELECT array_agg(paa_value ORDER BY seg) AS q FROM qg),
+ca AS (SELECT c.user_id, array_agg(s.paa_value ORDER BY s.seg) AS cs
+       FROM dwk s JOIN cand c USING (user_id) GROUP BY c.user_id),
+rec AS (
+  SELECT user_id, cs, q, 1 AS i,
+         GREATEST(1, 1 - {band}) - 1 AS j,
+         {zero_row} AS prev, {inf_row} AS cur
+  FROM ca, qa
+  UNION ALL
+  SELECT user_id, cs, q,
+    CASE WHEN j < {hi} THEN i ELSE i + 1 END,
+    CASE WHEN j < {hi} THEN j + 1
+         ELSE GREATEST(1, i + 1 - {band}) - 1 END,
+    CASE WHEN j < {hi} THEN prev ELSE cur END,
+    CASE WHEN j < {hi} THEN
+      list_transform(range({g1}),
+        x -> CASE WHEN x = j + 1 THEN {cell} ELSE cur[x + 1] END)
+    ELSE {inf_row} END
+  FROM rec WHERE NOT (i = {grid} AND j >= {hi})
+),
+dtw AS (SELECT user_id, cur[{g1}] AS dtw2
+        FROM rec WHERE i = {grid} AND j = {grid})
+SELECT c.user_id, c.lb2, d.dtw2,
+  CAST(row_number() OVER (ORDER BY d.dtw2 ASC, d.user_id ASC)
+       AS INTEGER) AS rank
+FROM dtw d JOIN cand c USING (user_id)
+ORDER BY d.dtw2 ASC, d.user_id ASC LIMIT {k}
+"""
+    )
+
+
+SQL_TS_DTW_TOPK = _sql_ts_dtw_topk()
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3504,5 +3598,11 @@ EXTENSION_QUERIES = {
     "ts_similarity_sax_topk": (
         ts_similarity_sax_topk_q,
         SQL_TS_SAX_TOPK,
+    ),
+    # round-8 addition — certified in the round-8 window (same-round
+    # promotion per the registry rotation protocol, plans/registry.py)
+    "ts_similarity_dtw_topk": (
+        ts_similarity_dtw_topk_q,
+        SQL_TS_DTW_TOPK,
     ),
 }

@@ -2254,3 +2254,115 @@ def test_auto_n_centroids_follows_paper_rule():
     assert auto_n_centroids(1) == N_CENTROIDS
     assert auto_n_centroids(0) == N_CENTROIDS  # empty corpus: floor
     assert auto_n_centroids(10_000, target_cluster_size=1_000) == 10
+
+
+def _py_banded_dtw(c, q, band):
+    """Plain-Python reference of the banded DTW DP — the same cell
+    formula and operation order as the Spark UDF and the DuckDB
+    recursive CTE, so equality assertions can be bit-exact."""
+    g = len(q)
+    inf = float("inf")
+    prev = [0.0] + [inf] * g
+    for i in range(1, g + 1):
+        cur = [inf] * (g + 1)
+        for j in range(max(1, i - band), min(g, i + band) + 1):
+            d = c[i - 1] - q[j - 1]
+            m = prev[j]
+            if prev[j - 1] < m:
+                m = prev[j - 1]
+            if cur[j - 1] < m:
+                m = cur[j - 1]
+            cur[j] = d * d + m
+        prev = cur
+    return prev[g]
+
+
+def _py_lb_keogh(c, q, band):
+    g = len(q)
+    s = 0.0
+    for j in range(g):
+        u = max(q[max(0, j - band) : min(g, j + band + 1)])
+        lo = min(q[max(0, j - band) : min(g, j + band + 1)])
+        if c[j] > u:
+            s += (c[j] - u) * (c[j] - u)
+        elif c[j] < lo:
+            s += (lo - c[j]) * (lo - c[j])
+    return s
+
+
+def test_ts_dtw_lb_keogh_bounds_and_no_false_dismissal(spark):
+    """The elastic tier's contract: (a) LB_Keogh lower-bounds banded
+    DTW² for EVERY corpus series (python reference over all users);
+    (b) with the shortlist covering the corpus the Spark ranking
+    equals brute-force banded DTW exactly — no false dismissal
+    through the LB prune — and lb2/dtw2 match the reference
+    BIT-EXACTLY (same operation order end to end); (c) warping is
+    real: a phase-shifted copy of the query scores far below its
+    lock-step Euclidean distance; (d) the ladder's degenerate-query
+    ValueError contract holds."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_dtw_topk,
+    )
+
+    n = grid = 16
+    band, k = 2, 5
+
+    def vals(uid):
+        if uid == 0:  # query: a ramp
+            return [float(i) for i in range(n)]
+        if uid == 1:  # one-step phase-shifted ramp: DTW sees through
+            return [0.0] + [float(i) for i in range(n - 1)]
+        if uid == 2:  # exact clone offset by a constant
+            return [float(i) + 0.25 for i in range(n)]
+        # deterministic pseudo-random background series
+        return [float((uid * 31 + i * 17) % 23) for i in range(n)]
+
+    rows = [
+        (
+            uid * 1000 + i,
+            dt.datetime(2024, 1, 1, 0, i),
+            uid,
+            "view",
+            vals(uid)[i],
+            "{}",
+        )
+        for uid in range(10)
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    # cents quantization identical to ts_paa's exact-cents means
+    ref = {
+        uid: [round(v * 100) / 100.0 for v in vals(uid)]
+        for uid in range(10)
+    }
+    q = ref[0]
+    lbs = {u: _py_lb_keogh(ref[u], q, band) for u in ref if u != 0}
+    dtws = {u: _py_banded_dtw(ref[u], q, band) for u in ref if u != 0}
+    for u in lbs:  # (a) the bound, corpus-wide
+        assert lbs[u] <= dtws[u] + 1e-12, (u, lbs[u], dtws[u])
+
+    out = ts_similarity_dtw_topk(
+        ev, query_user=0, k=k, grid=grid, band=band, shortlist=100
+    ).collect()
+    brute = sorted((dtws[u], u) for u in dtws)[:k]
+    assert [r.user_id for r in out] == [u for _, u in brute]  # (b)
+    for r in out:
+        assert r.dtw2 == dtws[r.user_id], r  # bit-exact
+        assert r.lb2 == lbs[r.user_id], r
+        assert r.lb2 <= r.dtw2
+    # (c) elasticity: user 1's lock-step Euclidean distance is 15x
+    # its banded DTW (the warp path absorbs the phase shift)
+    euclid1 = sum((a - b) * (a - b) for a, b in zip(ref[1], q))
+    assert dtws[1] * 10 < euclid1
+    assert out[0].user_id == 1  # the shifted ramp is the top hit
+    # (d) degenerate query raises, same contract as the other tiers
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="points < grid"):
+        ts_similarity_dtw_topk(ev, query_user=0, grid=32)

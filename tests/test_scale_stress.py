@@ -618,3 +618,30 @@ def test_semantic_dedup_auto_c_keeps_clusters_bounded_as_corpus_doubles(
     assert max1 <= bound and max2 <= bound, (max1, max2)
     assert frac2 < frac1, (frac1, frac2)  # pairwise share FALLS with N
     assert frac1 <= bound / n1 and frac2 <= bound / n2, (frac1, frac2)
+
+
+@pytest.mark.slow
+def test_dtw_tier_recalls_planted_clones_at_scale(spark, tmp_path_factory):
+    """At 100k series the elastic tier must behave like the rest of
+    the ladder: user 0's 9 planted ramp clones (constant offsets
+    user/1e6 — a warp path can only add cost for a ramp, so banded
+    DTW ranks them by offset) come back as the exact top-9 in user
+    order, LB_Keogh never exceeds the banded DTW it bounds, and the
+    whole search stays inside the bounded-refine budget: LB is one
+    fold over the 100k x 16 sketch relation, the DTW DP touches only
+    the <= 40-candidate shortlist."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_similarity_dtw_topk,
+    )
+
+    big = _series_corpus(
+        spark, tmp_path_factory.mktemp("series_dtw"), 100_000
+    )
+    planted = [u for u in range(10_000, 100_000, 10_000)]
+    t0 = time.perf_counter()
+    out = ts_similarity_dtw_topk(big, query_user=0, k=9).collect()
+    elapsed = time.perf_counter() - t0
+    assert [r.user_id for r in out] == planted
+    for r in out:
+        assert r.lb2 <= r.dtw2 + 1e-9, r
+    assert elapsed < 240, f"dtw tier took {elapsed:.0f}s"
