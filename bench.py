@@ -181,9 +181,19 @@ def _emit(results: dict[str, float], total: float, sf, sentinel: dict) -> list[s
         )
         for i, part in enumerate(chunks)
     ]
+    # The summary line must stay tail-capture-sized even on a hot box:
+    # hot_queries can name EVERY headline query under sustained
+    # contention (~2 KB of names — the very overflow this contract
+    # exists to prevent), so the summary carries the count plus a few
+    # exemplars; the full list lives in BENCH_FULL.json.
+    sent = dict(sentinel)
+    hot = list(sent.get("hot_queries", []))
+    sent["n_hot_queries"] = len(hot)
+    if len(hot) > 3:
+        sent["hot_queries"] = hot[:3] + [f"...+{len(hot) - 3} more"]
     lines.append(
         json.dumps(
-            {**head, "n_queries": len(results), "sentinel": sentinel, "detail_file": "BENCH_FULL.json"},
+            {**head, "n_queries": len(results), "sentinel": sent, "detail_file": "BENCH_FULL.json"},
             separators=(",", ":"),
         )
     )

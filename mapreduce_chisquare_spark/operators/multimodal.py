@@ -149,8 +149,12 @@ def probe_image_header(blob: bytes):
             if ln < 2:
                 return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if pos + 9 > len(blob):
-                    return None  # SOF truncated before dimensions
+                # The frame header must DECLARE room for precision +
+                # height + width (length includes its own 2 bytes, so
+                # >= 7) — otherwise the bytes after it belong to the
+                # next marker and would unpack as garbage dimensions.
+                if ln < 7 or pos + 9 > len(blob):
+                    return None  # corrupt/truncated frame header
                 h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
                 return int(w), int(h), 1
             pos += 2 + ln
@@ -212,11 +216,13 @@ def real_decode_batch(batches):
     """Arrow-batched wrapper over decode_media: batch iteration and
     schema identical to fake_decode_batch, so the two are drop-in
     interchangeable. Dispatch is PER KIND: image blobs go through the
-    real codec (PIL — corrupt image bytes fail LOUD with the codec's
-    own error), while kinds with no wired codec (audio/video) fall
-    back to the deterministic fake metadata per row — the documented
-    degradation, not a crash on the two-thirds of a media table PIL
-    cannot read. Requires the `kind` column in the batch."""
+    real decode ladder (PIL where importable, falling back to the
+    pure-Python header probe when PIL is absent OR fails on a blob;
+    bytes NEITHER path can read fail loud with NotImplementedError),
+    while kinds with no wired codec (audio/video) fall back to the
+    deterministic fake metadata per row — the documented degradation,
+    not a crash on the two-thirds of a media table PIL cannot read.
+    Requires the `kind` column in the batch."""
     import pandas as pd  # local import: executors only
 
     for pdf in batches:

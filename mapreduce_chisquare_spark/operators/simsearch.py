@@ -236,12 +236,28 @@ def kmeans_centroids(
     aggregate (k x (dim+1) longs per partition) and the driver sees
     exactly k rows — no lineage growth, so no checkpointing needed:
     each round's plan starts from literals, not the previous round's
-    DAG. An empty cluster keeps its previous centroid."""
-    rows = emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    DAG. An empty cluster keeps its previous centroid.
+
+    Seeds are the k SMALLEST vec_ids (TakeOrdered — k bounded rows to
+    the driver), not `vec_id < k`: identical on the dense 0..N-1 ids
+    every oracle fixture uses (so the SQL twins' `vec_id < k` seed
+    CTEs still mirror exactly), but on a SPARSE id space — a corpus
+    filtered by an upstream dedup, ids starting at an offset — the
+    old form silently found fewer (or zero) seeds than k, collapsing
+    the fit and defeating auto_n_centroids' bounded-cluster rule.
+    Raises on an empty corpus rather than fitting zero centroids."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
     cents = [
         [float(x) for x in r.embedding]
         for r in sorted(rows, key=lambda r: r.vec_id)
     ]
+    if not cents:
+        raise ValueError("kmeans_centroids: empty embedding corpus")
     for _ in range(iters):
         asg = _fit_assignment(emb, cents)
         # Quantized per-dimension sums via posexplode + ONE sum, not 64

@@ -273,25 +273,45 @@ def _sketch_dist2(sk: DataFrame, query_user: int) -> DataFrame:
         "seg", F.col("paa_value").alias("q_value")
     )
     d = F.col("paa_value") - F.col("q_value")
-    return (
+    joined = (
         sk.filter(F.col("user_id") != query_user)
         .join(F.broadcast(q), "seg")
-        .groupBy("user_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("seg"), (d * d).alias("d2"))
-                        )
-                    ),
-                    lambda s: s["d2"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist2")
-        )
+        .select("user_id", "seg", (d * d).alias("d2"))
     )
+    return _ordered_sum(joined, "user_id", F.col("d2")).select(
+        "user_id", F.col("__sum").alias("dist2")
+    )
+
+
+def _guard_query_points(
+    sk: DataFrame, query_user: int, needed: int, what: str, remedy: str
+) -> None:
+    """The search ladder's ONE degenerate-query contract (shared by
+    the SAX, refined and DTW tiers): raise ValueError — instead of
+    silently returning an empty result — when the query series lacks
+    the resolution the tier needs. The point count comes off the
+    already-materialized sketch relation (PAA segments partition the
+    series, so sum(n_points) is the series length), never a dedicated
+    event-log scan; a query below the SKETCH's own resolution has no
+    sketch rows at all, so a 0 count means "fewer points than the
+    sketch resolution, or no events" — the message says so rather
+    than claiming the user has literally zero events."""
+    n_q = int(
+        sk.filter(F.col("user_id") == query_user)
+        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_q < needed:
+        detail = (
+            f"has only {n_q} points"
+            if n_q
+            else "has no sketch rows (fewer points than the sketch "
+            "resolution, or no events at all)"
+        )
+        raise ValueError(
+            f"query user {query_user} {detail}, below {what}={needed}; "
+            f"{remedy} would silently return nothing — lower `{what}`"
+        )
 
 
 SAX_BREAKS_CENTS = (2000, 5000, 8000)
@@ -461,22 +481,9 @@ def ts_similarity_sax_topk(
     materialize and the shortlist is collected when this function
     runs."""
     segs = _paa_segments(events, segments, value_col).localCheckpoint()
-    # Same degenerate-query contract as ts_similarity_refined (the
-    # ladder's tiers must agree): a query with fewer than `segments`
-    # points has no symbol word — raise instead of silently returning
-    # an empty result. Cheap: one aggregate on the already-
-    # materialized segment relation, no extra event scan.
-    n_q = int(
-        segs.filter(F.col("user_id") == query_user)
-        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
-        .collect()[0]["n"]
+    _guard_query_points(
+        segs, query_user, segments, "segments", "the symbol tier"
     )
-    if n_q < segments:
-        raise ValueError(
-            f"query user {query_user} has {n_q} points < "
-            f"segments={segments}; the symbol tier would silently "
-            "return nothing — lower `segments`"
-        )
     syms = _sym_from_segments(segs, breaks_cents)
     q = syms.filter(F.col("user_id") == query_user).select(
         "seg", F.col("__sym").alias("q_sym")
@@ -591,23 +598,8 @@ def ts_similarity_refined(
     # n >= grid cut would otherwise drop it silently and the refined
     # relation would come back empty with no signal (shortlisted
     # CANDIDATES with 8..grid-1 points dropping is the documented
-    # inner-join semantic; the QUERY degrading is an error). The
-    # point count comes off the materialized coarse sketch (PAA
-    # segments partition the series, so sum(n_points) is the series
-    # length; a sub-`segments` query has no sketch rows -> 0) — not
-    # from a dedicated count() action over the event log.
-    n_q = int(
-        coarse.filter(F.col("user_id") == query_user)
-        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
-        .collect()[0]["n"]
-    )
-    if n_q < grid:
-        raise ValueError(
-            f"query user {query_user} has {n_q} points < grid={grid} "
-            "(0 means fewer than `segments` points); refinement would "
-            "silently return nothing — lower `grid` or use "
-            "ts_similarity_topk"
-        )
+    # inner-join semantic; the QUERY degrading is an error).
+    _guard_query_points(coarse, query_user, grid, "grid", "refinement")
     # Shortlist is <= `shortlist` rows by construction; collect once
     # and re-broadcast as a literal relation so the coarse-tier
     # lineage isn't re-run per downstream reference. Build-time
@@ -763,17 +755,7 @@ def ts_similarity_dtw_topk(
     Freeze-at-build semantics: sketches materialize and the
     shortlist is collected when this function runs."""
     g = ts_paa(events, grid, value_col).localCheckpoint()
-    n_q = int(
-        g.filter(F.col("user_id") == query_user)
-        .agg(F.coalesce(F.sum("n_points"), F.lit(0)).alias("n"))
-        .collect()[0]["n"]
-    )
-    if n_q < grid:
-        raise ValueError(
-            f"query user {query_user} has {n_q} points < grid={grid} "
-            "(0 means fewer than `grid` points); the DTW tier would "
-            "silently return nothing — lower `grid`"
-        )
+    _guard_query_points(g, query_user, grid, "grid", "the DTW tier")
     q_rows = (
         g.filter(F.col("user_id") == query_user)
         .select("seg", "paa_value")

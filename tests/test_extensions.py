@@ -2219,17 +2219,22 @@ def test_ts_search_ladder_raises_on_degenerate_query(spark):
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string",
     )
-    # refined: query exists but lacks grid resolution (16 < 32)
-    with _pytest.raises(ValueError, match="points < grid"):
+    # refined: query exists but lacks grid resolution — the coarse
+    # sketch sees its TRUE point count, and the message reports it
+    with _pytest.raises(ValueError, match="only 16 points, below grid=32"):
         ts_similarity_refined(ev, query_user=0, segments=4, grid=32)
-    # refined: query user does not exist at all -> reported as 0
-    with _pytest.raises(ValueError, match="has 0 points"):
+    # refined: query user does not exist at all -> "no sketch rows"
+    with _pytest.raises(ValueError, match="no sketch rows"):
         ts_similarity_refined(ev, query_user=42, segments=4, grid=8)
-    # symbol tier: query below `segments` points (3 < 8)
-    with _pytest.raises(ValueError, match="points < segments"):
+    # symbol tier: query below `segments` points (3 < 8) has no
+    # sketch rows at that resolution — the message must not claim
+    # the user has literally zero events
+    with _pytest.raises(
+        ValueError, match="no sketch rows.*below segments=8"
+    ):
         ts_similarity_sax_topk(ev, query_user=7, segments=8)
     # symbol tier: nonexistent query user
-    with _pytest.raises(ValueError, match="has 0 points"):
+    with _pytest.raises(ValueError, match="no sketch rows"):
         ts_similarity_sax_topk(ev, query_user=42, segments=8)
     # the guard must NOT fire for a well-resolved query
     ok = ts_similarity_refined(
@@ -2364,5 +2369,34 @@ def test_ts_dtw_lb_keogh_bounds_and_no_false_dismissal(spark):
     # (d) degenerate query raises, same contract as the other tiers
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="points < grid"):
+    with _pytest.raises(ValueError, match="below grid=32"):
         ts_similarity_dtw_topk(ev, query_user=0, grid=32)
+
+
+def test_kmeans_seeds_survive_sparse_vec_ids(spark):
+    """Round-8 review fix: kmeans_centroids seeds from the k SMALLEST
+    vec_ids (identical to the old `vec_id < k` on dense 0..N-1 ids,
+    which is what every oracle fixture uses) — so a corpus whose ids
+    start at an offset (post-filter, post-dedup) still gets k real
+    seeds instead of silently fitting fewer (or zero) centroids and
+    defeating auto_n_centroids' bounded-cluster rule. An empty corpus
+    raises instead of fitting nothing."""
+    import pytest as _pytest
+
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+
+    dim = ss.DIM
+    rows = [
+        (100_000 + i, [float((i * 7 + d) % 5) for d in range(dim)], "x")
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    cents = ss.kmeans_centroids(emb, k=4, iters=1)
+    assert len(cents) == 4 and all(len(c) == dim for c in cents)
+    out = ss.semantic_dedup(emb, threshold=0.99, cents=cents).collect()
+    assert len(out) == 12  # every row gets a verdict
+    empty = emb.filter(F.col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="empty embedding corpus"):
+        ss.kmeans_centroids(empty, k=4, iters=1)

@@ -212,6 +212,12 @@ def test_header_probe_parses_jpeg():
     assert probe_image_header(b"\xff\xd8\xff\xd9\x00\x00") is None
     # truncated inside the SOF dimensions
     assert probe_image_header(_jpeg_bytes(640, 480)[:13]) is None
+    # SOF with a LYING declared length (2 = room for nothing): the
+    # following marker's bytes must not unpack as garbage dimensions
+    assert (
+        probe_image_header(b"\xff\xd8\xff\xc0\x00\x02\xff\xd9\x00\x00")
+        is None
+    )
     # DHT (0xC4) must NOT be mistaken for a frame header
     import struct
 

@@ -155,8 +155,19 @@ def test_bench_output_lines_survive_tail_truncation():
     assert recovered == results  # chunk lines re-supply every median
     last = _json.loads(lines[-1])
     assert last["n_queries"] == len(results)
-    assert last["sentinel"] == sentinel
+    assert last["sentinel"]["hot_discards"] == 0
+    assert last["sentinel"]["n_hot_queries"] == 0
     assert len(lines[-1].encode()) < 500  # summary always fits a tail
+
+    # Pathological contention: every query flagged hot must NOT grow
+    # the summary line back past the tail window (the sentinel keeps
+    # a count + 3 exemplars; the full list lives in BENCH_FULL.json)
+    hot_sent = {**sentinel, "hot_queries": sorted(results)}
+    hot_lines = bench._emit(results, total, 0.1, hot_sent)
+    hot_last = _json.loads(hot_lines[-1])
+    assert hot_last["sentinel"]["n_hot_queries"] == len(results)
+    assert len(hot_last["sentinel"]["hot_queries"]) == 4  # 3 + marker
+    assert len(hot_lines[-1].encode()) < 700
 
     # empty-results edge (registry miss on every name) still emits
     # parseable lines with a summary
