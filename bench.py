@@ -130,6 +130,7 @@ HEADLINE = [
     "ts_similarity_sax_topk",
     # round-8 additions (first measurement = their baseline)
     "ts_similarity_dtw_topk",
+    "ts_motif",
 ]
 
 WARMUP = 1

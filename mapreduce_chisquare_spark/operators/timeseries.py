@@ -827,3 +827,78 @@ def ts_similarity_dtw_topk(
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+def ts_motif(
+    events: DataFrame,
+    grid: int = 32,
+    m: int = 8,
+    exclusion: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series MOTIF discovery — the matrix-profile question (Yeh
+    et al., ICDM 2016, public): for every entity, the closest pair of
+    length-`m` subsequences within its own series, trivial matches
+    excluded (|start_a - start_b| must exceed `exclusion`, default
+    m // 2 — overlapping windows always look alike). Returns
+    (user_id, start_a, start_b, dist2): the best pair per series with
+    its squared Euclidean distance on the `grid`-cell
+    length-normalized representation (ts_paa — exact-cents means,
+    bit-identical cross-engine), tie-broken by (start_a, start_b) so
+    the winner is deterministic. The repeated-structure probe a
+    series user runs after similarity search: recurring daily shapes,
+    repeated faults, templated activity.
+
+    Scale shape: motif discovery shards PERFECTLY by series — one
+    user-keyed exchange builds the G-cell array per entity, then the
+    (G-m+1)² candidate pairs explode map-side from literal sequences
+    ((G-m+1)² is a CONSTANT per series, ~600 rows at the defaults —
+    never corpus x corpus), the per-pair distance folds its m squared
+    diffs in offset order (left fold over a literal sequence — the
+    bit-stable discipline), and the per-series winner rides a window
+    on the SAME user partitioning the array build already paid. At
+    100 TB: linear in series count, constant per series, one
+    exchange, no UDF — all whole-stage-codegen'd JVM expressions.
+    Series with fewer than `grid` points are excluded with ts_paa's
+    documented cut (both engines)."""
+    if exclusion is None:
+        exclusion = m // 2
+    if m > grid:
+        raise ValueError(f"m={m} exceeds grid={grid}")
+    g = ts_paa(events, grid, value_col)
+    arr = g.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg", "paa_value"))),
+            lambda s: s["paa_value"],
+        ).alias("cells")
+    )
+    starts = F.sequence(F.lit(0), F.lit(grid - m))
+    pairs = (
+        arr.select("user_id", "cells", F.explode(starts).alias("a"))
+        .select("user_id", "cells", "a", F.explode(starts).alias("b"))
+        .filter(F.col("b") - F.col("a") > F.lit(exclusion))
+    )
+    c = F.col("cells")
+
+    def step(acc: Column, o: Column) -> Column:
+        d = F.element_at(c, (F.col("a") + o + 1).cast("int")) - F.element_at(
+            c, (F.col("b") + o + 1).cast("int")
+        )
+        return acc + d * d
+
+    scored = pairs.select(
+        "user_id",
+        F.col("a").cast("long").alias("start_a"),
+        F.col("b").cast("long").alias("start_b"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("dist2"), F.asc("start_a"), F.asc("start_b")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "start_a", "start_b", "dist2")
+    )

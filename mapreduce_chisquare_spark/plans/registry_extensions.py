@@ -3133,6 +3133,48 @@ ORDER BY d.dtw2 ASC, d.user_id ASC LIMIT {k}
 SQL_TS_DTW_TOPK = _sql_ts_dtw_topk()
 
 
+def ts_motif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series motif discovery: closest non-trivial pair of 8-cell
+    subsequences within each user's 32-cell grid representation
+    (operators/timeseries.py ts_motif)."""
+    from ..operators.timeseries import ts_motif
+
+    return ts_motif(_events(spark, sf_dir))
+
+
+def _sql_ts_motif(grid: int = 32, m: int = 8, exclusion: int = 4) -> str:
+    """DuckDB twin of ts_motif: same grid cells (_paa_ctes), candidate
+    pairs from two range() laterals with the exclusion-zone filter,
+    the per-pair distance as an ORDER BY o sum over the offset range
+    (left-to-right — matching Spark's fold over a literal sequence
+    exactly), winner per series via QUALIFY row_number."""
+    s = grid - m + 1
+    sq = "(cells[a + o + 1] - cells[b + o + 1])"
+    return (
+        "WITH "
+        + _paa_ctes(grid, "mp")
+        + f""",
+ma AS (SELECT user_id, array_agg(paa_value ORDER BY seg) AS cells
+       FROM mpk GROUP BY user_id),
+pr AS (SELECT user_id, cells, r1.a, r2.b
+       FROM ma, range(0, {s}) r1(a), range(0, {s}) r2(b)
+       WHERE r2.b - r1.a > {exclusion}),
+dv AS (SELECT user_id, a, b,
+         sum({sq} * {sq} ORDER BY o) AS dist2
+       FROM pr, range(0, {m}) r3(o)
+       GROUP BY user_id, a, b)
+SELECT user_id, CAST(a AS BIGINT) AS start_a,
+       CAST(b AS BIGINT) AS start_b, dist2
+FROM dv
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY dist2 ASC, a ASC, b ASC) = 1
+"""
+    )
+
+
+SQL_TS_MOTIF = _sql_ts_motif()
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3605,4 +3647,5 @@ EXTENSION_QUERIES = {
         ts_similarity_dtw_topk_q,
         SQL_TS_DTW_TOPK,
     ),
+    "ts_motif": (ts_motif_q, SQL_TS_MOTIF),
 }

@@ -2400,3 +2400,64 @@ def test_kmeans_seeds_survive_sparse_vec_ids(spark):
     empty = emb.filter(F.col("vec_id") < 0)
     with _pytest.raises(ValueError, match="empty embedding corpus"):
         ss.kmeans_centroids(empty, k=4, iters=1)
+
+
+def test_ts_motif_finds_planted_repeat_and_matches_brute_force(spark):
+    """Motif discovery contract: (a) a planted repeated 8-cell shape
+    at offsets 3 and 20 wins with dist2 == 0.0 exactly; (b) every
+    winner respects the exclusion zone (|a-b| > m//2); (c) for every
+    series the winner equals a plain-Python brute force over the same
+    cents-quantized cells, bit-exactly (same offset-order fold)."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_motif
+
+    n = grid = 32
+    m, excl = 8, 4
+    pattern = [5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 9.0, 7.0]
+
+    def vals(uid):
+        if uid == 0:  # planted motif at 3 and 20
+            v = [100.0 + 3 * i for i in range(n)]
+            v[3 : 3 + m] = pattern
+            v[20 : 20 + m] = pattern
+            return v
+        # distinct pseudo-random series, no planted structure
+        return [float((uid * 37 + i * 13) % 41) for i in range(n)]
+
+    rows = [
+        (
+            uid * 1000 + i,
+            dt.datetime(2024, 1, 1, 0, i),
+            uid,
+            "view",
+            vals(uid)[i],
+            "{}",
+        )
+        for uid in range(6)
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: (r.start_a, r.start_b, r.dist2)
+        for r in ts_motif(ev, grid=grid, m=m).collect()
+    }
+    assert out[0] == (3, 20, 0.0)  # (a) the planted repeat, exactly
+    for uid, (a, b, d) in out.items():
+        assert b - a > excl, (uid, a, b)  # (b) exclusion zone
+        cells = [round(v * 100) / 100.0 for v in vals(uid)]
+        best = None
+        for pa in range(n - m + 1):  # (c) brute-force reference
+            for pb in range(pa + excl + 1, n - m + 1):
+                s = 0.0
+                for o in range(m):
+                    dd = cells[pa + o] - cells[pb + o]
+                    s += dd * dd
+                cand = (s, pa, pb)
+                if best is None or cand < best:
+                    best = cand
+        assert (a, b, d) == (best[1], best[2], best[0]), uid
