@@ -131,6 +131,7 @@ HEADLINE = [
     # round-8 additions (first measurement = their baseline)
     "ts_similarity_dtw_topk",
     "ts_motif",
+    "ts_discord",
 ]
 
 WARMUP = 1

@@ -902,3 +902,92 @@ def ts_motif(
         .filter(F.col("__rn") == 1)
         .select("user_id", "start_a", "start_b", "dist2")
     )
+
+
+def ts_discord(
+    events: DataFrame,
+    grid: int = 32,
+    m: int = 8,
+    exclusion: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series DISCORD discovery — the anomaly half of the matrix
+    profile (Yeh et al., ICDM 2016, public): for every entity, the
+    length-`m` subsequence of its `grid`-cell representation whose
+    nearest non-trivial neighbor (|other - start| > `exclusion`,
+    default m // 2) is FARTHEST. Returns (user_id, start, nn_dist2):
+    the most isolated window per series with its nearest-neighbor
+    squared Euclidean distance, tie-broken by smallest start. The
+    anomaly probe a series user runs next to ts_motif's recurring
+    shapes: one-off faults, regime breaks, sensor glitches — the
+    window NOTHING else in the series looks like.
+
+    Scale shape: shards PERFECTLY by series, like ts_motif — one
+    user-keyed exchange builds the G-cell array per entity, then each
+    of the (G-m+1) starts computes its nearest-neighbor distance in a
+    SINGLE nested fold over literal sequences (outer: running min
+    over valid partners b; inner: the m squared diffs in offset
+    order — the bit-stable discipline; min is order-insensitive, so
+    the oracle's min aggregate over the same bit-identical sums
+    matches exactly). No pair relation is ever materialized — the
+    per-series work is a constant ~(G-m+1)^2*m flops inside one
+    projected expression, and the per-series winner rides a window on
+    the SAME user partitioning. At 100 TB: linear in series count,
+    one exchange, no UDF. Series with fewer than `grid` points are
+    excluded with ts_paa's documented cut (both engines). Raises
+    when the exclusion zone leaves any start without a valid partner
+    (grid - m + 1 < 2*exclusion + 3), where the two engines would
+    otherwise diverge (empty-group drop vs +inf row)."""
+    if exclusion is None:
+        exclusion = m // 2
+    if m > grid:
+        raise ValueError(f"m={m} exceeds grid={grid}")
+    s = grid - m + 1
+    if s < 2 * exclusion + 3:
+        raise ValueError(
+            f"exclusion zone {exclusion} leaves central starts with no "
+            f"valid partner at grid={grid}, m={m} (need grid - m + 1 >= "
+            f"2*exclusion + 3)"
+        )
+    g = ts_paa(events, grid, value_col)
+    arr = g.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg", "paa_value"))),
+            lambda st: st["paa_value"],
+        ).alias("cells")
+    )
+    starts = F.sequence(F.lit(0), F.lit(s - 1))
+    sub = arr.select("user_id", "cells", F.explode(starts).alias("a"))
+    c = F.col("cells")
+
+    def pair_dist(b: Column) -> Column:
+        def step(acc: Column, o: Column) -> Column:
+            d = F.element_at(
+                c, (F.col("a") + o + 1).cast("int")
+            ) - F.element_at(c, (b + o + 1).cast("int"))
+            return acc + d * d
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step
+        )
+
+    valid = F.filter(
+        starts, lambda b: F.abs(b - F.col("a")) > F.lit(exclusion)
+    )
+    nn = sub.select(
+        "user_id",
+        F.col("a").cast("long").alias("start"),
+        F.aggregate(
+            valid,
+            F.lit(float("inf")),
+            lambda acc, b: F.least(acc, pair_dist(b)),
+        ).alias("nn_dist2"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("nn_dist2"), F.asc("start")
+    )
+    return (
+        nn.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "start", "nn_dist2")
+    )

@@ -3175,6 +3175,51 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 SQL_TS_MOTIF = _sql_ts_motif()
 
 
+def ts_discord_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series discord discovery: the 8-cell subsequence of each
+    user's 32-cell grid representation whose nearest non-trivial
+    neighbor is farthest (operators/timeseries.py ts_discord)."""
+    from ..operators.timeseries import ts_discord
+
+    return ts_discord(_events(spark, sf_dir))
+
+
+def _sql_ts_discord(grid: int = 32, m: int = 8, exclusion: int = 4) -> str:
+    """DuckDB twin of ts_discord: same grid cells (_paa_ctes),
+    partner pairs from two range() laterals with the two-sided
+    exclusion filter, per-pair distance as an ORDER BY o sum
+    (matching Spark's inner offset fold exactly), nearest neighbor
+    via a min aggregate (order-insensitive over bit-identical sums,
+    so it matches Spark's running-min fold), discord per series via
+    QUALIFY row_number on (nn_dist2 DESC, a ASC)."""
+    s = grid - m + 1
+    sq = "(cells[a + o + 1] - cells[b + o + 1])"
+    return (
+        "WITH "
+        + _paa_ctes(grid, "dc")
+        + f""",
+da AS (SELECT user_id, array_agg(paa_value ORDER BY seg) AS cells
+       FROM dck GROUP BY user_id),
+pr AS (SELECT user_id, cells, r1.a, r2.b
+       FROM da, range(0, {s}) r1(a), range(0, {s}) r2(b)
+       WHERE abs(r2.b - r1.a) > {exclusion}),
+dv AS (SELECT user_id, a, b,
+         sum({sq} * {sq} ORDER BY o) AS d2
+       FROM pr, range(0, {m}) r3(o)
+       GROUP BY user_id, a, b),
+nn AS (SELECT user_id, a, min(d2) AS nn_dist2
+       FROM dv GROUP BY user_id, a)
+SELECT user_id, CAST(a AS BIGINT) AS start, nn_dist2
+FROM nn
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY nn_dist2 DESC, a ASC) = 1
+"""
+    )
+
+
+SQL_TS_DISCORD = _sql_ts_discord()
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3648,4 +3693,5 @@ EXTENSION_QUERIES = {
         SQL_TS_DTW_TOPK,
     ),
     "ts_motif": (ts_motif_q, SQL_TS_MOTIF),
+    "ts_discord": (ts_discord_q, SQL_TS_DISCORD),
 }

@@ -2461,3 +2461,91 @@ def test_ts_motif_finds_planted_repeat_and_matches_brute_force(spark):
                 if best is None or cand < best:
                     best = cand
         assert (a, b, d) == (best[1], best[2], best[0]), uid
+
+
+def test_ts_discord_finds_planted_anomaly_and_matches_brute_force(spark):
+    """Discord contract: (a) a series that repeats a 4-cell shape
+    everywhere except one wildly different window puts the discord
+    inside that window with the exact brute-force nn distance; (b)
+    every reported start respects the guard (a valid partner always
+    exists); (c) for every series the winner equals a plain-Python
+    brute force over the same cents-quantized cells, bit-exactly
+    (inner sums in offset order, min/max order-insensitive)."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_discord
+
+    n = grid = 32
+    m, excl = 8, 4
+
+    def vals(uid):
+        if uid == 0:  # period-4 sawtooth with a burst at offsets 12..19
+            v = [float([1, 5, 2, 7][i % 4]) for i in range(n)]
+            for j in range(12, 20):
+                v[j] = 60.0 + 7.0 * (j % 3)
+            return v
+        # distinct pseudo-random series, no planted structure
+        return [float((uid * 53 + i * 17) % 37) for i in range(n)]
+
+    rows = [
+        (
+            uid * 1000 + i,
+            dt.datetime(2024, 1, 1, 0, i),
+            uid,
+            "view",
+            vals(uid)[i],
+            "{}",
+        )
+        for uid in range(6)
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: (r.start, r.nn_dist2)
+        for r in ts_discord(ev, grid=grid, m=m).collect()
+    }
+    assert len(out) == 6
+    s = n - m + 1
+    for uid, (a, d) in out.items():
+        assert 0 <= a < s, (uid, a)
+        cells = [round(v * 100) / 100.0 for v in vals(uid)]
+        profile = []
+        for pa in range(s):  # (c) brute-force matrix profile
+            nn = None
+            for pb in range(s):
+                if abs(pb - pa) <= excl:
+                    continue
+                acc = 0.0
+                for o in range(m):
+                    dd = cells[pa + o] - cells[pb + o]
+                    acc += dd * dd
+                if nn is None or acc < nn:
+                    nn = acc
+            profile.append((pa, nn))
+        best = max(profile, key=lambda t: (t[1], -t[0]))
+        assert (a, d) == best, (uid, (a, d), best)
+    # (a) the planted burst: discord window overlaps offsets 12..19
+    assert 12 - m < out[0][0] < 20, out[0]
+
+
+def test_ts_discord_raises_when_exclusion_starves_central_starts(spark):
+    """grid - m + 1 < 2*exclusion + 3 leaves central starts with no
+    valid partner — the engines would diverge (empty-group drop vs
+    +inf), so the operator refuses."""
+    import pytest as _pt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_discord
+
+    ev = spark.range(0).selectExpr(
+        "id AS event_id", "current_timestamp() AS ts", "id AS user_id",
+        "'view' AS event_type", "CAST(id AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    with _pt.raises(ValueError, match="valid partner"):
+        ts_discord(ev, grid=12, m=8, exclusion=4)
+    with _pt.raises(ValueError, match="exceeds grid"):
+        ts_discord(ev, grid=8, m=9)
