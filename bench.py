@@ -132,6 +132,8 @@ HEADLINE = [
     "ts_similarity_dtw_topk",
     "ts_motif",
     "ts_discord",
+    "bpe_pair_counts",
+    "bpe_merges",
 ]
 
 WARMUP = 1

@@ -3220,6 +3220,81 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 SQL_TS_DISCORD = _sql_ts_discord()
 
 
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-character pair frequencies over the corpus
+    vocabulary, word-frequency weighted — the first BPE merge
+    decision's statistic (operators/textstats.py bpe_pair_counts)."""
+    return tx.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS w_count
+       FROM w GROUP BY word),
+p AS (SELECT unnest(list_transform(range(1, length(word)),
+               i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+             w_count
+      FROM wf)
+SELECT pair, CAST(sum(w_count) AS BIGINT) AS pair_count
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 50
+"""
+
+
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 6 learned BPE merges as one declarative plan
+    (operators/textstats.py bpe_merges)."""
+    return tx.bpe_merges(_docs(spark, sf_dir))
+
+
+def _sql_bpe_merges(n_merges: int = 6) -> str:
+    """DuckDB twin of bpe_merges: the same vocabulary base, the same
+    delimited symbol-string representation, and the same per-round
+    (pair count -> LIMIT-1 argmax -> literal replace) chain unrolled
+    as CTEs — literal left-to-right replace IS the greedy one-pass
+    merge in both engines, so every round agrees exactly."""
+    ctes = ["""w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS w_count
+       FROM w GROUP BY word),
+v0 AS (SELECT ' ' || array_to_string(
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, CAST(i AS INTEGER), 1)),
+         '  ') || ' ' AS syms, w_count
+       FROM wf)"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""t{r} AS (SELECT string_split(trim(syms), '  ') AS a, w_count
+       FROM v{r - 1}),
+x{r} AS (SELECT unnest(list_transform(range(1, len(a)),
+           i -> struct_pack(l := a[CAST(i AS INTEGER)],
+                            r := a[CAST(i AS INTEGER) + 1]))) AS pr,
+                w_count
+         FROM t{r}),
+p{r} AS (SELECT pr.l AS l, pr.r AS r,
+                CAST(sum(w_count) AS BIGINT) AS pair_count
+         FROM x{r} GROUP BY 1, 2),
+m{r} AS (SELECT l, r, pair_count FROM p{r}
+         ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)""")
+        if r < n_merges:
+            ctes.append(f"""v{r} AS (SELECT replace(syms, ' ' || m.l || '  ' || m.r || ' ',
+                           ' ' || m.l || m.r || ' ') AS syms, w_count
+       FROM v{r - 1}, m{r} m)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, l AS \"left\", "
+        f"r AS \"right\", pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3694,4 +3769,6 @@ EXTENSION_QUERIES = {
     ),
     "ts_motif": (ts_motif_q, SQL_TS_MOTIF),
     "ts_discord": (ts_discord_q, SQL_TS_DISCORD),
+    "bpe_pair_counts": (bpe_pair_counts_q, SQL_BPE_PAIR_COUNTS),
+    "bpe_merges": (bpe_merges_q, SQL_BPE_MERGES),
 }

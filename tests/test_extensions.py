@@ -2549,3 +2549,74 @@ def test_ts_discord_raises_when_exclusion_starves_central_starts(spark):
         ts_discord(ev, grid=12, m=8, exclusion=4)
     with _pt.raises(ValueError, match="exceeds grid"):
         ts_discord(ev, grid=8, m=9)
+
+
+def test_bpe_merges_match_reference_greedy_bpe(spark):
+    """bpe_merges contract vs a plain-Python greedy BPE trainer
+    (Sennrich 2016 semantics): frequency-weighted pair counts, ties
+    count-desc then (left, right) asc, greedy one-pass left-to-right
+    merge application, later merges built on earlier merged symbols.
+    The corpus plants the cross-symbol trap: after round 1 merges
+    (x, a), the word 'xab' renders as symbols [xa, b] — round 2's
+    merge (a, b) must NOT fire inside it (a literal substring match
+    on an undelimited rendering would corrupt it to [x, ab])."""
+    from collections import Counter
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        bpe_merges,
+        bpe_pair_counts,
+    )
+
+    corpus = ("ab " * 5 + "xa " * 6 + "xab " * 3 + "aaaa " * 2).strip()
+    docs = spark.createDataFrame(
+        [(1, corpus, "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    n = 5
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs, n_merges=n).orderBy("rank").collect()
+    ]
+
+    words = Counter(corpus.split())
+    vocab = {w: list(w) for w in words}
+    expected, snaps = [], []
+    for rnd in range(1, n + 1):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        top = max(pc.values())
+        ll, rr = min(p for p, c in pc.items() if c == top)
+        expected.append((rnd, ll, rr, top))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == ll and s[i + 1] == rr:
+                    out.append(ll + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+        snaps.append({w: list(s) for w, s in vocab.items()})
+    assert got == expected, (got, expected)
+    # the traps really are in play: round 1 merged (x, a); round 2
+    # merged (a, a) — one-pass greedy pairs 'aaaa' to [aa, aa], never
+    # [aa, a, a]; round 3 merged (a, b) AFTER 'xab' became [xa, b],
+    # and did NOT corrupt it to [x, ab] (cross-symbol false match)
+    assert (got[0][1], got[0][2]) == ("x", "a")
+    assert (got[1][1], got[1][2]) == ("a", "a")
+    assert (got[2][1], got[2][2]) == ("a", "b")
+    assert snaps[1]["aaaa"] == ["aa", "aa"]
+    assert snaps[2]["xab"] == ["xa", "b"]
+
+    # bpe_pair_counts equals round-1 counts restricted to char pairs
+    pc1 = Counter()
+    for w, cnt in words.items():
+        for i in range(len(w) - 1):
+            pc1[w[i : i + 2]] += cnt
+    got_pc = {
+        r.pair: r.pair_count for r in bpe_pair_counts(docs, k=50).collect()
+    }
+    assert got_pc == dict(pc1), (got_pc, pc1)
