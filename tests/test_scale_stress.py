@@ -645,3 +645,92 @@ def test_dtw_tier_recalls_planted_clones_at_scale(spark, tmp_path_factory):
     for r in out:
         assert r.lb2 <= r.dtw2 + 1e-9, r
     assert elapsed < 240, f"dtw tier took {elapsed:.0f}s"
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile pair (round 8): motif and discord shard perfectly by
+# series — 10x the entities must scale ~linearly, the output is exactly
+# one row per qualifying series, and the planted ramp series' exact
+# motif/discord arithmetic survives at 100k scale.
+
+
+@pytest.mark.slow
+def test_motif_discord_scale_linearly_with_exact_planted_arithmetic(
+    spark, tmp_path_factory
+):
+    """ts_motif / ts_discord at 10k vs 100k series: per-series work is
+    a constant ((G-m+1)^2 * m flops), so 10x entities stays well under
+    the 30x noise bound and both return exactly one row per series.
+    User 0's planted ramp (value = 3*pos) makes every window pair's
+    distance m*(3*(b-a))^2 exactly: the motif is the minimal legal
+    separation (0, 5) at 8*15^2 = 1800.0 and the discord's
+    nearest-neighbor distance is the same 1800.0 at start 0 — exact
+    doubles, asserting the whole fold ladder end-to-end at scale."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_discord,
+        ts_motif,
+    )
+
+    tmp = tmp_path_factory.mktemp("mp_stress")
+    small = _series_corpus(spark, tmp, 10_000)
+    big = _series_corpus(spark, tmp, 100_000)
+
+    def run(ev, users):
+        t0 = time.perf_counter()
+        n_mo = ts_motif(ev).count()
+        n_di = ts_discord(ev).count()
+        assert n_mo == users and n_di == users
+        return time.perf_counter() - t0
+
+    run(small, 10_000)  # warm-up
+    t_small = run(small, 10_000)
+    t_big = run(big, 100_000)
+    ratio = t_big / t_small
+    assert ratio < 30.0, (
+        f"matrix profile super-linear: {ratio:.1f}x "
+        f"({t_small:.2f}s -> {t_big:.2f}s)"
+    )
+
+    mo0 = ts_motif(big).filter(F.col("user_id") == 0).collect()[0]
+    assert (mo0.start_a, mo0.start_b, mo0.dist2) == (0, 5, 1800.0)
+    di0 = ts_discord(big).filter(F.col("user_id") == 0).collect()[0]
+    assert (di0.start, di0.nn_dist2) == (0, 1800.0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 8): all rounds run on the VOCABULARY
+# relation — 10x the corpus with an identical word distribution leaves
+# the per-round work unchanged, merges are deterministic, and chosen
+# pair counts never increase with rank (existing pair counts only
+# shrink under a merge; new pairs are capped by the merged count).
+
+
+@pytest.mark.slow
+def test_bpe_merges_vocab_bound_and_deterministic_at_scale(
+    spark, small, big
+):
+    from mapreduce_chisquare_spark.operators.textstats import bpe_merges
+
+    t0 = time.perf_counter()
+    m_small = [tuple(r) for r in bpe_merges(small).collect()]
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m_big = [tuple(r) for r in bpe_merges(big).collect()]
+    t_big = time.perf_counter() - t0
+
+    assert len(m_big) == 6
+    counts = [c for (_, _, _, c) in m_big]
+    assert counts == sorted(counts, reverse=True), counts
+    pairs = [(l, r) for (_, l, r, _) in m_big]
+    assert len(set(pairs)) == 6, pairs
+    # identical word distribution at 10x volume: the SAME merges win
+    # (counts scale with the corpus, the argmax sequence does not)
+    assert [(l, r) for (_, l, r, _) in m_small] == pairs, (
+        m_small,
+        m_big,
+    )
+    # deterministic: a second run reproduces the table exactly
+    assert [tuple(r) for r in bpe_merges(big).collect()] == m_big
+    # vocab-bound: 10x the corpus may cost the extra corpus scan but
+    # not 10x the merge loop
+    assert t_big / t_small < 8.0, (t_small, t_big)
