@@ -134,6 +134,7 @@ HEADLINE = [
     "ts_discord",
     "bpe_pair_counts",
     "bpe_merges",
+    "bpe_vocab",
 ]
 
 WARMUP = 1

@@ -871,6 +871,64 @@ def bpe_pair_counts(
     )
 
 
+def _bpe_learn(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple:
+    """The shared BPE training loop (see bpe_merges for the full
+    mechanics and scale story): returns (merges, vocab) where merges
+    is the list of (rank, left, right, pair_count) tuples in merge
+    order and vocab is the (syms, w_count) vocabulary DataFrame with
+    ALL chosen merges applied — the relation bpe_vocab tokenizes
+    from. The corpus is scanned once; each round collects a 1-row
+    argmax and re-applies it as literal strings over the
+    localCheckpointed vocabulary."""
+    syms = F.expr(
+        "concat(' ', concat_ws('  ', transform(sequence(1, length(word)), "
+        "i -> substring(word, i, 1))), ' ')"
+    )
+    v = (
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("w_count"))
+        .select(syms.alias("syms"), "w_count")
+        .localCheckpoint()
+    )
+    merges: list = []
+    for rank in range(1, n_merges + 1):
+        pc = (
+            v.select(
+                "w_count",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(split(trim(syms), '  ')) >= 2 THEN "
+                        "transform(sequence(1, size(split(trim(syms), '  ')) - 1), "
+                        "i -> struct(element_at(split(trim(syms), '  '), i) AS l, "
+                        "element_at(split(trim(syms), '  '), i + 1) AS r)) "
+                        "ELSE array() END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("left"), F.col("pr.r").alias("right"))
+            .agg(F.sum("w_count").cast("long").alias("pair_count"))
+        )
+        top = pc.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).take(1)
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, left, right, cnt))
+        v = v.select(
+            F.replace(
+                F.col("syms"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("syms"),
+            "w_count",
+        ).localCheckpoint()
+    return merges, v
+
+
 def bpe_merges(
     docs: DataFrame, n_merges: int = 6, text_col: str = "text"
 ) -> DataFrame:
@@ -910,51 +968,40 @@ def bpe_merges(
     semantics: the merges reflect the corpus at call time (bench
     times builder + collect together)."""
     spark = docs.sparkSession
-    syms = F.expr(
-        "concat(' ', concat_ws('  ', transform(sequence(1, length(word)), "
-        "i -> substring(word, i, 1))), ' ')"
-    )
-    v = (
-        docs.select(F.explode(_words(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("w_count"))
-        .select(syms.alias("syms"), "w_count")
-        .localCheckpoint()
-    )
-    merges: list = []
-    for rank in range(1, n_merges + 1):
-        pc = (
-            v.select(
-                "w_count",
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(split(trim(syms), '  ')) >= 2 THEN "
-                        "transform(sequence(1, size(split(trim(syms), '  ')) - 1), "
-                        "i -> struct(element_at(split(trim(syms), '  '), i) AS l, "
-                        "element_at(split(trim(syms), '  '), i + 1) AS r)) "
-                        "ELSE array() END"
-                    )
-                ).alias("pr"),
-            )
-            .groupBy(F.col("pr.l").alias("left"), F.col("pr.r").alias("right"))
-            .agg(F.sum("w_count").cast("long").alias("pair_count"))
-        )
-        top = pc.orderBy(
-            F.desc("pair_count"), F.asc("left"), F.asc("right")
-        ).take(1)
-        if not top:
-            break
-        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
-        merges.append((rank, left, right, cnt))
-        if rank < n_merges:
-            v = v.select(
-                F.replace(
-                    F.col("syms"),
-                    F.lit(f" {left}  {right} "),
-                    F.lit(f" {left}{right} "),
-                ).alias("syms"),
-                "w_count",
-            ).localCheckpoint()
+    merges, _ = _bpe_learn(docs, n_merges, text_col)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = 6,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY half of BPE induction: learn the first `n_merges`
+    merges (bpe_merges semantics, same corpus, same tie-breaks),
+    apply them all, and return the top-`k` resulting subword tokens
+    with their corpus frequencies — (token, token_count), count-desc
+    then token-asc. This is the vocabulary a tokenizer ships after n
+    merge steps: unmerged single characters plus the learned subwords
+    ('er', 'in', ...), exactly what tokens_to_ids would be fed next.
+
+    Scale shape: encoding is PER-WORD, so the corpus-level token
+    count is the vocabulary-level count weighted by word frequency —
+    the corpus is never re-read to tokenize it. Cost over bpe_merges:
+    one explode + one aggregate over the final (already
+    localCheckpointed) vocabulary relation. Same freeze semantics as
+    bpe_merges."""
+    _, v = _bpe_learn(docs, n_merges, text_col)
+    toks = v.select(
+        F.explode(F.split(F.trim(F.col("syms")), "  ")).alias("token"),
+        "w_count",
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("w_count").cast("long").alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(k)
     )

@@ -63,10 +63,10 @@ except ImportError:
 # Round-8 window (50) = the 7 round-7 tail additions (never
 # driver-certified; local oracle-green at both SFs), + the 5 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
-# bpe_pair_counts, bpe_merges — same-round promotion, local
-# oracle-green at both SFs), + the round-8 changed entries
+# bpe_pair_counts, bpe_merges, bpe_vocab — same-round promotion,
+# local oracle-green at both SFs), + the round-8 changed entries
 # (ts_similarity_refined's validation scan folded into the shortlist
-# pass; multimodal_decode's JPEG header probe), + 37 of the 45
+# pass; multimodal_decode's JPEG header probe), + 36 of the 45
 # remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
@@ -89,6 +89,7 @@ _CERTIFY_WINDOW = [
     # round-8 new: BPE tokenizer induction (pair stats + merge learning)
     "bpe_pair_counts",
     "bpe_merges",
+    "bpe_vocab",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -127,7 +128,6 @@ _CERTIFY_WINDOW = [
     "ngram_counts",
     "doc_chunk",
     "pack_sequences",
-    "sink_orc_roundtrip",
     # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
     # r4-era stale re-certs: streaming (slow fixtures close the window)
@@ -140,10 +140,10 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 9 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 10 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
-# set_intersect_all, explode_outer_keywords, embed_quantize), then
-# the oldest r5 rows
+# set_intersect_all, explode_outer_keywords, embed_quantize,
+# sink_orc_roundtrip), then the oldest r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,
 # simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,

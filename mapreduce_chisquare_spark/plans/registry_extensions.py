@@ -3250,12 +3250,11 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_merges(_docs(spark, sf_dir))
 
 
-def _sql_bpe_merges(n_merges: int = 6) -> str:
-    """DuckDB twin of bpe_merges: the same vocabulary base, the same
-    delimited symbol-string representation, and the same per-round
-    (pair count -> LIMIT-1 argmax -> literal replace) chain unrolled
-    as CTEs — literal left-to-right replace IS the greedy one-pass
-    merge in both engines, so every round agrees exactly."""
+def _bpe_ctes(n_merges: int) -> list:
+    """The shared BPE CTE chain (see _sql_bpe_merges): vocabulary
+    base, delimited symbol rendering, and per-round (pair count ->
+    LIMIT-1 argmax -> literal replace). v{n_merges} carries the
+    vocabulary with ALL merges applied (the bpe_vocab relation)."""
     ctes = ["""w AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS word
@@ -3280,19 +3279,48 @@ p{r} AS (SELECT pr.l AS l, pr.r AS r,
          FROM x{r} GROUP BY 1, 2),
 m{r} AS (SELECT l, r, pair_count FROM p{r}
          ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)""")
-        if r < n_merges:
-            ctes.append(f"""v{r} AS (SELECT replace(syms, ' ' || m.l || '  ' || m.r || ' ',
+        ctes.append(f"""v{r} AS (SELECT replace(syms, ' ' || m.l || '  ' || m.r || ' ',
                            ' ' || m.l || m.r || ' ') AS syms, w_count
        FROM v{r - 1}, m{r} m)""")
+    return ctes
+
+
+def _sql_bpe_merges(n_merges: int = 6) -> str:
+    """DuckDB twin of bpe_merges: the same vocabulary base, the same
+    delimited symbol-string representation, and the same per-round
+    (pair count -> LIMIT-1 argmax -> literal replace) chain unrolled
+    as CTEs — literal left-to-right replace IS the greedy one-pass
+    merge in both engines, so every round agrees exactly."""
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INTEGER) AS rank, l AS \"left\", "
         f"r AS \"right\", pair_count FROM m{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + sel
 
 
 SQL_BPE_MERGES = _sql_bpe_merges()
+
+
+def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 subword tokens (with corpus frequencies) after applying
+    the first 6 learned BPE merges (operators/textstats.py
+    bpe_vocab)."""
+    return tx.bpe_vocab(_docs(spark, sf_dir))
+
+
+def _sql_bpe_vocab(n_merges: int = 6, k: int = 50) -> str:
+    """DuckDB twin of bpe_vocab: the shared merge-chain CTEs, then
+    unnest the final vocabulary's symbols weighted by word count."""
+    sel = f"""tk AS (SELECT unnest(string_split(trim(syms), '  ')) AS token, w_count
+       FROM v{n_merges})
+SELECT token, CAST(sum(w_count) AS BIGINT) AS token_count
+FROM tk GROUP BY token
+ORDER BY token_count DESC, token ASC LIMIT {k}"""
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + ",\n" + sel
+
+
+SQL_BPE_VOCAB = _sql_bpe_vocab()
 
 
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3771,4 +3799,5 @@ EXTENSION_QUERIES = {
     "ts_discord": (ts_discord_q, SQL_TS_DISCORD),
     "bpe_pair_counts": (bpe_pair_counts_q, SQL_BPE_PAIR_COUNTS),
     "bpe_merges": (bpe_merges_q, SQL_BPE_MERGES),
+    "bpe_vocab": (bpe_vocab_q, SQL_BPE_VOCAB),
 }

@@ -2620,3 +2620,49 @@ def test_bpe_merges_match_reference_greedy_bpe(spark):
         r.pair: r.pair_count for r in bpe_pair_counts(docs, k=50).collect()
     }
     assert got_pc == dict(pc1), (got_pc, pc1)
+
+
+def test_bpe_vocab_matches_reference_token_counts(spark):
+    """bpe_vocab contract: after the same n merges, corpus-level
+    token counts equal the Python reference's final vocabulary token
+    multiset weighted by word frequency."""
+    from collections import Counter
+
+    from mapreduce_chisquare_spark.operators.textstats import bpe_vocab
+
+    corpus = ("ab " * 5 + "xa " * 6 + "xab " * 3 + "aaaa " * 2).strip()
+    docs = spark.createDataFrame(
+        [(1, corpus, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    n = 5
+    got = {
+        r.token: r.token_count
+        for r in bpe_vocab(docs, n_merges=n, k=100).collect()
+    }
+
+    words = Counter(corpus.split())
+    vocab = {w: list(w) for w in words}
+    for _ in range(n):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        top = max(pc.values())
+        ll, rr = min(p for p, c in pc.items() if c == top)
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == ll and s[i + 1] == rr:
+                    out.append(ll + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    ref = Counter()
+    for w, cnt in words.items():
+        for t in vocab[w]:
+            ref[t] += cnt
+    assert got == dict(ref), (got, ref)
