@@ -135,6 +135,9 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_vocab",
+    "ts_changepoint",
+    "ts_anomaly_zscore",
+    "ts_seasonality",
 ]
 
 WARMUP = 1

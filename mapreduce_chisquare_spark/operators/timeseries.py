@@ -991,3 +991,211 @@ def ts_discord(
         .filter(F.col("__rn") == 1)
         .select("user_id", "start", "nn_dist2")
     )
+
+
+def ts_changepoint(
+    events: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Per-series CUSUM changepoint estimation (Page 1954, public —
+    the classic single-changepoint location statistic): for each
+    entity, the position that maximizes |cumulative sum of deviations
+    from the series mean| over its (ts, event_id)-ordered values.
+    Returns (user_id, cp_pos, n_points, cusum): the 1-based position
+    AFTER which the level shift most plausibly occurs, the series
+    length, and the signed CUSUM value at the argmax (in value units —
+    the shift's direction and weight). Ties break on the smallest
+    position; series with a single point are excluded (no interior
+    position exists).
+
+    Exactness: the argmax is decided on EXACT integers. With cents
+    c_j and per-series totals SC = sum(c_j), n, the CUSUM at position
+    i is (sum_{j<=i} c_j - i*SC/n)/100 — multiplying through by n
+    gives S_i = n*csum_i - i*SC, an exact BIGINT both engines compute
+    identically, so the argmax (and tie-breaks) can never drift on
+    float rounding. The reported `cusum` is the single division
+    S_i/(100.0*n), the same left-to-right double arithmetic on both
+    sides. (|c_j| <= 1e6 cents and n <= 1e6 points keep n*csum well
+    inside the BIGINT range.)
+
+    Scale shape: ONE user-keyed exchange serves the ordering window
+    (running sum + row_number), the per-series totals window, and the
+    winner window — three logical windows, one partitioning, no
+    second shuffle. Linear in the event log, no UDFs; at 100 TB this
+    is a single pass over each series."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        events.select("user_id", "ts", "event_id", cents.alias("__c"))
+        .withColumn("__pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__csum",
+            F.sum("__c").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__n", F.count("*").over(wn))
+        .withColumn("__sc", F.sum("__c").over(wn))
+        .filter(F.col("__pos") < F.col("__n"))
+    )
+    s = (
+        F.col("__n") * F.col("__csum") - F.col("__pos") * F.col("__sc")
+    ).alias("__s")
+    scored = base.select(
+        "user_id", "__pos", "__n", s
+    )
+    win = Window.partitionBy("user_id").orderBy(
+        F.desc(F.abs(F.col("__s"))), F.asc("__pos")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("__pos").alias("cp_pos"),
+            F.col("__n").cast("long").alias("n_points"),
+            (
+                F.col("__s").cast("double")
+                / (F.lit(100.0) * F.col("__n").cast("double"))
+            ).alias("cusum"),
+        )
+    )
+
+
+def ts_anomaly_zscore(
+    events: DataFrame, threshold: int = 3, value_col: str = "value"
+) -> DataFrame:
+    """Per-series pointwise anomaly flags: events whose value sits
+    more than `threshold` population standard deviations from their
+    OWN series' mean — the model-free outlier screen a series user
+    runs before the shape-aware tiers (ts_discord finds the window
+    nothing else resembles; this finds the point far from its own
+    distribution). Returns (user_id, event_id, z) for flagged events.
+
+    Exactness: the FLAG DECISION is exact integer arithmetic, never a
+    float comparison. |x_i - mean| > t*std is cross-multiplied into
+    (n*c_i - SC)^2 > t^2 * (n*SSQ - SC^2) over exact cent sums
+    (c_i cents, SC = sum c, SSQ = sum c^2), evaluated in DECIMAL(38,0)
+    on the Spark side and HUGEINT on the oracle side — both exact
+    128-bit integer arithmetic, so a borderline event can never flip
+    on float rounding (`threshold` is an int so t^2 stays exact).
+    Series with zero variance flag nothing. The reported z itself is
+    the same left-to-right double formula on both engines
+    ((c - SC/n) / sqrt(SSQ/n - (SC/n)^2), cents units cancel).
+
+    Scale shape: ONE user-keyed exchange serves both per-series
+    windows (totals + flags are row-local after them); linear in the
+    event log, no UDFs, map-side after the single exchange."""
+    wn = Window.partitionBy("user_id")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = "decimal(38,0)"
+    base = (
+        events.select("user_id", "event_id", cents.alias("__c"))
+        .withColumn("__n", F.count("*").over(wn))
+        .withColumn("__sc", F.sum("__c").over(wn))
+        .withColumn("__ssq", F.sum(F.col("__c") * F.col("__c")).over(wn))
+    )
+    nd = F.col("__n").cast(d)
+    dev = nd * F.col("__c").cast(d) - F.col("__sc").cast(d)
+    nvar = nd * F.col("__ssq").cast(d) - F.col("__sc").cast(d) * F.col(
+        "__sc"
+    ).cast(d)
+    mean = F.col("__sc").cast("double") / F.col("__n").cast("double")
+    varc = (
+        F.col("__ssq").cast("double") / F.col("__n").cast("double")
+        - mean * mean
+    )
+    z = (F.col("__c").cast("double") - mean) / F.sqrt(varc)
+    t2 = int(threshold) * int(threshold)
+    return base.filter(
+        (nvar > F.lit(0).cast(d)) & (dev * dev > F.lit(t2).cast(d) * nvar)
+    ).select("user_id", "event_id", z.alias("z"))
+
+
+def ts_seasonality(
+    events: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Per-series hour-of-day seasonality profile: for each entity,
+    the share of its value variance explained by the hour-of-day
+    grouping (the classic one-way ANOVA R² of the 24-bucket seasonal
+    profile) and the hour with the highest mean value. Returns
+    (user_id, peak_hour, strength, n_points) for series with nonzero
+    total variance — the 'does this series breathe daily, and when'
+    screen run before committing to seasonal models or
+    hour-partitioned rollups.
+
+    Exactness: all sums are exact integer cents at both levels
+    ((user, hour) partials, per-user totals as sums-of-sums). The
+    zero-variance exclusion is the exact integer test
+    n*SSQ - SC² > 0. strength = 1 - SSE/SST uses one double term per
+    hour (ssq_h - sc_h²/n_h) folded IN HOUR ORDER (the bit-stable
+    discipline; the oracle's sum(... ORDER BY h) adds in the same
+    order), and the peak hour compares per-hour double means with a
+    strictly-greater fold so ties resolve to the earliest hour on
+    both engines.
+
+    Scale shape: one (user, hour) aggregate (map-side combined, at
+    most 24 rows per entity), then ONE user-keyed exchange whose
+    aggregate computes totals AND the hour-ordered folds from a
+    ≤24-element collected array. Linear in the event log, bounded
+    per-entity state, no UDFs."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = (
+        events.select(
+            "user_id", F.hour("ts").alias("h"), cents.alias("__c")
+        )
+        .groupBy("user_id", "h")
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum("__c").alias("sc_h"),
+            F.sum(F.col("__c") * F.col("__c")).alias("ssq_h"),
+        )
+    )
+    u = g.groupBy("user_id").agg(
+        F.sum("n_h").alias("n"),
+        F.sum("sc_h").alias("sc"),
+        F.sum("ssq_h").alias("ssq"),
+        F.array_sort(
+            F.collect_list(F.struct("h", "n_h", "sc_h", "ssq_h"))
+        ).alias("arr"),
+    )
+
+    def term(x: Column) -> Column:
+        return x["ssq_h"].cast("double") - (
+            x["sc_h"].cast("double") * x["sc_h"].cast("double")
+        ) / x["n_h"].cast("double")
+
+    sse = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + term(x)
+    )
+    peak = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit(float("-inf")).alias("mh"), F.lit(-1).alias("h")
+        ),
+        lambda acc, x: F.when(
+            x["sc_h"].cast("double") / x["n_h"].cast("double") > acc["mh"],
+            F.struct(
+                (x["sc_h"].cast("double") / x["n_h"].cast("double")).alias(
+                    "mh"
+                ),
+                x["h"].alias("h"),
+            ),
+        ).otherwise(acc),
+    )
+    d = "decimal(38,0)"
+    nvar = F.col("n").cast(d) * F.col("ssq").cast(d) - F.col("sc").cast(
+        d
+    ) * F.col("sc").cast(d)
+    sst = F.col("ssq").cast("double") - (
+        F.col("sc").cast("double") * F.col("sc").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        u.filter(nvar > F.lit(0).cast(d))
+        .select(
+            "user_id",
+            peak["h"].cast("int").alias("peak_hour"),
+            (F.lit(1.0) - sse / sst).alias("strength"),
+            F.col("n").cast("long").alias("n_points"),
+        )
+    )

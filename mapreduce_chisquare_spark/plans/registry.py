@@ -63,10 +63,11 @@ except ImportError:
 # Round-8 window (50) = the 7 round-7 tail additions (never
 # driver-certified; local oracle-green at both SFs), + the 5 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
-# bpe_pair_counts, bpe_merges, bpe_vocab — same-round promotion,
-# local oracle-green at both SFs), + the round-8 changed entries
+# bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
+# ts_anomaly_zscore, ts_seasonality — same-round promotion, local
+# oracle-green at both SFs), + the round-8 changed entries
 # (ts_similarity_refined's validation scan folded into the shortlist
-# pass; multimodal_decode's JPEG header probe), + 36 of the 45
+# pass; multimodal_decode's JPEG header probe), + 33 of the 45
 # remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
@@ -90,6 +91,11 @@ _CERTIFY_WINDOW = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_vocab",
+    # round-8 new: series diagnostics (CUSUM changepoint, exact-decision
+    # z-score anomalies, hour-of-day seasonality strength)
+    "ts_changepoint",
+    "ts_anomaly_zscore",
+    "ts_seasonality",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -120,14 +126,11 @@ _CERTIFY_WINDOW = [
     "sql_correlated_subquery",
     "top_n_global",
     "window_lag",
-    "window_ntile",
     "window_session",
-    "window_sliding",
     "window_tumbling",
     "rollup_multigrain",
     "ngram_counts",
     "doc_chunk",
-    "pack_sequences",
     # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
     # r4-era stale re-certs: streaming (slow fixtures close the window)
@@ -140,10 +143,11 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 10 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 13 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
-# sink_orc_roundtrip), then the oldest r5 rows
+# sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences),
+# then the oldest r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,
 # simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,

@@ -3323,6 +3323,112 @@ ORDER BY token_count DESC, token ASC LIMIT {k}"""
 SQL_BPE_VOCAB = _sql_bpe_vocab()
 
 
+def ts_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint location
+    (operators/timeseries.py ts_changepoint)."""
+    from ..operators.timeseries import ts_changepoint
+
+    return ts_changepoint(_events(spark, sf_dir))
+
+
+SQL_TS_CHANGEPOINT = """
+WITH b AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS pos,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS csum,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS sc
+  FROM events),
+s AS (SELECT user_id, pos, n, n * csum - pos * sc AS sv
+      FROM b WHERE pos < n)
+SELECT user_id, pos AS cp_pos, n AS n_points,
+       CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS cusum
+FROM s
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY abs(sv) DESC, pos ASC) = 1
+"""
+
+
+def ts_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exact-decision z-score anomaly flags
+    (operators/timeseries.py ts_anomaly_zscore)."""
+    from ..operators.timeseries import ts_anomaly_zscore
+
+    return ts_anomaly_zscore(_events(spark, sf_dir))
+
+
+SQL_TS_ANOMALY_ZSCORE = """
+WITH b AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS sc,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS ssq
+  FROM events),
+f AS (SELECT user_id, event_id, c, n, sc, ssq,
+        CAST(n AS HUGEINT) * CAST(c AS HUGEINT)
+          - CAST(sc AS HUGEINT) AS dev,
+        CAST(n AS HUGEINT) * CAST(ssq AS HUGEINT)
+          - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT) AS nvar
+      FROM b)
+SELECT user_id, event_id,
+       (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+FROM f
+WHERE nvar > 0 AND dev * dev > 9 * nvar
+"""
+
+
+def ts_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series hour-of-day seasonality strength and peak hour
+    (operators/timeseries.py ts_seasonality)."""
+    from ..operators.timeseries import ts_seasonality
+
+    return ts_seasonality(_events(spark, sf_dir))
+
+
+SQL_TS_SEASONALITY = """
+WITH g AS (
+  SELECT user_id, CAST(hour(ts) AS INTEGER) AS h,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc_h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssq_h
+  FROM events GROUP BY user_id, CAST(hour(ts) AS INTEGER)),
+u AS (SELECT user_id,
+        CAST(sum(n_h) AS BIGINT) AS n,
+        CAST(sum(sc_h) AS BIGINT) AS sc,
+        CAST(sum(ssq_h) AS BIGINT) AS ssq,
+        sum(CAST(ssq_h AS DOUBLE)
+            - (CAST(sc_h AS DOUBLE) * CAST(sc_h AS DOUBLE))
+              / CAST(n_h AS DOUBLE) ORDER BY h) AS sse
+      FROM g GROUP BY user_id),
+pk AS (SELECT user_id, h FROM g
+       QUALIFY row_number() OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(sc_h AS DOUBLE) / CAST(n_h AS DOUBLE) DESC,
+                  h ASC) = 1)
+SELECT u.user_id, CAST(pk.h AS INTEGER) AS peak_hour,
+       1.0 - u.sse / (CAST(u.ssq AS DOUBLE)
+                      - (CAST(u.sc AS DOUBLE) * CAST(u.sc AS DOUBLE))
+                        / CAST(u.n AS DOUBLE)) AS strength,
+       u.n AS n_points
+FROM u JOIN pk USING (user_id)
+WHERE CAST(u.n AS HUGEINT) * CAST(u.ssq AS HUGEINT)
+      - CAST(u.sc AS HUGEINT) * CAST(u.sc AS HUGEINT) > 0
+"""
+
+
 def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest user_id keys in events with corpus share — the
     pre-join skew probe (operators/skew.py skew_profile)."""
@@ -3800,4 +3906,7 @@ EXTENSION_QUERIES = {
     "bpe_pair_counts": (bpe_pair_counts_q, SQL_BPE_PAIR_COUNTS),
     "bpe_merges": (bpe_merges_q, SQL_BPE_MERGES),
     "bpe_vocab": (bpe_vocab_q, SQL_BPE_VOCAB),
+    "ts_changepoint": (ts_changepoint_q, SQL_TS_CHANGEPOINT),
+    "ts_anomaly_zscore": (ts_anomaly_zscore_q, SQL_TS_ANOMALY_ZSCORE),
+    "ts_seasonality": (ts_seasonality_q, SQL_TS_SEASONALITY),
 }

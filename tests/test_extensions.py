@@ -2666,3 +2666,175 @@ def test_bpe_vocab_matches_reference_token_counts(spark):
         for t in vocab[w]:
             ref[t] += cnt
     assert got == dict(ref), (got, ref)
+
+
+def _mk_events(spark, series: dict):
+    """series: {user_id: [values...]} -> events rows, one per minute."""
+    import datetime as dt
+
+    rows = [
+        (
+            uid * 10_000 + i,
+            dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=i),
+            uid,
+            "view",
+            float(v),
+            "{}",
+        )
+        for uid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+def test_ts_changepoint_locates_planted_shift_and_matches_brute_force(
+    spark,
+):
+    """CUSUM contract: (a) a clean level shift after position p makes
+    p the argmax of |S_i| exactly; (b) every series' winner equals a
+    plain-Python brute force over the exact integer statistic
+    n*csum_i - i*SC, including tie-breaks; (c) single-point series
+    are excluded."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_changepoint,
+    )
+
+    series = {
+        0: [10.0] * 12 + [50.0] * 18,  # shift after pos 12
+        1: [5.0, 5.0, 5.0, 5.0],  # flat: all S_i = 0, tie -> pos 1
+        2: [float((i * 7) % 13) for i in range(25)],  # pseudo-random
+        3: [42.0],  # single point: excluded
+        4: [1.0, 9.0, 1.0, 9.0, 1.0, 9.0],  # alternating
+    }
+    out = {
+        r.user_id: (r.cp_pos, r.n_points, r.cusum)
+        for r in ts_changepoint(_mk_events(spark, series)).collect()
+    }
+    assert 3 not in out
+    assert set(out) == {0, 1, 2, 4}
+    assert out[0][0] == 12  # (a) the planted shift point
+    for uid, (cp, n, cus) in out.items():
+        vals = series[uid]
+        cents = [round(v * 100) for v in vals]
+        sc, nn = sum(cents), len(cents)
+        best = None
+        run = 0
+        for i in range(1, nn):  # positions 1..n-1
+            run += cents[i - 1]
+            s = nn * run - i * sc
+            cand = (-abs(s), i, s)
+            if best is None or cand < best:
+                best = cand
+        assert (cp, n) == (best[1], nn), (uid, cp, best)
+        assert cus == best[2] / (100.0 * nn), (uid, cus, best)
+
+
+def test_ts_anomaly_zscore_exact_decision_matches_brute_force(spark):
+    """z-score contract: flags equal the exact integer rule
+    (n*c - SC)^2 > 9*(n*SSQ - SC^2) for every event; a planted
+    far-out spike among tight values is flagged; a zero-variance
+    series flags nothing; reported z matches the shared double
+    formula."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_anomaly_zscore,
+    )
+
+    series = {
+        0: [10.0] * 30 + [99.0],  # spike at the end
+        1: [7.0] * 10,  # zero variance: nothing
+        2: [float((i * 11) % 17) for i in range(40)],  # spread: nothing at 3 sigma
+        3: [0.0] * 50 + [5.0] * 2 + [200.0],  # spike above a bimodal base
+    }
+    ev = _mk_events(spark, series)
+    got = {
+        (r.user_id, r.event_id): r.z
+        for r in ts_anomaly_zscore(ev).collect()
+    }
+    expected = {}
+    for uid, vals in series.items():
+        cents = [round(v * 100) for v in vals]
+        n, sc = len(cents), sum(cents)
+        ssq = sum(c * c for c in cents)
+        nvar = n * ssq - sc * sc
+        for i, c in enumerate(cents):
+            dev = n * c - sc
+            if nvar > 0 and dev * dev > 9 * nvar:
+                mean = sc / n
+                z = (c - mean) / ((ssq / n - mean * mean) ** 0.5)
+                expected[(uid, uid * 10_000 + i)] = z
+    assert set(got) == set(expected), (set(got), set(expected))
+    assert (0, 30) in got and (3, 30052) in got
+    assert not any(u == 1 for (u, _) in got)
+    for k, z in got.items():
+        assert abs(z - expected[k]) < 1e-12, (k, z, expected[k])
+
+
+def test_ts_seasonality_strength_and_peak_hour(spark):
+    """Seasonality contract: a series that is a pure function of
+    hour-of-day scores strength == 1.0 exactly (SSE is exactly 0)
+    with the true peak hour; an hour-independent constant series is
+    excluded (zero variance); a noisy series' strength matches the
+    one-way ANOVA R^2 brute force and stays in [0, 1]."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_seasonality,
+    )
+
+    rows = []
+    for uid in (0, 1, 2):
+        for i in range(240):  # 10 days x 24 hourly points
+            h = i % 24
+            if uid == 0:
+                v = float(10 + (5 if h == 14 else 0) + h % 3)
+            elif uid == 1:
+                v = 7.0
+            else:
+                v = float((i * 13) % 29)
+            rows.append(
+                (
+                    uid * 10_000 + i,
+                    dt.datetime(2024, 1, 1, h, 0)
+                    + dt.timedelta(days=i // 24),
+                    uid,
+                    "view",
+                    v,
+                    "{}",
+                )
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: (r.peak_hour, r.strength, r.n_points)
+        for r in ts_seasonality(ev).collect()
+    }
+    assert 1 not in out  # zero variance excluded
+    # user 0 is a pure function of hour: SSE == 0 -> strength exactly 1
+    assert out[0][0] == 14 and out[0][1] == 1.0 and out[0][2] == 240
+    # user 2: brute-force one-way ANOVA R^2 over hour buckets
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    vals = []
+    for i in range(240):
+        v = float((i * 13) % 29)
+        buckets[i % 24].append(round(v * 100))
+        vals.append(round(v * 100))
+    n, sc = len(vals), sum(vals)
+    ssq = sum(c * c for c in vals)
+    sse = sum(
+        sum(c * c for c in b) - (sum(b) / len(b)) * sum(b)
+        for b in (buckets[h] for h in sorted(buckets))
+    )
+    sst = ssq - (sc / n) * sc
+    ref = 1.0 - sse / sst
+    got = out[2][1]
+    assert 0.0 <= got <= 1.0
+    assert abs(got - ref) < 1e-9, (got, ref)
