@@ -252,10 +252,8 @@ def kmeans_centroids(
         .limit(k)
         .collect()
     )
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in sorted(rows, key=lambda r: r.vec_id)
-    ]
+    # TakeOrderedAndProject already returns rows vec_id-ascending
+    cents = [[float(x) for x in r.embedding] for r in rows]
     if not cents:
         raise ValueError("kmeans_centroids: empty embedding corpus")
     for _ in range(iters):

@@ -895,15 +895,23 @@ def _bpe_learn(
     )
     merges: list = []
     for rank in range(1, n_merges + 1):
+        # materialize the token array ONCE before the pair lambda —
+        # interpreted HOFs get no CSE, so split(trim(syms)) inside the
+        # transform would re-split the string per element (the r6
+        # re-tokenization lesson)
         pc = (
             v.select(
                 "w_count",
+                F.split(F.trim(F.col("syms")), "  ").alias("__t"),
+            )
+            .select(
+                "w_count",
                 F.explode(
                     F.expr(
-                        "CASE WHEN size(split(trim(syms), '  ')) >= 2 THEN "
-                        "transform(sequence(1, size(split(trim(syms), '  ')) - 1), "
-                        "i -> struct(element_at(split(trim(syms), '  '), i) AS l, "
-                        "element_at(split(trim(syms), '  '), i + 1) AS r)) "
+                        "CASE WHEN size(__t) >= 2 THEN "
+                        "transform(sequence(1, size(__t) - 1), "
+                        "i -> struct(element_at(__t, i) AS l, "
+                        "element_at(__t, i + 1) AS r)) "
                         "ELSE array() END"
                     )
                 ).alias("pr"),

@@ -829,6 +829,39 @@ def ts_similarity_dtw_topk(
     )
 
 
+def _series_cells(
+    events: DataFrame, grid: int, value_col: str
+) -> DataFrame:
+    """Seg-ordered grid-cell array per entity from the shared PAA
+    sketch — the ONE place the matrix-profile operators' cells array
+    is built (ts_motif and ts_discord fold over it; keeping a single
+    builder keeps the seg-sort discipline in sync)."""
+    return ts_paa(events, grid, value_col).groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg", "paa_value"))),
+            lambda st: st["paa_value"],
+        ).alias("cells")
+    )
+
+
+def _window_dist2(cells: Column, a: Column, b: Column, m: int) -> Column:
+    """Squared Euclidean distance between the length-`m` windows of
+    `cells` starting at `a` and `b` (0-based), folded IN OFFSET ORDER
+    (left fold over a literal sequence — the bit-stable discipline
+    matching the oracle's sum(... ORDER BY o)). The ONE copy of the
+    matrix-profile distance fold."""
+
+    def step(acc: Column, o: Column) -> Column:
+        d = F.element_at(cells, (a + o + 1).cast("int")) - F.element_at(
+            cells, (b + o + 1).cast("int")
+        )
+        return acc + d * d
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step
+    )
+
+
 def ts_motif(
     events: DataFrame,
     grid: int = 32,
@@ -860,38 +893,33 @@ def ts_motif(
     100 TB: linear in series count, constant per series, one
     exchange, no UDF — all whole-stage-codegen'd JVM expressions.
     Series with fewer than `grid` points are excluded with ts_paa's
-    documented cut (both engines)."""
+    documented cut (both engines). Raises when the exclusion zone
+    admits no candidate pair at all (grid - m + 1 <= exclusion + 1) —
+    the ladder's raise-instead-of-silent-empty contract: an empty
+    result should mean no qualifying series, never degenerate
+    parameters."""
     if exclusion is None:
         exclusion = m // 2
     if m > grid:
         raise ValueError(f"m={m} exceeds grid={grid}")
-    g = ts_paa(events, grid, value_col)
-    arr = g.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seg", "paa_value"))),
-            lambda s: s["paa_value"],
-        ).alias("cells")
-    )
+    if grid - m + 1 <= exclusion + 1:
+        raise ValueError(
+            f"exclusion zone {exclusion} admits no candidate pair at "
+            f"grid={grid}, m={m} (need grid - m + 1 > exclusion + 1)"
+        )
+    arr = _series_cells(events, grid, value_col)
     starts = F.sequence(F.lit(0), F.lit(grid - m))
     pairs = (
         arr.select("user_id", "cells", F.explode(starts).alias("a"))
         .select("user_id", "cells", "a", F.explode(starts).alias("b"))
         .filter(F.col("b") - F.col("a") > F.lit(exclusion))
     )
-    c = F.col("cells")
-
-    def step(acc: Column, o: Column) -> Column:
-        d = F.element_at(c, (F.col("a") + o + 1).cast("int")) - F.element_at(
-            c, (F.col("b") + o + 1).cast("int")
-        )
-        return acc + d * d
-
     scored = pairs.select(
         "user_id",
         F.col("a").cast("long").alias("start_a"),
         F.col("b").cast("long").alias("start_b"),
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step
+        _window_dist2(
+            F.col("cells"), F.col("a"), F.col("b"), m
         ).alias("dist2"),
     )
     w = Window.partitionBy("user_id").orderBy(
@@ -935,41 +963,28 @@ def ts_discord(
     the SAME user partitioning. At 100 TB: linear in series count,
     one exchange, no UDF. Series with fewer than `grid` points are
     excluded with ts_paa's documented cut (both engines). Raises
-    when the exclusion zone leaves any start without a valid partner
-    (grid - m + 1 < 2*exclusion + 3), where the two engines would
-    otherwise diverge (empty-group drop vs +inf row)."""
+    when the exclusion zone leaves some start without a valid partner
+    (grid - m + 1 < 2*exclusion + 2 — a central start starves exactly
+    when s <= 2*exclusion + 1), where the two engines would otherwise
+    diverge (empty-group drop vs +inf row)."""
     if exclusion is None:
         exclusion = m // 2
     if m > grid:
         raise ValueError(f"m={m} exceeds grid={grid}")
     s = grid - m + 1
-    if s < 2 * exclusion + 3:
+    if s < 2 * exclusion + 2:
         raise ValueError(
             f"exclusion zone {exclusion} leaves central starts with no "
             f"valid partner at grid={grid}, m={m} (need grid - m + 1 >= "
-            f"2*exclusion + 3)"
+            f"2*exclusion + 2)"
         )
-    g = ts_paa(events, grid, value_col)
-    arr = g.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seg", "paa_value"))),
-            lambda st: st["paa_value"],
-        ).alias("cells")
-    )
+    arr = _series_cells(events, grid, value_col)
     starts = F.sequence(F.lit(0), F.lit(s - 1))
     sub = arr.select("user_id", "cells", F.explode(starts).alias("a"))
     c = F.col("cells")
 
     def pair_dist(b: Column) -> Column:
-        def step(acc: Column, o: Column) -> Column:
-            d = F.element_at(
-                c, (F.col("a") + o + 1).cast("int")
-            ) - F.element_at(c, (b + o + 1).cast("int"))
-            return acc + d * d
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step
-        )
+        return _window_dist2(c, F.col("a"), b, m)
 
     valid = F.filter(
         starts, lambda b: F.abs(b - F.col("a")) > F.lit(exclusion)

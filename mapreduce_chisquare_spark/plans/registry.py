@@ -61,7 +61,7 @@ except ImportError:
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
 # Round-8 window (50) = the 7 round-7 tail additions (never
-# driver-certified; local oracle-green at both SFs), + the 5 round-8
+# driver-certified; local oracle-green at both SFs), + the 9 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
 # bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
 # ts_anomaly_zscore, ts_seasonality — same-round promotion, local

@@ -3254,7 +3254,13 @@ def _bpe_ctes(n_merges: int) -> list:
     """The shared BPE CTE chain (see _sql_bpe_merges): vocabulary
     base, delimited symbol rendering, and per-round (pair count ->
     LIMIT-1 argmax -> literal replace). v{n_merges} carries the
-    vocabulary with ALL merges applied (the bpe_vocab relation)."""
+    vocabulary with ALL merges applied (the bpe_vocab relation).
+    The replace CTE is a LEFT JOIN ON TRUE with a coalesce, NOT a
+    cross join: when the vocabulary exhausts its pairs before round
+    n, m{r} is empty and a cross join would annihilate v{r} (and
+    every later round), emptying the bpe_vocab twin while Spark's
+    loop just breaks — the left join carries the vocabulary through
+    merge-free rounds unchanged, matching Spark exactly."""
     ctes = ["""w AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS word
@@ -3279,9 +3285,9 @@ p{r} AS (SELECT pr.l AS l, pr.r AS r,
          FROM x{r} GROUP BY 1, 2),
 m{r} AS (SELECT l, r, pair_count FROM p{r}
          ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)""")
-        ctes.append(f"""v{r} AS (SELECT replace(syms, ' ' || m.l || '  ' || m.r || ' ',
-                           ' ' || m.l || m.r || ' ') AS syms, w_count
-       FROM v{r - 1}, m{r} m)""")
+        ctes.append(f"""v{r} AS (SELECT coalesce(replace(syms, ' ' || m.l || '  ' || m.r || ' ',
+                           ' ' || m.l || m.r || ' '), syms) AS syms, w_count
+       FROM v{r - 1} LEFT JOIN m{r} m ON TRUE)""")
     return ctes
 
 

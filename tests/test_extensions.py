@@ -2532,13 +2532,18 @@ def test_ts_discord_finds_planted_anomaly_and_matches_brute_force(spark):
     assert 12 - m < out[0][0] < 20, out[0]
 
 
-def test_ts_discord_raises_when_exclusion_starves_central_starts(spark):
-    """grid - m + 1 < 2*exclusion + 3 leaves central starts with no
-    valid partner — the engines would diverge (empty-group drop vs
-    +inf), so the operator refuses."""
+def test_matrix_profile_guards_align_with_partner_existence(spark):
+    """Discord refuses configs where some start has no valid partner
+    (s < 2*exclusion + 2) and accepts the exact even boundary
+    s == 2*exclusion + 2, where every start pairs up (a=2 with b=5,
+    a=3 with b=0, ...); motif refuses configs admitting no pair at
+    all (s <= exclusion + 1) instead of silently returning empty."""
     import pytest as _pt
 
-    from mapreduce_chisquare_spark.operators.timeseries import ts_discord
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_discord,
+        ts_motif,
+    )
 
     ev = spark.range(0).selectExpr(
         "id AS event_id", "current_timestamp() AS ts", "id AS user_id",
@@ -2546,9 +2551,50 @@ def test_ts_discord_raises_when_exclusion_starves_central_starts(spark):
         "'{}' AS props",
     )
     with _pt.raises(ValueError, match="valid partner"):
-        ts_discord(ev, grid=12, m=8, exclusion=4)
+        ts_discord(ev, grid=12, m=8, exclusion=4)  # s=5 < 10
+    with _pt.raises(ValueError, match="valid partner"):
+        ts_discord(ev, grid=12, m=8, exclusion=2)  # s=5 < 6: a=2 starves
+    assert ts_discord(ev, grid=13, m=8, exclusion=2).count() == 0  # s=6: ok
     with _pt.raises(ValueError, match="exceeds grid"):
         ts_discord(ev, grid=8, m=9)
+    with _pt.raises(ValueError, match="no candidate pair"):
+        ts_motif(ev, grid=12, m=8, exclusion=4)  # s=5 <= 5: b-a>4 empty
+    assert ts_motif(ev, grid=13, m=8, exclusion=4).count() == 0  # s=6: ok
+
+
+def _py_bpe_train(words, n):
+    """The ONE plain-Python greedy BPE reference (Sennrich 2016
+    semantics: frequency-weighted pair counts, ties count-desc then
+    (left, right) asc, greedy one-pass left-to-right application).
+    Returns (merges, snaps): the (rank, l, r, count) decisions and a
+    per-round snapshot of the symbol vocabulary."""
+    vocab = {w: list(w) for w in words}
+    merges, snaps = [], []
+    for rnd in range(1, n + 1):
+        from collections import Counter as _C
+
+        pc = _C()
+        for w, cnt in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        top = max(pc.values())
+        ll, rr = min(p for p, c in pc.items() if c == top)
+        merges.append((rnd, ll, rr, top))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == ll and s[i + 1] == rr:
+                    out.append(ll + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+        snaps.append({w: list(s) for w, s in vocab.items()})
+    return merges, snaps
 
 
 def test_bpe_merges_match_reference_greedy_bpe(spark):
@@ -2578,28 +2624,7 @@ def test_bpe_merges_match_reference_greedy_bpe(spark):
     ]
 
     words = Counter(corpus.split())
-    vocab = {w: list(w) for w in words}
-    expected, snaps = [], []
-    for rnd in range(1, n + 1):
-        pc = Counter()
-        for w, cnt in words.items():
-            s = vocab[w]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += cnt
-        top = max(pc.values())
-        ll, rr = min(p for p, c in pc.items() if c == top)
-        expected.append((rnd, ll, rr, top))
-        for w, s in vocab.items():
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == ll and s[i + 1] == rr:
-                    out.append(ll + rr)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            vocab[w] = out
-        snaps.append({w: list(s) for w, s in vocab.items()})
+    expected, snaps = _py_bpe_train(words, n)
     assert got == expected, (got, expected)
     # the traps really are in play: round 1 merged (x, a); round 2
     # merged (a, a) — one-pass greedy pairs 'aaaa' to [aa, aa], never
@@ -2642,25 +2667,8 @@ def test_bpe_vocab_matches_reference_token_counts(spark):
     }
 
     words = Counter(corpus.split())
-    vocab = {w: list(w) for w in words}
-    for _ in range(n):
-        pc = Counter()
-        for w, cnt in words.items():
-            s = vocab[w]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += cnt
-        top = max(pc.values())
-        ll, rr = min(p for p, c in pc.items() if c == top)
-        for w, s in vocab.items():
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == ll and s[i + 1] == rr:
-                    out.append(ll + rr)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            vocab[w] = out
+    _, snaps = _py_bpe_train(words, n)
+    vocab = snaps[-1]
     ref = Counter()
     for w, cnt in words.items():
         for t in vocab[w]:
@@ -2838,3 +2846,40 @@ def test_ts_seasonality_strength_and_peak_hour(spark):
     got = out[2][1]
     assert 0.0 <= got <= 1.0
     assert abs(got - ref) < 1e-9, (got, ref)
+
+
+def test_bpe_twins_survive_pair_exhaustion(spark):
+    """Regression (round-8 review): when the vocabulary exhausts its
+    pairs before n_merges rounds, the oracle twins must carry the
+    vocabulary through the merge-free rounds instead of annihilating
+    it (a cross join with an empty argmax CTE returned 0 rows while
+    Spark returned the merged vocabulary). Pin Spark == DuckDB on an
+    exhaustion corpus and on an all-single-char corpus (zero merges
+    possible)."""
+    import duckdb
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        bpe_merges,
+        bpe_vocab,
+    )
+    from mapreduce_chisquare_spark.plans.registry_extensions import (
+        _sql_bpe_merges,
+        _sql_bpe_vocab,
+    )
+
+    for corpus in ["ab ab ab", "a b c"]:
+        docs = spark.createDataFrame(
+            [(1, corpus, "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            f"(1, '{corpus}', 'en', 's')) t(doc_id, text, lang, source)"
+        )
+        got_m = sorted(tuple(r) for r in bpe_merges(docs).collect())
+        ora_m = sorted(tuple(r) for r in con.execute(_sql_bpe_merges()).fetchall())
+        assert got_m == ora_m, (corpus, got_m, ora_m)
+        got_v = sorted(tuple(r) for r in bpe_vocab(docs).collect())
+        ora_v = sorted(tuple(r) for r in con.execute(_sql_bpe_vocab()).fetchall())
+        assert got_v == ora_v and got_v, (corpus, got_v, ora_v)
