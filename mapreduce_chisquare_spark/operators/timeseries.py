@@ -1103,13 +1103,25 @@ def ts_anomaly_zscore(
     event log, no UDFs, map-side after the single exchange."""
     wn = Window.partitionBy("user_id")
     cents = F.round(F.col(value_col) * 100).cast("long")
-    d = "decimal(38,0)"
     base = (
         events.select("user_id", "event_id", cents.alias("__c"))
         .withColumn("__n", F.count("*").over(wn))
         .withColumn("__sc", F.sum("__c").over(wn))
         .withColumn("__ssq", F.sum(F.col("__c") * F.col("__c")).over(wn))
     )
+    cond, z = zscore_flag_exprs(threshold)
+    return base.filter(cond).select("user_id", "event_id", z.alias("z"))
+
+
+def zscore_flag_exprs(threshold: int) -> tuple:
+    """The ONE copy of the exact-decision z-score expressions (see
+    ts_anomaly_zscore; the streaming screen reuses them against a
+    batch-trained profile). Over columns __c (event cents), __n,
+    __sc, __ssq (per-series count / cent sum / squared-cent sum),
+    returns (flag_condition, z): the condition is the exact
+    decimal(38,0) cross-multiplied test, z the shared double
+    formula."""
+    d = "decimal(38,0)"
     nd = F.col("__n").cast(d)
     dev = nd * F.col("__c").cast(d) - F.col("__sc").cast(d)
     nvar = nd * F.col("__ssq").cast(d) - F.col("__sc").cast(d) * F.col(
@@ -1122,9 +1134,10 @@ def ts_anomaly_zscore(
     )
     z = (F.col("__c").cast("double") - mean) / F.sqrt(varc)
     t2 = int(threshold) * int(threshold)
-    return base.filter(
-        (nvar > F.lit(0).cast(d)) & (dev * dev > F.lit(t2).cast(d) * nvar)
-    ).select("user_id", "event_id", z.alias("z"))
+    cond = (nvar > F.lit(0).cast(d)) & (
+        dev * dev > F.lit(t2).cast(d) * nvar
+    )
+    return cond, z
 
 
 def ts_seasonality(

@@ -3395,6 +3395,15 @@ WHERE nvar > 0 AND dev * dev > 9 * nvar
 """
 
 
+def stream_anomaly_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly screen against a batch-trained profile —
+    same exact flag decision as ts_anomaly_zscore, so it shares its
+    oracle (streaming/diagnostics.py anomaly_screen_stream)."""
+    from ..streaming.diagnostics import anomaly_screen_stream
+
+    return anomaly_screen_stream(spark, sf_dir)
+
+
 def ts_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series hour-of-day seasonality strength and peak hour
     (operators/timeseries.py ts_seasonality)."""
@@ -3915,4 +3924,8 @@ EXTENSION_QUERIES = {
     "ts_changepoint": (ts_changepoint_q, SQL_TS_CHANGEPOINT),
     "ts_anomaly_zscore": (ts_anomaly_zscore_q, SQL_TS_ANOMALY_ZSCORE),
     "ts_seasonality": (ts_seasonality_q, SQL_TS_SEASONALITY),
+    "stream_anomaly_screen": (
+        stream_anomaly_screen_q,
+        SQL_TS_ANOMALY_ZSCORE,
+    ),
 }

@@ -2883,3 +2883,30 @@ def test_bpe_twins_survive_pair_exhaustion(spark):
         got_v = sorted(tuple(r) for r in bpe_vocab(docs).collect())
         ora_v = sorted(tuple(r) for r in con.execute(_sql_bpe_vocab()).fetchall())
         assert got_v == ora_v and got_v, (corpus, got_v, ora_v)
+
+
+def test_stream_anomaly_screen_equals_batch_flags(spark):
+    """The streaming screen (batch-trained profile broadcast into
+    every micro-batch) must flag EXACTLY the batch operator's rows
+    with identical z values — same exact integer decision, same
+    double formula, no borderline drift between modes."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_anomaly_zscore,
+    )
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+    from mapreduce_chisquare_spark.streaming.diagnostics import (
+        anomaly_screen_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.user_id, r.event_id): r.z
+        for r in ts_anomaly_zscore(
+            scan_parquet(spark, sf, "events")
+        ).collect()
+    }
+    stream = {
+        (r.user_id, r.event_id): r.z
+        for r in anomaly_screen_stream(spark, sf).collect()
+    }
+    assert batch and stream == batch
