@@ -138,6 +138,7 @@ HEADLINE = [
     "ts_changepoint",
     "ts_anomaly_zscore",
     "ts_seasonality",
+    "ts_corr_topk",
 ]
 
 WARMUP = 1

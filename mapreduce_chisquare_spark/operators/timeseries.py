@@ -1227,3 +1227,100 @@ def ts_seasonality(
             F.col("n").cast("long").alias("n_points"),
         )
     )
+
+
+def ts_corr_topk(
+    events: DataFrame,
+    segments: int = 8,
+    k: int = 20,
+    max_bucket: int = 100,
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k most correlated SERIES PAIRS — the cross-series question
+    the rest of the ladder doesn't ask (everything else is
+    within-series or query-vs-corpus): which entities move together.
+    Returns (user_a, user_b, corr): Pearson correlation of the two
+    entities' `segments`-cell PAA sketches, corr-desc then pair-asc,
+    user_a < user_b.
+
+    Candidate generation is BLOCKED, never all-pairs: only pairs
+    sharing an identical SAX word (same iSAX leaf — same quantized
+    shape) are scored, and words with more than `max_bucket` members
+    are skipped entirely (the dedup-LSH MAX_BUCKET discipline: a hot
+    leaf would go quadratic; skipping it is the documented
+    cost/recall trade, and correlated-but-differently-leveled pairs
+    are likewise out of a value-domain blocking's recall — the
+    production knob is the normalization pass SAX classically sits
+    behind). Candidate work is bounded by sum(bucket^2) <=
+    n_buckets * max_bucket^2, NEVER corpus^2.
+
+    Exactness: both engines score candidates from the SAME
+    bit-identical sketch cells; the five Pearson components (sum x,
+    sum y, sum x^2, sum y^2, sum xy) fold IN SEG ORDER (one struct
+    accumulator per pair on the Spark side, five sum(... ORDER BY
+    seg) aggregates on the oracle side — componentwise the same
+    left-to-right additions), and r is one shared double formula, so
+    the ranking cannot drift.
+
+    Scale shape: sketch + word relations are one row (resp. `segments`
+    rows) per entity; the pair relation lives entirely inside guarded
+    buckets. One exchange each for sketch, bucket sizes, the
+    (word, seg) self-join, and the per-pair aggregate — all over
+    entity-sized relations, vanishing next to the event log."""
+    sk = ts_paa(events, segments, value_col).select(
+        "user_id", "seg", "paa_value"
+    )
+    words = ts_sax(events, segments, value_col=value_col).select(
+        "user_id", "sax_word"
+    )
+    ok = (
+        words.groupBy("sax_word")
+        .agg(F.count("*").alias("__b"))
+        .filter((F.col("__b") >= 2) & (F.col("__b") <= max_bucket))
+        .select("sax_word")
+    )
+    u = words.join(ok, "sax_word").join(sk, "user_id")
+    a, b = u.alias("a"), u.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.sax_word") == F.col("b.sax_word"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("b.user_id").alias("ub"),
+        F.col("a.seg").alias("seg"),
+        F.col("a.paa_value").alias("x"),
+        F.col("b.paa_value").alias("y"),
+    )
+    zero = F.struct(
+        *[F.lit(0.0).alias(f) for f in ("sx", "sy", "sxx", "syy", "sxy")]
+    )
+    agg = p.groupBy("ua", "ub").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", "x", "y"))),
+            zero,
+            lambda acc, e: F.struct(
+                (acc["sx"] + e["x"]).alias("sx"),
+                (acc["sy"] + e["y"]).alias("sy"),
+                (acc["sxx"] + e["x"] * e["x"]).alias("sxx"),
+                (acc["syy"] + e["y"] * e["y"]).alias("syy"),
+                (acc["sxy"] + e["x"] * e["y"]).alias("sxy"),
+            ),
+        ).alias("c")
+    )
+    n = F.lit(segments)
+    c = F.col("c")
+    da = n * c["sxx"] - c["sx"] * c["sx"]
+    db = n * c["syy"] - c["sy"] * c["sy"]
+    r = (n * c["sxy"] - c["sx"] * c["sy"]) / (F.sqrt(da) * F.sqrt(db))
+    return (
+        agg.filter((da > 0) & (db > 0))
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            r.alias("corr"),
+        )
+        .orderBy(F.desc("corr"), F.asc("user_a"), F.asc("user_b"))
+        .limit(k)
+    )

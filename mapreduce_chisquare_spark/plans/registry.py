@@ -64,11 +64,11 @@ except ImportError:
 # driver-certified; local oracle-green at both SFs), + the 9 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
 # bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
-# ts_anomaly_zscore, ts_seasonality, stream_anomaly_screen —
-# same-round promotion, local oracle-green at both SFs), + the
-# round-8 changed entries (ts_similarity_refined's validation scan
-# folded into the shortlist pass; multimodal_decode's JPEG header
-# probe), + 32 of the 45 remaining r4-era stale rows — led by the entire §2 reference
+# ts_anomaly_zscore, ts_seasonality, stream_anomaly_screen,
+# ts_corr_topk — same-round promotion, local oracle-green at both
+# SFs), + the round-8 changed entries (ts_similarity_refined's
+# validation scan folded into the shortlist pass; multimodal_decode's
+# JPEG header probe), + 31 of the 45 remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
 # fixtures close the window so a time-cut sweep still certifies the
@@ -96,8 +96,10 @@ _CERTIFY_WINDOW = [
     "ts_changepoint",
     "ts_anomaly_zscore",
     "ts_seasonality",
-    # round-8 new: the streaming twin of the anomaly screen
+    # round-8 new: the streaming twin of the anomaly screen, and
+    # cross-series correlation search (SAX-word-blocked Pearson)
     "stream_anomaly_screen",
+    "ts_corr_topk",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -131,7 +133,6 @@ _CERTIFY_WINDOW = [
     "window_session",
     "window_tumbling",
     "ngram_counts",
-    "doc_chunk",
     # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
     # r4-era stale re-certs: streaming (slow fixtures close the window)
@@ -144,11 +145,11 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 14 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 15 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
 # sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences,
-# rollup_multigrain), then the oldest r5 rows
+# rollup_multigrain, doc_chunk), then the oldest r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,
 # simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,

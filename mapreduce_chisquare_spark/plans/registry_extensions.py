@@ -3395,6 +3395,58 @@ WHERE nvar > 0 AND dev * dev > 9 * nvar
 """
 
 
+def ts_corr_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most correlated series pairs, SAX-word-blocked
+    (operators/timeseries.py ts_corr_topk)."""
+    from ..operators.timeseries import ts_corr_topk
+
+    return ts_corr_topk(_events(spark, sf_dir))
+
+
+def _sql_ts_corr_topk(
+    segments: int = 8, k: int = 20, max_bucket: int = 100
+) -> str:
+    """DuckDB twin of ts_corr_topk: same SAX-word blocking with the
+    bucket-size guard, same sketch cells, the five Pearson components
+    as sum(... ORDER BY seg) (componentwise the same left-to-right
+    additions as Spark's seg-ordered struct fold), one shared double
+    formula for r."""
+    return (
+        "WITH "
+        + _sax_ctes()
+        + f""",
+cbw AS (SELECT sax_word FROM sxw GROUP BY sax_word
+        HAVING count(*) BETWEEN 2 AND {max_bucket}),
+cu AS (SELECT w.user_id, w.sax_word, s.seg, s.paa_value
+       FROM sxw w JOIN cbw USING (sax_word)
+       JOIN sxk s ON s.user_id = w.user_id),
+cp AS (SELECT a.user_id AS ua, b.user_id AS ub, a.seg,
+              a.paa_value AS x, b.paa_value AS y
+       FROM cu a JOIN cu b
+         ON a.sax_word = b.sax_word AND a.seg = b.seg
+        AND a.user_id < b.user_id),
+cc AS (SELECT ua, ub,
+         sum(x ORDER BY seg) AS sx, sum(y ORDER BY seg) AS sy,
+         sum(x * x ORDER BY seg) AS sxx,
+         sum(y * y ORDER BY seg) AS syy,
+         sum(x * y ORDER BY seg) AS sxy
+       FROM cp GROUP BY ua, ub)
+SELECT ua AS user_a, ub AS user_b,
+       ({segments} * sxy - sx * sy)
+         / (sqrt({segments} * sxx - sx * sx)
+            * sqrt({segments} * syy - sy * sy)) AS corr
+FROM cc
+WHERE {segments} * sxx - sx * sx > 0
+  AND {segments} * syy - sy * sy > 0
+ORDER BY corr DESC, user_a ASC, user_b ASC
+LIMIT {k}
+"""
+    )
+
+
+SQL_TS_CORR_TOPK = _sql_ts_corr_topk()
+
+
 def stream_anomaly_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anomaly screen against a batch-trained profile —
     same exact flag decision as ts_anomaly_zscore, so it shares its
@@ -3928,4 +3980,5 @@ EXTENSION_QUERIES = {
         stream_anomaly_screen_q,
         SQL_TS_ANOMALY_ZSCORE,
     ),
+    "ts_corr_topk": (ts_corr_topk_q, SQL_TS_CORR_TOPK),
 }

@@ -2910,3 +2910,88 @@ def test_stream_anomaly_screen_equals_batch_flags(spark):
         for r in anomaly_screen_stream(spark, sf).collect()
     }
     assert batch and stream == batch
+
+
+def test_ts_corr_topk_blocks_by_word_and_matches_brute_force(spark):
+    """Cross-series correlation contract: (a) two users with the SAME
+    shape (one a level-shifted copy small enough to stay in the same
+    SAX cells) land in one bucket and top the ranking with corr ~ 1;
+    (b) every scored pair matches a plain-Python Pearson over the
+    same sketch cells (identical seg-ordered component sums); (c) a
+    hot word with more members than max_bucket contributes NO pairs
+    (the guard skips it)."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_corr_topk,
+        ts_paa,
+        ts_sax,
+    )
+
+    n = 32
+
+    def vals(uid):
+        if uid in (0, 1):  # same shape, tiny level offset
+            return [20.0 + 10.0 * ((i * 7) % 5) + uid * 0.1 for i in range(n)]
+        if uid >= 100:  # the hot bucket: constant-ish, same word
+            return [50.0 + (0.01 * uid if i == 0 else 0.0) for i in range(n)]
+        return [float((uid * 31 + i * 11) % 83) for i in range(n)]
+
+    uids = [0, 1, 2, 3] + list(range(100, 106))
+    rows = [
+        (
+            uid * 1000 + i,
+            dt.datetime(2024, 1, 1, 0, i),
+            uid,
+            "view",
+            vals(uid)[i],
+            "{}",
+        )
+        for uid in uids
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = [
+        (r.user_a, r.user_b, r.corr)
+        for r in ts_corr_topk(ev, k=50, max_bucket=4).collect()
+    ]
+    # (c) the 6-member hot bucket exceeds max_bucket=4: no pair from it
+    assert not any(ua >= 100 or ub >= 100 for ua, ub, _ in out), out
+    # (a) the planted shape pair ranks first, near-perfect correlation
+    assert out and (out[0][0], out[0][1]) == (0, 1)
+    assert out[0][2] > 0.999
+    # (b) brute force: same buckets, same cells, same formula
+    cells = {}
+    for r in ts_paa(ev, 8).collect():
+        cells.setdefault(r.user_id, {})[r.seg] = r.paa_value
+    words = {r.user_id: r.sax_word for r in ts_sax(ev, 8).collect()}
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for u, w in words.items():
+        buckets[w].append(u)
+    expected = []
+    for w, us in buckets.items():
+        if not (2 <= len(us) <= 4):
+            continue
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                xs = [cells[us[i]][s] for s in range(8)]
+                ys = [cells[us[j]][s] for s in range(8)]
+                sx = sy = sxx = syy = sxy = 0.0
+                for x, y in zip(xs, ys):
+                    sx += x; sy += y
+                    sxx += x * x; syy += y * y; sxy += x * y
+                da, db = 8 * sxx - sx * sx, 8 * syy - sy * sy
+                if da > 0 and db > 0:
+                    expected.append(
+                        (us[i], us[j], (8 * sxy - sx * sy)
+                         / (da ** 0.5 * db ** 0.5))
+                    )
+    expected.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert out == expected[: len(out)], (out, expected)
