@@ -139,6 +139,7 @@ HEADLINE = [
     "ts_anomaly_zscore",
     "ts_seasonality",
     "ts_corr_topk",
+    "dq_drift_psi",
 ]
 
 WARMUP = 1

@@ -244,3 +244,132 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(F.col("key").alias("row_key"), "change")
     )
+
+
+def dq_drift_psi(
+    events, buckets: int = 10, value_col: str = "value"
+):
+    """Distribution-drift screen between the first and second half of
+    the log: per event_type, the Population Stability Index of the
+    `value` distribution — the standard 'did this feed change under
+    me' monitor a training-data pipeline runs between corpus
+    versions (PSI = sum over buckets of (p-q)*ln(p/q); < 0.1 stable,
+    0.1-0.25 moderate drift, > 0.25 action). Returns
+    (event_type, psi, n_ref, n_cur). The reference window is the
+    first half of the log by exact epoch-microsecond midpoint
+    ((min+max) div 2, integer); types with no reference rows are
+    excluded (PSI needs a reference).
+
+    Exactness: every DECISION is exact integer arithmetic — the
+    ref/cur split compares integer microseconds, and bucket
+    assignment is `((c - lo) * B) div (hi - lo + 1)` over exact cents
+    against the type's FULL-LOG min/max (equal-width over the
+    combined range, so both halves bucket without edge-clamping
+    distortion — the simple-variant trade vs classical
+    reference-quantile buckets, documented as part of the contract),
+    so no row can change buckets between engines. Shares use Laplace
+    smoothing ((count_i + 1)/(n + B) — zero-count buckets would make
+    ln blow up; the smoothing is part of the contract) and the PSI
+    terms fold IN BUCKET ORDER, one shared double formula per term,
+    so the float result matches bit-for-bit.
+
+    Scale shape: TWO column-pruned passes over (ts, value,
+    event_type): (1) one per-type aggregate collecting the type's
+    cent bounds and the global time bounds together (bounded driver
+    state — one row per event type, an enum-sized relation; the
+    bounded-collect discipline, re-applied as a broadcast of
+    literals), (2) the (type, side, bucket) count (map-side
+    combinable; at most types x 2 x B groups). Everything after runs
+    on that tiny relation. No UDFs. Build-time freeze semantics: the
+    midpoint and bounds reflect the log at call time."""
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    ev = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        cents.alias("__c"),
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("__c").alias("__lo"),
+            F.max("__c").alias("__hi"),
+            F.min("__us").alias("__t0"),
+            F.max("__us").alias("__t1"),
+        )
+        .collect()
+    )
+    if not stats:
+        return ev.limit(0).select(
+            "event_type",
+            F.lit(0.0).alias("psi"),
+            F.lit(0).cast("long").alias("n_ref"),
+            F.lit(0).cast("long").alias("n_cur"),
+        )
+    mid = (min(r["__t0"] for r in stats) + max(r["__t1"] for r in stats)) // 2
+    spark = events.sparkSession
+    bounds = spark.createDataFrame(
+        [(r["event_type"], r["__lo"], r["__hi"]) for r in stats],
+        "event_type string, __lo long, __hi long",
+    )
+    b = F.lit(int(buckets))
+    bucketed = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("__us") < F.lit(mid), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+            F.least(
+                F.greatest(
+                    F.expr(
+                        f"((__c - __lo) * {int(buckets)}) div "
+                        "(__hi - __lo + 1)"
+                    ),
+                    F.lit(0),
+                ),
+                b - 1,
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "side", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    per = bucketed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("cnt"))).alias("n_ref"),
+        F.sum(F.when(F.col("side") == 1, F.col("cnt"))).alias("n_cur"),
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "side", "cnt"))
+        ).alias("arr"),
+    ).filter(F.col("n_ref").isNotNull())
+    n_ref = F.coalesce(F.col("n_ref"), F.lit(0)).cast("double")
+    n_cur = F.coalesce(F.col("n_cur"), F.lit(0)).cast("double")
+
+    def share(cnts: "F.Column", n: "F.Column") -> "F.Column":
+        return (cnts.cast("double") + F.lit(1.0)) / (
+            n + F.lit(float(buckets))
+        )
+
+    def bucket_count(i: int, side: int) -> "F.Column":
+        # exact lookup in the sorted (bucket, side, cnt) array:
+        # at most one element matches (i, side)
+        hits = F.filter(
+            F.col("arr"),
+            lambda e: (e["bucket"] == F.lit(i))
+            & (e["side"] == F.lit(side)),
+        )
+        return F.coalesce(
+            F.try_element_at(hits, F.lit(1))["cnt"], F.lit(0).cast("long")
+        )
+
+    psi = F.lit(0.0)
+    for i in range(int(buckets)):
+        p = share(bucket_count(i, 0), n_ref)
+        q = share(bucket_count(i, 1), n_cur)
+        psi = psi + (p - q) * F.log(p / q)
+    return per.select(
+        "event_type",
+        psi.alias("psi"),
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+    )

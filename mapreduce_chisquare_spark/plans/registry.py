@@ -65,10 +65,11 @@ except ImportError:
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
 # bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
 # ts_anomaly_zscore, ts_seasonality, stream_anomaly_screen,
-# ts_corr_topk — same-round promotion, local oracle-green at both
-# SFs), + the round-8 changed entries (ts_similarity_refined's
-# validation scan folded into the shortlist pass; multimodal_decode's
-# JPEG header probe), + 31 of the 45 remaining r4-era stale rows — led by the entire §2 reference
+# ts_corr_topk, dq_drift_psi — same-round promotion, local
+# oracle-green at both SFs), + the round-8 changed entries
+# (ts_similarity_refined's validation scan folded into the shortlist
+# pass; multimodal_decode's JPEG header probe), + 30 of the 45
+# remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
 # fixtures close the window so a time-cut sweep still certifies the
@@ -100,6 +101,8 @@ _CERTIFY_WINDOW = [
     # cross-series correlation search (SAX-word-blocked Pearson)
     "stream_anomaly_screen",
     "ts_corr_topk",
+    # round-8 new: distribution-drift screen (PSI between log halves)
+    "dq_drift_psi",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -131,7 +134,6 @@ _CERTIFY_WINDOW = [
     "top_n_global",
     "window_lag",
     "window_session",
-    "window_tumbling",
     "ngram_counts",
     # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
@@ -149,7 +151,8 @@ _CERTIFY_WINDOW = [
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
 # sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences,
-# rollup_multigrain, doc_chunk), then the oldest r5 rows
+# rollup_multigrain, doc_chunk, window_tumbling), then the oldest
+# r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,
 # simsearch_ivf_*, simsearch_pq_*, sample_weighted*, source_temperature,

@@ -3447,6 +3447,76 @@ LIMIT {k}
 SQL_TS_CORR_TOPK = _sql_ts_corr_topk()
 
 
+def dq_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI drift between the first and second half of
+    the event log (operators/warehouse.py dq_drift_psi)."""
+    from ..operators.warehouse import dq_drift_psi
+
+    return dq_drift_psi(_events(spark, sf_dir))
+
+
+def _sql_dq_drift_psi(buckets: int = 10) -> str:
+    """DuckDB twin of dq_drift_psi: same exact integer midpoint
+    split, same integer equal-width bucket assignment against the
+    type's FULL-LOG bounds, Laplace-smoothed shares, PSI terms added
+    in bucket order (left-associated, matching Spark's unrolled
+    sum). Types with no reference rows drop via the n_ref > 0
+    filter."""
+    bb = int(buckets)
+    rsum = ", ".join(
+        f"CAST(sum(CASE WHEN side = 0 AND bucket = {i} THEN cnt "
+        f"ELSE 0 END) AS BIGINT) AS r{i}"
+        for i in range(bb)
+    )
+    csum = ", ".join(
+        f"CAST(sum(CASE WHEN side = 1 AND bucket = {i} THEN cnt "
+        f"ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(bb)
+    )
+
+    def share(col: str, n: str) -> str:
+        return f"((CAST({col} AS DOUBLE) + 1.0) / (CAST({n} AS DOUBLE) + {float(bb)}))"
+
+    terms = " + ".join(
+        f"(({share(f'r{i}', 'n_ref')}) - ({share(f'c{i}', 'n_cur')})) "
+        f"* ln(({share(f'r{i}', 'n_ref')}) / ({share(f'c{i}', 'n_cur')}))"
+        for i in range(bb)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+sd AS (SELECT event_type, c,
+              CASE WHEN us < md.mid THEN 0 ELSE 1 END AS side
+       FROM e, md),
+bo AS (SELECT event_type, min(c) AS lo, max(c) AS hi
+       FROM e GROUP BY event_type),
+bk AS (SELECT s.event_type, s.side,
+              least(greatest(((s.c - bo.lo) * {bb})
+                             // (bo.hi - bo.lo + 1), 0), {bb - 1})
+                AS bucket
+       FROM sd s JOIN bo USING (event_type)),
+ct AS (SELECT event_type, side, bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM bk GROUP BY 1, 2, 3),
+pv AS (SELECT event_type,
+         CAST(sum(CASE WHEN side = 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN side = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_cur,
+         {rsum}, {csum}
+       FROM ct GROUP BY event_type)
+SELECT event_type, 0.0 + {terms} AS psi, n_ref, n_cur
+FROM pv
+WHERE n_ref > 0
+"""
+
+
+SQL_DQ_DRIFT_PSI = _sql_dq_drift_psi()
+
+
 def stream_anomaly_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anomaly screen against a batch-trained profile —
     same exact flag decision as ts_anomaly_zscore, so it shares its
@@ -3981,4 +4051,5 @@ EXTENSION_QUERIES = {
         SQL_TS_ANOMALY_ZSCORE,
     ),
     "ts_corr_topk": (ts_corr_topk_q, SQL_TS_CORR_TOPK),
+    "dq_drift_psi": (dq_drift_psi_q, SQL_DQ_DRIFT_PSI),
 }

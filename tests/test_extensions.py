@@ -2995,3 +2995,80 @@ def test_ts_corr_topk_blocks_by_word_and_matches_brute_force(spark):
                     )
     expected.sort(key=lambda t: (-t[2], t[0], t[1]))
     assert out == expected[: len(out)], (out, expected)
+
+
+def test_dq_drift_psi_detects_planted_shift_and_matches_brute_force(
+    spark,
+):
+    """PSI contract: a type whose value distribution jumps between
+    halves scores high PSI; a stationary type scores near 0; every
+    value matches a plain-Python reference of the exact contract
+    (integer midpoint split, integer equal-width buckets against the
+    reference bounds with edge clamping, Laplace shares, bucket-order
+    term sum); a type with no reference rows is excluded."""
+    import datetime as dt
+    import math
+
+    from mapreduce_chisquare_spark.operators.warehouse import dq_drift_psi
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def emit(minute, etype, v):
+        nonlocal eid
+        rows.append(
+            (eid, t0 + dt.timedelta(minutes=minute), 7, etype, float(v), "{}")
+        )
+        eid += 1
+
+    for i in range(200):
+        # 'drift': uniform 0..39 in the first half, 60..99 in the second
+        emit(i, "drift", (i * 13) % 40 if i < 100 else 60 + (i * 13) % 40)
+        # 'stable': same generator in both halves
+        emit(i, "stable", (i * 7) % 50)
+    for i in range(100, 200):
+        emit(i, "newborn", i)  # second half only: no reference
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.event_type: (r.psi, r.n_ref, r.n_cur)
+        for r in dq_drift_psi(ev).collect()
+    }
+    assert "newborn" not in out
+    assert out["stable"][0] < 0.1 < 1.0 < out["drift"][0]
+
+    # brute force the exact contract
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    all_us = []
+    for (e, ts, u, et, v, p) in rows:
+        us = int(ts.timestamp() * 1_000_000)
+        all_us.append(us)
+        by_type[et].append((us, round(v * 100)))
+    mid = (min(all_us) + max(all_us)) // 2
+    B = 10
+    for et, evs in by_type.items():
+        ref = [c for us, c in evs if us < mid]
+        cur = [c for us, c in evs if us >= mid]
+        if not ref:
+            continue
+        allc = [c for _, c in evs]
+        lo, hi = min(allc), max(allc)
+        rc, cc = [0] * B, [0] * B
+        for side, cs in ((rc, ref), (cc, cur)):
+            for c in cs:
+                b = max(0, min(B - 1, ((c - lo) * B) // (hi - lo + 1)))
+                side[b] += 1
+        psi = 0.0
+        for i in range(B):
+            p = (rc[i] + 1.0) / (len(ref) + float(B))
+            q = (cc[i] + 1.0) / (len(cur) + float(B))
+            psi = psi + (p - q) * math.log(p / q)
+        got = out[et]
+        assert got[1] == len(ref) and got[2] == len(cur), (et, got)
+        assert abs(got[0] - psi) < 1e-12, (et, got[0], psi)
