@@ -140,6 +140,11 @@ HEADLINE = [
     "ts_seasonality",
     "ts_corr_topk",
     "dq_drift_psi",
+    "graph_pagerank",
+    "graph_triangles",
+    "distinct_sketch_kmv",
+    "dq_quantiles",
+    "ts_forecast_ewma",
 ]
 
 WARMUP = 1

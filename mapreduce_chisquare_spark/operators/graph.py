@@ -1,0 +1,211 @@
+"""Graph analytics over relational edge lists: PageRank and triangle
+counting — the two graph questions a training-data pipeline actually
+asks of its corpus (link-based document importance for curation
+weighting; community density / clustering structure for sampling
+audits). The reference's surface has no graph tier
+(SURVEY.md §2 ends at joins/top-k); these extend the engine the way
+its mrjob lineage was historically extended (PageRank IS the original
+MapReduce showcase) — but expressed as DataFrame plans, not chained
+jobs.
+
+Cross-engine exactness: PageRank runs in FIXED-POINT INTEGER
+arithmetic (ranks are BIGINT multiples of 1/SCALE) with a fixed
+iteration count, so both engines produce bit-identical ranks — no
+float-summation-order drift across 10^6 partial aggregates, which is
+exactly the failure mode a float PageRank has at cluster scale.
+Triangle counting is integer throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # ranks are integer multiples of 1e-12
+PR_ITERATIONS = 10
+PR_DAMP_NUM = 85  # d = 85/100
+PR_DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list
+    (columns `src`, `dst`; duplicates allowed — deduped here).
+
+    Contract (shared bit-for-bit with the DuckDB twin):
+      r0(v)   = scale div N                      (N = |nodes|)
+      contrib = r(u) div outdeg(u)               (integer div)
+      dang    = (sum of r over sink nodes) div N
+      r'(v)   = (scale*(100-85)) div (100*N)
+                + (85 * (incoming(v) + dang)) div 100
+    for a fixed `iterations` rounds, damping d = 0.85. Every step is
+    BIGINT arithmetic — sums are order-independent and exact, so the
+    result cannot drift between engines or between partial-aggregate
+    schedules. The ~1e-12 per-node quantization this buys is far
+    below any ranking-relevant signal.
+
+    Scale shape: the edge relation is materialized ONCE
+    (localCheckpoint — at cluster scale: a bucketed-by-src layout or
+    DISK_ONLY persist) and re-joined per iteration; each iteration is
+    the canonical two exchanges (contrib join on src, incoming agg on
+    dst) over |E|, plus one 1-row dangling aggregate broadcast back —
+    never a driver-side rank table. Rank state is |V| rows,
+    checkpointed per round to truncate lineage (the
+    dedup_components discipline). Build-time freeze: N and the node
+    set reflect the edges at call time.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(int(iterations)):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .select(
+                F.col("node").alias("src"),
+                F.expr("r div deg").alias("contrib"),
+            )
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").cast("long").alias("s"))
+        )
+        dang = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
+            .select(F.expr(f"sr div CAST({int(n)} AS BIGINT)").alias("ds"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (COALESCE(s, CAST(0 AS BIGINT))"
+                        f" + ds)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def triangle_counts(
+    order_parts: DataFrame, min_support: int = 2, top: int = 20
+) -> DataFrame:
+    """Per-node triangle participation counts over the co-occurrence
+    graph of `order_parts` (columns `o_key`, `p_key`): nodes are
+    parts; an undirected edge joins two parts that co-occur in at
+    least `min_support` distinct orders (the support threshold is the
+    sparsifier — raw co-occurrence on a 100 TB basket log is dense
+    noise; repeated co-occurrence is signal, and it bounds |E| by the
+    repeat-collision rate). Returns the `top` parts by triangle
+    count, (p_key, tri_cnt), ties broken by p_key ascending.
+
+    Algorithm (Schank/Wagner degree orientation — the standard
+    MapReduce/distributed triangle scheme): orient every edge from
+    its lower-(degree, id) endpoint to its higher one. The oriented
+    graph is a DAG in which each triangle has exactly ONE apex with
+    both out-edges, so wedges = the apex self-join, and the closing
+    edge appears in exactly one (known) orientation — one equi-join,
+    no OR-join, no double counting. Orientation bounds every node's
+    out-degree by O(sqrt(|E|)) regardless of hub skew, which is THE
+    wedge-explosion guard at scale (a raw hub of degree h costs h^2
+    wedges; oriented it costs at most |E|).
+
+    All integer; all decisions exact. Wedge pairs are ordered by the
+    same (degree, id) key used for orientation, so both engines
+    enumerate identical wedges.
+    """
+    op = order_parts.select("o_key", "p_key").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, F.col("a.o_key") == F.col("b.o_key"))
+        .filter(F.col("a.p_key") < F.col("b.p_key"))
+        .select(
+            F.col("a.p_key").alias("lo"), F.col("b.p_key").alias("hi")
+        )
+    )
+    edges = (
+        pairs.groupBy("lo", "hi")
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= F.lit(int(min_support)))
+        .select("lo", "hi")
+    )
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .union(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    dl = deg.alias("dl")
+    dh = deg.alias("dh")
+    keyed = (
+        edges.join(dl, F.col("lo") == F.col("dl.node"))
+        .join(dh, F.col("hi") == F.col("dh.node"))
+        .select(
+            "lo",
+            "hi",
+            F.col("dl.deg").alias("deg_lo"),
+            F.col("dh.deg").alias("deg_hi"),
+        )
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("deg_hi"))
+        .otherwise(F.col("deg_lo"))
+        .alias("dst_deg"),
+    ).localCheckpoint()
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    before = (F.col("w1.dst_deg") < F.col("w2.dst_deg")) | (
+        (F.col("w1.dst_deg") == F.col("w2.dst_deg"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    wedges = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        .filter(before)
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("p_key"))
+        .union(tris.select(F.col("b").alias("p_key")))
+        .union(tris.select(F.col("c").alias("p_key")))
+        .groupBy("p_key")
+        .agg(F.count("*").cast("long").alias("tri_cnt"))
+    )
+    return (
+        per_node.orderBy(F.col("tri_cnt").desc(), F.col("p_key").asc())
+        .limit(int(top))
+    )

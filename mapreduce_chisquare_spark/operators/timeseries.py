@@ -1324,3 +1324,57 @@ def ts_corr_topk(
         .orderBy(F.desc("corr"), F.asc("user_a"), F.asc("user_b"))
         .limit(k)
     )
+
+
+def ts_forecast_ewma(
+    events: DataFrame, alpha: float = 0.3, value_col: str = "value"
+) -> DataFrame:
+    """Per-series exponential smoothing (EWMA) — the forecasting rung
+    of the series ladder (simple exponential smoothing, Brown 1956;
+    the one-step-ahead forecast IS the smoothed level). For each
+    entity, fold its (ts, event_id)-ordered values through
+    s := x*alpha + s*(1-alpha), seeded with the first value. Returns
+    (user_id, n_points, ewma_level).
+
+    Cross-engine exactness: a recursive float statistic is exact only
+    if both engines execute the SAME left fold in the SAME order —
+    so the series is materialized as one (ts, event_id)-sorted array
+    per entity and folded left-to-right with the literal expression
+    `x * alpha + acc * beta` (beta = 1 - alpha, both embedded as
+    identical literals in the DuckDB twin's list_reduce). No
+    aggregate-order nondeterminism exists to drift.
+
+    Scale shape: one user-keyed exchange; per-series state is the
+    series itself (bounded by the per-entity event count, the same
+    contract every fold in this module carries); the fold is a single
+    interpreted-HOF pass over a MATERIALIZED array (the no-CSE
+    lesson: the array is built once in a prior projection). At 100 TB
+    this is one shuffle and one linear pass — the minimum for an
+    order-dependent statistic."""
+    beta = 1.0 - alpha
+    arr = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.expr("transform(es, e -> e.v)").alias("vals"),
+        )
+    )
+    level = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: x * F.lit(alpha) + acc * F.lit(beta),
+    )
+    return arr.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_points"),
+        level.alias("ewma_level"),
+    )

@@ -373,3 +373,51 @@ def dq_drift_psi(
         F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
         F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
     )
+
+
+def dq_quantiles(
+    events, percentiles: tuple = (50, 95, 99), value_col: str = "value"
+):
+    """EXACT per-type value quantiles — the profiling numbers a feed
+    audit quotes (p50/p95/p99). Returns
+    (event_type, n, p50, p95, p99) in value units.
+
+    Contract (shared with the DuckDB twin so the doubles hash-match):
+    quantile p is the cents value at 0-based sorted position
+    ((n-1) * p) div 100 — an exact-integer rank decision (the
+    'lower'/type-1 quantile definition; engines disagree on
+    interpolation rules, so the contract pins the non-interpolating
+    one), restored to units by one division. Ties in cents cannot
+    perturb the result: position selection is over the sorted cents
+    themselves.
+
+    Scale shape: ONE type-keyed exchange serves the ordering window
+    (row_number) and the per-type count; quantile extraction is a
+    conditional max folded into the existing per-type aggregate — no
+    second shuffle, no driver collect. Exact quantiles require the
+    per-group sort; the approximate path at 100 TB is
+    percentile_approx/t-digest (engine-private sketch, certified by
+    tolerance only — this operator is the auditable exact twin)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("__c", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (
+        events.select("event_type", "event_id", cents.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    aggs = [F.max("__n").alias("n")]
+    for p in percentiles:
+        idx = F.expr(f"((__n - 1) * {int(p)}) div 100")
+        aggs.append(
+            (
+                F.max(
+                    F.when(F.col("__rn") - 1 == idx, F.col("__c"))
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias(f"p{int(p)}")
+        )
+    return ranked.groupBy("event_type").agg(*aggs)

@@ -28,6 +28,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from .registry_analytics import ANALYTICS_QUERIES
+
+    REGISTRY.update(ANALYTICS_QUERIES)
+except ImportError:
+    pass
+
 # Certification-window rotation: the driver's per-round correctness
 # sweep certifies the FIRST 50 entries of this dict in order, so each
 # round leads with entries that do not yet have a driver-green row.
@@ -61,14 +68,15 @@ except ImportError:
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
 # Round-8 window (50) = the 7 round-7 tail additions (never
-# driver-certified; local oracle-green at both SFs), + the 9 round-8
+# driver-certified; local oracle-green at both SFs), + the 17 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
 # bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
 # ts_anomaly_zscore, ts_seasonality, stream_anomaly_screen,
-# ts_corr_topk, dq_drift_psi — same-round promotion, local
-# oracle-green at both SFs), + the round-8 changed entries
+# ts_corr_topk, dq_drift_psi, graph_pagerank, graph_triangles,
+# distinct_sketch_kmv, dq_quantiles, ts_forecast_ewma — same-round
+# promotion, local oracle-green at both SFs), + the round-8 changed entries
 # (ts_similarity_refined's validation scan folded into the shortlist
-# pass; multimodal_decode's JPEG header probe), + 30 of the 45
+# pass; multimodal_decode's JPEG header probe), + 25 of the 45
 # remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
@@ -103,6 +111,14 @@ _CERTIFY_WINDOW = [
     "ts_corr_topk",
     # round-8 new: distribution-drift screen (PSI between log halves)
     "dq_drift_psi",
+    # round-8 new: graph tier (fixed-point integer PageRank; degree-
+    # oriented triangle counting), KMV distinct sketch, exact quantile
+    # audit, EWMA forecast
+    "graph_pagerank",
+    "graph_triangles",
+    "distinct_sketch_kmv",
+    "dq_quantiles",
+    "ts_forecast_ewma",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -130,11 +146,6 @@ _CERTIFY_WINDOW = [
     # r4-era stale re-certs: joins / windows / set-ops / misc
     "join_bucketed",
     "join_bloom_prefilter",
-    "sql_correlated_subquery",
-    "top_n_global",
-    "window_lag",
-    "window_session",
-    "ngram_counts",
     # round-8 changed: decode dispatch grew the JPEG header probe
     "multimodal_decode",
     # r4-era stale re-certs: streaming (slow fixtures close the window)
@@ -147,11 +158,13 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 15 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 20 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
 # sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences,
-# rollup_multigrain, doc_chunk, window_tumbling), then the oldest
+# rollup_multigrain, doc_chunk, window_tumbling,
+# sql_correlated_subquery, top_n_global, window_lag, window_session,
+# ngram_counts), then the oldest
 # r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,

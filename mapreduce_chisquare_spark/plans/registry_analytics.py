@@ -1,0 +1,304 @@
+"""queries()/oracle_sql() registry — graph analytics, deterministic
+sketches, exact quantile audits, and series forecasting.
+
+The graph tier extends the engine the way the reference's mrjob
+lineage was historically extended (PageRank is the original MapReduce
+showcase; cf. the chained-job structure of
+/root/reference/multi_jobs_hdfs.py:39-215) — but as DataFrame plans
+with fixed-point integer contracts, so both engines produce
+bit-identical results and the oracle gate certifies VALUES, not just
+shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERATIONS,
+    PR_SCALE,
+    pagerank,
+    triangle_counts,
+)
+from ..operators.sketches import KMV_HASH_SPACE, kmv_distinct
+from ..sources.readers import scan_parquet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, name)
+
+
+# =========================================================================
+# PageRank over the customer -> supplier trade graph
+# =========================================================================
+
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    customer->supplier trade graph: a directed edge C<custkey> ->
+    S<suppkey> for every distinct (customer, supplier) pair connected
+    through orders x lineitem. Suppliers are sinks — the dangling-mass
+    redistribution path is exercised on every iteration, not just in
+    tests."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return pagerank(edges)
+
+
+def _sql_pagerank(
+    iterations: int = PR_ITERATIONS, scale: int = PR_SCALE
+) -> str:
+    """DuckDB twin: the fixed iteration count is unrolled into chained
+    CTEs (no recursion needed — the contract pins the round count),
+    every step CAST to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT)."""
+    num, den = PR_DAMP_NUM, PR_DAMP_DEN
+    blocks = [
+        f"""
+WITH eg AS MATERIALIZED (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY src),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node,
+              CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
+       FROM nodes)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        p = i - 1
+        blocks.append(
+            f"""
+inc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(p.r // od.deg) AS BIGINT) AS s
+  FROM r{p} p JOIN od ON p.node = od.src JOIN eg e ON e.src = p.node
+  GROUP BY e.dst),
+dg{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT) // (SELECT n FROM nn) AS ds
+  FROM r{p} p WHERE p.node NOT IN (SELECT src FROM od)),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(({scale} * {den - num}) // ({den} * (SELECT n FROM nn))
+              + ({num} * (COALESCE(inc{i}.s, 0) + (SELECT ds FROM dg{i})))
+                // {den} AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN inc{i} ON nd.node = inc{i}.node)"""
+        )
+    return (
+        ",".join(blocks)
+        + f"\nSELECT node, r AS rank_fp FROM r{int(iterations)}\n"
+    )
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank()
+
+
+# =========================================================================
+# Triangle counting over the co-order part graph
+# =========================================================================
+
+# Planted K4 (4 synthetic orders, each a triple over parts -1..-4):
+# every pair of {-1,-2,-3,-4} co-occurs in exactly 2 orders, so all 6
+# edges clear min_support=2 and the clique contributes 4 triangles (3
+# per node). The synthetic corpus's co-order graph is support-sparse
+# by construction, so without the plant the gate could pass on an
+# empty result — the dedup_exact de-trivialization lesson applied.
+_TRI_PLANT = [
+    (-1, -1), (-1, -2), (-1, -3),
+    (-2, -1), (-2, -2), (-2, -4),
+    (-3, -1), (-3, -3), (-3, -4),
+    (-4, -2), (-4, -3), (-4, -4),
+]
+
+
+def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py) over
+    the support-2 co-order part graph, plus a planted K4 so the gate
+    always certifies real triangles."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    )
+    plant = spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    return triangle_counts(op.union(plant), min_support=2, top=20)
+
+
+def _sql_triangles(min_support: int = 2, top: int = 20) -> str:
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+edges AS (
+  SELECT a.p_key AS lo, b.p_key AS hi
+  FROM op a JOIN op b ON a.o_key = b.o_key AND a.p_key < b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= {int(min_support)}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges)
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi) THEN e.lo ELSE e.hi END
+           AS src,
+         CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi) THEN e.hi ELSE e.lo END
+           AS dst,
+         CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi) THEN dh.deg ELSE dl.deg
+           END AS dst_deg
+  FROM edges e
+  JOIN deg dl ON e.lo = dl.node
+  JOIN deg dh ON e.hi = dh.node),
+tris AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w1.src = w2.src
+   AND (w1.dst_deg, w1.dst) < (w2.dst_deg, w2.dst)
+  JOIN oriented cl ON cl.src = w1.dst AND cl.dst = w2.dst)
+SELECT p_key, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+  SELECT a AS p_key FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris)
+GROUP BY p_key
+ORDER BY tri_cnt DESC, p_key ASC
+LIMIT {int(top)}
+"""
+
+
+SQL_GRAPH_TRIANGLES = _sql_triangles()
+
+
+# =========================================================================
+# KMV distinct sketch
+# =========================================================================
+
+_KMV_K = 64
+
+
+def distinct_sketch_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct-user count via the KMV
+    sketch (operators/sketches.py) — the cross-engine-deterministic
+    alternative to approx_count_distinct."""
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=_KMV_K
+    )
+
+
+def _sql_kmv(k: int = _KMV_K) -> str:
+    space = repr(KMV_HASH_SPACE)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events),
+r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM h),
+kk AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+       FROM r WHERE rn <= {int(k)} GROUP BY grp)
+SELECT grp AS event_type,
+       CASE WHEN k_used < {int(k)} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST({int(k) - 1} AS DOUBLE) * {space}
+                 / CAST(hk AS DOUBLE) END AS kmv_distinct,
+       k_used
+FROM kk
+"""
+
+
+SQL_DISTINCT_SKETCH_KMV = _sql_kmv()
+
+
+# =========================================================================
+# Exact quantile audit
+# =========================================================================
+
+def dq_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type p50/p95/p99 of event value
+    (operators/warehouse.py dq_quantiles)."""
+    from ..operators.warehouse import dq_quantiles
+
+    return dq_quantiles(_t(spark, sf_dir, "events"))
+
+
+def _sql_dq_quantiles(percentiles: tuple = (50, 95, 99)) -> str:
+    cols = ",\n  ".join(
+        f"CAST(max(CASE WHEN rn - 1 = ((n - 1) * {int(p)}) // 100 "
+        f"THEN c END) AS DOUBLE) / 100.0 AS p{int(p)}"
+        for p in percentiles
+    )
+    return f"""
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+           AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events)
+SELECT event_type, max(n) AS n,
+  {cols}
+FROM r GROUP BY event_type
+"""
+
+
+SQL_DQ_QUANTILES = _sql_dq_quantiles()
+
+
+# =========================================================================
+# EWMA forecast
+# =========================================================================
+
+_EWMA_ALPHA = 0.3
+
+
+def ts_forecast_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA level / one-step forecast
+    (operators/timeseries.py ts_forecast_ewma)."""
+    from ..operators.timeseries import ts_forecast_ewma
+
+    return ts_forecast_ewma(_t(spark, sf_dir, "events"), alpha=_EWMA_ALPHA)
+
+
+def _sql_ewma(alpha: float = _EWMA_ALPHA) -> str:
+    a, b = repr(alpha), repr(1.0 - alpha)
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+           AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_points,
+       list_reduce(vals, (acc, x) -> x * CAST({a} AS DOUBLE)
+                                     + acc * CAST({b} AS DOUBLE))
+         AS ewma_level
+FROM s
+"""
+
+
+SQL_TS_FORECAST_EWMA = _sql_ewma()
+
+
+ANALYTICS_QUERIES = {
+    "graph_pagerank": (graph_pagerank_q, SQL_GRAPH_PAGERANK),
+    "graph_triangles": (graph_triangles_q, SQL_GRAPH_TRIANGLES),
+    "distinct_sketch_kmv": (distinct_sketch_kmv_q, SQL_DISTINCT_SKETCH_KMV),
+    "dq_quantiles": (dq_quantiles_q, SQL_DQ_QUANTILES),
+    "ts_forecast_ewma": (ts_forecast_ewma_q, SQL_TS_FORECAST_EWMA),
+}

@@ -1,0 +1,222 @@
+"""Graph analytics, deterministic sketches, exact quantiles, EWMA:
+value-exact unit tests against plain-Python references of the SAME
+contracts the DuckDB twins pin, plus the scale-shape properties the
+docstrings claim."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from mapreduce_chisquare_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    triangle_counts,
+)
+from mapreduce_chisquare_spark.operators.sketches import kmv_distinct
+
+
+def _py_pagerank(edges, iterations=10, scale=PR_SCALE):
+    """Plain-Python reference of the exact fixed-point contract."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (scale * 15) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for u, v in edges:
+            inc[v] += r[u] // outdeg[u]
+        dang = sum(r[v] for v in nodes if v not in outdeg) // n
+        r = {v: base + (85 * (inc[v] + dang)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference_bit_for_bit(spark):
+    """Hub-and-sink graph: C1,C2,C3 all cite S1; C1 also cites S2;
+    S1/S2 are sinks (dangling mass exercised every round). Every rank
+    must equal the Python reference EXACTLY — the fixed-point contract
+    leaves no tolerance."""
+    edges = [
+        ("C1", "S1"), ("C2", "S1"), ("C3", "S1"),
+        ("C1", "S2"), ("S2", "C1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_fp for r in pagerank(df).collect()}
+    want = _py_pagerank(edges)
+    assert got == want
+    # the thrice-cited sink outranks everything
+    assert max(want, key=want.get) == "S1"
+    # conservation: total rank stays within N floor-losses of scale
+    assert abs(sum(want.values()) - PR_SCALE) < 100 * len(want)
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    """A directed 4-cycle is symmetric: all ranks identical, and no
+    dangling mass exists to redistribute."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r.node: r.rank_fp for r in pagerank(df).collect()}
+    assert len(set(ranks.values())) == 1
+    assert ranks == _py_pagerank(edges)
+
+
+def _op_df(spark, rows):
+    return spark.createDataFrame(rows, "o_key long, p_key long")
+
+
+K4_ORDERS = [
+    (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 4),
+    (3, 1), (3, 3), (3, 4),
+    (4, 2), (4, 3), (4, 4),
+]
+
+
+def test_triangles_counts_planted_k4_exactly(spark):
+    """Four triples over parts {1,2,3,4}: every pair co-occurs in
+    exactly 2 orders, so K4 survives min_support=2 — 4 triangles, 3
+    per node."""
+    out = {
+        r.p_key: r.tri_cnt
+        for r in triangle_counts(_op_df(spark, K4_ORDERS)).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_support_threshold_prunes_single_cooccurrence(spark):
+    """A triangle seen in only ONE order has support-1 edges — pruned
+    entirely at min_support=2, counted at min_support=1."""
+    rows = [(1, 10), (1, 11), (1, 12)]
+    assert triangle_counts(_op_df(spark, rows), min_support=2).count() == 0
+    out = {
+        r.p_key: r.tri_cnt
+        for r in triangle_counts(_op_df(spark, rows), min_support=1).collect()
+    }
+    assert out == {10: 1, 11: 1, 12: 1}
+
+
+def test_triangles_star_hub_yields_none_and_duplicate_lines_collapse(spark):
+    """A hub co-ordered pairwise with 30 spokes (no spoke-spoke edge)
+    has zero triangles — and repeated (order, part) lines must not
+    inflate support (the relation is deduped before pairing)."""
+    rows = []
+    for i in range(30):
+        # two orders per spoke so (hub=0, spoke) clears support 2
+        rows += [(100 + i, 0), (100 + i, 1 + i)] * 2
+        rows += [(200 + i, 0), (200 + i, 1 + i)]
+    assert triangle_counts(_op_df(spark, rows), min_support=2).count() == 0
+
+
+def _py_kmv_hash(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_exact_below_k_and_estimate_matches_contract(spark):
+    """A group with < k distinct keys reports the EXACT count; a
+    saturated group reports (k-1)*2^60/h_k with h_k reproduced by a
+    Python md5 reference — and the deterministic hash keeps the
+    estimate within the sketch's expected error of the truth."""
+    rows = [("small", i) for i in range(40)] * 3
+    rows += [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {
+        r.event_type: (r.kmv_distinct, r.k_used)
+        for r in kmv_distinct(df, "user_id", "event_type", k=64).collect()
+    }
+    assert out["small"] == (40.0, 40)
+    hk = sorted(_py_kmv_hash(i) for i in range(5000))[63]
+    want = 63.0 * float(2**60) / float(hk)
+    got, k_used = out["big"]
+    assert k_used == 64
+    assert got == want
+    assert abs(got - 5000) / 5000 < 0.40  # ~3 sigma for k=64
+
+
+def test_kmv_topk_filter_compiles_to_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must prune per-partition BEFORE the
+    exchange (WindowGroupLimit) — the property that keeps the shuffle
+    at k rows per partition-group at 100 TB."""
+    from mapreduce_chisquare_spark.plans.registry import REGISTRY
+    from tests.test_plans import plan_text
+
+    p = plan_text(REGISTRY["distinct_sketch_kmv"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+
+
+def test_dq_quantiles_exact_positions(spark):
+    """1..100 planted per type: the type-1 (non-interpolating)
+    contract picks positions 49/94/98 -> values 50/95/99."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.warehouse import dq_quantiles
+
+    rows = [
+        (i + 1000 * t, dt.datetime(2024, 1, 1), 1, f"t{t}", float(v), "{}")
+        for t in range(2)
+        for i, v in enumerate(range(100, 0, -1))  # reversed: order must not matter
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r.event_type: (r.n, r.p50, r.p95, r.p99) for r in dq_quantiles(df).collect()}
+    assert out == {"t0": (100, 50.0, 95.0, 99.0), "t1": (100, 50.0, 95.0, 99.0)}
+
+
+def test_ewma_matches_left_fold_and_single_point_is_identity(spark):
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_forecast_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 9.0, 20.0, 3.5]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows.append((99, t0, 2, "x", 7.25, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r.user_id: (r.n_points, r.ewma_level) for r in ts_forecast_ewma(df).collect()}
+    s = vals[0]
+    for x in vals[1:]:
+        s = x * 0.3 + s * 0.7
+    assert out[1] == (5, s)
+    assert out[2] == (1, 7.25)
+
+
+def test_ewma_is_order_insensitive_to_input_layout(spark):
+    """Shuffling input rows must not change the fold: ordering comes
+    from (ts, event_id), not arrival order."""
+    import datetime as dt
+    import random
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_forecast_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "x", float((i * 37) % 100), "{}")
+        for i in range(50)
+    ]
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+    mk = lambda rs: spark.createDataFrame(
+        rs,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    a = ts_forecast_ewma(mk(rows)).collect()[0]
+    b = ts_forecast_ewma(mk(shuffled)).collect()[0]
+    assert (a.n_points, a.ewma_level) == (b.n_points, b.ewma_level)

@@ -734,3 +734,116 @@ def test_bpe_merges_vocab_bound_and_deterministic_at_scale(
     # vocab-bound: 10x the corpus may cost the extra corpus scan but
     # not 10x the merge loop
     assert t_big / t_small < 8.0, (t_small, t_big)
+
+
+# =========================================================================
+# Graph tier: orientation skew guard + fixed-point PageRank at scale
+# =========================================================================
+
+@pytest.mark.slow
+def test_triangle_orientation_neutralizes_planted_hub(spark):
+    """A 2,000-spoke hub is the wedge bomb: unoriented it alone costs
+    C(2000,2) ~ 2M wedges. Degree orientation points every spoke edge
+    AT the hub (spokes have the lower degree), so the hub's
+    out-degree — and its wedge contribution — is ZERO, and the 60
+    planted triangles are still counted exactly."""
+    from mapreduce_chisquare_spark.operators.graph import triangle_counts
+
+    rows = []
+    okey = 0
+    # hub 0 <-> spokes 1..2000, each edge in 2 distinct orders
+    for s in range(1, 2001):
+        for _ in range(2):
+            rows += [(okey, 0), (okey, s)]
+            okey += 1
+    # 60 disjoint planted triangles on nodes >= 10000
+    for t in range(60):
+        a = 10000 + 3 * t
+        for _ in range(2):
+            rows += [(okey, a), (okey, a + 1), (okey, a + 2)]
+            okey += 1
+    df = spark.createDataFrame(rows, "o_key long, p_key long")
+
+    # python mirror of the edge/degree/orientation contract
+    from collections import defaultdict
+    deg = defaultdict(int)
+    edges = {(0, s) for s in range(1, 2001)} | {
+        (a, b)
+        for t in range(60)
+        for a, b in [
+            (10000 + 3 * t, 10001 + 3 * t),
+            (10000 + 3 * t, 10002 + 3 * t),
+            (10001 + 3 * t, 10002 + 3 * t),
+        ]
+    }
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    outdeg = defaultdict(int)
+    for u, v in edges:
+        src = u if (deg[u], u) < (deg[v], v) else v
+        outdeg[src] += 1
+    wedges_raw = sum(d * (d - 1) // 2 for d in deg.values())
+    wedges_oriented = sum(d * (d - 1) // 2 for d in outdeg.values())
+    assert wedges_raw > 1_900_000
+    assert wedges_oriented < 100  # the guard: hub contributes zero
+    assert outdeg[0] == 0
+
+    t0 = time.perf_counter()
+    out = {r.p_key: r.tri_cnt for r in triangle_counts(df, top=200).collect()}
+    wall = time.perf_counter() - t0
+    # exact: every planted node participates in exactly 1 triangle,
+    # the hub in none; top=200 returns all 180 planted nodes
+    assert out == {10000 + i: 1 for i in range(180)}
+    assert wall < 60.0, wall
+
+
+@pytest.mark.slow
+def test_pagerank_bit_identical_to_python_at_120k_edges(spark):
+    """120k-edge synthetic web (20k nodes, a 7-step ring plus every
+    5th node citing hub 0, plus 2k pure sinks reached from the ring):
+    the Spark ranks must equal a plain-Python evaluation of the
+    fixed-point contract BIT FOR BIT at this scale — the property
+    float PageRank cannot offer — and the hub must win."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    edges = set()
+    n_ring = 20000
+    for i in range(n_ring):
+        edges.add((f"n{i}", f"n{(i * 7 + 1) % n_ring}"))
+        edges.add((f"n{i}", f"n{(i + 1) % n_ring}"))
+        edges.add((f"n{i}", f"n{(i * 13 + 5) % n_ring}"))
+        if i % 5 == 0:
+            edges.add((f"n{i}", "n0"))
+        if i % 10 == 0:
+            edges.add((f"n{i}", f"sink{i // 10}"))  # 2k dangling sinks
+    edges = sorted(edges)
+    assert len(edges) > 60000
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    t0 = time.perf_counter()
+    got = {r.node: r.rank_fp for r in pagerank(df).collect()}
+    wall = time.perf_counter() - t0
+
+    # python reference of the same integer contract
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (PR_SCALE * 15) // (100 * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(10):
+        inc = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            inc[v] += r[u] // outdeg[u]
+        dang = sum(r[v] for v in nodes if v not in outdeg) // n
+        r = {v: base + (85 * (inc[v] + dang)) // 100 for v in nodes}
+    assert got == r
+    assert max(got, key=got.get) == "n0"
+    # total-mass conservation within cumulative floor losses
+    assert abs(sum(got.values()) - PR_SCALE) < 100 * n
+    assert wall < 120.0, wall
