@@ -145,6 +145,10 @@ HEADLINE = [
     "distinct_sketch_kmv",
     "dq_quantiles",
     "ts_forecast_ewma",
+    "quality_gopher_rules",
+    "c4_line_dedup",
+    "dsir_importance",
+    "ts_forecast_holt",
 ]
 
 WARMUP = 1

@@ -627,3 +627,159 @@ def select_token_budget(
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def c4_line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_doc_lines: int = 1,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020 §2.2,
+    public): split each document into lines, keep lines with >=
+    min_line_words words, then CORPUS-GLOBAL exact line
+    deduplication — every line's first occurrence (smallest
+    (doc_id, line_no)) survives, all later copies are cut from their
+    documents — and reassemble. Documents keeping fewer than
+    min_doc_lines lines are dropped. (C4 also requires terminal
+    punctuation per line; this corpus has none, so that rule is
+    deliberately not part of the contract here — the global-dedup
+    shuffle is the load-bearing piece.) Returns
+    (doc_id, clean_text, n_lines_kept, n_lines_dropped) where
+    dropped counts the deduplicated lines (quality-filtered lines are
+    cut before counting, as in C4).
+
+    Scale shape: exactly TWO exchanges — one keyed by the line for
+    the first-occurrence window (at 100 TB this is the big shuffle;
+    it moves each line once, and a production variant would key on a
+    64-bit line hash and carry (doc_id, line_no) only — the payload
+    here keeps the line text because reassembly needs it), one keyed
+    by doc_id for reassembly. First-occurrence is decided by
+    row_number over (doc_id, line_no) — total order, so both engines
+    keep identical survivors. No UDFs."""
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .filter(
+            F.size(F.filter(F.split("line", " "), lambda w: w != ""))
+            >= F.lit(int(min_line_words))
+        )
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    marked = lines.withColumn(
+        "__keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    per_doc = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("__keep").cast("long").alias("n_lines_kept"),
+            (F.count("*") - F.sum("__keep"))
+            .cast("long")
+            .alias("n_lines_dropped"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__keep") == 1,
+                        F.struct("line_no", "line"),
+                    )
+                )
+            ).alias("__kept"),
+        )
+        .filter(F.col("n_lines_kept") >= F.lit(int(min_doc_lines)))
+    )
+    return per_doc.select(
+        "doc_id",
+        F.array_join(
+            F.transform("__kept", lambda e: e["line"]), "\n"
+        ).alias("clean_text"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    public) — unigram variant: score every document by how much more
+    likely its words are under the TARGET distribution (the rows
+    matching `target_filter`, a Column predicate) than under the raw
+    corpus distribution, log lambda(d) = sum_w cnt_w(d) *
+    ln(p_target(w) / p_raw(w)), both Laplace-smoothed over the shared
+    vocabulary. Returns the top-k (doc_id, n_tokens, log_weight) by
+    (log_weight DESC, doc_id ASC) — the documents importance
+    resampling would keep first.
+
+    Cross-engine exactness: the per-document float sum folds the
+    (word, cnt*llr) terms IN WORD ORDER (array_sort + left fold — the
+    module's standard ordered-fold discipline), and each term is the
+    same left-to-right double expression on both engines; the final
+    top-k is decided on those bit-identical doubles with a doc_id
+    tie-break.
+
+    Scale shape: one (doc, word) count exchange over the token
+    relation; the vocabulary relation (word, target_cnt, raw_cnt) is
+    vocab-sized and BROADCAST back (at 100 TB, hashed n-gram buckets
+    cap the vocab — the paper's 10k-bucket trick — so the broadcast
+    stays bounded by construction); one doc-keyed exchange for the
+    ordered fold; TakeOrdered for the global top-k. The corpus is
+    tokenized ONCE — target and raw counts both aggregate from the
+    same token relation."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        target_filter.cast("int").alias("__is_t"),
+        F.explode(words).alias("word"),
+    )
+    dw = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("__is_t").alias("__is_t"),
+    )
+    vocab = toks.groupBy("word").agg(
+        F.sum("__is_t").cast("long").alias("tcnt"),
+        F.count("*").cast("long").alias("rcnt"),
+    )
+    # totals ride a 1-row aggregate, broadcast as a cross join
+    totals = vocab.agg(
+        F.sum("tcnt").cast("long").alias("t_total"),
+        F.sum("rcnt").cast("long").alias("r_total"),
+        F.count("*").cast("long").alias("v"),
+    )
+    llr = (
+        F.log(
+            (F.col("tcnt").cast("double") + F.lit(1.0))
+            / (F.col("t_total").cast("double") + F.col("v").cast("double"))
+        )
+        - F.log(
+            (F.col("rcnt").cast("double") + F.lit(1.0))
+            / (F.col("r_total").cast("double") + F.col("v").cast("double"))
+        )
+    )
+    terms = dw.join(F.broadcast(vocab.crossJoin(F.broadcast(totals))), "word").select(
+        "doc_id",
+        "cnt",
+        F.struct(F.col("word"), (F.col("cnt").cast("double") * llr).alias("t")).alias("e"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.array_sort(F.collect_list("e")).alias("es"),
+    )
+    folded = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "es", F.lit(0.0), lambda acc, e: acc + e["t"]
+        ).alias("log_weight"),
+    )
+    return folded.orderBy(
+        F.desc("log_weight"), F.asc("doc_id")
+    ).limit(int(k))

@@ -1013,3 +1013,85 @@ def bpe_vocab(
         .orderBy(F.desc("token_count"), F.asc("token"))
         .limit(k)
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "a", "to", "of", "and", "that", "with")
+
+
+def quality_gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021 §A1.1, public)
+    as a single map-side screen — the named rule set most production
+    LLM corpora are actually filtered with. Per document:
+
+      rule_word_count   min_words <= n <= max_words
+      rule_mean_len     mean word length in [3, 10] characters
+      rule_alpha        >= 80% of words contain an alphabetic char
+      rule_symbol       symbol-to-word ratio ('#', ellipsis) <= 0.1
+      rule_stopwords    >= 2 distinct required stopwords present
+      rule_repetition   modal-word share <= 0.2 (the single-line
+                        adaptation of Gopher's duplicate-line rules;
+                        this corpus has no line structure)
+
+    Returns (doc_id, n_words, the six rule flags as 0/1 ints, passed)
+    for EVERY doc — a screen reports, the caller filters.
+
+    Exactness: every ratio decision is an exact integer
+    cross-multiplication (3n <= chars <= 10n; 5*alpha >= 4n;
+    10*symbols <= n; 5*modal <= n) — no float boundary can flip
+    between engines. Scale shape: zero shuffles, zero UDFs — one
+    projection over the scan; the token array is materialized once
+    (the no-CSE rule) and every rule reads it. At 100 TB this runs at
+    scan speed."""
+    words = _words(text_col)
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("__t"), words.alias("__w")
+    )
+    n = F.size("__w")
+    chars = F.aggregate(
+        F.transform("__w", lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )  # 0 (not NULL) on empty docs; the DuckDB twin coalesces to match
+    alpha = F.size(F.filter("__w", lambda w: w.rlike("[a-z]")))
+    symbols = (
+        F.length("__t")
+        - F.length(F.replace(F.col("__t"), F.lit("#"), F.lit("")))
+        + (
+            F.length("__t")
+            - F.length(F.replace(F.col("__t"), F.lit("…"), F.lit("")))
+        )
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    n_req_stop = F.size(
+        F.array_intersect(F.array_distinct("__w"), stop_arr)
+    )
+    modal = F.array_max(
+        F.transform(
+            F.array_distinct("__w"),
+            lambda w: F.size(F.filter("__w", lambda x: x == w)),
+        )
+    )
+    r_count = (n >= F.lit(int(min_words))) & (n <= F.lit(int(max_words)))
+    r_mean = (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n)
+    r_alpha = F.lit(5) * alpha >= F.lit(4) * n
+    r_symbol = F.lit(10) * symbols <= n
+    r_stop = n_req_stop >= F.lit(2)
+    r_rep = F.lit(5) * F.coalesce(modal, F.lit(0)) <= n
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        r_count.cast("int").alias("rule_word_count"),
+        r_mean.cast("int").alias("rule_mean_len"),
+        r_alpha.cast("int").alias("rule_alpha"),
+        r_symbol.cast("int").alias("rule_symbol"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        r_rep.cast("int").alias("rule_repetition"),
+        (r_count & r_mean & r_alpha & r_symbol & r_stop & r_rep)
+        .cast("int")
+        .alias("passed"),
+    )

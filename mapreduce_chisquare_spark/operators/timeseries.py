@@ -1378,3 +1378,79 @@ def ts_forecast_ewma(
         F.size("vals").cast("long").alias("n_points"),
         level.alias("ewma_level"),
     )
+
+
+def ts_forecast_holt(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series Holt linear-trend (double exponential) smoothing —
+    the rung above ts_forecast_ewma: a level AND a trend component
+    (Holt 1957, public), so the one-step forecast extrapolates slope
+    instead of assuming a flat level. Fold over the
+    (ts, event_id)-ordered values, seeded (l, b) = (x1, 0):
+
+        l' = x*alpha + (l + b)*(1 - alpha)
+        b' = (l' - l)*beta + b*(1 - beta)
+
+    Returns (user_id, n_points, level, trend, forecast_1 = level +
+    trend). The zero-trend seed (rather than x2 - x1) keeps the
+    single-point series well-defined and the fold init equal to the
+    first element — the shape both engines' left folds share.
+
+    Cross-engine exactness: the DuckDB twin iterates the identical
+    recurrence as a recursive CTE over the same ordered array — NOT
+    list_reduce: DuckDB's list_reduce updates a struct accumulator's
+    fields IN PLACE, so a later field's expression reads the earlier
+    field's NEW value (measured: the trend drifts by step 3), while
+    Spark's fold builds a fresh struct per step. The recursive CTE
+    evaluates both expressions against the previous row, matching
+    Spark's semantics; l' is inlined twice in b' on BOTH sides, so
+    even the double-rounding pattern matches. Scale shape: identical
+    to ts_forecast_ewma — one user-keyed exchange, one
+    materialized-array pass."""
+    a1, a2 = float(alpha), 1.0 - float(alpha)
+    b1, b2 = float(beta), 1.0 - float(beta)
+    arr = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.expr("transform(es, e -> e.v)").alias("vals"),
+        )
+    )
+
+    def _lvl(acc, x):
+        return x * F.lit(a1) + (acc["l"] + acc["b"]) * F.lit(a2)
+
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            _lvl(acc, x).alias("l"),
+            (
+                (_lvl(acc, x) - acc["l"]) * F.lit(b1)
+                + acc["b"] * F.lit(b2)
+            ).alias("b"),
+        ),
+    )
+    return arr.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_points"),
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        (fold["l"] + fold["b"]).alias("forecast_1"),
+    )

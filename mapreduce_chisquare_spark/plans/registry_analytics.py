@@ -302,3 +302,235 @@ ANALYTICS_QUERIES = {
     "dq_quantiles": (dq_quantiles_q, SQL_DQ_QUANTILES),
     "ts_forecast_ewma": (ts_forecast_ewma_q, SQL_TS_FORECAST_EWMA),
 }
+
+
+# =========================================================================
+# Named public curation passes: Gopher rules, C4 line dedup, DSIR
+# =========================================================================
+
+_GOPHER_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+def quality_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (operators/textstats.py) over the
+    documents table."""
+    from ..operators.textstats import quality_gopher_rules
+
+    return quality_gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_GOPHER_RULES = f"""
+WITH w AS (
+  SELECT doc_id, text, {_GOPHER_SQL_WORDS} AS ws FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS n,
+    COALESCE(CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT),
+             0) AS chars,
+    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+    (len(text) - len(replace(text, '#', '')))
+      + (len(text) - len(replace(text, '…', ''))) AS symbols,
+    len(list_intersect(list_distinct(ws),
+        ['the', 'a', 'to', 'of', 'and', 'that', 'with'])) AS nstop,
+    COALESCE(list_max(list_transform(list_distinct(ws),
+        x -> len(list_filter(ws, y -> y = x)))), 0) AS modal
+  FROM w)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  CAST(n >= 50 AND n <= 100000 AS INT) AS rule_word_count,
+  CAST(3 * n <= chars AND chars <= 10 * n AS INT) AS rule_mean_len,
+  CAST(5 * alpha >= 4 * n AS INT) AS rule_alpha,
+  CAST(10 * symbols <= n AS INT) AS rule_symbol,
+  CAST(nstop >= 2 AS INT) AS rule_stopwords,
+  CAST(5 * modal <= n AS INT) AS rule_repetition,
+  CAST(n >= 50 AND n <= 100000 AND 3 * n <= chars AND chars <= 10 * n
+       AND 5 * alpha >= 4 * n AND 10 * symbols <= n AND nstop >= 2
+       AND 5 * modal <= n AS INT) AS passed
+FROM m
+"""
+
+
+# Line synthesis for the C4 pass: this corpus is single-line, so the
+# query rewrites each document into fixed 10-word lines FIRST —
+# identically on both engines — which (with the ~30-word vocabulary)
+# produces real cross-document duplicate lines for the global dedup
+# to cut. The operator itself is corpus-agnostic (splits on newline).
+_C4_LINE_WORDS = 10
+
+
+def c4_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import c4_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    lw = _C4_LINE_WORDS
+    relined = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("__ws"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.size("__ws") > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.expr(f"(size(__ws) + {lw - 1}) div {lw} - 1")
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("__ws", i * lw + 1, lw), " "
+                    ),
+                ),
+                "\n",
+            ),
+        ).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    return c4_line_dedup(relined, min_line_words=3, min_doc_lines=1)
+
+
+SQL_C4_LINE_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         list_transform(range(0, (len(ws) + {_C4_LINE_WORDS - 1})
+                                 // {_C4_LINE_WORDS}),
+           i -> array_to_string(
+                  list_slice(ws, i * {_C4_LINE_WORDS} + 1,
+                             i * {_C4_LINE_WORDS} + {_C4_LINE_WORDS}),
+                  ' ')) AS ls
+  FROM w WHERE len(ws) > 0),
+lines AS (
+  SELECT doc_id, u.line_no, u.line
+  FROM d, UNNEST(list_transform(range(1, len(ls) + 1),
+         i -> struct_pack(line_no := i - 1, line := ls[i]))) AS t(u)),
+fl AS (
+  SELECT doc_id, line_no, line FROM lines
+  WHERE len(list_filter(string_split(line, ' '), x -> x <> '')) >= 3),
+mk AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN row_number() OVER (
+           PARTITION BY line ORDER BY doc_id, line_no) = 1
+         THEN 1 ELSE 0 END AS keep
+  FROM fl),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(keep) AS BIGINT) AS n_lines_kept,
+         CAST(count(*) - sum(keep) AS BIGINT) AS n_lines_dropped,
+         array_to_string(list(line ORDER BY line_no)
+                         FILTER (WHERE keep = 1), chr(10)) AS clean_text
+  FROM mk GROUP BY doc_id)
+SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped
+FROM pd WHERE n_lines_kept >= 1
+"""
+
+
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/curation.py) with the 'en'
+    slice as the target distribution."""
+    from ..operators.curation import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", k=50
+    )
+
+
+SQL_DSIR_IMPORTANCE = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t, t.word
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> x <> '')) AS t(word)),
+dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt,
+              max(is_t) AS is_t
+       FROM toks GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(sum(is_t) AS BIGINT) AS tcnt,
+                 CAST(count(*) AS BIGINT) AS rcnt
+          FROM toks GROUP BY word),
+tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t_total,
+               CAST(sum(rcnt) AS BIGINT) AS r_total,
+               CAST(count(*) AS BIGINT) AS v
+        FROM vocab),
+terms AS (
+  SELECT dw.doc_id, dw.cnt, dw.word,
+         CAST(dw.cnt AS DOUBLE) *
+         (ln((CAST(vocab.tcnt AS DOUBLE) + 1.0)
+             / (CAST(tot.t_total AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+          - ln((CAST(vocab.rcnt AS DOUBLE) + 1.0)
+               / (CAST(tot.r_total AS DOUBLE) + CAST(tot.v AS DOUBLE))))
+           AS t
+  FROM dw JOIN vocab USING (word), tot),
+per AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY word)),
+           (acc, x) -> acc + x) AS log_weight
+  FROM terms GROUP BY doc_id)
+SELECT doc_id, n_tokens, log_weight
+FROM per
+ORDER BY log_weight DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+_HOLT_A, _HOLT_B = 0.3, 0.2
+
+
+def ts_forecast_holt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ts_forecast_holt
+
+    return ts_forecast_holt(
+        _t(spark, sf_dir, "events"), alpha=_HOLT_A, beta=_HOLT_B
+    )
+
+
+def _sql_holt(alpha: float = _HOLT_A, beta: float = _HOLT_B) -> str:
+    """Recursive-CTE twin — deliberately NOT list_reduce: DuckDB's
+    list_reduce mutates a struct accumulator's fields in place, so a
+    later field's expression reads the earlier field's NEW value
+    (measured: trend diverges from step 3). The recursion evaluates
+    both expressions against the previous row, matching Spark's
+    fresh-struct-per-step fold."""
+    a1, a2 = repr(float(alpha)), repr(1.0 - float(alpha))
+    b1, b2 = repr(float(beta)), repr(1.0 - float(beta))
+    lvl = (
+        f"vals[i + 1] * CAST({a1} AS DOUBLE) "
+        f"+ (l + b) * CAST({a2} AS DOUBLE)"
+    )
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+           AS vals
+  FROM events GROUP BY user_id),
+rec AS (
+  SELECT user_id, vals, 1 AS i,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s
+  UNION ALL
+  SELECT user_id, vals, i + 1,
+         {lvl},
+         ({lvl} - l) * CAST({b1} AS DOUBLE) + b * CAST({b2} AS DOUBLE)
+  FROM rec WHERE i < len(vals))
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+       l AS level, b AS trend, l + b AS forecast_1
+FROM rec WHERE i = len(vals)
+"""
+
+
+SQL_TS_FORECAST_HOLT = _sql_holt()
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "quality_gopher_rules": (
+            quality_gopher_rules_q,
+            SQL_QUALITY_GOPHER_RULES,
+        ),
+        "c4_line_dedup": (c4_line_dedup_q, SQL_C4_LINE_DEDUP),
+        "dsir_importance": (dsir_importance_q, SQL_DSIR_IMPORTANCE),
+        "ts_forecast_holt": (ts_forecast_holt_q, SQL_TS_FORECAST_HOLT),
+    }
+)

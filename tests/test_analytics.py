@@ -220,3 +220,137 @@ def test_ewma_is_order_insensitive_to_input_layout(spark):
     a = ts_forecast_ewma(mk(rows)).collect()[0]
     b = ts_forecast_ewma(mk(shuffled)).collect()[0]
     assert (a.n_points, a.ewma_level) == (b.n_points, b.ewma_level)
+
+
+def test_gopher_rules_each_rule_fires_and_boundaries_are_exact(spark):
+    from mapreduce_chisquare_spark.operators.textstats import (
+        quality_gopher_rules,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog near to the river " * 5
+    docs = [
+        (1, good),                                     # 60 words, passes all
+        (2, "the a to " + "word " * 10),               # 13 words: too short
+        (3, ("the a to " + "extraordinarily " * 57)),  # mean word len > 10
+        (4, "the a to " + "12345 " * 57),              # digit words: alpha
+        (5, "the a to " + "wo#rd# " * 57),             # symbol-heavy
+        (6, "word other thing stuff " * 15),           # no required stopwords
+        (7, "the a to of and that with " + "dup " * 53),  # modal 53/60 > 0.2
+        # exact boundary: 50 words, modal word exactly 10/50 = 0.2 -> passes
+        (8, "the a to of and " + "xxx " * 10
+            + " ".join(f"word{i:02d}" for i in range(35))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_gopher_rules(df).collect()}
+    assert out[1].passed == 1, out[1]
+    assert out[2].rule_word_count == 0 and out[2].passed == 0
+    assert out[3].rule_mean_len == 0 and out[3].passed == 0
+    assert out[4].rule_alpha == 0 and out[4].passed == 0
+    assert out[5].rule_symbol == 0 and out[5].passed == 0
+    assert out[6].rule_stopwords == 0 and out[6].passed == 0
+    assert out[7].rule_repetition == 0 and out[7].passed == 0
+    assert out[8].n_words == 50, out[8]
+    assert out[8].rule_repetition == 1 and out[8].passed == 1, out[8]
+
+
+def test_c4_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from mapreduce_chisquare_spark.operators.curation import c4_line_dedup
+
+    a = "alpha bravo charlie delta"
+    b = "echo foxtrot golf hotel"
+    d = "india juliet kilo lima"
+    docs = [
+        (1, f"{a}\n{b}\nshort line here ok"),
+        (2, f"{b}\n{d}"),          # b is a dupe of doc 1's line 1
+        (3, f"{b}\ntwo words"),    # dupe + under-3-words: doc dies
+        (4, "xx yy"),              # single short line: filtered out
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_dedup(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].clean_text == f"{a}\n{b}\nshort line here ok"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (3, 0)
+    assert out[2].clean_text == d
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 1)
+
+
+def test_dsir_importance_matches_python_reference_and_ranks_target_words(
+    spark,
+):
+    import math
+    from collections import Counter, defaultdict
+
+    from mapreduce_chisquare_spark.operators.curation import dsir_importance
+
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "en", "alpha alpha alpha beta"),
+        (2, "en", "alpha gamma alpha alpha"),
+        (3, "xx", "beta beta gamma delta"),
+        (4, "xx", "delta delta beta beta"),
+        (5, "xx", "alpha alpha alpha alpha"),  # raw doc full of target words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = [
+        (r.doc_id, r.n_tokens, r.log_weight)
+        for r in dsir_importance(df, F.col("lang") == "en", k=5).collect()
+    ]
+
+    # python reference of the exact contract (word-ordered fold)
+    tcnt, rcnt = Counter(), Counter()
+    per_doc = {}
+    for doc_id, lang, text in docs:
+        ws = text.split()
+        per_doc[doc_id] = Counter(ws)
+        rcnt.update(ws)
+        if lang == "en":
+            tcnt.update(ws)
+    v = len(rcnt)
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+    want = []
+    for doc_id, cnts in per_doc.items():
+        lw = 0.0
+        for w in sorted(cnts):
+            llr = math.log((tcnt[w] + 1.0) / (tt + float(v))) - math.log(
+                (rcnt[w] + 1.0) / (rt + float(v))
+            )
+            lw = lw + cnts[w] * llr
+        want.append((doc_id, sum(cnts.values()), lw))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    assert out == want
+    # the all-'alpha' doc must outrank the beta/delta docs
+    ranks = [d for d, _, _ in out]
+    assert ranks.index(5) < ranks.index(3) and ranks.index(5) < ranks.index(4)
+
+
+def test_holt_matches_left_fold_and_single_point(spark):
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_forecast_holt,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 9.0, 20.0, 3.5, 14.25]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "x", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows.append((99, t0, 2, "x", 7.25, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: (r.n_points, r.level, r.trend, r.forecast_1)
+        for r in ts_forecast_holt(df).collect()
+    }
+    l, b = vals[0], 0.0
+    for x in vals[1:]:
+        l2 = x * 0.3 + (l + b) * 0.7
+        b = (x * 0.3 + (l + b) * 0.7 - l) * 0.2 + b * 0.8
+        l = l2
+    assert out[1] == (6, l, b, l + b)
+    assert out[2] == (1, 7.25, 0.0, 7.25)
