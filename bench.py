@@ -149,6 +149,7 @@ HEADLINE = [
     "c4_line_dedup",
     "dsir_importance",
     "ts_forecast_holt",
+    "multimodal_av_probe",
 ]
 
 WARMUP = 1

@@ -171,10 +171,14 @@ def decode_media(blob: bytes, kind: str):
     (probe_image_header) gets its shot before the
     NotImplementedError contract applies, so real image metadata
     decode executes even in codec-less containers. The per-blob call IS the cost model at scale;
-    batching happens a level up in real_decode_batch. Audio/video
-    decode (libav/ffmpeg) is not wired in this container and raises
-    NotImplementedError — callers fall back to fake_decode_batch,
-    which is deterministic and schema-identical."""
+    batching happens a level up in real_decode_batch. Video
+    containers get the pure-Python AVI header probe (width, height,
+    frame count from the avih main header — probe_video_header);
+    audio has no (width, height, frames)-shaped metadata, so it lives
+    in its own relation (av_probe_documents / AV_PROBE_SCHEMA) and
+    raises here — callers fall back to fake_decode_batch, which is
+    deterministic and schema-identical. Frame decode for codecs
+    (libav/ffmpeg) is genuinely absent in this container."""
     if kind == "image":
         if codec_available():
             import io
@@ -198,6 +202,10 @@ def decode_media(blob: bytes, kind: str):
         probed = probe_image_header(blob)
         if probed is not None:
             return probed
+    if kind == "video":
+        probed = probe_video_header(blob)
+        if probed is not None:
+            return probed
     raise NotImplementedError(
         f"no codec for kind={kind!r} in this environment; "
         "use fake_decode_batch"
@@ -218,10 +226,12 @@ def real_decode_batch(batches):
     interchangeable. Dispatch is PER KIND: image blobs go through the
     real decode ladder (PIL where importable, falling back to the
     pure-Python header probe when PIL is absent OR fails on a blob;
-    bytes NEITHER path can read fail loud with NotImplementedError),
-    while kinds with no wired codec (audio/video) fall back to the
-    deterministic fake metadata per row — the documented degradation,
-    not a crash on the two-thirds of a media table PIL cannot read.
+    bytes NEITHER path can read fail loud with NotImplementedError);
+    video blobs get the pure-Python AVI probe with the fake as the
+    non-AVI fallback; audio falls back to the deterministic fake (its
+    real probe lives in av_probe_documents with an audio-shaped
+    schema) — the documented degradation, not a crash on the
+    two-thirds of a media table PIL cannot read.
     Requires the `kind` column in the batch."""
     import pandas as pd  # local import: executors only
 
@@ -229,7 +239,11 @@ def real_decode_batch(batches):
         meta = [
             decode_media(blob, kind)
             if kind == "image"
-            else _fake_meta(doc_id, blob)
+            else (
+                probe_video_header(blob) or _fake_meta(doc_id, blob)
+                if kind == "video"
+                else _fake_meta(doc_id, blob)
+            )
             for doc_id, blob, kind in zip(
                 pdf["doc_id"], pdf["payload"], pdf["kind"]
             )
@@ -394,3 +408,217 @@ def resize_media(media: DataFrame, stride: int = 2) -> DataFrame:
         F.length("resized").cast("long").alias("resized_bytes"),
         F.md5("resized").alias("resized_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio/video header probes (pure Python, public RIFF byte layouts)
+# ---------------------------------------------------------------------------
+
+def synth_wav(
+    sample_rate: int, channels: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """Minimal canonical PCM WAV (RIFF/WAVE with fmt + data chunks,
+    public layout) — the fixture generator for the probe round-trip:
+    the probe must recover exactly these parameters from the real
+    bytes."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block,
+        block, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synth_avi(
+    width: int, height: int, n_frames: int, usec_per_frame: int = 33333
+) -> bytes:
+    """Minimal AVI (RIFF/'AVI ' with a LIST/hdrl holding the 56-byte
+    avih main header, public layout)."""
+    import struct
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def _riff_chunks(blob: bytes, start: int):
+    """Yield (chunk_id, body_offset, size) walking a RIFF chunk
+    stream; chunks are word-aligned (odd sizes padded by one byte)."""
+    p = start
+    while p + 8 <= len(blob):
+        cid = blob[p : p + 4]
+        size = int.from_bytes(blob[p + 4 : p + 8], "little")
+        yield cid, p + 8, size
+        p = p + 8 + size + (size & 1)
+
+
+def probe_audio_header(blob: bytes):
+    """Pure-Python WAV header probe: (sample_rate, channels, bits,
+    n_samples) from the public RIFF/WAVE layout — fmt chunk for the
+    stream parameters, data chunk size over the block align for the
+    sample count. Reads ONLY chunk headers (never sample data), so it
+    is O(container structure). None when the bytes are not WAV."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    sr = ch = bits = block = None
+    data_size = None
+    for cid, body, size in _riff_chunks(blob, 12):
+        if cid == b"fmt " and body + 16 <= len(blob):
+            _, ch, sr, _, block, bits = struct.unpack(
+                "<HHIIHH", blob[body : body + 16]
+            )
+        elif cid == b"data":
+            data_size = size
+    if sr is None or data_size is None or not block:
+        return None
+    return sr, ch, bits, data_size // block
+
+
+def probe_video_header(blob: bytes):
+    """Pure-Python AVI header probe: (width, height, n_frames) from
+    the public RIFF/'AVI ' layout — the avih main header inside the
+    LIST/hdrl chunk. None when the bytes are not AVI."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    for cid, body, size in _riff_chunks(blob, 12):
+        if cid == b"LIST" and blob[body : body + 4] == b"hdrl":
+            for cid2, body2, size2 in _riff_chunks(blob, body + 4):
+                if cid2 == b"avih" and size2 >= 40 and body2 + 40 <= len(
+                    blob
+                ):
+                    vals = struct.unpack(
+                        "<10I", blob[body2 : body2 + 40]
+                    )
+                    return vals[8], vals[9], vals[4]
+    return None
+
+
+AV_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def av_probe_batch(batches):
+    """Arrow-batched audio/video header probing over a binary media
+    column: WAV rows fill (sample_rate, channels, n_samples), AVI
+    rows fill (width, height, n_frames), other columns NULL; bytes
+    neither probe can read fail loud (the decode_media contract)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            a = probe_audio_header(blob)
+            if a is not None:
+                sr, ch, bits, ns = a
+                rows.append(
+                    (doc_id, "audio", len(blob), sr, ch, ns,
+                     None, None, None)
+                )
+                continue
+            v = probe_video_header(blob)
+            if v is not None:
+                w, h, nf = v
+                rows.append(
+                    (doc_id, "video", len(blob), None, None, None,
+                     w, h, nf)
+                )
+                continue
+            raise NotImplementedError(
+                f"doc_id={doc_id}: bytes are neither WAV nor AVI"
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in AV_PROBE_SCHEMA.fields],
+        ).astype(
+            {
+                "sample_rate": "Int32", "channels": "Int32",
+                "n_samples": "Int32", "width": "Int32",
+                "height": "Int32", "n_frames": "Int32",
+            }
+        )
+
+
+def _av_synth_params(doc_id: int):
+    """Closed-form fixture parameters per doc (shared with the DuckDB
+    twin, which computes these directly while Spark must RECOVER them
+    from the synthesized bytes): even ids are WAV, odd ids AVI."""
+    if doc_id % 2 == 0:
+        return (
+            "audio",
+            8000 + (doc_id % 5) * 1600,       # sample_rate
+            1 + (doc_id // 2) % 2,            # channels
+            100 + doc_id % 37,                # n_samples
+        )
+    return (
+        "video",
+        320 + (doc_id % 7) * 16,              # width
+        240 + (doc_id % 5) * 16,              # height
+        10 + doc_id % 23,                     # n_frames
+    )
+
+
+def av_synth_batch(batches):
+    """Synthesize real WAV/AVI payloads from doc ids (deterministic
+    closed forms — _av_synth_params)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            p = _av_synth_params(int(doc_id))
+            if p[0] == "audio":
+                payloads.append(synth_wav(p[1], p[2], p[3]))
+            else:
+                payloads.append(synth_avi(p[1], p[2], p[3]))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+AV_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def av_probe_documents(docs: DataFrame) -> DataFrame:
+    """End-to-end audio/video metadata plumbing: synthesize real
+    RIFF containers (WAV/AVI) per doc id, then RECOVER the stream
+    parameters from the bytes with the pure-Python header probes —
+    the same two-mapInPandas shape a production pipeline uses
+    (read binary column -> Arrow batches -> typed metadata relation),
+    with the decode step executing real byte-layout parsing rather
+    than a stub. Both mapInPandas stages are Arrow-batched; the probe
+    reads only headers, never media payloads, so per-row cost is
+    O(container structure) at any payload size."""
+    media = docs.select("doc_id").mapInPandas(
+        av_synth_batch, AV_MEDIA_SCHEMA
+    )
+    return media.mapInPandas(av_probe_batch, AV_PROBE_SCHEMA)

@@ -534,3 +534,55 @@ ANALYTICS_QUERIES.update(
         "ts_forecast_holt": (ts_forecast_holt_q, SQL_TS_FORECAST_HOLT),
     }
 )
+
+
+# =========================================================================
+# Multimodal: audio/video header-probe round-trip
+# =========================================================================
+
+def multimodal_av_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes audio/video metadata: synthesize canonical WAV/AVI
+    containers per doc id, then recover the stream parameters from
+    the bytes with the pure-Python RIFF probes
+    (operators/multimodal.py). The DuckDB twin computes the same
+    closed-form parameters directly — so the gate certifies that
+    probe(synth(params)) == params THROUGH real container bytes,
+    cross-engine."""
+    from ..operators.multimodal import av_probe_documents
+
+    return av_probe_documents(_t(spark, sf_dir, "documents"))
+
+
+# n_bytes closed forms: WAV = 12 (RIFF hdr) + 24 (fmt) + 8 (data hdr)
+# + n_samples * channels * 2; AVI = 12 + 12 (LIST hdr + 'hdrl')
+# + 8 + 56 (avih). Mirrors synth_wav/synth_avi byte layouts exactly.
+SQL_MULTIMODAL_AV_PROBE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE WHEN doc_id % 2 = 0
+    THEN 44 + (100 + doc_id % 37) * (1 + (doc_id // 2) % 2) * 2
+    ELSE 88 END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 1600 END
+       AS INT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 END
+       AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 37 END
+       AS INT) AS n_samples,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 320 + (doc_id % 7) * 16 END
+       AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 240 + (doc_id % 5) * 16 END
+       AS INT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 10 + doc_id % 23 END
+       AS INT) AS n_frames
+FROM documents
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "multimodal_av_probe": (
+            multimodal_av_probe_q,
+            SQL_MULTIMODAL_AV_PROBE,
+        ),
+    }
+)

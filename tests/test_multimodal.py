@@ -245,3 +245,67 @@ def test_real_decoder_jpeg_roundtrip(spark):
         ).collect()
     }
     assert out == {1: (12, 34, 1), 2: (56, 78, 1)}
+
+
+def test_av_probes_round_trip_and_reject_foreign_bytes():
+    """probe(synth(params)) == params for WAV and AVI; each probe
+    rejects the other's container, truncated headers, and non-RIFF
+    bytes with None (never an exception)."""
+    from mapreduce_chisquare_spark.operators.multimodal import (
+        probe_audio_header,
+        probe_video_header,
+        synth_avi,
+        synth_wav,
+    )
+
+    wav = synth_wav(16000, 2, 137)
+    avi = synth_avi(336, 256, 17)
+    assert probe_audio_header(wav) == (16000, 2, 16, 137)
+    assert probe_video_header(avi) == (336, 256, 17)
+    assert probe_audio_header(avi) is None
+    assert probe_video_header(wav) is None
+    for junk in (b"", b"RIFF", b"RIFFxxxxWAVE", wav[:20], avi[:16],
+                 b"\x89PNG\r\n\x1a\n" + b"\x00" * 30):
+        assert probe_audio_header(junk) is None
+        assert probe_video_header(junk) is None
+
+
+def test_decode_media_video_branch_uses_avi_probe():
+    """decode_media('video') now returns REAL avih metadata for AVI
+    bytes and still raises for undecodable video bytes."""
+    import pytest
+
+    from mapreduce_chisquare_spark.operators.multimodal import (
+        decode_media,
+        synth_avi,
+    )
+
+    assert decode_media(synth_avi(640, 480, 24), "video") == (640, 480, 24)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"not a container", "video")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"pcm-ish bytes", "audio")
+
+
+def test_av_probe_documents_recovers_synth_params(spark, sf_dir):
+    """End-to-end through the two mapInPandas stages: every recovered
+    row equals the closed-form parameters."""
+    from mapreduce_chisquare_spark.operators.multimodal import (
+        _av_synth_params,
+        av_probe_documents,
+    )
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+
+    docs = scan_parquet(spark, sf_dir, "documents").limit(50)
+    out = av_probe_documents(docs).collect()
+    assert len(out) == 50
+    for r in out:
+        p = _av_synth_params(r.doc_id)
+        if p[0] == "audio":
+            assert (r.kind, r.sample_rate, r.channels, r.n_samples) == p
+            assert (r.width, r.height, r.n_frames) == (None, None, None)
+        else:
+            assert (r.kind, r.width, r.height, r.n_frames) == p
+            assert (r.sample_rate, r.channels, r.n_samples) == (
+                None, None, None,
+            )
