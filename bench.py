@@ -150,6 +150,8 @@ HEADLINE = [
     "dsir_importance",
     "ts_forecast_holt",
     "multimodal_av_probe",
+    "resample_interpolate",
+    "distinct_sketch_kmv_merge",
 ]
 
 WARMUP = 1

@@ -33,6 +33,60 @@ def kmv_hash_expr(col: F.Column) -> F.Column:
     ).cast("long")
 
 
+def kmv_kept(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """The sketch STATE: per group, the k smallest distinct hashes —
+    (grp, h, rn). This relation is what merges: the union of two
+    groups' retained sets, re-selected to the k smallest, is exactly
+    the sketch of the union (any hash among the global k smallest is
+    necessarily among its own group's k smallest), which is what lets
+    1000 executors sketch shards independently and combine. The
+    rank<=k filter compiles to WindowGroupLimit (plan-asserted)."""
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            kmv_hash_expr(F.col(key_col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= F.lit(int(k))
+    )
+
+
+def kmv_merge(kept: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-group KMV sketch states into ONE estimate of the
+    distinct count of the union: global k smallest over the union of
+    retained hashes (deduped — the same key hashes identically in
+    every group), same estimator. Exactly equals the sketch built
+    directly on the unpartitioned stream (asserted in tests) — the
+    mergeability proof. Returns one row
+    (n_groups, k_used, kmv_distinct).
+
+    Scale shape: the input is already <= k rows per group; the global
+    top-k is TakeOrdered (distributed partial top-k, never a
+    single-partition window), and the estimator is a 1-row
+    aggregate."""
+    n_groups = kept.select("grp").distinct().count()
+    topk = kept.select("h").distinct().orderBy("h").limit(int(k))
+    per = topk.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").alias("hk"),
+    )
+    est = F.when(
+        F.col("k_used") < F.lit(int(k)), F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("hk").cast("double")
+    )
+    return per.select(
+        F.lit(int(n_groups)).cast("long").alias("n_groups"),
+        "k_used",
+        est.alias("kmv_distinct"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame, key_col: str, group_col: str, k: int = 64
 ) -> DataFrame:
@@ -52,17 +106,7 @@ def kmv_distinct(
     top-k BEFORE the exchange, plan-asserted in tests), so the
     shuffle carries at most k rows per (partition, group), never the
     distinct-key relation."""
-    hashed = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            kmv_hash_expr(F.col(key_col)).alias("h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("grp").orderBy("h")
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= F.lit(int(k))
-    )
+    kept = kmv_kept(df, key_col, group_col, k)
     per = kept.groupBy("grp").agg(
         F.count("*").cast("long").alias("k_used"),
         F.max("h").alias("hk"),

@@ -1454,3 +1454,83 @@ def ts_forecast_holt(
         fold["b"].alias("trend"),
         (fold["l"] + fold["b"]).alias("forecast_1"),
     )
+
+
+def resample_interpolate(
+    events: DataFrame, step: int = HOUR, max_user: int | None = 40
+) -> DataFrame:
+    """(user_id, hour_start, value_interp): the linear-interpolation
+    sibling of resample_ffill — each grid point's value is
+    interpolated between the LAST observation strictly before the
+    hour start and the FIRST observation at-or-after it, flat
+    extrapolation past either end. The gap-filling contract real
+    sensor/metric resamplers default to.
+
+    Exactness: anchors are decided entirely on integers (per-µs ties
+    collapsed by max(value); per-hour last = max_by over LONG µs,
+    first = min_by; prev/next selection by the hour spine's total
+    order), and the one float expression is pinned left-to-right on
+    both engines: v_p + (v_n - v_p) * (CAST(t - us_p AS DOUBLE) /
+    CAST(us_n - us_p AS DOUBLE)). The denominator cannot be zero:
+    prev lives in an earlier hour (us_p < t) and next at-or-after the
+    hour start (us_n >= t).
+
+    Scale shape: same as resample_ffill — per-user bounded spine
+    explode (never users x grid), hash-aggregate hour collapse
+    (max_by/min_by over LONG orderings stay in HashAggregate), and
+    TWO frame windows (preceding / following) on the SAME user
+    partitioning: one exchange serves everything."""
+    ev = events
+    if max_user is not None:
+        ev = ev.filter(F.col("user_id") < max_user)
+    obs = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    ).withColumn("h", F.expr(f"(us div 1000000 div {step}) * {step}"))
+    per_us = obs.groupBy("user_id", "h", "us").agg(
+        F.max("value").alias("v")
+    )
+    per_hour = per_us.groupBy("user_id", "h").agg(
+        F.max("us").alias("us_last"),
+        F.max_by("v", "us").alias("v_last"),
+        F.min("us").alias("us_first"),
+        F.min_by("v", "us").alias("v_first"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.lit(step).cast("long"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(per_hour, ["user_id", "h"], "left")
+    wp = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    t = (F.col("h") * F.lit(1_000_000)).cast("long")
+    us_p = F.last("us_last", ignorenulls=True).over(wp)
+    v_p = F.last("v_last", ignorenulls=True).over(wp)
+    us_n = F.first("us_first", ignorenulls=True).over(wn)
+    v_n = F.first("v_first", ignorenulls=True).over(wn)
+    interp = (
+        F.when(us_p.isNull(), v_n)
+        .when(us_n.isNull(), v_p)
+        .otherwise(
+            v_p
+            + (v_n - v_p)
+            * (
+                (t - us_p).cast("double")
+                / (us_n - us_p).cast("double")
+            )
+        )
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        interp.alias("value_interp"),
+    )

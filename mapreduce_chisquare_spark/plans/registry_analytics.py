@@ -586,3 +586,139 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Linear-interpolation resampling
+# =========================================================================
+
+def resample_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_interpolate
+
+    return resample_interpolate(_t(spark, sf_dir, "events"))
+
+
+SQL_RESAMPLE_INTERPOLATE = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         (epoch_us(ts) // 1000000 // 3600) * 3600 AS h
+  FROM events WHERE user_id < 40),
+pu AS (
+  SELECT user_id, h, us, max(value) AS v
+  FROM o GROUP BY user_id, h, us),
+ph AS (
+  SELECT user_id, h,
+         max(us) AS us_last, arg_max(v, us) AS v_last,
+         min(us) AS us_first, arg_min(v, us) AS v_first
+  FROM pu GROUP BY user_id, h),
+sp AS (
+  SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS h
+  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+        FROM o GROUP BY user_id) t),
+j AS (
+  SELECT sp.user_id, sp.h,
+         ph.us_last, ph.v_last, ph.us_first, ph.v_first
+  FROM sp LEFT JOIN ph ON sp.user_id = ph.user_id AND sp.h = ph.h),
+w AS (
+  SELECT user_id, h, h * 1000000 AS t,
+    last_value(us_last IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS us_p,
+    last_value(v_last IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_p,
+    first_value(us_first IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS us_n,
+    first_value(v_first IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_n
+  FROM j)
+SELECT user_id, h AS hour_start,
+  CASE WHEN us_p IS NULL THEN v_n
+       WHEN us_n IS NULL THEN v_p
+       ELSE v_p + (v_n - v_p)
+            * (CAST(t - us_p AS DOUBLE) / CAST(us_n - us_p AS DOUBLE))
+  END AS value_interp
+FROM w
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "resample_interpolate": (
+            resample_interpolate_q,
+            SQL_RESAMPLE_INTERPOLATE,
+        ),
+    }
+)
+
+
+def distinct_sketch_kmv_merge_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch MERGEABILITY end to end: per-event-type KMV states
+    union-merged into one global distinct-user estimate
+    (operators/sketches.py kmv_merge) — by the k-smallest argument
+    this equals the sketch built directly on the unpartitioned
+    stream, which the unit test asserts."""
+    from ..operators.sketches import kmv_kept, kmv_merge
+
+    kept = kmv_kept(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=_KMV_K
+    )
+    return kmv_merge(kept, k=_KMV_K)
+
+
+def _sql_kmv_merge(k: int = _KMV_K) -> str:
+    space = repr(KMV_HASH_SPACE)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events),
+r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM h),
+kept AS (SELECT grp, h FROM r WHERE rn <= {int(k)}),
+topk AS (SELECT DISTINCT h FROM kept ORDER BY h LIMIT {int(k)}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk
+        FROM topk)
+SELECT (SELECT CAST(count(DISTINCT grp) AS BIGINT) FROM kept)
+         AS n_groups,
+       k_used,
+       CASE WHEN k_used < {int(k)} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST({int(k) - 1} AS DOUBLE) * {space}
+                 / CAST(hk AS DOUBLE) END AS kmv_distinct
+FROM agg
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "distinct_sketch_kmv_merge": (
+            distinct_sketch_kmv_merge_q,
+            _sql_kmv_merge(),
+        ),
+    }
+)
+
+
+def stream_gopher_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher screen — identical code path to the batch
+    operator (streaming/curation.py gopher_screen_stream), certified
+    by the batch oracle."""
+    from ..streaming.curation import gopher_screen_stream
+
+    return gopher_screen_stream(spark, sf_dir)
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "stream_gopher_screen": (
+            stream_gopher_screen_q,
+            SQL_QUALITY_GOPHER_RULES,
+        ),
+    }
+)

@@ -112,3 +112,35 @@ def chunk_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def gopher_screen_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming twin of quality_gopher_rules — the SAME operator
+    function applied to a readStream relation (it is one stateless
+    projection, so it is legal in append mode unchanged): every
+    micro-batch is screened at scan speed, and the batch oracle SQL
+    certifies the stream output verbatim. The strongest
+    batch/stream-parity pin this module has: not mirrored
+    expressions, the identical code path."""
+    from ..operators.textstats import quality_gopher_rules
+
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    screened = quality_gopher_rules(stream)
+    name = "stream_gopher_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            screened.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -354,3 +354,90 @@ def test_holt_matches_left_fold_and_single_point(spark):
         l = l2
     assert out[1] == (6, l, b, l + b)
     assert out[2] == (1, 7.25, 0.0, 7.25)
+
+
+def test_resample_interpolate_exact_contract(spark):
+    """Observations at 00:30 (v=10) and 03:30 (v=40): grid hours 0-3.
+    Hour 0 precedes the first observation -> flat 10. Hours 1..3
+    interpolate between the anchors at exact integer-µs ratios.
+    Same-µs duplicate events collapse to max(value) before anchoring."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=30), 7, "x", 10.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 7, "x", 9.0, "{}"),  # same-µs tie
+        (3, t0 + dt.timedelta(hours=3, minutes=30), 7, "x", 40.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.hour_start: r.value_interp
+        for r in resample_interpolate(df).collect()
+    }
+    base = int(t0.timestamp())
+    us0 = (base + 1800) * 1_000_000
+    us1 = (base + 3 * 3600 + 1800) * 1_000_000
+
+    def lin(t_s):
+        t = t_s * 1_000_000
+        return 10.0 + (40.0 - 10.0) * (float(t - us0) / float(us1 - us0))
+
+    assert out[base] == 10.0  # before first obs: flat next
+    for k in (1, 2, 3):
+        assert out[base + k * 3600] == lin(base + k * 3600)
+    assert len(out) == 4
+
+
+def test_kmv_merge_equals_direct_sketch_of_union(spark):
+    """The mergeability law: k smallest over the union of per-group
+    retained sets == k smallest over all distinct hashes, so the
+    merged estimate equals the single-group sketch of the whole
+    stream EXACTLY."""
+    from mapreduce_chisquare_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_kept,
+        kmv_merge,
+    )
+
+    rows = [(f"t{i % 7}", i * 31 % 4001) for i in range(12000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    merged = kmv_merge(
+        kmv_kept(df, "user_id", "event_type", k=64), k=64
+    ).collect()[0]
+    direct = kmv_distinct(
+        df.selectExpr("'all' AS g", "user_id"), "user_id", "g", k=64
+    ).collect()[0]
+    assert merged.kmv_distinct == direct.kmv_distinct
+    assert merged.k_used == direct.k_used == 64
+    assert merged.n_groups == 7
+
+
+def test_stream_gopher_screen_equals_batch(spark, sf_dir):
+    """availableNow over the multi-file fixture must reproduce the
+    batch operator's rows exactly — same code path, same values."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        quality_gopher_rules,
+    )
+    from mapreduce_chisquare_spark.sources.readers import scan_parquet
+    from mapreduce_chisquare_spark.streaming.curation import (
+        gopher_screen_stream,
+    )
+
+    got = sorted(
+        tuple(r) for r in gopher_screen_stream(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in quality_gopher_rules(
+            scan_parquet(spark, sf_dir, "documents")
+        ).collect()
+    )
+    assert got == want
