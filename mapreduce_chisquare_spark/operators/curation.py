@@ -741,8 +741,7 @@ def dsir_importance(
         F.explode(words).alias("word"),
     )
     dw = toks.groupBy("doc_id", "word").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.max("__is_t").alias("__is_t"),
+        F.count("*").cast("long").alias("cnt")
     )
     vocab = toks.groupBy("word").agg(
         F.sum("__is_t").cast("long").alias("tcnt"),

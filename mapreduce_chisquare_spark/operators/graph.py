@@ -65,6 +65,11 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge relation: an empty rank table, not ZeroDivisionError
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_fp")
+        )
     outdeg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("deg"))

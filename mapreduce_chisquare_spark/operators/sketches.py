@@ -48,6 +48,10 @@ def kmv_kept(
             F.col(group_col).alias("grp"),
             kmv_hash_expr(F.col(key_col)).alias("h"),
         )
+        # NULL keys hash to NULL and are excluded from the sketch on
+        # BOTH engines (Spark sorts NULL first, DuckDB last — left in,
+        # a NULL would evict a real hash on one side only)
+        .filter(F.col("h").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("h")
@@ -69,22 +73,23 @@ def kmv_merge(kept: DataFrame, k: int = 64) -> DataFrame:
     top-k is TakeOrdered (distributed partial top-k, never a
     single-partition window), and the estimator is a 1-row
     aggregate."""
-    n_groups = kept.select("grp").distinct().count()
+    # n_groups rides a lazy 1-row aggregate (the module's standard
+    # 1-row-crossJoin attach) — an eager count here would execute the
+    # whole upstream sketch twice per call
+    groups = kept.agg(
+        F.countDistinct("grp").cast("long").alias("n_groups")
+    )
     topk = kept.select("h").distinct().orderBy("h").limit(int(k))
     per = topk.agg(
         F.count("*").cast("long").alias("k_used"),
         F.max("h").alias("hk"),
-    )
+    ).crossJoin(F.broadcast(groups))
     est = F.when(
         F.col("k_used") < F.lit(int(k)), F.col("k_used").cast("double")
     ).otherwise(
         F.lit(float(k - 1)) * F.lit(KMV_HASH_SPACE) / F.col("hk").cast("double")
     )
-    return per.select(
-        F.lit(int(n_groups)).cast("long").alias("n_groups"),
-        "k_used",
-        est.alias("kmv_distinct"),
-    )
+    return per.select("n_groups", "k_used", est.alias("kmv_distinct"))
 
 
 def kmv_distinct(

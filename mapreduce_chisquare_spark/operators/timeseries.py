@@ -1326,6 +1326,32 @@ def ts_corr_topk(
     )
 
 
+def _user_value_arrays(
+    events: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """THE one builder of the per-user (ts, event_id)-ordered value
+    array both forecast folds consume — a single owner keeps the
+    cross-engine ordering contract (us, then event_id, doubles last)
+    from drifting between operators (the cells-builder discipline,
+    line ~833)."""
+    return (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.expr("transform(es, e -> e.v)").alias("vals"),
+        )
+    )
+
+
 def ts_forecast_ewma(
     events: DataFrame, alpha: float = 0.3, value_col: str = "value"
 ) -> DataFrame:
@@ -1352,22 +1378,7 @@ def ts_forecast_ewma(
     this is one shuffle and one linear pass — the minimum for an
     order-dependent statistic."""
     beta = 1.0 - alpha
-    arr = (
-        events.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("us"),
-                F.col("event_id").alias("eid"),
-                F.col(value_col).cast("double").alias("v"),
-            ).alias("e"),
-        )
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("e")).alias("es"))
-        .select(
-            "user_id",
-            F.expr("transform(es, e -> e.v)").alias("vals"),
-        )
-    )
+    arr = _user_value_arrays(events, value_col)
     level = F.aggregate(
         F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
         F.element_at(F.col("vals"), 1),
@@ -1413,22 +1424,7 @@ def ts_forecast_holt(
     materialized-array pass."""
     a1, a2 = float(alpha), 1.0 - float(alpha)
     b1, b2 = float(beta), 1.0 - float(beta)
-    arr = (
-        events.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("us"),
-                F.col("event_id").alias("eid"),
-                F.col(value_col).cast("double").alias("v"),
-            ).alias("e"),
-        )
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("e")).alias("es"))
-        .select(
-            "user_id",
-            F.expr("transform(es, e -> e.v)").alias("vals"),
-        )
-    )
+    arr = _user_value_arrays(events, value_col)
 
     def _lvl(acc, x):
         return x * F.lit(a1) + (acc["l"] + acc["b"]) * F.lit(a2)
@@ -1464,7 +1460,9 @@ def resample_interpolate(
     interpolated between the LAST observation strictly before the
     hour start and the FIRST observation at-or-after it, flat
     extrapolation past either end. The gap-filling contract real
-    sensor/metric resamplers default to.
+    sensor/metric resamplers default to. Like resample_ffill,
+    `max_user` bounds the checked slice at test scale (default 40);
+    None resamples everyone.
 
     Exactness: anchors are decided entirely on integers (per-µs ties
     collapsed by max(value); per-hour last = max_by over LONG µs,

@@ -79,7 +79,7 @@ except ImportError:
 # distinct_sketch_kmv_merge, stream_gopher_screen — same-round
 # promotion, local oracle-green at both SFs), + the round-8 changed entries
 # (ts_similarity_refined's validation scan folded into the shortlist
-# pass; multimodal_decode's JPEG header probe), + 17 of the 45
+# pass; multimodal_decode's JPEG header probe), + 16 of the 45
 # remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
@@ -164,7 +164,7 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 28 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 29 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
 # sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences,

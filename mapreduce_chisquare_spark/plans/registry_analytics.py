@@ -205,7 +205,7 @@ WITH h AS (
   SELECT DISTINCT event_type AS grp,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
               AS BIGINT) AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT grp, h,
              row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
       FROM h),
@@ -333,10 +333,14 @@ m AS (
     (len(text) - len(replace(text, '#', '')))
       + (len(text) - len(replace(text, '…', ''))) AS symbols,
     len(list_intersect(list_distinct(ws),
-        ['the', 'a', 'to', 'of', 'and', 'that', 'with'])) AS nstop,
-    COALESCE(list_max(list_transform(list_distinct(ws),
-        x -> len(list_filter(ws, y -> y = x)))), 0) AS modal
-  FROM w)
+        ['the', 'a', 'to', 'of', 'and', 'that', 'with'])) AS nstop
+  FROM w),
+md AS (
+  SELECT doc_id, max(c) AS modal FROM (
+    SELECT doc_id, t.word, count(*) AS c
+    FROM w, UNNEST(ws) AS t(word)
+    GROUP BY doc_id, t.word) g
+  GROUP BY doc_id)
 SELECT doc_id,
   CAST(n AS BIGINT) AS n_words,
   CAST(n >= 50 AND n <= 100000 AS INT) AS rule_word_count,
@@ -344,11 +348,11 @@ SELECT doc_id,
   CAST(5 * alpha >= 4 * n AS INT) AS rule_alpha,
   CAST(10 * symbols <= n AS INT) AS rule_symbol,
   CAST(nstop >= 2 AS INT) AS rule_stopwords,
-  CAST(5 * modal <= n AS INT) AS rule_repetition,
+  CAST(5 * COALESCE(modal, 0) <= n AS INT) AS rule_repetition,
   CAST(n >= 50 AND n <= 100000 AND 3 * n <= chars AND chars <= 10 * n
        AND 5 * alpha >= 4 * n AND 10 * symbols <= n AND nstop >= 2
-       AND 5 * modal <= n AS INT) AS passed
-FROM m
+       AND 5 * COALESCE(modal, 0) <= n AS INT) AS passed
+FROM m LEFT JOIN md USING (doc_id)
 """
 
 
@@ -443,8 +447,7 @@ WITH toks AS (
   FROM documents,
        UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
               x -> x <> '')) AS t(word)),
-dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt,
-              max(is_t) AS is_t
+dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
        FROM toks GROUP BY doc_id, word),
 vocab AS (SELECT word, CAST(sum(is_t) AS BIGINT) AS tcnt,
                  CAST(count(*) AS BIGINT) AS rcnt
@@ -677,7 +680,7 @@ WITH h AS (
   SELECT DISTINCT event_type AS grp,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
               AS BIGINT) AS h
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT grp, h,
              row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
       FROM h),

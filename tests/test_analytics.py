@@ -441,3 +441,24 @@ def test_stream_gopher_screen_equals_batch(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_kmv_ignores_null_keys(spark):
+    """NULL keys hash to NULL and are excluded on BOTH engines —
+    Spark sorts NULL first and DuckDB last, so a retained NULL would
+    diverge the sketch; the contract drops them before ranking."""
+    from mapreduce_chisquare_spark.operators.sketches import kmv_distinct
+
+    rows = [("t", i) for i in range(30)] + [("t", None)] * 5
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = kmv_distinct(df, "user_id", "event_type", k=64).collect()
+    assert [(r.kmv_distinct, r.k_used) for r in out] == [(30.0, 30)]
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from mapreduce_chisquare_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_fp"]
