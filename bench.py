@@ -152,6 +152,7 @@ HEADLINE = [
     "multimodal_av_probe",
     "resample_interpolate",
     "distinct_sketch_kmv_merge",
+    "graph_ppr",
 ]
 
 WARMUP = 1

@@ -214,3 +214,93 @@ def triangle_counts(
         per_node.orderBy(F.col("tri_cnt").desc(), F.col("p_key").asc())
         .limit(int(top))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank — the relevance
+    propagator behind 'more like these' corpus expansion: identical
+    fixed-point integer contract to pagerank(), except ALL restart
+    mass (the (1-d) share and the dangling share) returns to the
+    `seeds` set instead of spreading uniformly:
+
+      r0(v)   = scale div |S| if v in S else 0
+      r'(v)   = [v in S] * ((scale*15) div (100*|S|)
+                            + (85*dang) div 100)
+                + (85 * incoming(v)) div 100
+    (dang = sum of r over sinks, div |S|.) Ranks measure proximity to
+    the seed set; nodes unreachable from it stay at 0 — exactly the
+    semantics seed-expansion curation wants. Seeds absent from the
+    graph still receive restart mass (standard PPR: the restart
+    vector is over S, not over V ∩ S). Same scale shape and
+    bit-identical-BIGINT guarantees as pagerank(); the DuckDB twin
+    unrolls iterations with the seed set as a literal relation."""
+    seeds = sorted(set(seeds))
+    if not seeds:
+        raise ValueError("personalized_pagerank needs >= 1 seed")
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], "node string"
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_df.select("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ns = len(seeds)
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
+    is_seed = F.col("node").isin(seeds)
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(scale // ns))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    ).localCheckpoint()
+    for _ in range(int(iterations)):
+        contrib = ranks.join(outdeg, "node").select(
+            F.col("node").alias("src"),
+            F.expr("r div deg").alias("contrib"),
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").cast("long").alias("s"))
+        )
+        dang = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
+            .select(F.expr(f"sr div CAST({ns} AS BIGINT)").alias("ds"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed,
+                        F.lit(base)
+                        + F.expr(f"({PR_DAMP_NUM} * ds) div {PR_DAMP_DEN}"),
+                    ).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * COALESCE(s, CAST(0 AS BIGINT)))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -725,3 +725,90 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Personalized PageRank (seed-restart) over the trade graph
+# =========================================================================
+
+_PPR_SEEDS = ("C1", "C2", "C3")
+
+
+def graph_ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py) seeded at three
+    customers of the trade graph — 'more like these' proximity over
+    customer->supplier edges."""
+    from ..operators.graph import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return personalized_pagerank(edges, list(_PPR_SEEDS))
+
+
+def _sql_ppr(
+    seeds: tuple = _PPR_SEEDS,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of personalized_pagerank: the pagerank unroll with
+    the restart vector concentrated on the literal seed set (which
+    also joins the node universe)."""
+    num, den = PR_DAMP_NUM, PR_DAMP_DEN
+    ns = len(seeds)
+    seed_rows = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    def in_seeds_q(col: str) -> str:
+        return f"{col} IN (" + ", ".join(
+            f"'{s}'" for s in sorted(set(seeds))
+        ) + ")"
+
+    in_seeds = in_seeds_q("node")
+    in_seeds_nd = in_seeds_q("nd.node")
+    blocks = [
+        f"""
+WITH eg AS MATERIALIZED (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM eg UNION SELECT dst FROM eg
+  UNION SELECT node FROM (VALUES {seed_rows}) sv(node)),
+od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN {in_seeds} THEN {scale} // {ns} ELSE 0 END
+              AS BIGINT) AS r
+  FROM nodes)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        p = i - 1
+        blocks.append(
+            f"""
+inc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(p.r // od.deg) AS BIGINT) AS s
+  FROM r{p} p JOIN od ON p.node = od.src JOIN eg e ON e.src = p.node
+  GROUP BY e.dst),
+dg{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT) // {ns} AS ds
+  FROM r{p} p WHERE p.node NOT IN (SELECT src FROM od)),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(CASE WHEN {in_seeds_nd}
+              THEN ({scale} * {den - num}) // ({den} * {ns})
+                   + ({num} * (SELECT ds FROM dg{i})) // {den}
+              ELSE 0 END
+              + ({num} * COALESCE(inc{i}.s, 0)) // {den} AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN inc{i} ON nd.node = inc{i}.node)"""
+        )
+    return (
+        ",".join(blocks)
+        + f"\nSELECT node, r AS rank_fp FROM r{int(iterations)}\n"
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {"graph_ppr": (graph_ppr_q, _sql_ppr())}
+)

@@ -462,3 +462,64 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(df)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank_fp"]
+
+
+def _py_ppr(edges, seeds, iterations=10, scale=None):
+    from mapreduce_chisquare_spark.operators.graph import PR_SCALE
+
+    scale = scale or PR_SCALE
+    edges = sorted(set(edges))
+    seeds = sorted(set(seeds))
+    nodes = sorted(
+        {u for u, _ in edges} | {v for _, v in edges} | set(seeds)
+    )
+    ns = len(seeds)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (scale * 15) // (100 * ns)
+    r = {v: (scale // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        inc = dict.fromkeys(nodes, 0)
+        for u, v in edges:
+            inc[v] += r[u] // outdeg[u]
+        dang = sum(r[v] for v in nodes if v not in outdeg) // ns
+        r = {
+            v: (base + (85 * dang) // 100 if v in seeds else 0)
+            + (85 * inc[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_and_localizes_mass(spark):
+    """Ranks equal the Python reference bit-for-bit; nodes
+    unreachable from the seeds stay at exactly 0 (the PPR locality
+    property); a seed absent from the edge list still carries restart
+    mass; total mass never exceeds scale."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from mapreduce_chisquare_spark.operators.graph import PR_SCALE
+
+    a = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    b = [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    bridge = [("a1", "b1")]
+    iso = [("z1", "z2")]  # unreachable from seeds
+    edges = a + b + bridge + iso
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank_fp
+        for r in personalized_pagerank(df, ["a1"]).collect()
+    }
+    want = _py_ppr(edges, ["a1"])
+    assert got == want
+    assert got["z1"] == 0 and got["z2"] == 0
+    assert sum(got.values()) <= PR_SCALE
+    # seed absent from the graph still carries restart mass
+    got2 = {
+        r.node: r.rank_fp
+        for r in personalized_pagerank(df, ["ghost"]).collect()
+    }
+    assert got2 == _py_ppr(edges, ["ghost"])
+    assert got2["ghost"] > 0
