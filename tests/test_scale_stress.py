@@ -847,3 +847,113 @@ def test_pagerank_bit_identical_to_python_at_120k_edges(spark):
     # total-mass conservation within cumulative floor losses
     assert abs(sum(got.values()) - PR_SCALE) < 100 * n
     assert wall < 120.0, wall
+
+
+# =========================================================================
+# C4 line dedup and KMV at scale
+# =========================================================================
+
+@pytest.mark.slow
+def test_c4_line_dedup_scales_linearly_and_cuts_boilerplate(
+    spark, small, big
+):
+    """The corpus-global line shuffle at 100k docs: the 20x corpus
+    (whose docs repeat the 10k corpus's texts verbatim under new ids)
+    must dedup every repeated line down to ONE owner — kept-line
+    volume and surviving-doc count stay exactly at the 2x corpus's
+    level because every later copy loses all its lines and drops out
+    under min_doc_lines (the C4 semantics) — and wall-clock stays
+    ~linear in the input, because the plan is two exchanges
+    regardless of duplication structure."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_chisquare_spark.operators.curation import c4_line_dedup
+
+    def relined(docs):
+        return docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda w: w != "").alias("__ws"),
+        ).select(
+            "doc_id",
+            F.when(
+                F.size("__ws") > 0,
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.expr("(size(__ws) + 9) div 10 - 1")),
+                        lambda i: F.array_join(F.slice("__ws", i * 10 + 1, 10), " "),
+                    ),
+                    "\n",
+                ),
+            ).alias("text"),
+        ).filter(F.col("text").isNotNull())
+
+    def run(docs):
+        t0 = time.perf_counter()
+        out = (
+            c4_line_dedup(relined(docs))
+            .agg(
+                F.sum("n_lines_kept").alias("k"),
+                F.sum("n_lines_dropped").alias("d"),
+                F.count("*").alias("docs"),
+            )
+            .collect()[0]
+        )
+        return out, time.perf_counter() - t0
+
+    run(small)  # warm-up
+    s_out, t_small = run(small)
+    b_out, t_big = run(big)
+    # every distinct line has exactly ONE owner: the 20x corpus keeps
+    # the SAME distinct-line set and the SAME survivor set as the 2x
+    # corpus (identical texts; all-duplicate later copies die under
+    # min_doc_lines, dropping their counters with them)
+    assert (b_out.k, b_out.d, b_out.docs) == (s_out.k, s_out.d, s_out.docs)
+    # the survivors are a fraction of the 100k inputs: dedup did work
+    n_in = big.count()
+    assert n_in >= 100_000 and b_out.docs < n_in // 10
+    # linear-ish: 10x the input must not cost more than ~10x the time
+    assert t_big / t_small < 10.0, (t_small, t_big)
+
+
+@pytest.mark.slow
+def test_kmv_accuracy_and_merge_law_at_200k_distinct(spark):
+    """KMV at real cardinality: 600k rows / 200k distinct keys across
+    3 skewed groups — per-group estimates land inside 4 standard
+    errors (deterministic hash: this is a fixed fact, not a flaky
+    bound), and the merge of the 3 sketch states equals the direct
+    sketch of the union bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_chisquare_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_kept,
+        kmv_merge,
+    )
+
+    df = (
+        spark.range(0, 600_000, 1, 32)
+        .select(
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias(
+                "grp"
+            ),
+            # group g0 sees keys 0..199999, g1 0..99999, g2 0..39999
+            F.when(F.col("id") % 3 == 0, F.col("id") % 200_000)
+            .when(F.col("id") % 3 == 1, F.col("id") % 100_000)
+            .otherwise(F.col("id") % 40_000)
+            .alias("key"),
+        )
+    )
+    out = {
+        r.grp: r.kmv_distinct
+        for r in kmv_distinct(df, "key", "grp", k=256).collect()
+    }
+    truth = {"g0": 200_000, "g1": 100_000, "g2": 40_000}
+    for g, t in truth.items():
+        se = t / (254 ** 0.5)
+        assert abs(out[g] - t) < 4 * se, (g, out[g], t)
+    merged = kmv_merge(kmv_kept(df, "key", "grp", k=256), k=256).collect()[0]
+    direct = kmv_distinct(
+        df.selectExpr("'all' AS g", "key"), "key", "g", k=256
+    ).collect()[0]
+    assert merged.kmv_distinct == direct.kmv_distinct
+    assert abs(merged.kmv_distinct - 200_000) < 4 * (200_000 / 254 ** 0.5)
