@@ -153,6 +153,8 @@ HEADLINE = [
     "resample_interpolate",
     "distinct_sketch_kmv_merge",
     "graph_ppr",
+    "collocations_pmi",
+    "skipgram_cooc",
 ]
 
 WARMUP = 1

@@ -1095,3 +1095,123 @@ def quality_gopher_rules(
         .cast("int")
         .alias("passed"),
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990, public):
+    pmi(a,b) = ln(N_bi * c(a,b) / (c_left(a) * c_right(b))) over
+    bigram POSITIONS — c_left counts a's occurrences as a left
+    element, c_right as a right element, N_bi = total bigram count,
+    so the three marginals and the joint live in one consistent
+    sample space (no end-of-doc off-by-one between engines).
+    Bigrams below min_count are pruned BEFORE scoring (rare-pair PMI
+    is noise — the standard guard). Returns
+    (w1, w2, pair_cnt, pmi) ordered by (pmi DESC, w1, w2).
+
+    Exactness: all counts integer; pmi is ONE shared double
+    expression (a single ln of a single quotient — not a sum of
+    logs, so there is no summation-order freedom); the top-k is
+    TakeOrdered on (pmi, w1, w2).
+
+    Scale shape: one corpus scan explodes bigrams map-side; the
+    bigram count is the one big exchange (map-side combinable); the
+    two marginal relations aggregate FROM the bigram counts
+    (vocab-sized — never a second corpus scan) and broadcast back.
+    At 100 TB: scan, one shuffle, two vocab-sized broadcasts."""
+    words = _words(text_col)
+    # materialize the token array once (no-CSE rule); transform's i
+    # and bracket indexing are both 0-based, so the right neighbour
+    # of slice-element i is __w[i + 1]
+    bigrams = (
+        docs.select(words.alias("__w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+                    " (w, i) -> struct(w AS w1, __w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("pair_cnt")
+    )
+    left = bc.groupBy("w1").agg(F.sum("pair_cnt").cast("long").alias("lc"))
+    right = bc.groupBy("w2").agg(F.sum("pair_cnt").cast("long").alias("rc"))
+    total = bc.agg(F.sum("pair_cnt").cast("long").alias("nbi"))
+    scored = (
+        bc.filter(F.col("pair_cnt") >= F.lit(int(min_count)))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.log(
+                F.col("nbi").cast("double")
+                * F.col("pair_cnt").cast("double")
+                / (F.col("lc").cast("double") * F.col("rc").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(int(k))
+
+
+def skipgram_cooc(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k (center, context) skip-gram co-occurrence counts within
+    a +/-`window` token window — the word2vec training-pair statistic
+    (Mikolov et al. 2013, public) a corpus profile quotes before
+    embedding pretraining. Pairs are emitted for every offset
+    1..window in BOTH directions (so (a,b) at offset -1 and (b,a) at
+    offset +1 are distinct pairs, as in the original sampler).
+    Returns (center, context, pair_cnt) ordered by
+    (pair_cnt DESC, center, context).
+
+    All integer; the fan-out is map-side (one corpus scan exploding
+    <= 2*window pairs per token position), the count is one map-side
+    combinable exchange, the cut TakeOrdered. At 100 TB: scan + one
+    shuffle of the (vocab x vocab intersected with data) pair
+    relation."""
+    words = _words(text_col)
+    offs = ", ".join(
+        str(o) for o in range(-int(window), int(window) + 1) if o != 0
+    )
+    pairs = (
+        docs.select(words.alias("__w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__w, (w, i) -> "
+                    f"filter(transform(array({offs}), o -> "
+                    "CASE WHEN i + o >= 0 AND i + o < size(__w) "
+                    "THEN struct(w AS center, __w[i + o] AS context) "
+                    "END), p -> p IS NOT NULL)))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+    )
+    counts = pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("pair_cnt")
+    )
+    return counts.orderBy(
+        F.desc("pair_cnt"), F.asc("center"), F.asc("context")
+    ).limit(int(k))

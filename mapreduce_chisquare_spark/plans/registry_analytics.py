@@ -812,3 +812,70 @@ r{i} AS MATERIALIZED (
 ANALYTICS_QUERIES.update(
     {"graph_ppr": (graph_ppr_q, _sql_ppr())}
 )
+
+
+# =========================================================================
+# Statistical NLP: PMI collocations + skip-gram co-occurrence
+# =========================================================================
+
+def collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import collocations_pmi
+
+    return collocations_pmi(_t(spark, sf_dir, "documents"))
+
+
+SQL_COLLOCATIONS_PMI = """
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+       FROM bg GROUP BY w1, w2),
+lc AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS lcnt
+       FROM bc GROUP BY w1),
+rc AS (SELECT w2, CAST(sum(pair_cnt) AS BIGINT) AS rcnt
+       FROM bc GROUP BY w2),
+nb AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS nbi FROM bc)
+SELECT w1, w2, pair_cnt,
+  ln(CAST(nbi AS DOUBLE) * CAST(pair_cnt AS DOUBLE)
+     / (CAST(lcnt AS DOUBLE) * CAST(rcnt AS DOUBLE))) AS pmi
+FROM bc JOIN lc USING (w1) JOIN rc USING (w2), nb
+WHERE pair_cnt >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
+def skipgram_cooc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import skipgram_cooc
+
+    return skipgram_cooc(_t(spark, sf_dir, "documents"))
+
+
+SQL_SKIPGRAM_COOC = """
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+pr AS (
+  SELECT ws[i] AS center, ws[i + o] AS context
+  FROM w,
+       UNNEST(range(1, len(ws) + 1)) AS a(i),
+       UNNEST([-2, -1, 1, 2]) AS b(o)
+  WHERE i + o >= 1 AND i + o <= len(ws))
+SELECT center, context, CAST(count(*) AS BIGINT) AS pair_cnt
+FROM pr GROUP BY center, context
+ORDER BY pair_cnt DESC, center ASC, context ASC
+LIMIT 50
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "collocations_pmi": (collocations_pmi_q, SQL_COLLOCATIONS_PMI),
+        "skipgram_cooc": (skipgram_cooc_q, SQL_SKIPGRAM_COOC),
+    }
+)

@@ -523,3 +523,53 @@ def test_personalized_pagerank_matches_python_and_localizes_mass(spark):
     }
     assert got2 == _py_ppr(edges, ["ghost"])
     assert got2["ghost"] > 0
+
+
+def test_collocations_pmi_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        (r.w1, r.w2): (r.pair_cnt, r.pmi)
+        for r in collocations_pmi(docs, min_count=1, k=10).collect()
+    }
+    bc = Counter([("a", "b"), ("b", "c"), ("c", "a"), ("a", "b"), ("b", "c")])
+    lc, rc = Counter(), Counter()
+    for (a, b), c in bc.items():
+        lc[a] += c
+        rc[b] += c
+    want = {
+        p: (c, math.log(5.0 * c / (lc[p[0]] * rc[p[1]])))
+        for p, c in bc.items()
+    }
+    assert out == want
+    # min_count prunes rare pairs BEFORE scoring
+    assert collocations_pmi(docs, min_count=3, k=10).count() == 0
+
+
+def test_skipgram_cooc_matches_python_reference(spark):
+    from collections import Counter
+
+    from mapreduce_chisquare_spark.operators.textstats import skipgram_cooc
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        (r.center, r.context): r.pair_cnt
+        for r in skipgram_cooc(docs, window=2, k=100).collect()
+    }
+    ref = Counter()
+    for t in (["a", "b", "c", "a", "b"], ["b", "c"]):
+        for i, w in enumerate(t):
+            for o in (-2, -1, 1, 2):
+                if 0 <= i + o < len(t):
+                    ref[(w, t[i + o])] += 1
+    assert out == dict(ref)
