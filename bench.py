@@ -155,6 +155,8 @@ HEADLINE = [
     "graph_ppr",
     "collocations_pmi",
     "skipgram_cooc",
+    "events_retention",
+    "basket_rules",
 ]
 
 WARMUP = 1

@@ -304,3 +304,79 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def basket_rules(
+    order_parts: DataFrame,
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Association rules over co-order pairs — the original MapReduce
+    market-basket statistic (Agrawal & Srikant 1994 support/
+    confidence; lift as the interestingness cut): for every ORDERED
+    pair (a -> b) of parts co-occurring in >= min_support distinct
+    orders, confidence = supp(a,b) / supp(a) and
+    lift = N * supp(a,b) / (supp(a) * supp(b)) with N = number of
+    distinct orders. Returns the top-k rules
+    (antecedent, consequent, pair_supp, confidence, lift) by
+    (lift DESC, antecedent, consequent); both directions of a pair
+    are scored (confidence is asymmetric).
+
+    Exactness: supports are integers; confidence and lift are shared
+    single-quotient double expressions (lift's numerator N*supp
+    multiplies BEFORE dividing, same order both engines).
+
+    Scale shape: the same distinct + self-join pair relation as
+    triangle_counts (bounded per order by basket size), ONE pair
+    exchange; item supports and the order count aggregate from
+    relations already in flight and broadcast back (item relation is
+    catalog-sized). TakeOrdered cut."""
+    op = order_parts.select("o_key", "p_key").distinct()
+    # lazy 1-row aggregate (never an eager count at plan-build time)
+    nord = (
+        op.select("o_key")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("n_ord"))
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, F.col("a.o_key") == F.col("b.o_key"))
+        .filter(F.col("a.p_key") != F.col("b.p_key"))
+        .select(
+            F.col("a.p_key").alias("antecedent"),
+            F.col("b.p_key").alias("consequent"),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= F.lit(int(min_support)))
+    )
+    item = op.groupBy(F.col("p_key").alias("item")).agg(
+        F.count("*").cast("long").alias("supp")
+    )
+    ia, ic = item.alias("ia"), item.alias("ic")
+    scored = (
+        pairs.join(
+            F.broadcast(ia), F.col("antecedent") == F.col("ia.item")
+        )
+        .join(F.broadcast(ic), F.col("consequent") == F.col("ic.item"))
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_supp",
+            (
+                F.col("pair_supp").cast("double")
+                / F.col("ia.supp").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("n_ord") * F.col("pair_supp").cast("double")
+                / (
+                    F.col("ia.supp").cast("double")
+                    * F.col("ic.supp").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(int(k))

@@ -421,3 +421,55 @@ def dq_quantiles(
             ).alias(f"p{int(p)}")
         )
     return ranked.groupBy("event_type").agg(*aggs)
+
+
+def events_retention(events, week_seconds: int = 604800):
+    """Cohort retention matrix — the product-analytics table behind
+    every retention curve: users grouped by FIRST-activity week
+    (cohort), counted in each subsequent week they return. Returns
+    (cohort_week, weeks_since, n_users, retention) where cohort_week
+    is the epoch-week index, weeks_since >= 0, and retention =
+    n_users / cohort size (the weeks_since = 0 row is the cohort
+    size, so its retention is exactly 1.0).
+
+    Exactness: week assignment is pure integer arithmetic
+    (epoch-µs div 1e6 div 604800); cohort membership and the matrix
+    are integer counts; retention is one shared division per row.
+
+    Scale shape: one user-keyed aggregate for the cohort week, one
+    shuffle join back on user_id (both sides user-keyed — a single
+    exchange each), a distinct over (user, week) that is map-side
+    combinable, and a cohort-sized final aggregate joined to its own
+    k=0 column via a broadcast of the cohort-size relation
+    (#cohorts rows). No driver state, no unpartitioned windows."""
+    from pyspark.sql import functions as F
+
+    wk = F.expr(f"unix_micros(ts) div 1000000 div {int(week_seconds)}")
+    uw = events.select(
+        "user_id", wk.cast("long").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cell = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    size = (
+        cell.filter(F.col("weeks_since") == 0)
+        .select("cohort_week", F.col("n_users").alias("cohort_size"))
+    )
+    return (
+        cell.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -879,3 +879,88 @@ ANALYTICS_QUERIES.update(
         "skipgram_cooc": (skipgram_cooc_q, SQL_SKIPGRAM_COOC),
     }
 )
+
+
+# =========================================================================
+# Cohort retention + market-basket rules
+# =========================================================================
+
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import events_retention
+
+    return events_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 1000000 // 604800 AS week
+  FROM events),
+ch AS (SELECT user_id, min(week) AS cohort_week
+       FROM uw GROUP BY user_id),
+cell AS (
+  SELECT ch.cohort_week, uw.week - ch.cohort_week AS weeks_since,
+         CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+  FROM uw JOIN ch USING (user_id)
+  GROUP BY ch.cohort_week, uw.week - ch.cohort_week),
+sz AS (SELECT cohort_week, n_users AS cohort_size
+       FROM cell WHERE weeks_since = 0)
+SELECT cohort_week, weeks_since, n_users,
+       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         AS retention
+FROM cell JOIN sz USING (cohort_week)
+"""
+
+
+def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-order part pairs, with the same
+    planted K4 as graph_triangles so the gate always scores real
+    rules (the organic support-2 pair set can be empty at the
+    smallest SF)."""
+    from ..operators.graph import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    )
+    plant = spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    return basket_rules(op.union(plant), min_support=2, k=50)
+
+
+def _sql_basket_rules(min_support: int = 2, k: int = 50) -> str:
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+nord AS (SELECT CAST(count(DISTINCT o_key) AS DOUBLE) AS n_ord FROM op),
+pairs AS (
+  SELECT a.p_key AS antecedent, b.p_key AS consequent,
+         CAST(count(*) AS BIGINT) AS pair_supp
+  FROM op a JOIN op b
+    ON a.o_key = b.o_key AND a.p_key <> b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= {int(min_support)}),
+item AS (SELECT p_key AS item, CAST(count(*) AS BIGINT) AS supp
+         FROM op GROUP BY p_key)
+SELECT antecedent, consequent, pair_supp,
+  CAST(pair_supp AS DOUBLE) / CAST(ia.supp AS DOUBLE) AS confidence,
+  n_ord * CAST(pair_supp AS DOUBLE)
+    / (CAST(ia.supp AS DOUBLE) * CAST(ic.supp AS DOUBLE)) AS lift
+FROM pairs
+JOIN item ia ON antecedent = ia.item
+JOIN item ic ON consequent = ic.item, nord
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT {int(k)}
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "events_retention": (events_retention_q, SQL_EVENTS_RETENTION),
+        "basket_rules": (basket_rules_q, _sql_basket_rules()),
+    }
+)

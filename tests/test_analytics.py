@@ -573,3 +573,77 @@ def test_skipgram_cooc_matches_python_reference(spark):
                 if 0 <= i + o < len(t):
                     ref[(w, t[i + o])] += 1
     assert out == dict(ref)
+
+
+def test_events_retention_matrix_exact(spark):
+    """Users u1,u2 start week 0; u1 returns weeks 1 and 3, u2 week 1.
+    u3 starts week 2 (its own cohort). Matrix and retention fractions
+    are exact."""
+    import datetime as dt
+
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        events_retention,
+    )
+
+    wk = 7 * 24 * 3600
+    t0 = dt.datetime(1970, 1, 1)  # aligned to epoch-week boundaries
+
+    def ev(eid, user, week, sec=0):
+        return (
+            eid,
+            t0 + dt.timedelta(seconds=week * wk + sec),
+            user,
+            "x",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 0, 60), ev(3, 1, 1), ev(4, 1, 3),
+        ev(5, 2, 0), ev(6, 2, 1),
+        ev(7, 3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        (r.cohort_week, r.weeks_since): (r.n_users, r.retention)
+        for r in events_retention(df).collect()
+    }
+    assert out == {
+        (0, 0): (2, 1.0),
+        (0, 1): (2, 1.0),
+        (0, 3): (1, 0.5),
+        (2, 0): (1, 1.0),
+    }
+
+
+def test_basket_rules_exact_on_planted_k4(spark):
+    """On the pure K4 plant (4 orders over parts 1-4, every pair
+    support 2, every item support 3, N=4): confidence = 2/3 and
+    lift = 4*2/(3*3) for all 12 ordered rules."""
+    from mapreduce_chisquare_spark.operators.graph import basket_rules
+
+    rows = [(o, p) for o, p in (
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 4),
+        (3, 1), (3, 3), (3, 4),
+        (4, 2), (4, 3), (4, 4),
+    )]
+    df = spark.createDataFrame(rows, "o_key long, p_key long")
+    out = [
+        (r.antecedent, r.consequent, r.pair_supp, r.confidence, r.lift)
+        for r in basket_rules(df, min_support=2, k=50).collect()
+    ]
+    assert len(out) == 12
+    want_conf = 2.0 / 3.0
+    want_lift = 4.0 * 2.0 / (3.0 * 3.0)
+    assert all(
+        (s, c, l) == (2, want_conf, want_lift) for _, _, s, c, l in out
+    )
+    # deterministic order: lift ties broken by (antecedent, consequent)
+    assert [(a, b) for a, b, *_ in out] == sorted(
+        (a, b) for a in range(1, 5) for b in range(1, 5) if a != b
+    )
