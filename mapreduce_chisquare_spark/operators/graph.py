@@ -331,7 +331,9 @@ def basket_rules(
     exchange; item supports and the order count aggregate from
     relations already in flight and broadcast back (item relation is
     catalog-sized). TakeOrdered cut."""
-    op = order_parts.select("o_key", "p_key").distinct()
+    # 3 consumers (pair self-join, item supports, order count) —
+    # materialized once so the input is scanned once (audit finding)
+    op = order_parts.select("o_key", "p_key").distinct().localCheckpoint()
     # lazy 1-row aggregate (never an eager count at plan-build time)
     nord = (
         op.select("o_key")

@@ -1120,10 +1120,12 @@ def collocations_pmi(
     TakeOrdered on (pmi, w1, w2).
 
     Scale shape: one corpus scan explodes bigrams map-side; the
-    bigram count is the one big exchange (map-side combinable); the
-    two marginal relations aggregate FROM the bigram counts
-    (vocab-sized — never a second corpus scan) and broadcast back.
-    At 100 TB: scan, one shuffle, two vocab-sized broadcasts."""
+    bigram count is the one big exchange (map-side combinable) and is
+    materialized ONCE (localCheckpoint — it has four consumers, and
+    the unchecked plan recomputed the corpus explode per consumer);
+    the marginal relations aggregate FROM it (vocab-sized) and
+    broadcast back. At 100 TB: scan, one shuffle, two vocab-sized
+    broadcasts. Build-time freeze semantics apply."""
     words = _words(text_col)
     # materialize the token array once (no-CSE rule); transform's i
     # and bracket indexing are both 0-based, so the right neighbour
@@ -1140,9 +1142,12 @@ def collocations_pmi(
         )
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
+    # 4 consumers (marginals x2, total, scoring) — materialize the
+    # vocab-sized pair-count relation ONCE so the corpus-scan+explode
+    # subtree is never recomputed (plan-audit finding)
     bc = bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("pair_cnt")
-    )
+    ).localCheckpoint()
     left = bc.groupBy("w1").agg(F.sum("pair_cnt").cast("long").alias("lc"))
     right = bc.groupBy("w2").agg(F.sum("pair_cnt").cast("long").alias("rc"))
     total = bc.agg(F.sum("pair_cnt").cast("long").alias("nbi"))

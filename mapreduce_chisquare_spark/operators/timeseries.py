@@ -1476,8 +1476,10 @@ def resample_interpolate(
     Scale shape: same as resample_ffill — per-user bounded spine
     explode (never users x grid), hash-aggregate hour collapse
     (max_by/min_by over LONG orderings stay in HashAggregate), and
-    TWO frame windows (preceding / following) on the SAME user
-    partitioning: one exchange serves everything."""
+    TWO frame windows sharing ONE user partitioning; the plan pays
+    the (user, h, us) tie-collapse exchange, the (user, h) hour
+    exchange, and the user window exchange — all key-local, nothing
+    corpus-wide twice."""
     ev = events
     if max_user is not None:
         ev = ev.filter(F.col("user_id") < max_user)

@@ -436,21 +436,25 @@ def events_retention(events, week_seconds: int = 604800):
     (epoch-µs div 1e6 div 604800); cohort membership and the matrix
     are integer counts; retention is one shared division per row.
 
-    Scale shape: one user-keyed aggregate for the cohort week, one
-    shuffle join back on user_id (both sides user-keyed — a single
-    exchange each), a distinct over (user, week) that is map-side
-    combinable, and a cohort-sized final aggregate joined to its own
-    k=0 column via a broadcast of the cohort-size relation
-    (#cohorts rows). No driver state, no unpartitioned windows."""
+    Scale shape: the (user, week) distinct is the one user-keyed
+    exchange; cohort assignment is a min-window over that SAME
+    partitioning (no aggregate + join-back — the audit showed that
+    shape re-scanning events); then a cohort-sized aggregate and a
+    broadcast of the #cohorts-row size relation. No driver state, no
+    unpartitioned windows."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     wk = F.expr(f"unix_micros(ts) div 1000000 div {int(week_seconds)}")
     uw = events.select(
         "user_id", wk.cast("long").alias("week")
     ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # cohort assignment as a window over the SAME user partitioning
+    # the distinct already established — no aggregate + join-back
+    # (the plan-audit finding: that shape re-scanned events)
+    w = Window.partitionBy("user_id")
     cell = (
-        uw.join(cohort, "user_id")
+        uw.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("weeks_since"),

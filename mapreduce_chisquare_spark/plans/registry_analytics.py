@@ -447,11 +447,12 @@ WITH toks AS (
   FROM documents,
        UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
               x -> x <> '')) AS t(word)),
-dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(max(is_t) AS BIGINT) AS is_t
        FROM toks GROUP BY doc_id, word),
-vocab AS (SELECT word, CAST(sum(is_t) AS BIGINT) AS tcnt,
-                 CAST(count(*) AS BIGINT) AS rcnt
-          FROM toks GROUP BY word),
+vocab AS (SELECT word, CAST(sum(cnt * is_t) AS BIGINT) AS tcnt,
+                 CAST(sum(cnt) AS BIGINT) AS rcnt
+          FROM dw GROUP BY word),
 tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t_total,
                CAST(sum(rcnt) AS BIGINT) AS r_total,
                CAST(count(*) AS BIGINT) AS v
@@ -896,13 +897,15 @@ WITH uw AS (
   SELECT DISTINCT user_id,
          epoch_us(ts) // 1000000 // 604800 AS week
   FROM events),
-ch AS (SELECT user_id, min(week) AS cohort_week
-       FROM uw GROUP BY user_id),
+cw AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw),
 cell AS (
-  SELECT ch.cohort_week, uw.week - ch.cohort_week AS weeks_since,
-         CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
-  FROM uw JOIN ch USING (user_id)
-  GROUP BY ch.cohort_week, uw.week - ch.cohort_week),
+  SELECT cohort_week, week - cohort_week AS weeks_since,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM cw
+  GROUP BY cohort_week, week - cohort_week),
 sz AS (SELECT cohort_week, n_users AS cohort_size
        FROM cell WHERE weeks_since = 0)
 SELECT cohort_week, weeks_since, n_users,
