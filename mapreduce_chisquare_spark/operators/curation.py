@@ -745,8 +745,7 @@ def dsir_importance(
     )
     dw = toks.groupBy("doc_id", "word").agg(
         F.count("*").cast("long").alias("cnt"),
-        # per-doc constant; carried so vocab aggregates FROM dw and
-        # the corpus is genuinely scanned once
+        # per-doc constant; carried so vocab can aggregate FROM dw
         F.max("__is_t").alias("__is_t"),
     )
     vocab = dw.groupBy("word").agg(

@@ -555,22 +555,12 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select(
         "doc_id", _words(text_col).alias("__arr")
     )
-    arr = F.col("__arr")
-    bg = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 2),
-            lambda i: F.struct(
-                F.element_at(arr, i + 1).alias("w1"),
-                F.element_at(arr, i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
-    pairs = base.select("doc_id", F.explode(bg).alias("g")).select(
-        "doc_id", "g.w1", "g.w2"
-    )
+    # shared empty-safe extractor (bigram_structs) — identical pairs
+    # to the previous guarded sequence/element_at form, one audited
+    # owner for end-of-array handling
+    pairs = base.select(
+        "doc_id", F.explode(bigram_structs("__arr")).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
     tfb = (
         pairs.repartition("w1", "w2")
         .groupBy("doc_id", "w1", "w2")
@@ -1097,6 +1087,24 @@ def quality_gopher_rules(
     )
 
 
+def bigram_structs(arr_name: str) -> "F.Column":
+    """THE one adjacent-bigram extractor over a materialized token
+    array column (by name): struct(w1, w2) per position, empty-safe
+    (slice of length max(n-1, 0) — unlike sequence(0, n-2), which
+    Spark turns into a DESCENDING range when n < 2 and fabricates
+    bogus null pairs). Shared by lm_bigram_score and
+    collocations_pmi so end-of-array and empty-doc handling has a
+    single audited owner."""
+    a = arr_name
+    # collision-proof lambda variable names: a lambda parameter
+    # shadows any same-named column inside the body
+    return F.expr(
+        f"transform(slice({a}, 1, greatest(size({a}) - 1, 0)), "
+        f"(__bg_w, __bg_i) -> "
+        f"struct(__bg_w AS w1, {a}[__bg_i + 1] AS w2))"
+    )
+
+
 def collocations_pmi(
     docs: DataFrame,
     text_col: str = "text",
@@ -1127,19 +1135,11 @@ def collocations_pmi(
     broadcast back. At 100 TB: scan, one shuffle, two vocab-sized
     broadcasts. Build-time freeze semantics apply."""
     words = _words(text_col)
-    # materialize the token array once (no-CSE rule); transform's i
-    # and bracket indexing are both 0-based, so the right neighbour
-    # of slice-element i is __w[i + 1]
+    # materialize the token array once (no-CSE rule), then the shared
+    # empty-safe bigram extractor
     bigrams = (
         docs.select(words.alias("__w"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(__w, 1, greatest(size(__w) - 1, 0)),"
-                    " (w, i) -> struct(w AS w1, __w[i + 1] AS w2))"
-                )
-            ).alias("bg")
-        )
+        .select(F.explode(bigram_structs("__w")).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     # 4 consumers (marginals x2, total, scoring) — materialize the

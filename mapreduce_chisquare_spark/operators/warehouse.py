@@ -459,7 +459,11 @@ def events_retention(events, week_seconds: int = 604800):
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
         )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        # uw is distinct on (user, week) and weeks_since is a
+        # bijection of week per user, so each user appears at most
+        # once per cell: a plain map-side-combinable count suffices
+        # (no two-phase distinct aggregate on the hot exchange)
+        .agg(F.count("*").cast("long").alias("n_users"))
     )
     size = (
         cell.filter(F.col("weeks_since") == 0)

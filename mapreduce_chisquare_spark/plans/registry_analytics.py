@@ -759,12 +759,13 @@ def _sql_ppr(
     the restart vector concentrated on the literal seed set (which
     also joins the node universe)."""
     num, den = PR_DAMP_NUM, PR_DAMP_DEN
-    ns = len(seeds)
-    seed_rows = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    # dedupe EXACTLY as the operator does: ns feeds every
+    # restart-mass denominator and must match the seed relation
+    su = sorted(set(seeds))
+    ns = len(su)
+    seed_rows = ", ".join(f"('{s}')" for s in su)
     def in_seeds_q(col: str) -> str:
-        return f"{col} IN (" + ", ".join(
-            f"'{s}'" for s in sorted(set(seeds))
-        ) + ")"
+        return f"{col} IN (" + ", ".join(f"'{s}'" for s in su) + ")"
 
     in_seeds = in_seeds_q("node")
     in_seeds_nd = in_seeds_q("nd.node")
@@ -825,7 +826,8 @@ def collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(_t(spark, sf_dir, "documents"))
 
 
-SQL_COLLOCATIONS_PMI = """
+def _sql_collocations_pmi(min_count: int = 5, k: int = 50) -> str:
+    return f"""
 WITH w AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS ws
@@ -844,10 +846,13 @@ SELECT w1, w2, pair_cnt,
   ln(CAST(nbi AS DOUBLE) * CAST(pair_cnt AS DOUBLE)
      / (CAST(lcnt AS DOUBLE) * CAST(rcnt AS DOUBLE))) AS pmi
 FROM bc JOIN lc USING (w1) JOIN rc USING (w2), nb
-WHERE pair_cnt >= 5
+WHERE pair_cnt >= {int(min_count)}
 ORDER BY pmi DESC, w1 ASC, w2 ASC
-LIMIT 50
+LIMIT {int(k)}
 """
+
+
+SQL_COLLOCATIONS_PMI = _sql_collocations_pmi()
 
 
 def skipgram_cooc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,7 +861,12 @@ def skipgram_cooc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_cooc(_t(spark, sf_dir, "documents"))
 
 
-SQL_SKIPGRAM_COOC = """
+def _sql_skipgram_cooc(window: int = 2, k: int = 50) -> str:
+    offs = ", ".join(
+        str(o) for o in range(-int(window), int(window) + 1)
+        if o != 0
+    )
+    return f"""
 WITH w AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS ws
@@ -865,13 +875,16 @@ pr AS (
   SELECT ws[i] AS center, ws[i + o] AS context
   FROM w,
        UNNEST(range(1, len(ws) + 1)) AS a(i),
-       UNNEST([-2, -1, 1, 2]) AS b(o)
+       UNNEST([{offs}]) AS b(o)
   WHERE i + o >= 1 AND i + o <= len(ws))
 SELECT center, context, CAST(count(*) AS BIGINT) AS pair_cnt
 FROM pr GROUP BY center, context
 ORDER BY pair_cnt DESC, center ASC, context ASC
-LIMIT 50
+LIMIT {int(k)}
 """
+
+
+SQL_SKIPGRAM_COOC = _sql_skipgram_cooc()
 
 
 ANALYTICS_QUERIES.update(
@@ -903,7 +916,7 @@ cw AS (
   FROM uw),
 cell AS (
   SELECT cohort_week, week - cohort_week AS weeks_since,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         CAST(count(*) AS BIGINT) AS n_users
   FROM cw
   GROUP BY cohort_week, week - cohort_week),
 sz AS (SELECT cohort_week, n_users AS cohort_size
