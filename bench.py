@@ -157,6 +157,7 @@ HEADLINE = [
     "skipgram_cooc",
     "events_retention",
     "basket_rules",
+    "ts_acf",
 ]
 
 WARMUP = 1

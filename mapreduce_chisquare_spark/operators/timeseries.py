@@ -1534,3 +1534,105 @@ def resample_interpolate(
         F.col("h").alias("hour_start"),
         interp.alias("value_interp"),
     )
+
+
+def ts_acf(
+    events: DataFrame, max_lag: int = 3, value_col: str = "value"
+) -> DataFrame:
+    """Per-series autocorrelation function (the correlogram) at lags
+    1..max_lag — the diagnostic read alongside ts_changepoint /
+    ts_seasonality: Pearson r between the series and its lag-L shift
+    over the n-L overlapping pairs. Returns
+    (user_id, lag, n_pairs, acf); degenerate cells (fewer than 2
+    pairs, or zero variance on either side) are excluded on both
+    engines.
+
+    Exactness: the five correlation components (Sx, Sy, Sxx, Syy,
+    Sxy) are EXACT BIGINT sums over integer cents — order-independent,
+    so the engines may build them differently (Spark: one
+    materialized-array fold per lag; DuckDB: positional unnest +
+    SUM) and still agree bit-for-bit; r is then one shared
+    double formula, the ts_corr_topk pattern. (|cents| <= 1e6 and
+    n <= 1e6 keep every component inside BIGINT.)
+
+    Scale shape: one user-keyed exchange builds the ordered cents
+    array; each lag is a linear fold over that SAME array in the same
+    projection — max_lag folds, zero extra shuffles, no pair relation
+    materialized."""
+    arr = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.round(F.col(value_col) * 100)
+                .cast("long")
+                .alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id", F.expr("transform(es, e -> e.c)").alias("cs")
+        )
+    )
+
+    def sums_for(lag: int):
+        m = F.size("cs") - F.lit(lag)
+        zero = F.lit(0).cast("long")
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            F.struct(
+                zero.alias("sx"), zero.alias("sy"),
+                zero.alias("sxx"), zero.alias("syy"),
+                zero.alias("sxy"),
+            ),
+            lambda acc, t: F.struct(
+                (acc["sx"] + F.element_at("cs", t)).alias("sx"),
+                (acc["sy"] + F.element_at("cs", t + F.lit(lag))).alias(
+                    "sy"
+                ),
+                (
+                    acc["sxx"]
+                    + F.element_at("cs", t) * F.element_at("cs", t)
+                ).alias("sxx"),
+                (
+                    acc["syy"]
+                    + F.element_at("cs", t + F.lit(lag))
+                    * F.element_at("cs", t + F.lit(lag))
+                ).alias("syy"),
+                (
+                    acc["sxy"]
+                    + F.element_at("cs", t)
+                    * F.element_at("cs", t + F.lit(lag))
+                ).alias("sxy"),
+            ),
+        )
+        return F.struct(
+            F.lit(lag).cast("int").alias("lag"),
+            m.cast("long").alias("m"),
+            # guard: series shorter than lag+2 never evaluate the
+            # fold (element_at past the array end errors under ANSI)
+            F.when(m >= 2, fold).alias("s"),
+        )
+
+    cells = arr.select(
+        "user_id",
+        F.explode(
+            F.array(*[sums_for(L) for L in range(1, int(max_lag) + 1)])
+        ).alias("cell"),
+    ).filter(F.col("cell.m") >= 2)
+    m = F.col("cell.m").cast("double")
+    sx = F.col("cell.s.sx").cast("double")
+    sy = F.col("cell.s.sy").cast("double")
+    sxx = F.col("cell.s.sxx").cast("double")
+    syy = F.col("cell.s.syy").cast("double")
+    sxy = F.col("cell.s.sxy").cast("double")
+    da = m * sxx - sx * sx
+    db = m * syy - sy * sy
+    return cells.filter((da > 0) & (db > 0)).select(
+        "user_id",
+        F.col("cell.lag").alias("lag"),
+        F.col("cell.m").alias("n_pairs"),
+        ((m * sxy - sx * sy) / (F.sqrt(da) * F.sqrt(db))).alias("acf"),
+    )

@@ -68,7 +68,7 @@ except ImportError:
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
 # Round-8 window (50) = the 7 round-7 tail additions (never
-# driver-certified; local oracle-green at both SFs), + the 30 round-8
+# driver-certified; local oracle-green at both SFs), + the 31 round-8
 # NEW entries (ts_similarity_dtw_topk, ts_motif, ts_discord,
 # bpe_pair_counts, bpe_merges, bpe_vocab, ts_changepoint,
 # ts_anomaly_zscore, ts_seasonality, stream_anomaly_screen,
@@ -78,10 +78,10 @@ except ImportError:
 # ts_forecast_holt, multimodal_av_probe, resample_interpolate,
 # distinct_sketch_kmv_merge, stream_gopher_screen, graph_ppr,
 # collocations_pmi, skipgram_cooc, events_retention,
-# basket_rules — same-round
+# basket_rules, ts_acf — same-round
 # promotion, local oracle-green at both SFs), + the round-8 changed entries
 # (ts_similarity_refined's validation scan folded into the shortlist
-# pass; multimodal_decode's JPEG header probe), + 11 of the 45
+# pass; multimodal_decode's JPEG header probe), + 10 of the 45
 # remaining r4-era stale rows — led by the entire §2 reference
 # surface (scan_json..merged_dict per chi_square.py:30-103), whose
 # greens were the board's oldest. Fast entries lead; streaming
@@ -140,9 +140,11 @@ _CERTIFY_WINDOW = [
     # round-8 new: statistical NLP (PMI collocations, skip-gram pairs)
     "collocations_pmi",
     "skipgram_cooc",
-    # round-8 new: cohort retention matrix; market-basket rules
+    # round-8 new: cohort retention matrix; market-basket rules;
+    # autocorrelation function
     "events_retention",
     "basket_rules",
+    "ts_acf",
     # round-8 changed: degenerate-query check without the extra scan
     "ts_similarity_refined",
     # r4-era stale re-certs: the §2 reference surface (SURVEY.md §2)
@@ -151,7 +153,6 @@ _CERTIFY_WINDOW = [
     "tokenize",
     "stopword_filter",
     "count_term_cat",
-    "join_term_totals",
     "chi_square",
     "topk_per_group",
     "format_report",
@@ -169,7 +170,7 @@ _CERTIFY_WINDOW = [
 #
 # Round-9 window TODO: promote any round-9 tail additions first, then
 # any round-8 tail additions not certified in the round-8 window, then
-# the 34 r4-era rows deferred this round (agg_unpivot, array_scalars,
+# the 35 r4-era rows deferred this round (agg_unpivot, array_scalars,
 # date_scalars, string_scalars, set_except, set_except_all,
 # set_intersect_all, explode_outer_keywords, embed_quantize,
 # sink_orc_roundtrip, window_ntile, window_sliding, pack_sequences,
@@ -178,10 +179,10 @@ _CERTIFY_WINDOW = [
 # ngram_counts, q7_nation_volume, q14_promo_effect, q18_large_volume,
 # q19_discounted_revenue, q6_forecast_revenue, q10_returned_items,
 # join_bucketed, join_bloom_prefilter, stream_doc_chunk,
-# count_term, count_cat, count_total, join_cat_totals — the latter
-# four displaced last since the windowed chi_square/topk_per_group
-# exercise the same contingency.py/registry_text path end-to-end),
-# then the oldest
+# count_term, count_cat, count_total, join_cat_totals,
+# join_term_totals — the latter five displaced last since the
+# windowed chi_square/topk_per_group exercise the same
+# contingency.py/registry_text path end-to-end), then the oldest
 # r5 rows
 # (CORRECTNESS_r05's 50: the round-4 tail entries — asof_nearest,
 # agg_linreg, snapshot_diff, corpus_composition, events_funnel,

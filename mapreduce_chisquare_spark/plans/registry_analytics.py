@@ -980,3 +980,60 @@ ANALYTICS_QUERIES.update(
         "basket_rules": (basket_rules_q, _sql_basket_rules()),
     }
 )
+
+
+# =========================================================================
+# Autocorrelation function (correlogram)
+# =========================================================================
+
+_ACF_MAX_LAG = 3
+
+
+def ts_acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ts_acf
+
+    return ts_acf(_t(spark, sf_dir, "events"), max_lag=_ACF_MAX_LAG)
+
+
+def _sql_ts_acf(max_lag: int = _ACF_MAX_LAG) -> str:
+    """DuckDB twin builds the five components relationally
+    (positional unnest + SUM) — legitimate because they are EXACT
+    BIGINT sums, order-independent by construction, unlike the float
+    folds elsewhere in this module."""
+    lags = ", ".join(str(L) for L in range(1, int(max_lag) + 1))
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         list(CAST(round(value * 100) AS BIGINT)
+              ORDER BY epoch_us(ts), event_id) AS l
+  FROM events GROUP BY user_id),
+p AS (
+  SELECT user_id, lag, len(l) - lag AS m, l
+  FROM s, UNNEST([{lags}]) AS t(lag)
+  WHERE len(l) - lag >= 2),
+u AS (
+  SELECT user_id, lag, m, l[i] AS x, l[i + lag] AS y
+  FROM p, UNNEST(range(1, m + 1)) AS r(i)),
+a AS (
+  SELECT user_id, lag, CAST(max(m) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY user_id, lag)
+SELECT user_id, CAST(lag AS INT) AS lag, m AS n_pairs,
+  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+FROM a
+WHERE CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+
+ANALYTICS_QUERIES.update({"ts_acf": (ts_acf_q, _sql_ts_acf())})

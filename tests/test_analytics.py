@@ -647,3 +647,50 @@ def test_basket_rules_exact_on_planted_k4(spark):
     assert [(a, b) for a, b, *_ in out] == sorted(
         (a, b) for a in range(1, 5) for b in range(1, 5) if a != b
     )
+
+
+def test_ts_acf_matches_python_and_excludes_degenerates(spark):
+    """Sawtooth series: lag-1/2/3 ACF equals the exact-integer Python
+    reference bit-for-bit; a 2-point series (no lag fits) and a
+    constant series (zero variance) are excluded without erroring
+    under ANSI mode."""
+    import datetime as dt
+    import math
+
+    from mapreduce_chisquare_spark.operators.timeseries import ts_acf
+
+    t0 = dt.datetime(2024, 1, 1)
+    saw = [1, 2, 3, 4, 5, 4, 3, 2, 1, 2, 3, 4, 5, 4, 3, 2]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "x", float(v), "{}")
+        for i, v in enumerate(saw)
+    ]
+    rows += [
+        (100, t0, 2, "x", 5.0, "{}"),
+        (101, t0 + dt.timedelta(minutes=1), 2, "x", 7.0, "{}"),
+    ]
+    rows += [
+        (200 + i, t0 + dt.timedelta(minutes=i), 3, "x", 4.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {(r.user_id, r.lag): (r.n_pairs, r.acf) for r in ts_acf(df).collect()}
+
+    def ref(vals, lag):
+        m = len(vals) - lag
+        xs, ys = vals[:m], vals[lag:]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        da, db = m * sxx - sx * sx, m * syy - sy * sy
+        return m, (m * sxy - sx * sy) / (math.sqrt(da) * math.sqrt(db))
+
+    cents = [100 * v for v in saw]
+    assert set(got) == {(1, 1), (1, 2), (1, 3)}
+    for L in (1, 2, 3):
+        assert got[(1, L)] == ref(cents, L)
