@@ -1096,7 +1096,9 @@ def ts_anomaly_zscore(
     on float rounding (`threshold` is an int so t^2 stays exact).
     Series with zero variance flag nothing. The reported z itself is
     the same left-to-right double formula on both engines
-    ((c - SC/n) / sqrt(SSQ/n - (SC/n)^2), cents units cancel).
+    ((c - SC/n) / sqrt(nvar/n^2), cents units cancel), with the
+    variance derived from the exact 128-bit nvar so a flagged row can
+    never carry a non-finite z (nvar >= 1 whenever the gate passes).
 
     Scale shape: ONE user-keyed exchange serves both per-series
     windows (totals + flags are row-local after them); linear in the
@@ -1128,9 +1130,15 @@ def zscore_flag_exprs(threshold: int) -> tuple:
         "__sc"
     ).cast(d)
     mean = F.col("__sc").cast("double") / F.col("__n").cast("double")
-    varc = (
-        F.col("__ssq").cast("double") / F.col("__n").cast("double")
-        - mean * mean
+    # variance for the REPORTED z comes from the exact 128-bit nvar
+    # (nvar/n²), not the double expression ssq/n - mean² — the latter
+    # can catastrophically cancel to 0/negative on a huge-mean,
+    # tiny-variance series even when the exact gate nvar>0 passes,
+    # leaking z = Inf/NaN to consumers. nvar >= 1 exactly whenever the
+    # flag fires, and a positive decimal(38,0) never casts to 0.0, so
+    # the divisor is strictly positive and z is always finite.
+    varc = nvar.cast("double") / (
+        F.col("__n").cast("double") * F.col("__n").cast("double")
     )
     z = (F.col("__c").cast("double") - mean) / F.sqrt(varc)
     t2 = int(threshold) * int(threshold)

@@ -274,14 +274,18 @@ def dq_drift_psi(
     so the float result matches bit-for-bit.
 
     Scale shape: TWO column-pruned passes over (ts, value,
-    event_type): (1) one per-type aggregate collecting the type's
-    cent bounds and the global time bounds together (bounded driver
-    state — one row per event type, an enum-sized relation; the
-    bounded-collect discipline, re-applied as a broadcast of
-    literals), (2) the (type, side, bucket) count (map-side
-    combinable; at most types x 2 x B groups). Everything after runs
-    on that tiny relation. No UDFs. Build-time freeze semantics: the
-    midpoint and bounds reflect the log at call time."""
+    event_type), both LAZY: (1) one per-type aggregate producing the
+    type's cent bounds and time bounds as a RELATION (never a driver
+    collect — driver state stays zero even if event_type grows
+    high-cardinality, and the plan stays lazy like the rest of the
+    module), with the global midpoint derived from that same tiny
+    relation by an unpartitioned window (bounded: one row per type,
+    the module's provably-bounded-window discipline); (2) the
+    (type, side, bucket) count (map-side combinable; at most
+    types x 2 x B groups) against the broadcast bounds. Everything
+    after runs on that tiny relation. No UDFs. The midpoint and
+    bounds reflect the log as of the action that executes the plan
+    (lazy semantics, unlike the pre-round-9 call-time freeze)."""
     from pyspark.sql import functions as F
 
     cents = F.round(F.col(value_col) * 100).cast("long")
@@ -290,7 +294,7 @@ def dq_drift_psi(
         F.unix_micros("ts").alias("__us"),
         cents.alias("__c"),
     )
-    stats = (
+    bounds = (
         ev.groupBy("event_type")
         .agg(
             F.min("__c").alias("__lo"),
@@ -298,27 +302,23 @@ def dq_drift_psi(
             F.min("__us").alias("__t0"),
             F.max("__us").alias("__t1"),
         )
-        .collect()
-    )
-    if not stats:
-        return ev.limit(0).select(
-            "event_type",
-            F.lit(0.0).alias("psi"),
-            F.lit(0).cast("long").alias("n_ref"),
-            F.lit(0).cast("long").alias("n_cur"),
+        # global midpoint over the per-type bounds themselves — an
+        # unpartitioned window over an enum-sized relation, so no
+        # second scan of events and no driver round-trip
+        .withColumn(
+            "__mid",
+            F.expr(
+                "(min(__t0) OVER () + max(__t1) OVER ()) div 2"
+            ),
         )
-    mid = (min(r["__t0"] for r in stats) + max(r["__t1"] for r in stats)) // 2
-    spark = events.sparkSession
-    bounds = spark.createDataFrame(
-        [(r["event_type"], r["__lo"], r["__hi"]) for r in stats],
-        "event_type string, __lo long, __hi long",
+        .select("event_type", "__lo", "__hi", "__mid")
     )
     b = F.lit(int(buckets))
     bucketed = (
         ev.join(F.broadcast(bounds), "event_type")
         .select(
             "event_type",
-            F.when(F.col("__us") < F.lit(mid), F.lit(0))
+            F.when(F.col("__us") < F.col("__mid"), F.lit(0))
             .otherwise(F.lit(1))
             .alias("side"),
             F.least(

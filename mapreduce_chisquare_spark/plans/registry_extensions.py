@@ -1041,9 +1041,14 @@ def _km_cent_ctes() -> str:
     DIFFERENT relation (e.g. a clone-augmented corpus) against the
     base-table fit."""
     parts = [
+        # seed = the k SMALLEST vec_ids (ORDER BY .. LIMIT), matching
+        # kmeans_centroids' TakeOrdered seed on ANY id space — the old
+        # `vec_id < k` form was identical only on dense 0-based ids
+        # and would silently diverge on a sparse-id fixture
         "c0 AS (SELECT vec_id AS centroid_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb "
-        f"FROM embeddings WHERE vec_id < {ss.N_CENTROIDS})"
+        "FROM (SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {ss.N_CENTROIDS}))"
     ]
     for t in range(ss.KMEANS_ITERS):
         parts.append(_km_assign_ctes(f"c{t}", f"a{t + 1}"))
@@ -3387,9 +3392,8 @@ f AS (SELECT user_id, event_id, c, n, sc, ssq,
       FROM b)
 SELECT user_id, event_id,
        (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-         / sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
-                - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-                  * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+         / sqrt(CAST(nvar AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS z
 FROM f
 WHERE nvar > 0 AND dev * dev > 9 * nvar
 """

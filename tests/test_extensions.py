@@ -2772,13 +2772,44 @@ def test_ts_anomaly_zscore_exact_decision_matches_brute_force(spark):
             dev = n * c - sc
             if nvar > 0 and dev * dev > 9 * nvar:
                 mean = sc / n
-                z = (c - mean) / ((ssq / n - mean * mean) ** 0.5)
+                # variance from the exact integer nvar (the operator's
+                # round-9 contract), never the cancelling double form
+                z = (c - mean) / ((nvar / (n * n)) ** 0.5)
                 expected[(uid, uid * 10_000 + i)] = z
     assert set(got) == set(expected), (set(got), set(expected))
     assert (0, 30) in got and (3, 30052) in got
     assert not any(u == 1 for (u, _) in got)
     for k, z in got.items():
         assert abs(z - expected[k]) < 1e-12, (k, z, expected[k])
+
+
+def test_ts_anomaly_zscore_z_finite_under_catastrophic_cancellation(
+    spark,
+):
+    """Round-9 advisor regression: a huge-mean, tiny-variance series
+    (values ~ $1M apart by 5 cents) makes the naive double variance
+    ssq/n - mean² cancel to noise (true variance 0.78 while ssq/n and
+    mean² are ~1e16 with ulp 2 — the subtraction yields 0 or 2, i.e.
+    Inf or a 2.5x-wrong z) — the reported z must stay finite and
+    close to the exact value dev/sqrt(nvar), because the operator
+    derives the variance from the exact 128-bit nvar. Magnitude is
+    kept inside the BIGINT ssq domain (cents 1e8: sum of squares
+    ~3.1e17 << 2^63)."""
+    import math
+
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_anomaly_zscore,
+    )
+
+    base = 1_000_000.0  # cents = 1e8: ssq/n - mean² is pure noise
+    series = {7: [base] * 30 + [base + 0.05]}
+    rows = ts_anomaly_zscore(_mk_events(spark, series)).collect()
+    assert len(rows) == 1 and rows[0].event_id == 70_030, rows
+    z = rows[0].z
+    assert math.isfinite(z), z
+    # exact: dev = 150, nvar = 750, n = 31 -> z = dev / sqrt(nvar)
+    exact = 150.0 / math.sqrt(750.0)
+    assert abs(z - exact) / exact < 1e-5, (z, exact)
 
 
 def test_ts_seasonality_strength_and_peak_hour(spark):
