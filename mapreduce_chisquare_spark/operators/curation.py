@@ -787,3 +787,115 @@ def dsir_importance(
     return folded.orderBy(
         F.desc("log_weight"), F.asc("doc_id")
     ).limit(int(k))
+
+
+# ---------------------------------------------------------------------
+# Model-based quality score (fastText-architecture linear classifier)
+# ---------------------------------------------------------------------
+
+QM_BUCKETS = 1024  # hashed-ngram feature space (fastText's -bucket)
+QM_BIAS_MILLI = 25  # intercept, milliunits
+
+
+def quality_model_weights(spark, n_buckets: int = QM_BUCKETS):
+    """The model: a (bucket, w) weight relation, w an integer in
+    [-500, 500] milliunits derived deterministically from the shared
+    60-bit md5 hash of the bucket id — a fixed stand-in for trained
+    weights (training is out of scope; the SERVING plan is the
+    operator). A real deployment loads this relation from the
+    trainer's output; everything downstream is unchanged. Broadcast
+    at join time: n_buckets rows."""
+    from pyspark.sql import functions as F
+
+    from .sketches import kmv_hash_expr
+
+    return spark.range(int(n_buckets)).select(
+        F.col("id").alias("bucket"),
+        (kmv_hash_expr(F.col("id")) % 1001 - 500)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def quality_model_score(
+    docs,
+    weights=None,
+    n_buckets: int = QM_BUCKETS,
+    text_col: str = "text",
+):
+    """Model-based document quality score — the public fastText
+    architecture (Joulin et al. 2016) expressed as a Spark plan:
+    tokens + token bigrams → hashed feature buckets (hash(gram) mod
+    n_buckets) → weight lookup in a BROADCAST weight relation →
+    mean-pooled linear score through a logistic link. This is the
+    learned-filter shape modern pipelines run after the heuristic
+    screens (Gopher/C4 rules elsewhere in this module): same
+    tokenization, but the verdict comes from a model table, not
+    hand-coded thresholds.
+
+    Returns (doc_id, n_grams, quality_model_score, keep) for docs
+    with >= 1 token. The KEEP DECISION is exact integer arithmetic:
+    keep = (bias*n + sum w) >= 0 — equivalent to score >= 0.5 but
+    immune to float rounding at the boundary, so both engines decide
+    identically (the repo's exact-decision discipline); the reported
+    score is one shared double formula
+    sigmoid((bias + s/n) / 1000).
+
+    Scale shape: tokenize + gram expansion are row-local array
+    expressions (token array materialized ONCE before the bigram
+    transform — interpreted HOF lambdas get no CSE); the weight join
+    is a broadcast hash join (n_buckets rows); the per-doc aggregate
+    is one map-side-combinable doc_id exchange of (bucket-hit, w)
+    pairs. No UDFs, no driver state."""
+    from pyspark.sql import functions as F
+
+    from ..constants import DELIM_REGEX
+    from .sketches import kmv_hash_expr
+
+    if weights is None:
+        weights = quality_model_weights(docs.sparkSession, n_buckets)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), DELIM_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select("doc_id", toks.alias("__toks"))
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("__toks"), i),
+                F.lit("_"),
+                F.element_at(F.col("__toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("gram"),
+    )
+    hit = grams.select(
+        "doc_id",
+        (kmv_hash_expr(F.col("gram")) % F.lit(int(n_buckets))).alias(
+            "bucket"
+        ),
+    ).join(F.broadcast(weights), "bucket")
+    per = hit.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("w").cast("long").alias("__s"),
+    )
+    z = (
+        F.lit(float(QM_BIAS_MILLI))
+        + F.col("__s").cast("double") / F.col("n_grams").cast("double")
+    ) / F.lit(1000.0)
+    return per.select(
+        "doc_id",
+        "n_grams",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(
+            "quality_model_score"
+        ),
+        (
+            F.lit(int(QM_BIAS_MILLI)) * F.col("n_grams") + F.col("__s")
+            >= 0
+        ).alias("keep"),
+    )

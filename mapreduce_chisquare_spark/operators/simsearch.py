@@ -981,3 +981,58 @@ def ivfpq_topk(
         )
     )
     return topk_per_group(rescored, "query_id", "cos", "vec_id", k)
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.92,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Cluster-bucketed embedding similarity JOIN between TWO corpora
+    — the ANN-join complement of single-query search, and semantic
+    decontamination's workhorse shape: 'which items of corpus B are
+    near-duplicates of corpus A' (eval-set vs training-set, new crawl
+    vs existing corpus). Both sides are assigned to the SAME shared
+    centroid fit (row-local argmax against broadcast literals — zero
+    shuffle), candidate pairs form only WITHIN a cell (the SemDeDup
+    bucketing deal: with C ∝ N/target the per-cell work is a bounded
+    constant², never |A| x |B|), and survivors get the exact
+    dimension-ordered cosine. Returns
+    (a_id, b_id, centroid_id, cos) for pairs with cos >= threshold.
+
+    The cells-only candidate set is the documented recall trade (a
+    cross-cell near-dup pair is missed — same contract as
+    semantic_dedup, which this operator generalizes to two relations;
+    SemDeDup, Abbas et al. 2023, applies the same within-cluster
+    restriction at web scale). At 100 TB: one exchange per side on
+    centroid_id, cells parallelize embarrassingly, and the Σ(cell_A x
+    cell_B) pair cost stays ~ (|A|+|B|) * target_cluster_size under
+    the auto-C rule (executed stress row in SCALE.md).
+
+    Cites reference scope: the reference engine has no vector
+    operators at all (SURVEY.md §2) — this is LLM-pipeline extension
+    surface."""
+    a = with_centroid_assignment(left, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = with_centroid_assignment(right, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .select(
+            "a_id",
+            "b_id",
+            "centroid_id",
+            _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )

@@ -126,3 +126,195 @@ def kmv_distinct(
         est.alias("kmv_distinct"),
         "k_used",
     )
+
+
+# ---------------------------------------------------------------------
+# Mergeable rank (quantile) sketch: deterministic bottom-k sample
+# ---------------------------------------------------------------------
+
+def rank_sketch_kept(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: list,
+    k: int = 256,
+) -> DataFrame:
+    """The rank-sketch STATE: per group, the values of the k rows
+    whose ROW-IDENTITY hashes are smallest — (group_cols..., h, c).
+    A deterministic uniform sample (the KMV discipline applied to
+    rank estimation): hashing the unique row id with the shared
+    60-bit md5 hash induces one global random-but-fixed order over
+    rows, and keeping the bottom-k under that order is (a) a uniform
+    k-sample of the group and (b) MERGEABLE — the union of two
+    shards' kept sets re-selected to the bottom-k is exactly the
+    sketch of the union, since any globally-bottom-k hash is
+    necessarily bottom-k within its own shard. That is what lets 1000
+    executors sketch 100 TB independently and combine, with the SAME
+    answer as one pass (asserted bit-for-bit in tests), and the same
+    answer from DuckDB (the oracle gate certifies the ESTIMATE, not a
+    tolerance band).
+
+    The sort key is (h, c): ids are unique so h ties are ~2^-60, but
+    if one ever fired the kept (h, c) MULTISET — all any consumer
+    reads — is still deterministic. rank<=k compiles to
+    WindowGroupLimit (partial per-partition top-k before the
+    exchange), so the shuffle carries at most k rows per (partition,
+    group)."""
+    cols = [F.col(g) for g in group_cols]
+    hashed = df.select(
+        *cols,
+        kmv_hash_expr(F.col(id_col)).alias("h"),
+        F.col(value_col).alias("c"),
+    ).filter(F.col("h").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy("h", "c")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(int(k)))
+        .drop("rn")
+    )
+
+
+def rank_sketch_quantiles(
+    kept: DataFrame,
+    group_cols: list,
+    percentiles: tuple = (50, 95, 99),
+) -> DataFrame:
+    """Quantile ESTIMATES from a kept bottom-k sample: per group, the
+    sampled value at 0-based sorted position ((m-1) * p) div 100 of
+    the m kept values — the same exact-integer 'lower' quantile
+    contract as warehouse.dq_quantiles, applied to the sample. With
+    m = min(k, n) the estimate's rank error on the full group is the
+    classic sampling bound ~ n/sqrt(k). Returns
+    (group_cols..., n_sampled, q50, q95, q99) in the sketch's value
+    units (callers restore display units).
+
+    Scale shape: input is <= k rows per group; the ordering window
+    and the count share one group-keyed exchange over that bounded
+    relation."""
+    w = Window.partitionBy(*group_cols).orderBy("c", "h")
+    wn = Window.partitionBy(*group_cols)
+    ranked = kept.withColumn(
+        "__rn", F.row_number().over(w).cast("long")
+    ).withColumn("__m", F.count("*").over(wn))
+    aggs = [F.max("__m").cast("long").alias("n_sampled")]
+    for p in percentiles:
+        idx = F.expr(f"((__m - 1) * {int(p)}) div 100")
+        aggs.append(
+            F.max(F.when(F.col("__rn") - 1 == idx, F.col("c"))).alias(
+                f"q{int(p)}"
+            )
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------
+# Deterministic heavy hitters: the Misra-Gries summary
+# ---------------------------------------------------------------------
+
+def mg_summary(
+    counts: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """The Misra-Gries k-counter summary as a deterministic function
+    of a (key, c) count relation: subtract the (k+1)-th largest count
+    t from every count and keep the (at most k) keys still positive —
+    exactly the summary an MG stream pass with k counters guarantees,
+    with the two-sided contract c_hat <= c_true <= c_hat + t and
+    t <= N/(k+1) (Misra & Gries 1982; Agarwal et al., Mergeable
+    Summaries, PODS'12 — the 'subtract the (k+1)-th largest and
+    prune' formulation is their merge step applied once to exact
+    counts). Ties break by key ascending so both engines select the
+    identical summary. Returns (key, c_hat, err_bound=t), c_hat
+    descending-deterministic.
+
+    Scale shape: the count relation arrives map-side combined; the
+    (k+1)-row head is TakeOrderedAndProject (distributed partial
+    top-k, never a global sort or an unpartitioned window over the
+    vocabulary); t attaches via the module's 1-row broadcast
+    crossJoin; the final window runs over <= k+1 rows."""
+    top = counts.orderBy(
+        F.desc("c"), F.asc(key_col)
+    ).limit(int(k) + 1)
+    t_rel = top.agg(
+        F.count("*").alias("__n_top"), F.min("c").alias("__mn")
+    ).select(
+        F.when(F.col("__n_top") == F.lit(int(k) + 1), F.col("__mn"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("t")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc(key_col))
+    return (
+        top.crossJoin(F.broadcast(t_rel))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") <= F.lit(int(k)))
+            & (F.col("c") - F.col("t") > 0)
+        )
+        .select(
+            key_col,
+            (F.col("c") - F.col("t")).alias("c_hat"),
+            F.col("t").alias("err_bound"),
+        )
+    )
+
+
+def mg_summary_sharded(
+    df: DataFrame, key_col: str, shard_col: str, k: int = 10
+) -> DataFrame:
+    """Per-shard MG summaries merged into one k-counter summary — the
+    Agarwal et al. mergeability law executed as a plan: each shard
+    builds its own MG(k) summary (counts minus its own (k+1)-th
+    largest, keyed window — the per-shard truncation is what bounds
+    state to k counters per shard at 100 TB), the summaries ADD
+    (c_hat sums across shards), and the merged multiset shrinks again
+    by ITS (k+1)-th largest. Error telescopes: c_true - c_hat <=
+    sum over shards of N_s/(k+1) + t_merge <= 2N/(k+1). Returns
+    (key, c_hat, err_bound = sum of subtracted thresholds folded into
+    the final shrink's t) — err_bound here is the merge-stage t only;
+    the full contract is pinned by the test against exact counts."""
+    sc = df.groupBy(shard_col, key_col).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.desc("c"), F.asc(key_col)
+    )
+    rn = sc.withColumn("__rn", F.row_number().over(w))
+    head = rn.filter(F.col("__rn") <= F.lit(int(k) + 1))
+    t_s = head.groupBy(shard_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == int(k) + 1, F.col("c"))),
+            F.lit(0).cast("long"),
+        ).alias("t_s")
+    )
+    summaries = (
+        head.join(F.broadcast(t_s), shard_col)
+        .filter(
+            (F.col("__rn") <= F.lit(int(k)))
+            & (F.col("c") - F.col("t_s") > 0)
+        )
+        .select(
+            key_col, (F.col("c") - F.col("t_s")).alias("c_hat_s")
+        )
+    )
+    merged = summaries.groupBy(key_col).agg(
+        F.sum("c_hat_s").cast("long").alias("c")
+    )
+    return mg_summary(merged, key_col, k)
+
+
+def rank_sketch_merge(
+    kept: DataFrame, group_cols: list, k: int = 256
+) -> DataFrame:
+    """Merge per-shard rank-sketch states (group_cols no longer
+    include the shard): bottom-k by (h, c) over the union of retained
+    rows. Exactly equals the sketch built directly on the
+    unsharded stream — the mergeability proof, asserted bit-for-bit
+    in tests. Input is <= k rows per (group, shard), so the window
+    runs over a bounded relation."""
+    w = Window.partitionBy(*group_cols).orderBy("h", "c")
+    return (
+        kept.select(*group_cols, "h", "c")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(int(k)))
+        .drop("rn")
+    )

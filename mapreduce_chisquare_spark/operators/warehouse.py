@@ -481,3 +481,95 @@ def events_retention(events, week_seconds: int = 604800):
             ).alias("retention"),
         )
     )
+
+
+def _event_value_cents(events, value_col: str = "value"):
+    from pyspark.sql import functions as F
+
+    return events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col(value_col) * 100).cast("long").alias("__v"),
+    )
+
+
+def dq_quantiles_sketch(
+    events,
+    k: int = 256,
+    percentiles: tuple = (50, 95, 99),
+    value_col: str = "value",
+):
+    """Approximate per-type p50/p95/p99 from a MERGEABLE rank sketch
+    (operators/sketches.py rank_sketch_*) — the 100-TB complement to
+    dq_quantiles' exact per-type sort: the sketch state is k rows per
+    group regardless of group size, shards combine losslessly
+    (rank_sketch_merge), and — unlike t-digest/percentile_approx,
+    whose internals are engine-private — every step has a
+    bit-identical DuckDB twin, so the oracle certifies the ESTIMATE.
+    Returns (event_type, n_sampled, p50, p95, p99) in value units;
+    quantile-of-sample rank error ~ n/sqrt(k)."""
+    from pyspark.sql import functions as F
+
+    from .sketches import rank_sketch_kept, rank_sketch_quantiles
+
+    kept = rank_sketch_kept(
+        _event_value_cents(events, value_col),
+        "event_id",
+        "__v",
+        ["event_type"],
+        k=k,
+    )
+    q = rank_sketch_quantiles(kept, ["event_type"], percentiles)
+    return q.select(
+        "event_type",
+        "n_sampled",
+        *[
+            (F.col(f"q{int(p)}").cast("double") / F.lit(100.0)).alias(
+                f"p{int(p)}"
+            )
+            for p in percentiles
+        ],
+    )
+
+
+def dq_quantiles_sketch_merge(
+    events,
+    k: int = 256,
+    shards: int = 4,
+    percentiles: tuple = (50, 95, 99),
+    value_col: str = "value",
+):
+    """The merge law executed as a plan: shard the log by event_id
+    mod `shards` (standing in for 1000 executors' independent
+    passes), build per-(type, shard) sketch states, merge states per
+    type (bottom-k over the union), and extract quantiles from the
+    MERGED state. Equals dq_quantiles_sketch on the unsharded log
+    bit-for-bit — the property that makes the sketch safe at 100 TB —
+    asserted in tests and certified cross-engine by the oracle
+    twin."""
+    from pyspark.sql import functions as F
+
+    from .sketches import (
+        rank_sketch_kept,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+
+    base = _event_value_cents(events, value_col).withColumn(
+        "__shard", (F.col("event_id") % F.lit(int(shards))).cast("long")
+    )
+    kept = rank_sketch_kept(
+        base, "event_id", "__v", ["event_type", "__shard"], k=k
+    )
+    merged = rank_sketch_merge(kept, ["event_type"], k=k)
+    q = rank_sketch_quantiles(merged, ["event_type"], percentiles)
+    return q.select(
+        "event_type",
+        "n_sampled",
+        *[
+            (F.col(f"q{int(p)}").cast("double") / F.lit(100.0)).alias(
+                f"p{int(p)}"
+            )
+            for p in percentiles
+        ],
+    )

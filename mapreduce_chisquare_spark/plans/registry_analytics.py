@@ -1037,3 +1037,226 @@ WHERE CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
 
 
 ANALYTICS_QUERIES.update({"ts_acf": (ts_acf_q, _sql_ts_acf())})
+
+
+# =========================================================================
+# Round-9 additions: mergeable rank sketch, Misra-Gries heavy hitters
+# =========================================================================
+
+from ..constants import DELIM_REGEX  # noqa: E402
+
+_RS_K = 256
+_MG_K = 10
+
+
+def dq_quantiles_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type p50/p95/p99 from the mergeable bottom-k
+    rank sketch (operators/sketches.py rank_sketch_*, adapter
+    operators/warehouse.py dq_quantiles_sketch)."""
+    from ..operators.warehouse import dq_quantiles_sketch
+
+    return dq_quantiles_sketch(_t(spark, sf_dir, "events"), k=_RS_K)
+
+
+def _sql_rank_sketch_quantiles(
+    k: int = _RS_K, percentiles: tuple = (50, 95, 99), shards: int = 0
+) -> str:
+    """DuckDB twin of the rank sketch: same md5 bottom-k state, same
+    'lower' quantile rule. shards > 0 emits the sharded-then-merged
+    construction (dq_quantiles_sketch_merge's plan) — which selects
+    the SAME rows, the mergeability law the tests pin."""
+    cols = ",\n  ".join(
+        f"CAST(max(CASE WHEN rn - 1 = ((m - 1) * {int(p)}) // 100 "
+        f"THEN c END) AS DOUBLE) / 100.0 AS p{int(p)}"
+        for p in percentiles
+    )
+    if shards:
+        kept = f"""
+k1 AS (SELECT event_type, h, c FROM (
+   SELECT event_type, h, c, row_number() OVER (
+     PARTITION BY event_type, sh ORDER BY h, c) AS rn FROM hh)
+   WHERE rn <= {int(k)}),
+kept AS (SELECT event_type, h, c FROM (
+   SELECT event_type, h, c, row_number() OVER (
+     PARTITION BY event_type ORDER BY h, c) AS rn FROM k1)
+   WHERE rn <= {int(k)})"""
+        shard_col = f", event_id % {int(shards)} AS sh"
+    else:
+        kept = f"""
+kept AS (SELECT event_type, h, c FROM (
+   SELECT event_type, h, c, row_number() OVER (
+     PARTITION BY event_type ORDER BY h, c) AS rn FROM hh)
+   WHERE rn <= {int(k)})"""
+        shard_col = ""
+    return f"""
+WITH hh AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h,
+         CAST(round(value * 100) AS BIGINT) AS c{shard_col}
+  FROM events WHERE event_id IS NOT NULL),
+{kept},
+r AS (SELECT event_type, c, h,
+        CAST(row_number() OVER (
+          PARTITION BY event_type ORDER BY c, h) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      FROM kept)
+SELECT event_type, max(m) AS n_sampled,
+  {cols}
+FROM r GROUP BY event_type
+"""
+
+
+SQL_DQ_QUANTILES_SKETCH = _sql_rank_sketch_quantiles()
+
+
+def dq_quantiles_sketch_merge_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rank-sketch merge law as a plan: per-(type, shard) states
+    merged per type, quantiles from the MERGED state — equals the
+    unsharded sketch bit-for-bit (operators/warehouse.py
+    dq_quantiles_sketch_merge)."""
+    from ..operators.warehouse import dq_quantiles_sketch_merge
+
+    return dq_quantiles_sketch_merge(
+        _t(spark, sf_dir, "events"), k=_RS_K, shards=4
+    )
+
+
+SQL_DQ_QUANTILES_SKETCH_MERGE = _sql_rank_sketch_quantiles(shards=4)
+
+
+def _raw_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw token stream (casefold + split, empties dropped, NO
+    stopword/length/per-doc-distinct filters — frequency surveys and
+    the quality model share this shape, unlike the chi-square
+    relation's per-doc-distinct contract)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), DELIM_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("term"))
+    )
+
+
+_SQL_RAW_TOKS = (
+    "tl AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(lower(text), '{delim}'), "
+    "x -> x <> '') AS l FROM documents), "
+    "tok AS (SELECT doc_id, u.t AS term FROM tl, UNNEST(l) AS u(t))"
+)
+
+
+def heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Misra-Gries top-k summary of the corpus token
+    frequency (operators/sketches.py mg_summary, k=10): counts minus
+    the (k+1)-th largest, the bounded-memory heavy-hitter contract
+    c_hat <= c_true <= c_hat + err_bound."""
+    from ..operators.sketches import mg_summary
+
+    counts = _raw_tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return mg_summary(counts, "term", k=_MG_K)
+
+
+def _sql_mg(delim: str, k: int = _MG_K) -> str:
+    toks = _SQL_RAW_TOKS.format(delim=delim)
+    return f"""
+WITH {toks},
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY term),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC
+        LIMIT {k + 1}),
+t AS (SELECT CAST(CASE WHEN count(*) = {k + 1} THEN min(c)
+                       ELSE 0 END AS BIGINT) AS t FROM top),
+r AS (SELECT term, c, row_number() OVER (
+        ORDER BY c DESC, term ASC) AS rn FROM top)
+SELECT term, CAST(c - t.t AS BIGINT) AS c_hat,
+       t.t AS err_bound
+FROM r CROSS JOIN t WHERE rn <= {k} AND c - t.t > 0
+"""
+
+
+def heavy_hitters_mg_merge_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MG merge law as a plan (operators/sketches.py
+    mg_summary_sharded): per-shard MG(k) summaries (shard = doc_id
+    mod 4) added then re-shrunk — the Agarwal et al. mergeable-
+    summaries step, error telescoping to <= 2N/(k+1)."""
+    from ..operators.sketches import mg_summary_sharded
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), DELIM_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 4).cast("long").alias("sh"),
+            F.explode(toks).alias("term"),
+        )
+    )
+    return mg_summary_sharded(tok, "term", "sh", k=_MG_K)
+
+
+def _sql_mg_merge(delim: str, k: int = _MG_K) -> str:
+    toks = _SQL_RAW_TOKS.format(delim=delim)
+    return f"""
+WITH {toks},
+sc AS (SELECT doc_id % 4 AS sh, term, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY doc_id % 4, term),
+rn1 AS (SELECT *, row_number() OVER (
+          PARTITION BY sh ORDER BY c DESC, term ASC) AS rn FROM sc),
+ts AS (SELECT sh, CAST(coalesce(max(CASE WHEN rn = {k + 1} THEN c END),
+                                0) AS BIGINT) AS t_s
+       FROM rn1 WHERE rn <= {k + 1} GROUP BY sh),
+summ AS (SELECT term, CAST(rn1.c - ts.t_s AS BIGINT) AS ch
+         FROM rn1 JOIN ts USING (sh)
+         WHERE rn <= {k} AND rn1.c - ts.t_s > 0),
+m AS (SELECT term, CAST(sum(ch) AS BIGINT) AS c
+      FROM summ GROUP BY term),
+top AS (SELECT term, c FROM m ORDER BY c DESC, term ASC
+        LIMIT {k + 1}),
+t AS (SELECT CAST(CASE WHEN count(*) = {k + 1} THEN min(c)
+                       ELSE 0 END AS BIGINT) AS t FROM top),
+r AS (SELECT term, c, row_number() OVER (
+        ORDER BY c DESC, term ASC) AS rn FROM top)
+SELECT term, CAST(c - t.t AS BIGINT) AS c_hat,
+       t.t AS err_bound
+FROM r CROSS JOIN t WHERE rn <= {k} AND c - t.t > 0
+"""
+
+
+def _sql_delim_for_mg() -> str:
+    from .oracle_common import SQL_DELIM
+
+    return SQL_DELIM
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-9 additions — promoted into the round-9 certification
+        # window (same-round promotion per plans/registry.py protocol)
+        "dq_quantiles_sketch": (
+            dq_quantiles_sketch_q,
+            SQL_DQ_QUANTILES_SKETCH,
+        ),
+        "dq_quantiles_sketch_merge": (
+            dq_quantiles_sketch_merge_q,
+            SQL_DQ_QUANTILES_SKETCH_MERGE,
+        ),
+        "heavy_hitters_mg": (
+            heavy_hitters_mg_q,
+            _sql_mg(_sql_delim_for_mg()),
+        ),
+        "heavy_hitters_mg_merge": (
+            heavy_hitters_mg_merge_q,
+            _sql_mg_merge(_sql_delim_for_mg()),
+        ),
+    }
+)

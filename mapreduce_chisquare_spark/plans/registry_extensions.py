@@ -4057,3 +4057,246 @@ EXTENSION_QUERIES = {
     "ts_corr_topk": (ts_corr_topk_q, SQL_TS_CORR_TOPK),
     "dq_drift_psi": (dq_drift_psi_q, SQL_DQ_DRIFT_PSI),
 }
+
+
+# =========================================================================
+# Round-9 additions: perceptual image near-dup, embedding similarity
+# join, model-based quality score
+# =========================================================================
+
+from ..operators import imagehash as ih  # noqa: E402
+from ..operators.curation import (  # noqa: E402
+    QM_BIAS_MILLI,
+    QM_BUCKETS,
+    quality_model_score,
+)
+
+
+def _sql_px_cols(src: str = "text") -> str:
+    """DuckDB twin of imagehash.sampled_pixel_exprs: the 72 sampled
+    code-point columns (same positions, `//` for Spark's `div`)."""
+    n = ih.N_PIX
+    return ", ".join(
+        f"unicode(substr({src}, 1 + ({i} * (length({src}) - 1)) "
+        f"// {n - 1}, 1)) AS px{i}"
+        for i in range(n)
+    )
+
+
+def _sql_band_cols() -> str:
+    """DuckDB twin of imagehash.band_exprs: identical bit lattice."""
+    outs = []
+    for j in range(ih.N_BANDS):
+        terms = []
+        for s in range(ih.BAND_BITS):
+            b = j * ih.BAND_BITS + s
+            r, c = divmod(b, ih.GRID_C)
+            a_i = r * (ih.GRID_C + 1) + c
+            terms.append(
+                f"CASE WHEN px{a_i} < px{a_i + 1} THEN {1 << s} ELSE 0 END"
+            )
+        outs.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{j}"
+        )
+    return ", ".join(outs)
+
+
+def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash fingerprint per document payload
+    (operators/imagehash.py image_phash) — the content-level image
+    fingerprint (LAION-style dedup methodology) over the stand-in
+    decode."""
+    return ih.image_phash(_docs(spark, sf_dir))
+
+
+SQL_IMAGE_PHASH = f"""
+WITH px AS (SELECT doc_id, {_sql_px_cols()}
+            FROM documents WHERE length(text) >= 1),
+h AS (SELECT doc_id, {_sql_band_cols()} FROM px)
+SELECT doc_id, b0, b1, b2, b3,
+       lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+       || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0') AS phash
+FROM h
+"""
+
+
+# the perturbed-clone corpus: every 20th payload gets ONE sampled
+# pixel (sample index 20) replaced by a far-away code point — flips
+# at most the 2 adjacent dHash comparisons, so every planted pair is
+# within the max_dist=3 pigeonhole-recall guarantee
+_PHASH_P = ih.pixel_pos(20).format(t="text")
+_PHASH_P_SQL = _PHASH_P.replace(" div ", " // ")
+
+
+def _phash_corpus(docs: DataFrame) -> DataFrame:
+    pert = (
+        f"concat(substring(text, 1, ({_PHASH_P}) - 1), "
+        f"CASE WHEN ascii(substring(text, {_PHASH_P}, 1)) > 60 "
+        "THEN char(1) ELSE char(120) END, "
+        f"substring(text, ({_PHASH_P}) + 1))"
+    )
+    base = docs.select("doc_id", "text")
+    clones = (
+        docs.filter((F.col("doc_id") % 20 == 0) & (F.length("text") >= 1))
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.expr(pert).alias("text"),
+        )
+    )
+    return base.unionByName(clones)
+
+
+def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-duplicate image pairs over a
+    perturbed-clone corpus (operators/imagehash.py
+    image_neardup_pairs): 25 planted one-pixel-perturbed clones per
+    500 docs, every one within the d<=3 pigeonhole recall
+    guarantee."""
+    hashes = ih.image_phash(_phash_corpus(_docs(spark, sf_dir)))
+    return ih.image_neardup_pairs(hashes)
+
+
+SQL_IMAGE_NEARDUP_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 1
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, ({_PHASH_P_SQL}) - 1)
+         || (CASE WHEN unicode(substr(text, {_PHASH_P_SQL}, 1)) > 60
+                  THEN chr(1) ELSE chr(120) END)
+         || substr(text, ({_PHASH_P_SQL}) + 1)
+  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 1),
+px AS (SELECT doc_id, {_sql_px_cols()} FROM corpus),
+h AS (SELECT doc_id, {_sql_band_cols()} FROM px),
+unp AS (SELECT doc_id, b0, b1, b2, b3, u.j AS band_idx,
+               CASE u.j WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+        FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) u),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_val)
+                 AS sz FROM unp),
+keptb AS (SELECT * FROM sized WHERE sz <= {ih.MAX_BUCKET}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+                b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+         FROM keptb a JOIN keptb b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id),
+d AS (SELECT a_id, b_id,
+             CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+                  + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+                  AS INTEGER) AS hamming
+      FROM cand)
+SELECT a_id, b_id, hamming FROM d WHERE hamming <= 3
+"""
+
+
+def similarity_join_embedding_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-bucketed similarity JOIN between the base embedding
+    corpus and a clone-perturbed second corpus (operators/simsearch.py
+    similarity_join) — semantic decontamination's shape: every 10th
+    vector reappears with dimension 1 shifted by +0.001 (50 planted
+    cross-corpus matches per 500 vectors; the synthetic background is
+    near-orthogonal, max pair cosine ~0.51, so the planted matches
+    are exactly the >= 0.92 hits). Shares the base-table Lloyd fit
+    (_km_cents), mirrored CTE-for-CTE in the oracle."""
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    left = emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x.cast("double")).alias("embedding"),
+    )
+    right = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1).cast("double") + F.lit(0.001)),
+            F.transform(
+                F.slice(e, 2, ss.DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return ss.similarity_join(
+        left, right, cents=_km_cents(spark, sf_dir)
+    )
+
+
+SQL_SIMILARITY_JOIN_EMBEDDING = (
+    "WITH "
+    + _km_cent_ctes()
+    + ", lefte AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings), "
+    "righte AS (SELECT vec_id + 2000000 AS vec_id, "
+    "[CAST(embedding[1] AS DOUBLE) + 0.001] || "
+    "list_transform(embedding[2:], x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings WHERE vec_id % 10 = 0), "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "la", src="lefte")
+    + ", "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "ra", src="righte")
+    # cos projected once (no CSE across predicate and projection)
+    + ", pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+    "a.centroid_id, "
+    f"{_cos_sql('a.embedding', 'b.embedding')} AS cos "
+    "FROM la a JOIN ra b USING (centroid_id)) "
+    "SELECT a_id, b_id, centroid_id, cos FROM pairs WHERE cos >= 0.92"
+)
+
+
+def quality_model_score_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-architecture hashed-ngram quality score
+    (operators/curation.py quality_model_score): tokens + bigrams ->
+    md5 feature buckets -> broadcast weight relation -> mean-pooled
+    logistic score; keep decision exact-integer."""
+    return quality_model_score(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_MODEL_SCORE = f"""
+WITH w AS (SELECT CAST(b AS BIGINT) AS bucket,
+       CAST((CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 1001) - 500 AS BIGINT) AS w
+     FROM range({QM_BUCKETS}) t(b)),
+tl AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '{SQL_DELIM}'),
+                   x -> x <> '') AS l
+       FROM documents),
+grams AS (SELECT doc_id, u.g
+          FROM tl, UNNEST(l || list_transform(range(1, len(l)),
+                   i -> l[i] || '_' || l[i + 1])) AS u(g)),
+hit AS (SELECT doc_id,
+        CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+          % {QM_BUCKETS} AS bucket
+        FROM grams),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(w.w) AS BIGINT) AS s
+        FROM hit JOIN w USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_grams,
+  1.0 / (1.0 + exp(-(({QM_BIAS_MILLI}.0
+        + CAST(s AS DOUBLE) / CAST(n_grams AS DOUBLE)) / 1000.0)))
+    AS quality_model_score,
+  ({QM_BIAS_MILLI} * n_grams + s) >= 0 AS keep
+FROM per
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-9 additions — promoted into the round-9 certification
+        # window (same-round promotion per plans/registry.py protocol)
+        "image_phash": (image_phash_q, SQL_IMAGE_PHASH),
+        "image_neardup_pairs": (
+            image_neardup_pairs_q,
+            SQL_IMAGE_NEARDUP_PAIRS,
+        ),
+        "similarity_join_embedding": (
+            similarity_join_embedding_q,
+            SQL_SIMILARITY_JOIN_EMBEDDING,
+        ),
+        "quality_model_score": (
+            quality_model_score_q,
+            SQL_QUALITY_MODEL_SCORE,
+        ),
+    }
+)
