@@ -957,3 +957,224 @@ def test_kmv_accuracy_and_merge_law_at_200k_distinct(spark):
     ).collect()[0]
     assert merged.kmv_distinct == direct.kmv_distinct
     assert abs(merged.kmv_distinct - 200_000) < 4 * (200_000 / 254 ** 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: perceptual image near-dup at 100k, cluster-bucketed
+# similarity JOIN cell cost, rank-sketch merge law + error at scale.
+
+
+@pytest.mark.slow
+def test_image_neardup_guard_and_recall_at_100k(spark, tmp_path_factory):
+    """105k payloads structured as 5,000 near-dup FAMILIES (each base
+    doc appears 20x with a distinct numeric id prefix — one digit
+    apart, the mirrored-corpus shape) + 5,000 planted one-pixel-
+    perturbed clones + a 2,000-strong solid-color bomb (every bomb
+    payload hashes to the same bands — the boilerplate-image skew).
+    Asserts (a) planted recall is 100% (the d<=3 pigeonhole contract
+    holds at scale), (b) the bomb contributes ZERO pairs because its
+    band buckets blow past MAX_BUCKET and are dropped — without the
+    guard it alone would emit C(2000,2) ≈ 2.0M pairs, (c) found
+    pairs are overwhelmingly intra-family (measured cross-family
+    collisions ~0.3% — the 64-bit dHash precision trade a downstream
+    verify stage absorbs), (d) the total stays bounded by the family
+    structure (max 5,000 x C(20,2) + planted ≈ 0.95M; measured
+    ~0.48M), (e) wall time stays in linear-scan territory."""
+    from mapreduce_chisquare_spark.operators.imagehash import (
+        N_PIX,
+        image_neardup_pairs,
+        image_phash,
+        pixel_pos,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path_factory.mktemp("img100k") / "docs.parquet")
+    parts = []
+    for i in range(20):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                # id prefix: copies of one base doc differ in a digit
+                # or two -> a 20-member near-dup family per base doc
+                F.concat_ws(
+                    " ",
+                    (F.col("doc_id") + F.lit(i * 1_000_000)).cast(
+                        "string"
+                    ),
+                    F.col("text"),
+                ).alias("text"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # planted clones: every 20th doc, one sampled pixel replaced
+    ppos = pixel_pos(20).format(t="text")
+    pert = (
+        f"concat(substring(text, 1, ({ppos}) - 1), "
+        f"CASE WHEN ascii(substring(text, {ppos}, 1)) > 60 "
+        "THEN char(1) ELSE char(120) END, "
+        f"substring(text, ({ppos}) + 1))"
+    )
+    clones = u.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        F.expr(pert).alias("text"),
+    )
+    bomb = spark.range(2_000).select(
+        (F.col("id") + F.lit(90_000_000)).alias("doc_id"),
+        F.lit("x" * 100).alias("text"),
+    )
+    corpus = u.unionByName(clones).unionByName(bomb)
+    corpus.write.mode("overwrite").parquet(out)
+    corpus = spark.read.parquet(out)
+    n = corpus.count()
+    assert n == 107_000
+    t0 = time.perf_counter()
+    pairs = image_neardup_pairs(image_phash(corpus))
+    agg = pairs.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (
+                (F.col("a_id") % 1_000_000)
+                != (F.col("b_id") % 1_000_000)
+            ).cast("long")
+        ).alias("cross_family"),
+        F.sum(
+            (
+                (F.col("a_id") >= 90_000_000)
+                & (F.col("b_id") >= 90_000_000)
+            ).cast("long")
+        ).alias("bomb_pairs"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    # recall: every planted (base, base+50M) pair survives
+    planted_pairs = (
+        pairs.filter(
+            (F.col("b_id") >= 50_000_000) & (F.col("b_id") < 90_000_000)
+        )
+        .filter(F.col("a_id") == F.col("b_id") - 50_000_000)
+        .count()
+    )
+    assert planted_pairs == 5_000, planted_pairs
+    assert agg["bomb_pairs"] == 0, agg
+    # bounded by the family structure, nowhere near a guard-less
+    # bomb's +2.0M; and precision: cross-family collisions <1%
+    assert agg["total"] < 1_000_000, agg
+    assert agg["cross_family"] < agg["total"] // 100, agg
+    assert elapsed < 300, f"image neardup took {elapsed:.0f}s"
+    print(
+        f"[stress] image_neardup 107k: total={agg['total']} "
+        f"cross_family={agg['cross_family']} planted=5000/5000 "
+        f"bomb_pairs=0 wall={elapsed:.1f}s"
+    )
+
+
+@pytest.mark.slow
+def test_similarity_join_cell_cost_bounded_as_corpus_doubles(
+    spark, tmp_path_factory
+):
+    """similarity_join's Σ(cell_A x cell_B) deal under the auto-C
+    rule, beside SemDeDup's Σ(cluster²) row: doubling both corpora
+    (A = 40k->80k, B = A/10 clones) with C = auto_n_centroids(|A|)
+    keeps the candidate-pair fraction FALLING and planted recall at
+    100% at both scales."""
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        auto_n_centroids,
+        kmeans_centroids,
+        similarity_join,
+        with_centroid_assignment,
+    )
+
+    stats = {}
+    for copies in (20, 40):
+        emb = _stress_embeddings(
+            spark, tmp_path_factory.mktemp(f"sj{copies}"), copies
+        )
+        left = emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("embedding"),
+        )
+        n = left.count()
+        right = left.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(500_000_000)).alias("vec_id"),
+            F.concat(
+                F.array(
+                    F.element_at(F.col("embedding"), 1) + F.lit(1e-4)
+                ),
+                F.slice(F.col("embedding"), 2, 63),
+            ).alias("embedding"),
+        )
+        m = right.count()
+        cents = kmeans_centroids(left, k=auto_n_centroids(n))
+        ca = (
+            with_centroid_assignment(left, cents)
+            .groupBy("centroid_id")
+            .count()
+            .withColumnRenamed("count", "na")
+        )
+        cb = (
+            with_centroid_assignment(right, cents)
+            .groupBy("centroid_id")
+            .count()
+            .withColumnRenamed("count", "nb")
+        )
+        cand = (
+            ca.join(cb, "centroid_id")
+            .agg(F.sum(F.col("na") * F.col("nb")))
+            .collect()[0][0]
+        )
+        hits = similarity_join(left, right, cents).filter(
+            F.col("a_id") == F.col("b_id") - 500_000_000
+        )
+        stats[copies] = (n, m, cand / (n * m), hits.count())
+    (n1, m1, f1, r1) = stats[20]
+    (n2, m2, f2, r2) = stats[40]
+    assert (n1, n2) == (40_000, 80_000)
+    assert r1 == m1 and r2 == m2  # planted recall 100% at both scales
+    assert f2 < f1, (f1, f2)  # candidate fraction falls as N doubles
+    print(
+        f"[stress] similarity_join cells: 40k frac={f1:.6f} "
+        f"80k frac={f2:.6f} recall={r1}/{m1},{r2}/{m2}"
+    )
+
+
+@pytest.mark.slow
+def test_rank_sketch_merge_law_and_error_at_sf01(spark):
+    """At the full sf0.1 event log: (a) the sharded-then-merged
+    sketch equals the direct sketch BIT-FOR-BIT (the 1000-executor
+    safety property), (b) each per-type p50/p95/p99 estimate lands
+    within 10 rank-percent of the exact quantile (k=256 ->
+    sigma ~ 3.1%; the deterministic md5 sample is one fixed draw)."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_quantiles,
+        dq_quantiles_sketch,
+        dq_quantiles_sketch_merge,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    direct = {
+        r.event_type: r for r in dq_quantiles_sketch(ev).collect()
+    }
+    merged = {
+        r.event_type: r
+        for r in dq_quantiles_sketch_merge(ev, shards=8).collect()
+    }
+    assert set(direct) == set(merged)
+    for et in direct:
+        assert tuple(direct[et]) == tuple(merged[et]), et
+    for et, row in direct.items():
+        sub = ev.filter(F.col("event_type") == et)
+        tot = sub.count()
+        for p in (50, 95, 99):
+            est = row[f"p{p}"]
+            below = sub.filter(F.col("value") <= est).count()
+            assert abs(below / tot - p / 100) <= 0.10, (
+                et,
+                p,
+                est,
+                below / tot,
+            )
+    print(f"[stress] rank sketch at sf0.1: n={n}, merge law exact")
