@@ -158,6 +158,15 @@ HEADLINE = [
     "events_retention",
     "basket_rules",
     "ts_acf",
+    # round-9 additions (first measurement = their baseline)
+    "image_phash",
+    "image_neardup_pairs",
+    "similarity_join_embedding",
+    "quality_model_score",
+    "dq_quantiles_sketch",
+    "dq_quantiles_sketch_merge",
+    "heavy_hitters_mg",
+    "heavy_hitters_mg_merge",
 ]
 
 WARMUP = 1

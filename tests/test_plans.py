@@ -394,3 +394,65 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
         assert marker not in p
+
+
+# ---------------------------------------------------------------------------
+# Round 9: plan shapes for imagehash / rank sketch / MG / quality model
+
+
+def test_image_phash_is_pure_projection(spark, sf_dir):
+    """The fingerprint is row-local: no Exchange, no Python eval, and
+    the parquet scan prunes to (doc_id, text)."""
+    import re
+
+    p = plan_text(REGISTRY["image_phash"][0](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_image_neardup_single_band_exchange_no_python(spark, sf_dir):
+    """Candidate generation exchanges banded rows, not payloads: the
+    hash side never shuffles text (band/exchange columns only), and
+    the whole pair stage stays JVM-side."""
+    p = plan_text(REGISTRY["image_neardup_pairs"][0](spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+    # the shuffled relation carries band columns, never the payload
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_rank_sketch_kept_compiles_to_window_group_limit(spark, sf_dir):
+    """The bottom-k state selection must prune per-partition BEFORE
+    the exchange (WindowGroupLimit), so each partition ships at most
+    k rows per group."""
+    from mapreduce_chisquare_spark.operators.sketches import (
+        rank_sketch_kept,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    kept = rank_sketch_kept(ev, "event_id", "value", ["event_type"], k=64)
+    p = plan_text(kept)
+    assert "WindowGroupLimit" in p, p
+
+
+def test_heavy_hitters_head_is_take_ordered(spark, sf_dir):
+    """The (k+1)-row head must be TakeOrderedAndProject (distributed
+    partial top-k), never a global Sort over the vocabulary."""
+    p = plan_text(REGISTRY["heavy_hitters_mg"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quality_model_broadcasts_weight_table(spark, sf_dir):
+    """The weight lookup is a broadcast hash join (n_buckets rows),
+    and the gram expansion stays JVM-side."""
+    p = plan_text(REGISTRY["quality_model_score"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
