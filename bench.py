@@ -167,6 +167,8 @@ HEADLINE = [
     "dq_quantiles_sketch_merge",
     "heavy_hitters_mg",
     "heavy_hitters_mg_merge",
+    "image_dedup_components",
+    "similarity_join_topk",
 ]
 
 WARMUP = 1

@@ -899,3 +899,101 @@ def quality_model_score(
             >= 0
         ).alias("keep"),
     )
+
+
+def quality_model_weight_values(n_buckets: int = QM_BUCKETS) -> list:
+    """The weight table as Python literals — the same md5-derived
+    formula as quality_model_weights, computed driver-side so it can
+    be embedded as a literal array expression (the broadcast-table-
+    as-expression trick that makes the scorer row-local). Pinned
+    equal to the relation form in tests."""
+    import hashlib
+
+    vals = []
+    for b in range(int(n_buckets)):
+        h = int(hashlib.md5(str(b).encode()).hexdigest()[:15], 16)
+        vals.append(h % 1001 - 500)
+    return vals
+
+
+def quality_model_score_rowlocal(
+    docs, n_buckets: int = QM_BUCKETS, text_col: str = "text"
+):
+    """quality_model_score as ONE row-local projection — zero
+    shuffles: the hashed-bucket weight lookup becomes element_at over
+    a literal n_buckets-int array and the mean-pool becomes an
+    F.aggregate fold over the gram array, so the scorer is legal in
+    APPEND-MODE STRUCTURED STREAMING (no per-doc aggregation state) —
+    the stream_neardup rewrite discipline applied to the learned
+    filter. Output is column-for-column and BIT-identical to the
+    broadcast-join form (same integer sum, same shared double
+    formula; pinned by test), so the streaming entry certifies
+    against the same batch oracle.
+
+    At 100 TB the join form remains the default for BIG weight
+    tables; the literal-array form is the ingest-screen variant for
+    models that fit a task binary (fastText quantized models do)."""
+    from pyspark.sql import functions as F
+
+    from ..constants import DELIM_REGEX
+
+    w_arr = F.array(
+        *[
+            F.lit(int(v)).cast("long")
+            for v in quality_model_weight_values(n_buckets)
+        ]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), DELIM_REGEX),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select("doc_id", toks.alias("__toks"))
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("__toks"), i),
+                F.lit("_"),
+                F.element_at(F.col("__toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from .sketches import kmv_hash_expr
+
+    withg = base.select(
+        "doc_id", F.concat(F.col("__toks"), bigrams).alias("__grams")
+    ).filter(F.size("__grams") >= 1)
+    wlist = F.transform(
+        F.col("__grams"),
+        lambda g: F.element_at(
+            w_arr, (kmv_hash_expr(g) % F.lit(int(n_buckets))).cast("int") + F.lit(1)
+        ),
+    )
+    per = withg.select(
+        "doc_id",
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.aggregate(
+            wlist,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__s"),
+    )
+    from pyspark.sql import functions as _F
+
+    z = (
+        _F.lit(float(QM_BIAS_MILLI))
+        + _F.col("__s").cast("double") / _F.col("n_grams").cast("double")
+    ) / _F.lit(1000.0)
+    return per.select(
+        "doc_id",
+        "n_grams",
+        (_F.lit(1.0) / (_F.lit(1.0) + _F.exp(-z))).alias(
+            "quality_model_score"
+        ),
+        (
+            _F.lit(int(QM_BIAS_MILLI)) * _F.col("n_grams")
+            + _F.col("__s")
+            >= 0
+        ).alias("keep"),
+    )

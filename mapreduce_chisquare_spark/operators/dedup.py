@@ -530,6 +530,19 @@ def neardup_components(
     crawling to the max_iter cap.
     """
     pairs = minhash_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
+    return components_over_pairs(pairs, max_iter=max_iter, stats=stats)
+
+
+def components_over_pairs(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The label-propagation core of neardup_components over ANY
+    (doc_a, doc_b) pair relation — round 9 extracts it so the image
+    near-dup tier (operators/imagehash.py pairs) runs the identical
+    iteration; semantics and plan unchanged for the MinHash caller."""
+    pairs = pairs.select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")

@@ -1036,3 +1036,38 @@ def similarity_join(
         )
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
+
+
+def similarity_join_topk(
+    left: DataFrame,
+    right: DataFrame,
+    cents: list[list[float]],
+    k: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Per-RIGHT-item top-k nearest LEFT neighbours within its cell —
+    similarity_join's ranking variant: entity resolution / provenance
+    attribution ('which training doc is this eval item closest to'),
+    where the consumer wants the best matches ranked, not a threshold
+    cut. Same cluster-bucketed candidate structure (shared broadcast
+    fit, within-cell pairs only — the documented recall trade), then
+    WindowGroupLimit per b_id instead of a filter. Returns
+    (b_id, a_id, cos, rank)."""
+    from .topk import topk_per_group
+
+    a = with_centroid_assignment(left, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = with_centroid_assignment(right, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    scored = a.join(b, "centroid_id").select(
+        "b_id",
+        "a_id",
+        _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias("cos"),
+    )
+    return topk_per_group(scored, "b_id", "cos", "a_id", k)

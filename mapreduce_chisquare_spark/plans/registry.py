@@ -149,7 +149,10 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-10 window TODO: promote any round-10 tail additions first,
+# Round-10 window TODO: promote the round-9 SECOND-BATCH tail
+# additions first (image_dedup_components, similarity_join_topk,
+# stream_quality_model — registered after the round-9 window filled;
+# local oracle-green at both SFs), then any round-10 tail additions,
 # then the oldest r5 rows not re-certified this round (43 remain:
 # agg_grouping_sets, agg_linreg, agg_mode, agg_percentile, agg_rollup,
 # agg_stats, anti_join_stopwords, asof_nearest, casefold,

@@ -4156,16 +4156,27 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ih.image_neardup_pairs(hashes)
 
 
-SQL_IMAGE_NEARDUP_PAIRS = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE length(text) >= 1
-  UNION ALL
-  SELECT doc_id + 1000000,
-         substr(text, 1, ({_PHASH_P_SQL}) - 1)
-         || (CASE WHEN unicode(substr(text, {_PHASH_P_SQL}, 1)) > 60
-                  THEN chr(1) ELSE chr(120) END)
-         || substr(text, ({_PHASH_P_SQL}) + 1)
-  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 1),
+def _sql_phash_clone_select(offset: int, sample_i: int) -> str:
+    """One clone arm of the perturbed corpus: payloads of every 20th
+    doc with the pixel at sample index `sample_i` replaced by a
+    far-away code point (<= 2 dHash bits — inside the pigeonhole
+    guarantee)."""
+    p = ih.pixel_pos(sample_i).format(t="text").replace(" div ", " // ")
+    return (
+        f"SELECT doc_id + {offset}, "
+        f"substr(text, 1, ({p}) - 1) "
+        f"|| (CASE WHEN unicode(substr(text, {p}, 1)) > 60 "
+        "THEN chr(1) ELSE chr(120) END) "
+        f"|| substr(text, ({p}) + 1) "
+        "FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 1"
+    )
+
+
+def _sql_phash_pair_ctes(corpus_sql: str) -> str:
+    """The px -> bands -> banded-bucket-join -> Hamming CTE chain over
+    any `corpus_sql` (must yield (doc_id, text)); final CTE `d` holds
+    (a_id, b_id, hamming) BEFORE the distance filter."""
+    return f"""corpus AS ({corpus_sql}),
 px AS (SELECT doc_id, {_sql_px_cols()} FROM corpus),
 h AS (SELECT doc_id, {_sql_band_cols()} FROM px),
 unp AS (SELECT doc_id, b0, b1, b2, b3, u.j AS band_idx,
@@ -4185,9 +4196,19 @@ d AS (SELECT a_id, b_id,
              CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
                   + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
                   AS INTEGER) AS hamming
-      FROM cand)
-SELECT a_id, b_id, hamming FROM d WHERE hamming <= 3
-"""
+      FROM cand)"""
+
+
+_SQL_PHASH_CORPUS_1CLONE = (
+    "SELECT doc_id, text FROM documents WHERE length(text) >= 1 "
+    "UNION ALL " + _sql_phash_clone_select(1_000_000, 20)
+)
+
+SQL_IMAGE_NEARDUP_PAIRS = (
+    "WITH "
+    + _sql_phash_pair_ctes(_SQL_PHASH_CORPUS_1CLONE)
+    + " SELECT a_id, b_id, hamming FROM d WHERE hamming <= 3"
+)
 
 
 def similarity_join_embedding_q(
@@ -4296,6 +4317,169 @@ EXTENSION_QUERIES.update(
         ),
         "quality_model_score": (
             quality_model_score_q,
+            SQL_QUALITY_MODEL_SCORE,
+        ),
+    }
+)
+
+
+# --- round-9 second batch: image dedup components, ranked similarity
+# join, streaming learned filter ------------------------------------------
+
+
+def _phash_corpus2(docs: DataFrame) -> DataFrame:
+    """Base docs + TWO perturbed clones of every 20th doc (different
+    sampled pixels) — each clone is <= 2 bits from its base, the two
+    clones may sit up to 4 bits APART (beyond max_dist), so the
+    3-member group is recovered only through the base: the
+    transitivity the components pass exists to provide."""
+    base = docs.select("doc_id", "text")
+    arms = [base]
+    for offset, sample_i in ((1_000_000, 20), (2_000_000, 30)):
+        p = ih.pixel_pos(sample_i).format(t="text")
+        pert = (
+            f"concat(substring(text, 1, ({p}) - 1), "
+            f"CASE WHEN ascii(substring(text, {p}, 1)) > 60 "
+            "THEN char(1) ELSE char(120) END, "
+            f"substring(text, ({p}) + 1))"
+        )
+        arms.append(
+            docs.filter(
+                (F.col("doc_id") % 20 == 0) & (F.length("text") >= 1)
+            ).select(
+                (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+                F.expr(pert).alias("text"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def image_dedup_components_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components over the image near-dup pair graph — the
+    pairs -> components -> survivors pipeline the text dedup tier
+    runs, applied to perceptual hashes (operators/dedup.py
+    components_over_pairs; the identical label-propagation core).
+    Corpus plants 3-member clone groups whose two clones connect only
+    THROUGH the base (transitivity). Returns
+    (doc_id, component_id, is_kept) for docs in the pair graph."""
+    from ..operators.dedup import components_over_pairs
+
+    pairs = ih.image_neardup_pairs(
+        ih.image_phash(_phash_corpus2(_docs(spark, sf_dir)))
+    ).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    comps = components_over_pairs(pairs)
+    return comps.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+    )
+
+
+_SQL_PHASH_CORPUS_2CLONE = (
+    "SELECT doc_id, text FROM documents WHERE length(text) >= 1 "
+    "UNION ALL "
+    + _sql_phash_clone_select(1_000_000, 20)
+    + " UNION ALL "
+    + _sql_phash_clone_select(2_000_000, 30)
+)
+
+SQL_IMAGE_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _sql_phash_pair_ctes(_SQL_PHASH_CORPUS_2CLONE)
+    + ", pr AS (SELECT a_id, b_id FROM d WHERE hamming <= 3), "
+    "edges AS (SELECT a_id AS src, b_id AS dst FROM pr "
+    "UNION SELECT b_id, a_id FROM pr), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+    "SELECT src AS doc_id, least(src, min(dst)) AS component_id, "
+    "least(src, min(dst)) = src AS is_kept "
+    "FROM reach GROUP BY src"
+)
+
+
+def similarity_join_topk_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ranked variant of the embedding similarity join
+    (operators/simsearch.py similarity_join_topk): per clone-corpus
+    item, the top-3 nearest base items within its cell — planted
+    truth: rank 1 is always the clone's own base vector."""
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    left = emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x.cast("double")).alias("embedding"),
+    )
+    right = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1).cast("double") + F.lit(0.001)),
+            F.transform(
+                F.slice(e, 2, ss.DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return ss.similarity_join_topk(
+        left, right, cents=_km_cents(spark, sf_dir), k=3
+    )
+
+
+SQL_SIMILARITY_JOIN_TOPK = (
+    "WITH "
+    + _km_cent_ctes()
+    + ", lefte AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings), "
+    "righte AS (SELECT vec_id + 2000000 AS vec_id, "
+    "[CAST(embedding[1] AS DOUBLE) + 0.001] || "
+    "list_transform(embedding[2:], x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings WHERE vec_id % 10 = 0), "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "la", src="lefte")
+    + ", "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "ra", src="righte")
+    + ", pairs AS (SELECT b.vec_id AS b_id, a.vec_id AS a_id, "
+    f"{_cos_sql('a.embedding', 'b.embedding')} AS cos "
+    "FROM la a JOIN ra b USING (centroid_id)), "
+    "r AS (SELECT b_id, a_id, cos, CAST(row_number() OVER ("
+    "PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS INTEGER) AS rank "
+    "FROM pairs) "
+    "SELECT b_id, a_id, cos, rank FROM r WHERE rank <= 3"
+)
+
+
+def stream_quality_model_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming learned quality filter — the row-local scorer
+    (streaming/curation.py quality_model_stream) whose output is
+    bit-identical to the batch broadcast-join scorer, so it shares
+    SQL_QUALITY_MODEL_SCORE as its oracle."""
+    from ..streaming.curation import quality_model_stream
+
+    return quality_model_stream(spark, sf_dir)
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-9 second batch — promoted into the round-9 window tail
+        # is NOT possible (window already at 50): queued for round 10.
+        "image_dedup_components": (
+            image_dedup_components_q,
+            SQL_IMAGE_DEDUP_COMPONENTS,
+        ),
+        "similarity_join_topk": (
+            similarity_join_topk_q,
+            SQL_SIMILARITY_JOIN_TOPK,
+        ),
+        "stream_quality_model": (
+            stream_quality_model_q,
             SQL_QUALITY_MODEL_SCORE,
         ),
     }

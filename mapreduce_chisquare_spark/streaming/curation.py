@@ -144,3 +144,37 @@ def gopher_screen_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def quality_model_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming twin of the LEARNED quality filter: the row-local
+    quality_model_score_rowlocal (literal-array weight lookup +
+    F.aggregate mean-pool — zero shuffles, so legal in append mode
+    with no state store) applied to a readStream relation. Output is
+    BIT-identical to the batch broadcast-join scorer (pinned in
+    tests), so the batch oracle certifies the stream verbatim — the
+    stream_gopher_screen discipline extended from heuristic to
+    model-based filtering: a corpus ingest pipeline scores documents
+    at scan speed as they arrive."""
+    from ..operators.curation import quality_model_score_rowlocal
+
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    scored = quality_model_score_rowlocal(stream)
+    name = "stream_qmodel_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -335,3 +335,109 @@ def test_quality_model_composes_with_pipeline_curation(spark):
     rows = j.collect()
     assert len(rows) == survivors.count()
     assert all(r.same and r.same_n for r in rows)
+
+
+# ---------------------------------------------------------------------
+# round-9 second batch
+# ---------------------------------------------------------------------
+
+def test_quality_model_rowlocal_is_bit_identical_to_join_form(spark):
+    """The streaming-legal row-local scorer (literal-array weight
+    lookup + F.aggregate fold) must equal the broadcast-join form
+    column-for-column and bit-for-bit — this is what lets the
+    streaming entry certify against the batch oracle."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        quality_model_score,
+        quality_model_score_rowlocal,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = sorted(map(tuple, quality_model_score(docs).collect()))
+    b = sorted(
+        map(tuple, quality_model_score_rowlocal(docs).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_image_components_connect_clones_through_base(spark):
+    """Two clones of one base sit <= 2 bits from the base but may sit
+    beyond max_dist from EACH OTHER — the components pass must still
+    put all three in one group (transitive closure), keeping only the
+    min-id member."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        components_over_pairs,
+    )
+    from mapreduce_chisquare_spark.operators.imagehash import (
+        image_neardup_pairs,
+        image_phash,
+        pixel_pos,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and " * 4
+    n = len(base)
+
+    def perturb(sample_i, repl):
+        p = (sample_i * (n - 1)) // 71
+        return base[:p] + repl + base[p + 1 :]
+
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1_000_000, perturb(20, "\x01")),
+            (2_000_000, perturb(30, "\x01")),
+            (7, "zyxwvutsrqponmlkjihgfedcba" * 9),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = image_neardup_pairs(image_phash(docs))
+    from pyspark.sql import functions as FF
+
+    comps = {
+        r.doc_id: r.component_id
+        for r in components_over_pairs(
+            pairs.select(
+                FF.col("a_id").alias("doc_a"),
+                FF.col("b_id").alias("doc_b"),
+            )
+        ).collect()
+    }
+    assert comps.get(0) == 0
+    assert comps.get(1_000_000) == 0
+    assert comps.get(2_000_000) == 0
+    assert 7 not in comps  # unrelated content joins no component
+    _ = pixel_pos  # referenced for reader navigation
+
+
+def test_similarity_join_topk_rank1_is_the_planted_base(spark):
+    import random
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        kmeans_centroids,
+        similarity_join_topk,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    base = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(100)
+    ]
+    left = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [
+            (i + 10_000, [x + (0.001 if d == 0 else 0.0)
+                          for d, x in enumerate(v)])
+            for i, v in base
+            if i % 10 == 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(left, k=8, dim=dim)
+    rows = similarity_join_topk(left, right, cents, k=3).collect()
+    got1 = {r.b_id: r.a_id for r in rows if r.rank == 1}
+    assert got1 == {i + 10_000: i for i in range(0, 100, 10)}
+    for r in rows:
+        assert 1 <= r.rank <= 3
