@@ -1,0 +1,116 @@
+"""Record linkage / entity resolution over dimension tables: blocked
+candidate generation + edit-distance matching + connected-component
+cluster assignment — the classic Fellegi-Sunter-shaped pipeline
+(blocking from the record-linkage literature; Hernandez & Stolfo's
+merge/purge) expressed as DataFrame plans. The reference's surface
+has no linkage tier (SURVEY.md §2 ends at joins/top-k); a corpus
+pipeline needs it wherever documents carry author/site/entity fields
+that must be canonicalized before per-entity quotas or dedup keys
+make sense.
+
+Cross-engine exactness: the match predicate is Levenshtein distance
+on normalized names — integer-valued and implemented natively by BOTH
+engines (Spark `levenshtein`, DuckDB `levenshtein`), so the candidate
+set and every reported distance are bit-identical. Clustering is the
+shared integer min-label propagation (dedup.components_over_pairs).
+
+Scale shape: NEVER all-pairs. Candidates come from equality blocking
+(one hash exchange on the block key); oversized blocks are excluded
+by a MAX_BLOCK guard exactly like the LSH tier's MAX_BUCKET — a
+degenerate block key (e.g. a null-heavy column) cannot detonate into
+a quadratic join. Within-block pair enumeration is the same bounded
+self-join as triangle wedges. At 100 TB the block key is the shuffle
+key; everything else is per-block local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import components_over_pairs
+
+# Match predicate: normalized-name Levenshtein <= ER_MAX_EDIT.
+ER_MAX_EDIT = 2
+# Blocks larger than this are excluded from pair enumeration (the
+# MAX_BUCKET discipline): a block of B records costs B(B-1)/2 pairs,
+# so the guard caps per-block work at ~500k comparisons.
+ER_MAX_BLOCK = 1000
+
+
+def blocking_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_edit: int = ER_MAX_EDIT,
+    max_block: int = ER_MAX_BLOCK,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Blocked candidate pairs (id_a, id_b, dist): records that share
+    the block key, taken as unordered pairs (id_a < id_b), kept when
+    the Levenshtein distance between their normalized (lower+trim)
+    names is <= max_edit.
+
+    Plan: one aggregate for block sizes, joined back on the block key
+    (same partitioning — no extra exchange under AQE), then the
+    within-block self-join. The distance runs JVM-side (built-in
+    `levenshtein`, whole-stage codegen) on block-local pairs only.
+
+    stats, when given, receives {"blocks_skipped": n} — the number of
+    over-cap blocks excluded (disclosed truncation, never silent).
+    """
+    cols = [F.col(c).alias(f"b{i}") for i, c in enumerate(block_cols)]
+    bkeys = [f"b{i}" for i in range(len(block_cols))]
+    r = records.select(
+        F.col(id_col).alias("rid"),
+        F.lower(F.trim(F.col(name_col))).alias("nm"),
+        *cols,
+    )
+    sizes = r.groupBy(*bkeys).agg(F.count("*").alias("__bn"))
+    if stats is not None:
+        stats["blocks_skipped"] = sizes.filter(
+            F.col("__bn") > F.lit(int(max_block))
+        ).count()
+    kept = (
+        r.join(sizes, bkeys)
+        .filter(F.col("__bn") <= F.lit(int(max_block)))
+        .drop("__bn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in bkeys]
+    on.append(F.col("a.rid") < F.col("b.rid"))
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return (
+        a.join(b, on)
+        .filter(dist <= F.lit(int(max_edit)))
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+def match_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Entity clusters over the match-pair graph: (entity_id,
+    cluster_id) with cluster_id = min reachable id — the survivorship
+    key (all records in a cluster canonicalize to its minimum id).
+    Same integer min-label propagation as the near-dup tier
+    (dedup.components_over_pairs): converges in graph-diameter
+    rounds, lineage truncated per round."""
+    comp = components_over_pairs(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        max_iter=max_iter,
+        stats=stats,
+    )
+    return comp.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("component_id").alias("cluster_id"),
+    )
