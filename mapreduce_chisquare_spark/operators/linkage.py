@@ -58,8 +58,23 @@ def blocking_pairs(
     `levenshtein`, whole-stage codegen) on block-local pairs only.
 
     stats, when given, receives {"blocks_skipped": n} — the number of
-    over-cap blocks excluded (disclosed truncation, never silent).
+    over-cap blocks excluded (disclosed truncation, never silent);
+    the sizes relation is localCheckpointed first so the eager count
+    and the join reuse ONE blocking scan, not two.
+
+    Size-1 blocks are excluded before the self-join (they cannot form
+    a pair — same guard as the sibling dedup/simsearch bucket joins).
+    Empty block_cols is an error: groupBy() would collapse to one
+    global block and the equality join would degenerate to a
+    cross-join shape — all-pairs is exactly what blocking exists to
+    prevent.
     """
+    if not block_cols:
+        raise ValueError(
+            "block_cols must be non-empty: blocking IS the scale "
+            "contract (an empty key would make the candidate join "
+            "all-pairs)"
+        )
     cols = [F.col(c).alias(f"b{i}") for i, c in enumerate(block_cols)]
     bkeys = [f"b{i}" for i in range(len(block_cols))]
     r = records.select(
@@ -69,12 +84,16 @@ def blocking_pairs(
     )
     sizes = r.groupBy(*bkeys).agg(F.count("*").alias("__bn"))
     if stats is not None:
+        sizes = sizes.localCheckpoint()
         stats["blocks_skipped"] = sizes.filter(
             F.col("__bn") > F.lit(int(max_block))
         ).count()
     kept = (
         r.join(sizes, bkeys)
-        .filter(F.col("__bn") <= F.lit(int(max_block)))
+        .filter(
+            (F.col("__bn") >= F.lit(2))
+            & (F.col("__bn") <= F.lit(int(max_block)))
+        )
         .drop("__bn")
     )
     a, b = kept.alias("a"), kept.alias("b")
@@ -96,13 +115,23 @@ def match_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
     stats: dict | None = None,
+    records: DataFrame | None = None,
+    id_col: str = "rid",
 ) -> DataFrame:
     """Entity clusters over the match-pair graph: (entity_id,
     cluster_id) with cluster_id = min reachable id — the survivorship
     key (all records in a cluster canonicalize to its minimum id).
     Same integer min-label propagation as the near-dup tier
     (dedup.components_over_pairs): converges in graph-diameter
-    rounds, lineage truncated per round."""
+    rounds, lineage truncated per round.
+
+    When `records` is given (with its `id_col`), every record absent
+    from the pair graph is emitted as its OWN singleton cluster
+    (cluster_id = entity_id), so the output is a TOTAL map over the
+    input ids — a caller canonicalizing a dimension table can inner-
+    join it without silently dropping unmatched entities. Without
+    `records`, only ids appearing in >= 1 match pair get a row; the
+    caller must left-join and coalesce(cluster_id, id) itself."""
     comp = components_over_pairs(
         pairs.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -110,7 +139,15 @@ def match_clusters(
         max_iter=max_iter,
         stats=stats,
     )
-    return comp.select(
+    out = comp.select(
         F.col("doc_id").alias("entity_id"),
         F.col("component_id").alias("cluster_id"),
     )
+    if records is None:
+        return out
+    singletons = (
+        records.select(F.col(id_col).alias("entity_id"))
+        .join(out.select("entity_id"), "entity_id", "left_anti")
+        .select("entity_id", F.col("entity_id").alias("cluster_id"))
+    )
+    return out.unionByName(singletons)

@@ -1071,3 +1071,123 @@ def similarity_join_topk(
         _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias("cos"),
     )
     return topk_per_group(scored, "b_id", "cos", "a_id", k)
+
+
+# ---------------------------------------------------------------------
+# Shortlist-then-rerank: the two-stage retrieval composition
+# ---------------------------------------------------------------------
+
+# Deterministic per-dimension rerank weights (1.0/1.5/2.0/2.5 cycling)
+# — stands in for a second, more exact scorer (production pipelines
+# rerank an ANN shortlist with a cross-encoder; here the second scorer
+# is a dimension-weighted cosine so the oracle stays bit-identical).
+RERANK_WEIGHTS = [1.0 + (d % 4) * 0.5 for d in range(DIM)]
+
+
+def weighted_cosine(a: Column, b: Column, weights: list) -> Column:
+    """Reference expression form of the weighted cosine: per-dim terms
+    (w*x)*y folded LEFT-TO-RIGHT in dimension order — the shared
+    association every twin (Arrow scorer, DuckDB oracle) mirrors, so
+    the doubles match bit-for-bit. Interpreted-expression cost is fine
+    here: this scorer only ever runs on the bounded shortlist."""
+    num, aa, bb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    for i, w in enumerate(weights, start=1):
+        x = F.element_at(a, i).cast("double")
+        y = F.element_at(b, i).cast("double")
+        num = num + F.lit(float(w)) * x * y
+        aa = aa + F.lit(float(w)) * x * x
+        bb = bb + F.lit(float(w)) * y * y
+    return num / (F.sqrt(aa) * F.sqrt(bb))
+
+
+def _wcos_arrow(weights: list):
+    """Arrow-batched weighted cosine, accumulating dimension-by-
+    dimension with the same (w*x)*y association as weighted_cosine
+    and the oracle SQL — bit-identical by construction (the same
+    discipline as _cos_arrow)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ws = [float(w) for w in weights]
+
+    @pandas_udf("double")
+    def wcos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.zeros(A.shape[0])
+        aa = np.zeros(A.shape[0])
+        bb = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):
+            w, x, y = ws[d], A[:, d], B[:, d]
+            num = num + (w * x) * y
+            aa = aa + (w * x) * x
+            bb = bb + (w * y) * y
+        return pd.Series(num / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return wcos_batch
+
+
+def similarity_join_reranked(
+    left: DataFrame,
+    right: DataFrame,
+    cents: list,
+    k: int = 3,
+    shortlist: int = 10,
+    weights: list | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Two-stage ranked similarity join — the retrieval ladder's last
+    rung: the cluster-bucketed candidate structure of
+    similarity_join_topk produces a per-right-item SHORTLIST by raw
+    cosine (cheap first scorer), then a second, weighted scorer
+    re-ranks only those <= `shortlist` survivors and the final top-k
+    by the reranked score is returned. This is the
+    shortlist-then-rerank composition every production retrieval
+    pipeline runs (ANN candidates -> cross-encoder rerank); the
+    second scorer here is a deterministic dimension-weighted cosine
+    (RERANK_WEIGHTS broadcast as literals) so both stages stay
+    bit-identical to the DuckDB oracle. Returns
+    (b_id, a_id, cos, wcos, rank) ranked by wcos DESC, a_id ASC.
+
+    Scale shape: identical candidate bounds to similarity_join_topk
+    (within-cell pairs only, one exchange per side on centroid_id).
+    The shortlist window compiles to WindowGroupLimit, so each
+    partition forwards at most `shortlist` rows per b_id BEFORE the
+    rank exchange, and the embeddings needed by stage 2 ride that
+    bounded relation — the rerank adds ZERO extra exchanges and ZERO
+    re-joins (no second pass over either corpus). At 100 TB the
+    rerank cost is |B| * shortlist row-local scores, independent of
+    |A|."""
+    ws = RERANK_WEIGHTS if weights is None else list(weights)
+    a = with_centroid_assignment(left, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = with_centroid_assignment(right, cents, use_arrow).select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    scored = a.join(b, "centroid_id").select(
+        "b_id",
+        "a_id",
+        "emb_a",
+        "emb_b",
+        _score_cos(F.col("emb_a"), F.col("emb_b"), use_arrow).alias("cos"),
+    )
+    w = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(shortlist)))
+        .drop("__rn")
+    )
+    wscore = (
+        _wcos_arrow(ws)(F.col("emb_a"), F.col("emb_b"))
+        if use_arrow
+        else weighted_cosine(F.col("emb_a"), F.col("emb_b"), ws)
+    )
+    rer = short.select("b_id", "a_id", "cos", wscore.alias("wcos"))
+    return topk_per_group(rer, "b_id", "wcos", "a_id", k)

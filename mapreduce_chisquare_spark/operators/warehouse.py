@@ -335,6 +335,17 @@ def dq_drift_psi(
         .groupBy("event_type", "side", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+    return _psi_from_sided_counts(bucketed, buckets)
+
+
+def _psi_from_sided_counts(bucketed, buckets: int):
+    """Shared PSI fold over a (event_type, side, bucket, cnt) counted
+    relation: Laplace-smoothed shares, terms added IN BUCKET ORDER
+    (one shared double formula per term, so both the equal-width and
+    the sketch-edge variants match their oracles bit-for-bit). Types
+    with no reference rows drop (PSI needs a reference)."""
+    from pyspark.sql import functions as F
+
     per = bucketed.groupBy("event_type").agg(
         F.sum(F.when(F.col("side") == 0, F.col("cnt"))).alias("n_ref"),
         F.sum(F.when(F.col("side") == 1, F.col("cnt"))).alias("n_cur"),
@@ -373,6 +384,108 @@ def dq_drift_psi(
         F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
         F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
     )
+
+
+def dq_drift_psi_sketch(
+    events, buckets: int = 10, k: int = 256, value_col: str = "value"
+):
+    """PSI drift screen with REFERENCE-QUANTILE bin edges from the
+    mergeable rank sketch — the classical PSI construction (bins =
+    quantiles of the reference window, so each reference bucket holds
+    ~1/B of the mass) in its 100-TB form: the edges come from the
+    bottom-k rank sketch of the reference half
+    (sketches.rank_sketch_kept — k rows of state per type, shard-
+    mergeable), not from an exact per-type sort. Composes the two
+    certified primitives: dq_quantiles_sketch's edge extraction +
+    dq_drift_psi's smoothed fold. Returns (event_type, psi, n_ref,
+    n_cur).
+
+    Exactness: the ref/cur split is the same integer-microsecond
+    midpoint; the kept set is the deterministic md5 bottom-k (the
+    sketch's h ordering); edge j (j = 1..B-1) is the kept value at
+    0-based sorted position ((m-1)*j) div B — all integer decisions —
+    and a row's bucket is the COUNT of edges <= its cents value
+    (0..B-1, exact integer comparisons; duplicate edges simply leave
+    some buckets empty, which the Laplace smoothing already absorbs).
+    The fold is the shared _psi_from_sided_counts, so the double
+    result matches the DuckDB twin bit-for-bit.
+
+    Scale shape: one pass builds the sided relation (lazy per-type
+    time-bounds relation for the midpoint — no driver state), the
+    sketch is a WindowGroupLimit over the reference side (<= k rows
+    per type survive the exchange), edges live in a broadcast
+    (type, B-1 values) relation, and bucketing + the (type, side,
+    bucket) count are map-side combinable. Unlike the equal-width
+    variant's full-log min/max, the edges are quantile-robust: one
+    outlier cannot collapse every row into one bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .sketches import kmv_hash_expr
+
+    bb = int(buckets)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    ev = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        cents.alias("__c"),
+        kmv_hash_expr(F.col("event_id")).alias("__h"),
+    )
+    tb = (
+        ev.groupBy("event_type")
+        .agg(F.min("__us").alias("__t0"), F.max("__us").alias("__t1"))
+        .withColumn(
+            "__mid",
+            F.expr("(min(__t0) OVER () + max(__t1) OVER ()) div 2"),
+        )
+        .select("event_type", "__mid")
+    )
+    sided = ev.join(F.broadcast(tb), "event_type").select(
+        "event_type",
+        "__c",
+        "__h",
+        F.when(F.col("__us") < F.col("__mid"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    # reference-half sketch: deterministic bottom-k by (h, c) per type
+    wk = Window.partitionBy("event_type").orderBy("__h", "__c")
+    kept = (
+        sided.filter((F.col("side") == 0) & F.col("__h").isNotNull())
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= F.lit(int(k)))
+        .select("event_type", "__c", "__h")
+    )
+    # edge j = kept value at 0-based position ((m-1)*j) div B under
+    # the (c, h) sample order — the shared 'lower' quantile rule
+    wq = Window.partitionBy("event_type").orderBy("__c", "__h")
+    wn = Window.partitionBy("event_type")
+    ranked = kept.withColumn(
+        "__qrn", F.row_number().over(wq).cast("long")
+    ).withColumn("__m", F.count("*").over(wn))
+    edge_aggs = [
+        F.max(
+            F.when(
+                F.col("__qrn") - 1
+                == F.expr(f"((__m - 1) * {j}) div {bb}"),
+                F.col("__c"),
+            )
+        ).alias(f"__e{j}")
+        for j in range(1, bb)
+    ]
+    edges = ranked.groupBy("event_type").agg(*edge_aggs)
+    bucket = F.lit(0)
+    for j in range(1, bb):
+        bucket = bucket + F.when(
+            F.col("__c") >= F.col(f"__e{j}"), F.lit(1)
+        ).otherwise(F.lit(0))
+    bucketed = (
+        sided.join(F.broadcast(edges), "event_type")
+        .select("event_type", "side", bucket.alias("bucket"))
+        .groupBy("event_type", "side", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return _psi_from_sided_counts(bucketed, buckets)
 
 
 def dq_quantiles(

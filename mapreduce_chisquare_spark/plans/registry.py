@@ -67,107 +67,91 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-9 window (50) = the 8 round-9 NEW entries (image_phash,
-# image_neardup_pairs, similarity_join_embedding, quality_model_score,
-# dq_quantiles_sketch, dq_quantiles_sketch_merge, heavy_hitters_mg,
-# heavy_hitters_mg_merge — same-round promotion, local oracle-green at
-# both SFs), + the 3 round-9 CHANGED entries (ts_anomaly_zscore /
-# stream_anomaly_screen: the reported z's variance now derives from
-# the exact 128-bit nvar per the round-8 advisor; dq_drift_psi: the
-# driver collect replaced by a lazy broadcast bounds relation), + ALL
-# 35 remaining r4-era stale rows (draining the round-8 verdict's #1
-# item — after this window no entry's newest driver green is older
-# than r5), + 4 of the oldest r5 rows led by simsearch_ivfpq (whose
-# oracle twin carries this round's ORDER BY seed-CTE fix). Fast
-# entries lead; streaming fixtures close the window so a time-cut
-# sweep still certifies the maximum prefix.
+# Round-10 window (50) = the 3 round-9 second-batch tail entries that
+# never got a driver row (image_dedup_components, similarity_join_topk,
+# stream_quality_model — the round-9 verdict's #1 item), + the 4
+# round-10 NEW entries (er_blocking_pairs / er_clusters: the formerly
+# unregistered operators/linkage.py wired with exact Levenshtein
+# oracles; similarity_join_reranked: shortlist-then-rerank;
+# dq_drift_psi_sketch: PSI over mergeable-sketch quantile edges), +
+# ALL 43 remaining r5-era stale rows (draining the round-9 verdict's
+# #4 item — after this window no entry's newest driver green is older
+# than r6). Fast §2-spine/scalar rows lead the stale cohort; the heavy
+# dedup/PQ/pipeline fixtures close so a time-cut sweep still certifies
+# the maximum prefix.
 _CERTIFY_WINDOW = [
-    # round-9 new: perceptual image near-dup (dHash + banded Hamming)
-    "image_phash",
-    "image_neardup_pairs",
-    # round-9 new: mergeable bottom-k rank sketch + merge law
-    "dq_quantiles_sketch",
-    "dq_quantiles_sketch_merge",
-    # round-9 new: deterministic Misra-Gries heavy hitters + merge law
-    "heavy_hitters_mg",
-    "heavy_hitters_mg_merge",
-    # round-9 new: fastText-shape hashed-ngram quality model
-    "quality_model_score",
-    # round-9 new: cluster-bucketed embedding similarity JOIN
-    "similarity_join_embedding",
-    # round-9 changed: exact-nvar z variance; lazy PSI bounds
-    "ts_anomaly_zscore",
-    "dq_drift_psi",
-    # r4-era stale re-certs (the FULL remaining list — scalars,
-    # set-ops, windows, TPC-H, joins, chunking, packing; the §2
-    # contingency/join spine count_term/cat/total + join_*_totals
-    # closes the group as the board's oldest greens)
-    "agg_unpivot",
-    "array_scalars",
-    "date_scalars",
-    "string_scalars",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "explode_outer_keywords",
-    "embed_quantize",
-    "window_ntile",
-    "window_sliding",
-    "window_tumbling",
-    "window_lag",
-    "window_session",
-    "pack_sequences",
-    "rollup_multigrain",
-    "doc_chunk",
-    "sql_correlated_subquery",
-    "top_n_global",
-    "ngram_counts",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "join_bucketed",
-    "join_bloom_prefilter",
-    "count_term",
-    "count_cat",
-    "count_total",
-    "join_term_totals",
-    "join_cat_totals",
-    # oldest r5 rows: the seed-CTE-touched IVFPQ plus three fast ones
-    "simsearch_ivfpq",
-    "tfidf",
-    "q1_pricing_summary",
-    "window_moving_sum",
-    # slow fixtures close the window: ORC sink round-trip, streaming
-    "sink_orc_roundtrip",
-    "stream_anomaly_screen",
-    "stream_doc_chunk",
+    # round-9 second-batch tail (registered after the r9 window
+    # filled; local oracle-green since r9 — driver signature is due)
+    "image_dedup_components",
+    "similarity_join_topk",
+    "stream_quality_model",
+    # round-10 new: entity resolution (operators/linkage.py — the
+    # module the round-9 verdict flagged as unregistered, now wired
+    # with exact Levenshtein oracles)
+    "er_blocking_pairs",
+    "er_clusters",
+    # round-10 new: shortlist-then-rerank similarity join (the
+    # retrieval ladder's second-stage scorer composition)
+    "similarity_join_reranked",
+    # round-10 new: PSI drift with mergeable-sketch quantile edges
+    "dq_drift_psi_sketch",
+    # r5-era stale re-certs — the FULL remaining 43-row cohort (after
+    # this window no entry's newest driver green is older than r6).
+    # Fast scalars/joins/aggs lead; heavy dedup/pipeline/PQ fixtures
+    # close so a time-cut sweep still certifies the maximum prefix.
+    "casefold",
+    "project",
+    "length_filter",
+    "nonempty_filter",
+    "dedup_terms",
+    "anti_join_stopwords",
+    "tokenize_positions",
+    "regexp_extract",
+    "json_schema_parse",
+    "map_scalars",
+    "sink_roundtrip",
+    "agg_grouping_sets",
+    "agg_linreg",
+    "agg_mode",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "distinct_agg",
+    "having_filter",
+    "join_broadcast_dim",
+    "join_outer",
+    "join_semi",
+    "q3_shipping_priority",
+    "q5_supplier_revenue",
+    "snapshot_diff",
+    "asof_nearest",
+    "events_funnel",
+    "sample_weighted",
+    "sample_weighted_per_source",
+    "source_temperature",
+    "corpus_composition",
+    "corpus_shard",
+    "corpus_split",
+    "lm_unigram_score",
+    "decontaminate",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_k128",
+    "simsearch_pq_encode",
+    "simsearch_pq_refined",
+    "simsearch_pq_topk",
+    "pipeline_training_corpus",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-10 window TODO: promote the round-9 SECOND-BATCH tail
-# additions first (image_dedup_components, similarity_join_topk,
-# stream_quality_model — registered after the round-9 window filled;
-# local oracle-green at both SFs), then any round-10 tail additions,
-# then the oldest r5 rows not re-certified this round (43 remain:
-# agg_grouping_sets, agg_linreg, agg_mode, agg_percentile, agg_rollup,
-# agg_stats, anti_join_stopwords, asof_nearest, casefold,
-# corpus_composition, corpus_shard, corpus_split, decontaminate,
-# dedup_incremental, dedup_keep_best, dedup_minhash_lsh,
-# dedup_minhash_lsh_k128, dedup_terms, distinct_agg, events_funnel,
-# having_filter, join_broadcast_dim, join_outer, join_semi,
-# json_schema_parse, length_filter, lm_unigram_score, map_scalars,
-# nonempty_filter, pipeline_training_corpus, project,
-# q3_shipping_priority, q5_supplier_revenue, regexp_extract,
-# sample_weighted, sample_weighted_per_source, simsearch_pq_encode,
-# simsearch_pq_refined, simsearch_pq_topk, sink_roundtrip,
-# snapshot_diff, source_temperature, tokenize_positions), then the
-# oldest r6 rows (42: the round-5/6 tail — winnowing pair, splits,
-# asof family, scd2, layout/bucketing, stream_neardup, ...).
+# Round-11 window TODO: promote any round-10 tail additions first,
+# then the oldest r6 rows (42: the round-5/6 tail — winnowing pair,
+# splits, asof family, scd2, layout/bucketing, stream_neardup, ...),
+# then the oldest r7 rows as space allows. After the round-10 window
+# lands, the staleness histogram floor is r6.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

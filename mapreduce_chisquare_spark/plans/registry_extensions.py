@@ -4484,3 +4484,293 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Round-10 additions: entity resolution (operators/linkage.py),
+# shortlist-then-rerank similarity join, sketch-edged PSI drift
+# =========================================================================
+
+ER_FIXTURE_MOD = 7  # every 7th customer gets a typo'd clone
+
+
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER fixture over the customer dimension: the originals plus a
+    deterministically 'dirty' clone of every 7th record (last name
+    character dropped — Levenshtein distance exactly 1 from its
+    source). Block key = (nationkey, name digits 1..8): the clone
+    shares both with its source (chopping char 18 leaves chars 10..17
+    intact), so every planted match is recoverable within one block,
+    and two originals collide only when they share nation AND
+    custkey-div-10 — realistic blocking selectivity."""
+    cust = scan_parquet(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.substring("c_name", 10, 8).alias("blk"),
+    )
+    dirty = cust.filter(
+        F.col("c_custkey") % ER_FIXTURE_MOD == 0
+    ).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("rid"),
+        F.substring("c_name", 1, 17).alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.substring("c_name", 10, 8).alias("blk"),
+    )
+    return base.unionByName(dirty)
+
+
+def er_blocking_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity-resolution candidate pairs
+    (operators/linkage.py blocking_pairs): records sharing the block
+    key whose normalized names are within Levenshtein distance 1 —
+    the match predicate is integer-exact and native in BOTH engines,
+    so the oracle certifies every pair and every distance."""
+    from ..operators.linkage import blocking_pairs
+
+    return blocking_pairs(
+        _er_records(spark, sf_dir),
+        "rid",
+        "name",
+        ["nation", "blk"],
+        max_edit=1,
+    )
+
+
+_SQL_ER_RECS = (
+    "recs AS ("
+    "SELECT c_custkey AS rid, lower(trim(c_name)) AS nm, "
+    "c_nationkey AS nation, substring(c_name, 10, 8) AS blk "
+    "FROM customer "
+    "UNION ALL "
+    "SELECT c_custkey + 10000000, "
+    "lower(trim(substring(c_name, 1, 17))), c_nationkey, "
+    "substring(c_name, 10, 8) "
+    f"FROM customer WHERE c_custkey % {ER_FIXTURE_MOD} = 0)"
+)
+
+_SQL_ER_PAIRS = (
+    "pr AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+    "CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist "
+    "FROM recs a JOIN recs b "
+    "ON a.nation = b.nation AND a.blk = b.blk AND a.rid < b.rid "
+    "WHERE levenshtein(a.nm, b.nm) <= 1)"
+)
+
+SQL_ER_BLOCKING_PAIRS = (
+    "WITH " + _SQL_ER_RECS + ", " + _SQL_ER_PAIRS
+    + " SELECT id_a, id_b, dist FROM pr"
+)
+
+
+def er_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters over the blocked match graph
+    (operators/linkage.py match_clusters): min-label propagation, and
+    — with records supplied — a TOTAL map (singletons cluster to
+    themselves), so the output canonicalizes the whole dimension."""
+    from ..operators.linkage import blocking_pairs, match_clusters
+
+    recs = _er_records(spark, sf_dir)
+    pairs = blocking_pairs(
+        recs, "rid", "name", ["nation", "blk"], max_edit=1
+    )
+    return match_clusters(pairs, records=recs, id_col="rid")
+
+
+SQL_ER_CLUSTERS = (
+    "WITH RECURSIVE " + _SQL_ER_RECS + ", " + _SQL_ER_PAIRS + ", "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pr "
+    "UNION SELECT id_b, id_a FROM pr), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e "
+    "ON r.dst = e.src), "
+    "comp AS (SELECT src AS entity_id, "
+    "least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) "
+    "SELECT entity_id, cluster_id FROM comp "
+    "UNION ALL "
+    "SELECT rid, rid FROM recs "
+    "WHERE rid NOT IN (SELECT entity_id FROM comp)"
+)
+
+
+def _wdot_sql(a: str, b: str, dim: int = ss.DIM) -> str:
+    """Weighted dot with the shared (w*x)*y left-association."""
+    return " + ".join(
+        f"{ss.RERANK_WEIGHTS[i - 1]!r} * CAST({a}[{i}] AS DOUBLE) "
+        f"* CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def _wcos_sql(a: str, b: str) -> str:
+    return (
+        f"({_wdot_sql(a, b)}) / "
+        f"(sqrt({_wdot_sql(a, a)}) * sqrt({_wdot_sql(b, b)}))"
+    )
+
+
+def similarity_join_reranked_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shortlist-then-rerank similarity join (operators/simsearch.py
+    similarity_join_reranked): the similarity_join_topk candidate
+    structure shortlists 10 per right item by raw cosine, then a
+    dimension-weighted cosine re-ranks the shortlist — the two-stage
+    retrieval composition, zero extra exchanges."""
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    left = emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x.cast("double")).alias("embedding"),
+    )
+    right = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1).cast("double") + F.lit(0.001)),
+            F.transform(
+                F.slice(e, 2, ss.DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return ss.similarity_join_reranked(
+        left, right, cents=_km_cents(spark, sf_dir), k=3, shortlist=10
+    )
+
+
+SQL_SIMILARITY_JOIN_RERANKED = (
+    "WITH "
+    + _km_cent_ctes()
+    + ", lefte AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings), "
+    "righte AS (SELECT vec_id + 2000000 AS vec_id, "
+    "[CAST(embedding[1] AS DOUBLE) + 0.001] || "
+    "list_transform(embedding[2:], x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings WHERE vec_id % 10 = 0), "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "la", src="lefte")
+    + ", "
+    + _km_assign_ctes(f"c{ss.KMEANS_ITERS}", "ra", src="righte")
+    + ", pairs AS (SELECT b.vec_id AS b_id, a.vec_id AS a_id, "
+    f"{_cos_sql('a.embedding', 'b.embedding')} AS cos, "
+    "a.embedding AS ea, b.embedding AS eb "
+    "FROM la a JOIN ra b USING (centroid_id)), "
+    "s AS (SELECT b_id, a_id, cos, ea, eb, row_number() OVER ("
+    "PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS srn FROM pairs), "
+    "sh AS (SELECT b_id, a_id, cos, "
+    f"{_wcos_sql('ea', 'eb')} AS wcos FROM s WHERE srn <= 10), "
+    "r AS (SELECT b_id, a_id, cos, wcos, CAST(row_number() OVER ("
+    "PARTITION BY b_id ORDER BY wcos DESC, a_id ASC) AS INTEGER) AS rank "
+    "FROM sh) "
+    "SELECT b_id, a_id, cos, wcos, rank FROM r WHERE rank <= 3"
+)
+
+
+def dq_drift_psi_sketch_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PSI drift with sketch-derived reference-quantile bin edges
+    (operators/warehouse.py dq_drift_psi_sketch) — the classical PSI
+    binning in its mergeable one-pass form."""
+    from ..operators.warehouse import dq_drift_psi_sketch
+
+    return dq_drift_psi_sketch(_events(spark, sf_dir))
+
+
+def _sql_dq_drift_psi_sketch(buckets: int = 10, k: int = 256) -> str:
+    """DuckDB twin of dq_drift_psi_sketch: same md5 bottom-k kept set
+    over the reference half, same ((m-1)*j) div B edge rule, bucket =
+    count of edges <= c, and the identical bucket-ordered PSI fold as
+    _sql_dq_drift_psi."""
+    bb = int(buckets)
+    edge_cols = ", ".join(
+        f"max(CASE WHEN rn - 1 = ((m - 1) * {j}) // {bb} "
+        f"THEN c END) AS e{j}"
+        for j in range(1, bb)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN s.c >= ed.e{j} THEN 1 ELSE 0 END)"
+        for j in range(1, bb)
+    )
+    rsum = ", ".join(
+        f"CAST(sum(CASE WHEN side = 0 AND bucket = {i} THEN cnt "
+        f"ELSE 0 END) AS BIGINT) AS r{i}"
+        for i in range(bb)
+    )
+    csum = ", ".join(
+        f"CAST(sum(CASE WHEN side = 1 AND bucket = {i} THEN cnt "
+        f"ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(bb)
+    )
+
+    def share(col: str, n: str) -> str:
+        return (
+            f"((CAST({col} AS DOUBLE) + 1.0) / "
+            f"(CAST({n} AS DOUBLE) + {float(bb)}))"
+        )
+
+    terms = " + ".join(
+        f"(({share(f'r{i}', 'n_ref')}) - ({share(f'c{i}', 'n_cur')})) "
+        f"* ln(({share(f'r{i}', 'n_ref')}) / ({share(f'c{i}', 'n_cur')}))"
+        for i in range(bb)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events),
+md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+sd AS (SELECT event_type, c, h,
+              CASE WHEN us < md.mid THEN 0 ELSE 1 END AS side
+       FROM e, md),
+kept AS (SELECT event_type, c, h FROM (
+   SELECT event_type, c, h, row_number() OVER (
+     PARTITION BY event_type ORDER BY h, c) AS rn
+   FROM sd WHERE side = 0 AND h IS NOT NULL)
+   WHERE rn <= {int(k)}),
+ed AS (SELECT event_type, {edge_cols} FROM (
+   SELECT event_type, c, row_number() OVER (
+     PARTITION BY event_type ORDER BY c, h) AS rn,
+     count(*) OVER (PARTITION BY event_type) AS m
+   FROM kept) GROUP BY event_type),
+bk AS (SELECT s.event_type, s.side, {bucket_expr} AS bucket
+       FROM sd s JOIN ed USING (event_type)),
+ct AS (SELECT event_type, side, bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM bk GROUP BY 1, 2, 3),
+pv AS (SELECT event_type,
+         CAST(sum(CASE WHEN side = 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN side = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_cur,
+         {rsum}, {csum}
+       FROM ct GROUP BY event_type)
+SELECT event_type, 0.0 + {terms} AS psi, n_ref, n_cur
+FROM pv
+WHERE n_ref > 0
+"""
+
+
+SQL_DQ_DRIFT_PSI_SKETCH = _sql_dq_drift_psi_sketch()
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-10 additions — promoted into the round-10 window
+        "er_blocking_pairs": (
+            er_blocking_pairs_q,
+            SQL_ER_BLOCKING_PAIRS,
+        ),
+        "er_clusters": (er_clusters_q, SQL_ER_CLUSTERS),
+        "similarity_join_reranked": (
+            similarity_join_reranked_q,
+            SQL_SIMILARITY_JOIN_RERANKED,
+        ),
+        "dq_drift_psi_sketch": (
+            dq_drift_psi_sketch_q,
+            SQL_DQ_DRIFT_PSI_SKETCH,
+        ),
+    }
+)

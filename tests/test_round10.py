@@ -1,0 +1,346 @@
+"""Round-10 operator contracts: entity resolution (blocked
+Levenshtein linkage + cluster canonicalization), shortlist-then-rerank
+similarity join, sketch-edged PSI drift."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_chisquare_spark.operators.linkage import (
+    blocking_pairs,
+    match_clusters,
+)
+
+
+# ---------------------------------------------------------------------
+# linkage: blocking_pairs
+# ---------------------------------------------------------------------
+
+def _mk_records(spark, rows):
+    return spark.createDataFrame(
+        rows, "rid long, name string, blk string"
+    )
+
+
+def test_blocking_pairs_finds_planted_typos(spark):
+    """Typos within max_edit in the same block are found with exact
+    distances; cross-block near-names and within-block far-names are
+    not."""
+    rows = [
+        (1, "Jonathan Smith", "b1"),
+        (2, "Jonathon Smith", "b1"),   # 1 edit from rid 1
+        (3, "jonathan  smith", "b1"),  # trim/lower ≠: inner spaces stay
+        (4, "Jonathan Smith", "b2"),   # identical name, OTHER block
+        (5, "Margaret Jones", "b1"),   # far from everything
+    ]
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocking_pairs(
+            _mk_records(spark, rows), "rid", "name", ["blk"], max_edit=2
+        ).collect()
+    }
+    # rid 3 normalizes to "jonathan  smith": 1 insertion from rid 1
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_blocking_pairs_empty_block_cols_raises(spark):
+    with pytest.raises(ValueError):
+        blocking_pairs(
+            _mk_records(spark, [(1, "a", "b")]), "rid", "name", []
+        )
+
+
+def test_blocking_pairs_max_block_guard_and_stats(spark):
+    """A degenerate block (null-heavy key collapsing many records
+    into one block) is EXCLUDED from pair enumeration — the quadratic
+    bomb never detonates — and the skip is disclosed via stats."""
+    bomb = [(i, f"name{i:04d}", None) for i in range(200)]
+    good = [
+        (1001, "Alice Chen", "g"),
+        (1002, "Alice Chan", "g"),
+    ]
+    stats: dict = {}
+    out = blocking_pairs(
+        _mk_records(spark, bomb + good),
+        "rid",
+        "name",
+        ["blk"],
+        max_edit=2,
+        max_block=100,
+        stats=stats,
+    ).collect()
+    assert stats["blocks_skipped"] == 1
+    assert {(r.id_a, r.id_b) for r in out} == {(1001, 1002)}
+
+
+def test_blocking_pairs_size1_blocks_skip_join(spark):
+    """Singleton blocks produce no pairs (and are filtered before the
+    self-join — plan-level: the kept relation carries the >= 2
+    predicate)."""
+    rows = [(i, f"n{i}", f"b{i}") for i in range(5)]
+    df = blocking_pairs(
+        _mk_records(spark, rows), "rid", "name", ["blk"]
+    )
+    assert df.count() == 0
+    assert ">= 2" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# ---------------------------------------------------------------------
+# linkage: match_clusters
+# ---------------------------------------------------------------------
+
+def test_match_clusters_transitivity_and_singletons(spark):
+    """a~b and b~c land in ONE cluster keyed by the min id even when
+    a and c never matched directly; with records supplied, unmatched
+    ids appear as their own singleton clusters (total map)."""
+    recs = _mk_records(
+        spark,
+        [
+            (10, "Jon Smith", "b"),
+            (11, "Jon Smyth", "b"),   # 1 edit from 10
+            (12, "Jan Smyth", "b"),   # 1 edit from 11, 2 from 10
+            (99, "Zelda Fitz", "b"),  # matches nothing
+        ],
+    )
+    pairs = blocking_pairs(recs, "rid", "name", ["blk"], max_edit=1)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(10, 11), (11, 12)}  # 10-12 is 2 edits
+    clusters = {
+        r.entity_id: r.cluster_id
+        for r in match_clusters(
+            pairs, records=recs, id_col="rid"
+        ).collect()
+    }
+    assert clusters == {10: 10, 11: 10, 12: 10, 99: 99}
+    # without records: only matched ids appear
+    part = match_clusters(pairs).collect()
+    assert {r.entity_id for r in part} == {10, 11, 12}
+
+
+def test_er_stress_planted_clusters_and_block_bomb(spark):
+    """Scale-shape evidence (SCALE.md): 3,000 planted 3-member typo
+    families (base, 1-edit, 2-edit variants sharing the block key)
+    are ALL recovered as exactly their family cluster, while a
+    1,000-record null-name-shaped block bomb (every record in one
+    block key) is excised by ER_MAX_BLOCK with the skip disclosed —
+    pair cost stays family-local, never corpus-quadratic."""
+    n_fam = 3000
+    fams = spark.range(n_fam).select(
+        F.col("id").alias("f"),
+        F.format_string("person%06d", F.col("id")).alias("base"),
+        F.format_string("blk%06d", F.col("id")).alias("blk"),
+    )
+    base = fams.select(
+        (F.col("f") * 10).alias("rid"), F.col("base").alias("name"), "blk"
+    )
+    e1 = fams.select(  # drop last char: 1 edit
+        (F.col("f") * 10 + 1).alias("rid"),
+        F.expr("substring(base, 1, length(base) - 1)").alias("name"),
+        "blk",
+    )
+    e2 = fams.select(  # replace last 2 chars: <= 2 edits
+        (F.col("f") * 10 + 2).alias("rid"),
+        F.concat(
+            F.expr("substring(base, 1, length(base) - 2)"), F.lit("xx")
+        ).alias("name"),
+        "blk",
+    )
+    bomb = spark.range(1000).select(
+        (F.col("id") + 50_000_000).alias("rid"),
+        F.format_string("bomb%06d", F.col("id")).alias("name"),
+        F.lit("THE_SAME_BLOCK").alias("blk"),
+    )
+    recs = base.unionByName(e1).unionByName(e2).unionByName(bomb)
+    stats: dict = {}
+    pairs = blocking_pairs(
+        recs, "rid", "name", ["blk"], max_edit=2, max_block=100,
+        stats=stats,
+    )
+    assert stats["blocks_skipped"] == 1  # only the bomb block
+    clusters = match_clusters(pairs).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.entity_id)
+    # every family is exactly {10f, 10f+1, 10f+2} keyed by 10f
+    assert len(by_cluster) == n_fam
+    for f in (0, 1, n_fam // 2, n_fam - 1):
+        assert by_cluster[f * 10] == {f * 10, f * 10 + 1, f * 10 + 2}
+    # no bomb record ever reached the pair graph
+    assert all(cid < 50_000_000 for cid in by_cluster)
+
+
+# ---------------------------------------------------------------------
+# similarity_join_reranked
+# ---------------------------------------------------------------------
+
+def _mk_emb(spark, vecs: dict):
+    return spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_reranked_scorer_parity_and_shortlist_subset(spark):
+    """(a) the Arrow weighted scorer and the interpreted expression
+    form produce bit-identical wcos; (b) the reranked output is a
+    subset of the raw-cosine shortlist (stage 2 only reorders, never
+    resurrects a non-shortlisted candidate)."""
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+
+    import random
+
+    rng = random.Random(7)
+    left = {
+        i: [rng.uniform(-1, 1) for _ in range(ss.DIM)] for i in range(40)
+    }
+    right = {100 + j: left[j * 3][:] for j in range(5)}
+    for j in range(5):  # nudge so cos < 1 but clone stays closest
+        right[100 + j][0] += 0.01
+    cents = [left[0], left[1], left[2]]
+    args = (_mk_emb(spark, left), _mk_emb(spark, right), cents)
+    got_a = {
+        (r.b_id, r.a_id): (r.cos, r.wcos, r.rank)
+        for r in ss.similarity_join_reranked(
+            *args, k=3, shortlist=8, use_arrow=True
+        ).collect()
+    }
+    got_e = {
+        (r.b_id, r.a_id): (r.cos, r.wcos, r.rank)
+        for r in ss.similarity_join_reranked(
+            *args, k=3, shortlist=8, use_arrow=False
+        ).collect()
+    }
+    assert got_a == got_e  # bit-identical, not approx
+    shortlist = {
+        (r.b_id, r.a_id)
+        for r in ss.similarity_join_topk(*args, k=8).collect()
+    }
+    assert set(got_a) <= shortlist
+    # the planted clone's nearest left item is its own base, under
+    # BOTH scorers (weighted cosine preserves near-identity)
+    ranked1 = {b: a for (b, a), (_, _, rk) in got_a.items() if rk == 1}
+    for j in range(5):
+        assert ranked1.get(100 + j) == j * 3
+
+
+def test_rerank_weights_shape():
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+
+    assert len(ss.RERANK_WEIGHTS) == ss.DIM
+    assert ss.RERANK_WEIGHTS[:5] == [1.0, 1.5, 2.0, 2.5, 1.0]
+
+
+# ---------------------------------------------------------------------
+# dq_drift_psi_sketch
+# ---------------------------------------------------------------------
+
+def _py_psi_sketch(rows, buckets=10, k=256):
+    """Independent Python model: md5 bottom-k kept set over the ref
+    half, ((m-1)*j) div B edges, bucket = #edges <= c, Laplace PSI."""
+    us = [r[1] for r in rows]
+    mid = (min(us) + max(us)) // 2
+    types = sorted({r[0] for r in rows})
+    out = {}
+    for t in types:
+        trows = [r for r in rows if r[0] == t]
+        sided = [
+            (round(v * 100), 0 if u < mid else 1, eid)
+            for (_, u, v, eid) in trows
+        ]
+        ref = [
+            (int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16), c)
+            for (c, s, eid) in sided
+            if s == 0
+        ]
+        if not ref:
+            continue
+        kept = sorted(ref)[:k]
+        byv = sorted((c, h) for h, c in kept)
+        m = len(byv)
+        edges = [byv[((m - 1) * j) // buckets][0] for j in range(1, buckets)]
+        cnt = {}
+        for c, s, _ in sided:
+            b = sum(1 for e in edges if c >= e)
+            cnt[(s, b)] = cnt.get((s, b), 0) + 1
+        n_ref = sum(v for (s, _), v in cnt.items() if s == 0)
+        n_cur = sum(v for (s, _), v in cnt.items() if s == 1)
+        psi = 0.0
+        for i in range(buckets):
+            p = (cnt.get((0, i), 0) + 1.0) / (n_ref + float(buckets))
+            q = (cnt.get((1, i), 0) + 1.0) / (n_cur + float(buckets))
+            psi += (p - q) * math.log(p / q)
+        out[t] = (psi, n_ref, n_cur)
+    return out
+
+
+def _psi_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (t, eid, v, f"1970-01-01 00:00:{u // 1000000:02d}."
+             f"{u % 1000000:06d}")
+            for (t, u, v, eid) in rows
+        ],
+        "event_type string, event_id long, value double, ts_s string",
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+
+
+def test_dq_drift_psi_sketch_matches_python_model(spark):
+    """Planted drift: type 'stable' draws the same values in both
+    halves (PSI ~ 0); type 'shifted' jumps +3 in the second half
+    (PSI large). The operator matches an independent Python model of
+    the full kept-set/edge/bucket/fold contract."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_drift_psi_sketch,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(400):
+        u = i * 100_000  # 0..40s spread
+        rows.append(("stable", u, (i * 7 % 100) / 10.0, eid))
+        eid += 1
+        shift = 3.0 if u >= 20_000_000 else 0.0
+        rows.append(("shifted", u, (i * 13 % 100) / 10.0 + shift, eid))
+        eid += 1
+    want = _py_psi_sketch(rows)
+    got = {
+        r.event_type: (r.psi, r.n_ref, r.n_cur)
+        for r in dq_drift_psi_sketch(_psi_events(spark, rows)).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][1:] == want[t][1:], t
+        assert got[t][0] == pytest.approx(want[t][0], rel=1e-9), t
+    assert got["stable"][0] < 0.05
+    assert got["shifted"][0] > 0.5
+
+
+def test_dq_drift_psi_sketch_outlier_robustness(spark):
+    """The equal-width variant collapses under a single reference
+    outlier (every ordinary row lands in bucket 0); the sketch-edge
+    variant's quantile bins keep resolving the planted drift."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_drift_psi,
+        dq_drift_psi_sketch,
+    )
+
+    rows = []
+    for i in range(400):
+        u = i * 100_000
+        shift = 2.0 if u >= 20_000_000 else 0.0
+        rows.append(("t", u, (i * 7 % 100) / 20.0 + shift, i))
+    rows.append(("t", 50_000, 1e6, 9999))  # one absurd ref outlier
+    ev = _psi_events(spark, rows)
+    flat = dq_drift_psi(ev).collect()[0].psi
+    sharp = dq_drift_psi_sketch(ev).collect()[0].psi
+    assert sharp > 0.25  # drift still visible through quantile bins
+    assert sharp > flat * 5  # equal-width got flattened by the outlier
