@@ -169,6 +169,11 @@ HEADLINE = [
     "heavy_hitters_mg_merge",
     "image_dedup_components",
     "similarity_join_topk",
+    # round-10 additions (first measurement = their baseline)
+    "er_blocking_pairs",
+    "er_clusters",
+    "similarity_join_reranked",
+    "dq_drift_psi_sketch",
 ]
 
 WARMUP = 1

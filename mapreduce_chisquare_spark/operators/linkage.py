@@ -151,3 +151,48 @@ def match_clusters(
         .select("entity_id", F.col("entity_id").alias("cluster_id"))
     )
     return out.unionByName(singletons)
+
+
+def survivorship(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "rid",
+    name_col: str = "name",
+) -> DataFrame:
+    """Survivorship / golden-record selection over an entity-cluster
+    map (the merge/purge step after matching): per cluster, ONE
+    canonical record chosen by a deterministic completeness rule —
+    the longest raw name wins (the 'most complete value survives'
+    heuristic of the merge/purge literature), ties broken by minimum
+    id. Returns (cluster_id, canonical_id, canonical_name,
+    n_members).
+
+    Exactness: length is an integer, the tie-break total order is
+    (length DESC, id ASC) — no float, no engine-defined tie.
+
+    Scale shape: one join of the record relation against the cluster
+    map (both keyed by id — co-partitioned under AQE), then a window
+    over cluster-sized partitions (clusters are match-graph
+    components: bounded by the blocking guard, never corpus-sized)
+    computing the winner and the member count in ONE exchange."""
+    j = records.select(
+        F.col(id_col).alias("entity_id"),
+        F.col(name_col).alias("__nm"),
+    ).join(clusters, "entity_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("__nm")), F.asc("entity_id")
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("entity_id").alias("canonical_id"),
+            F.col("__nm").alias("canonical_name"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -28,3 +28,55 @@ def topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of TWO bounded ranked lists — hybrid
+    retrieval's standard combiner (Cormack, Clarke & Buettcher,
+    SIGIR'09): each list contributes 1/(k_const + rank) for the items
+    it ranked, items missing from a list contribute 0 from it, and
+    the fused top-k is ordered by the summed score (ties by id).
+    Returns (id, a_rank, b_rank, rrf, rank); a_rank/b_rank are NULL
+    where a list did not rank the item.
+
+    Exactness: every contribution is the one double division
+    1.0/(k_const + rank) on integer inputs, and the fused score adds
+    the A contribution THEN the B contribution — fixed order, so both
+    engines produce identical doubles.
+
+    Scale shape: inputs are top-N lists (bounded by construction —
+    each tier's own TakeOrdered/WindowGroupLimit cut), so the
+    full-outer join and the final ordering window run over <= |a|+|b|
+    rows. The unpartitioned window is bounded the same way
+    mg_summary's is (<= 2N rows, N the tier cut) — never
+    corpus-sized."""
+    fa = a.select(F.col(id_col), F.col(rank_col).alias("a_rank"))
+    fb = b.select(F.col(id_col), F.col(rank_col).alias("b_rank"))
+    j = fa.join(fb, id_col, "full_outer")
+
+    def contrib(c: F.Column) -> F.Column:
+        return F.when(
+            c.isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_const)) + c.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    scored = j.select(
+        id_col,
+        "a_rank",
+        "b_rank",
+        (contrib(F.col("a_rank")) + contrib(F.col("b_rank"))).alias(
+            "rrf"
+        ),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )

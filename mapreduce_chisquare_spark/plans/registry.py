@@ -147,11 +147,15 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-11 window TODO: promote any round-10 tail additions first,
-# then the oldest r6 rows (42: the round-5/6 tail — winnowing pair,
-# splits, asof family, scd2, layout/bucketing, stream_neardup, ...),
-# then the oldest r7 rows as space allows. After the round-10 window
-# lands, the staleness histogram floor is r6.
+# Round-11 window TODO: promote the round-10 SECOND-BATCH tail
+# additions first (er_survivorship, hybrid_search_rrf,
+# stream_er_screen — registered after the round-10 window filled;
+# local oracle-green at all three SFs), then any round-11 tail
+# additions, then the oldest r6 rows (42: the round-5/6 tail —
+# winnowing pair, splits, asof family, scd2, layout/bucketing,
+# stream_neardup, ...), then the oldest r7 rows as space allows.
+# After the round-10 window lands, the staleness histogram floor
+# is r6.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -4541,11 +4541,13 @@ def er_blocking_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ER_RECS = (
     "recs AS ("
     "SELECT c_custkey AS rid, lower(trim(c_name)) AS nm, "
+    "c_name AS name, "
     "c_nationkey AS nation, substring(c_name, 10, 8) AS blk "
     "FROM customer "
     "UNION ALL "
     "SELECT c_custkey + 10000000, "
-    "lower(trim(substring(c_name, 1, 17))), c_nationkey, "
+    "lower(trim(substring(c_name, 1, 17))), "
+    "substring(c_name, 1, 17), c_nationkey, "
     "substring(c_name, 10, 8) "
     f"FROM customer WHERE c_custkey % {ER_FIXTURE_MOD} = 0)"
 )
@@ -4772,5 +4774,175 @@ EXTENSION_QUERIES.update(
             dq_drift_psi_sketch_q,
             SQL_DQ_DRIFT_PSI_SKETCH,
         ),
+    }
+)
+
+
+# --- round-10 second batch: survivorship, hybrid retrieval fusion,
+# streaming ER ingest screen -----------------------------------------------
+
+
+def er_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record selection over the ER cluster map
+    (operators/linkage.py survivorship): per cluster the most
+    complete record survives (longest raw name, ties by min id) —
+    the merge/purge canonicalization step, total over the
+    dimension."""
+    from ..operators.linkage import (
+        blocking_pairs,
+        match_clusters,
+        survivorship,
+    )
+
+    recs = _er_records(spark, sf_dir)
+    pairs = blocking_pairs(
+        recs, "rid", "name", ["nation", "blk"], max_edit=1
+    )
+    clusters = match_clusters(pairs, records=recs, id_col="rid")
+    return survivorship(recs, clusters, id_col="rid", name_col="name")
+
+
+SQL_ER_SURVIVORSHIP = (
+    "WITH RECURSIVE " + _SQL_ER_RECS + ", " + _SQL_ER_PAIRS + ", "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pr "
+    "UNION SELECT id_b, id_a FROM pr), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e "
+    "ON r.dst = e.src), "
+    "comp AS (SELECT src AS entity_id, "
+    "least(src, min(dst)) AS cluster_id FROM reach GROUP BY src), "
+    "cl AS (SELECT entity_id, cluster_id FROM comp "
+    "UNION ALL SELECT rid, rid FROM recs "
+    "WHERE rid NOT IN (SELECT entity_id FROM comp)), "
+    "j AS (SELECT cl.cluster_id, cl.entity_id, r.name FROM cl "
+    "JOIN recs r ON r.rid = cl.entity_id), "
+    "w AS (SELECT cluster_id, entity_id, name, "
+    "row_number() OVER (PARTITION BY cluster_id "
+    "ORDER BY length(name) DESC, entity_id ASC) AS rn, "
+    "count(*) OVER (PARTITION BY cluster_id) AS nm FROM j) "
+    "SELECT cluster_id, entity_id AS canonical_id, "
+    "name AS canonical_name, CAST(nm AS BIGINT) AS n_members "
+    "FROM w WHERE rn = 1"
+)
+
+
+RRF_K_CONST = 60
+RRF_TIER_N = 50
+RRF_TERMS = ["vector", "merge", "stream"]
+
+
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion
+    (operators/topk.py rrf_fuse): the lexical tier's top-50 by summed
+    BM25 for the fixed query terms fused with the vector tier's
+    top-50 by cosine to query vector 0 (documents and embeddings
+    share the id space) — the standard two-tower serving shape, each
+    tier cut by its own bounded top-N before fusion."""
+    from pyspark.sql import Window
+
+    from ..operators.topk import rrf_fuse
+
+    lex = tx.bm25_topk(
+        _docs(spark, sf_dir), RRF_TERMS, k=RRF_TIER_N
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_r = lex.withColumn("rank", F.row_number().over(wl)).select(
+        "doc_id", "rank"
+    )
+    vec_r = ss.cosine_topk(
+        _emb(spark, sf_dir), n_queries=1, k=RRF_TIER_N
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(
+        lex_r, vec_r, id_col="doc_id", k_const=RRF_K_CONST, k=10
+    )
+    return fused.select(
+        "doc_id",
+        F.col("a_rank").alias("lex_rank"),
+        F.col("b_rank").alias("vec_rank"),
+        "rrf",
+        "rank",
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    terms = RRF_TERMS
+    pivots = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN bm25 END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    ssum = " + ".join(f"coalesce(s{i}, 0.0)" for i in range(len(terms)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    kc = float(RRF_K_CONST)
+    return (
+        "WITH " + _BM25_CTES + ", "
+        f"q AS (SELECT doc_id, {pivots} FROM sc "
+        f"WHERE term IN ({inlist}) GROUP BY doc_id), "
+        f"lexq AS (SELECT doc_id, {ssum} AS score FROM q "
+        f"ORDER BY score DESC, doc_id LIMIT {RRF_TIER_N}), "
+        "lex AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rank "
+        "FROM lexq), "
+        "qv AS (SELECT embedding AS q_emb FROM embeddings "
+        "WHERE vec_id = 0), "
+        "vs AS (SELECT e.vec_id AS doc_id, "
+        f"{_cos_sql('e.embedding', 'q_emb')} AS cos "
+        "FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0), "
+        "vecr AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS vec_rank "
+        "FROM vs), "
+        f"vec AS (SELECT * FROM vecr WHERE vec_rank <= {RRF_TIER_N}), "
+        "f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, "
+        "l.lex_rank, v.vec_rank, "
+        f"(CASE WHEN l.lex_rank IS NOT NULL THEN 1.0 / ({kc!r} "
+        "+ CAST(l.lex_rank AS DOUBLE)) ELSE 0.0 END) "
+        f"+ (CASE WHEN v.vec_rank IS NOT NULL THEN 1.0 / ({kc!r} "
+        "+ CAST(v.vec_rank AS DOUBLE)) ELSE 0.0 END) AS rrf "
+        "FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id), "
+        "r AS (SELECT doc_id, lex_rank, vec_rank, rrf, "
+        "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) "
+        "AS INTEGER) AS rank FROM f) "
+        "SELECT doc_id, lex_rank, vec_rank, rrf, rank FROM r "
+        "WHERE rank <= 10"
+    )
+
+
+SQL_HYBRID_SEARCH_RRF = _sql_hybrid_rrf()
+
+
+def stream_er_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ER ingest screen (streaming/linkage.py
+    er_screen_stream): arriving typo'd records block-probe the static
+    customer dimension row-locally — stateless, append mode, the
+    batch new x static block join is the oracle."""
+    from ..streaming.linkage import er_screen_stream
+
+    return er_screen_stream(spark, sf_dir)
+
+
+SQL_STREAM_ER_SCREEN = (
+    "WITH n AS (SELECT c_custkey + 10000000 AS new_id, "
+    "lower(trim(substring(c_name, 1, 17))) AS nm, "
+    "c_nationkey AS nation, substring(c_name, 10, 8) AS blk "
+    f"FROM customer WHERE c_custkey % {ER_FIXTURE_MOD} = 0), "
+    "s AS (SELECT c_custkey AS matched_id, "
+    "lower(trim(c_name)) AS m_nm, c_nationkey AS nation, "
+    "substring(c_name, 10, 8) AS blk FROM customer) "
+    "SELECT new_id, matched_id, "
+    "CAST(levenshtein(nm, m_nm) AS BIGINT) AS dist "
+    "FROM n JOIN s USING (nation, blk) "
+    "WHERE levenshtein(nm, m_nm) <= 1"
+)
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-10 second batch — queued for the round-11 window
+        # (the round-10 window is already at 50)
+        "er_survivorship": (er_survivorship_q, SQL_ER_SURVIVORSHIP),
+        "hybrid_search_rrf": (
+            hybrid_search_rrf_q,
+            SQL_HYBRID_SEARCH_RRF,
+        ),
+        "stream_er_screen": (stream_er_screen_q, SQL_STREAM_ER_SCREEN),
     }
 )

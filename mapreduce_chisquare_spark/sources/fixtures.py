@@ -110,20 +110,23 @@ def csv_documents(sf_dir: str) -> str:
     return str(dst)
 
 
-def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
-    """Split documents.parquet row-wise into `parts` files so a file
+def table_multifile_dir(
+    sf_dir: str, table: str, parts: int = 4
+) -> str:
+    """Split <table>.parquet row-wise into `parts` files so a file
     source delivers several micro-batches (maxFilesPerTrigger=1) —
-    the incremental-χ² pipeline's input."""
+    the streaming fixtures' input."""
     import pyarrow.parquet as pqm
 
     tag = Path(sf_dir).name
-    d = _CACHE / f"docs_stream_{tag}_{parts}"
+    stem = "docs" if table == "documents" else table
+    d = _CACHE / f"{stem}_stream_{tag}_{parts}"
     done = d / "_FIXTURE_READY"
     if done.exists():
         return str(d)
     _CACHE.mkdir(exist_ok=True)
     d.mkdir(exist_ok=True)
-    tbl = pqm.read_table(f"{sf_dir}/documents.parquet")
+    tbl = pqm.read_table(f"{sf_dir}/{table}.parquet")
     step = max(1, -(-tbl.num_rows // parts))
     for i in range(parts):
         chunk = tbl.slice(i * step, step)
@@ -134,6 +137,13 @@ def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
         _atomic_publish(tmp, d / f"part{i}.parquet")
     done.touch()
     return str(d)
+
+
+def docs_multifile_dir(sf_dir: str, parts: int = 4) -> str:
+    """Split documents.parquet row-wise into `parts` files so a file
+    source delivers several micro-batches (maxFilesPerTrigger=1) —
+    the incremental-χ² pipeline's input."""
+    return table_multifile_dir(sf_dir, "documents", parts)
 
 
 # Bump when the fixture layout or the sentinel's type convention

@@ -344,3 +344,140 @@ def test_dq_drift_psi_sketch_outlier_robustness(spark):
     sharp = dq_drift_psi_sketch(ev).collect()[0].psi
     assert sharp > 0.25  # drift still visible through quantile bins
     assert sharp > flat * 5  # equal-width got flattened by the outlier
+
+
+# ---------------------------------------------------------------------
+# survivorship
+# ---------------------------------------------------------------------
+
+def test_survivorship_longest_name_wins(spark):
+    """Per cluster the longest name survives (ties by min id); member
+    counts are exact; singleton clusters canonicalize to themselves."""
+    from mapreduce_chisquare_spark.operators.linkage import survivorship
+
+    recs = _mk_records(
+        spark,
+        [
+            (1, "Jon Smith", "b"),
+            (2, "Jonathan Smith", "b"),   # longest in cluster 1
+            (3, "Jon Smyth", "b"),
+            (7, "Solo Record", "x"),
+        ],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)],
+        "entity_id long, cluster_id long",
+    )
+    got = {
+        r.cluster_id: (r.canonical_id, r.canonical_name, r.n_members)
+        for r in survivorship(
+            recs, clusters, id_col="rid", name_col="name"
+        ).collect()
+    }
+    assert got == {
+        1: (2, "Jonathan Smith", 3),
+        7: (7, "Solo Record", 1),
+    }
+
+
+def test_survivorship_tie_breaks_by_min_id(spark):
+    from mapreduce_chisquare_spark.operators.linkage import survivorship
+
+    recs = _mk_records(
+        spark, [(5, "Same Len A", "b"), (4, "Same Len B", "b")]
+    )
+    clusters = spark.createDataFrame(
+        [(4, 4), (5, 4)], "entity_id long, cluster_id long"
+    )
+    row = survivorship(recs, clusters, "rid", "name").collect()[0]
+    assert (row.canonical_id, row.canonical_name) == (4, "Same Len B")
+
+
+# ---------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------
+
+def test_rrf_fuse_contract(spark):
+    """Items in both lists outrank single-list items at comparable
+    ranks; missing-list contributions are exactly zero; ranks and
+    scores match the closed form."""
+    from mapreduce_chisquare_spark.operators.topk import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.a_rank, r.b_rank, r.rrf, r.rank)
+        for r in rrf_fuse(a, b, k_const=60, k=10).collect()
+    }
+    def s(r):
+        return 1.0 / (60.0 + r)
+    assert got[11] == (2, 1, s(2) + s(1), 1)   # in both: wins
+    assert got[10] == (1, 3, s(1) + s(3), 2)
+    assert got[13] == (None, 2, s(2), 3)       # b-only: s(2) > s(3)
+    assert got[12] == (3, None, s(3), 4)       # a-only
+    assert len(got) == 4
+
+
+def test_rrf_fuse_k_cut(spark):
+    from mapreduce_chisquare_spark.operators.topk import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, i + 1) for i in range(20)], "doc_id long, rank int"
+    )
+    out = rrf_fuse(a, b, k=5).collect()
+    assert len(out) == 5
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------
+# streaming ER screen == batch new x static block join
+# ---------------------------------------------------------------------
+
+def test_stream_er_screen_equals_batch(spark, sf_dir):
+    """The stateless stream screen's output multiset equals the batch
+    new x static block join computed directly — the stream twin
+    discipline (same expressions, availableNow backlog)."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_chisquare_spark.streaming.linkage import (
+        er_screen_stream,
+    )
+
+    got = {
+        (r.new_id, r.matched_id, r.dist)
+        for r in er_screen_stream(spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    new = cust.filter(F2.col("c_custkey") % 7 == 0).select(
+        (F2.col("c_custkey") + F2.lit(10_000_000)).alias("new_id"),
+        F2.lower(F2.trim(F2.substring("c_name", 1, 17))).alias("nm"),
+        F2.col("c_nationkey").alias("nation"),
+        F2.substring("c_name", 10, 8).alias("blk"),
+    )
+    static = cust.select(
+        F2.col("c_custkey").alias("matched_id"),
+        F2.lower(F2.trim(F2.col("c_name"))).alias("m_nm"),
+        F2.col("c_nationkey").alias("nation"),
+        F2.substring("c_name", 10, 8).alias("blk"),
+    )
+    d = F2.levenshtein(F2.col("nm"), F2.col("m_nm"))
+    want = {
+        (r.new_id, r.matched_id, r.dist)
+        for r in new.join(static, ["nation", "blk"])
+        .filter(d <= 1)
+        .select("new_id", "matched_id", d.cast("long").alias("dist"))
+        .collect()
+    }
+    assert got == want
+    # every arrival matches its own source record at distance 1
+    srcs = {(r.new_id, r.matched_id) for r in
+            [type("R", (), {"new_id": n, "matched_id": n - 10_000_000})()
+             for n, m, _ in got if m == n - 10_000_000]}
+    assert len(srcs) > 0
