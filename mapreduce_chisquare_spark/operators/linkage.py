@@ -52,15 +52,19 @@ def blocking_pairs(
     the Levenshtein distance between their normalized (lower+trim)
     names is <= max_edit.
 
-    Plan: one aggregate for block sizes, joined back on the block key
-    (same partitioning — no extra exchange under AQE), then the
-    within-block self-join. The distance runs JVM-side (built-in
-    `levenshtein`, whole-stage codegen) on block-local pairs only.
+    Plan (round-10 window form, same single-scan discipline as the
+    span path): the block-size guard is a partition-wide count(*)
+    window over ONE block-key exchange of the record relation —
+    the agg-then-join-back form re-planned the record lineage per
+    consumer (8 parquet scans in the executed plan vs 4, measured
+    1.03s -> 0.61s at sf0.1) — then the within-block self-join. The
+    distance runs JVM-side (built-in `levenshtein`, whole-stage
+    codegen) on block-local pairs only.
 
     stats, when given, receives {"blocks_skipped": n} — the number of
-    over-cap blocks excluded (disclosed truncation, never silent);
-    the sizes relation is localCheckpointed first so the eager count
-    and the join reuse ONE blocking scan, not two.
+    over-cap blocks excluded (disclosed truncation, never silent),
+    computed by one extra bounded aggregate that only exists when the
+    diagnostic is requested.
 
     Size-1 blocks are excluded before the self-join (they cannot form
     a pair — same guard as the sibling dedup/simsearch bucket joins).
@@ -75,6 +79,8 @@ def blocking_pairs(
             "contract (an empty key would make the candidate join "
             "all-pairs)"
         )
+    from pyspark.sql import Window
+
     cols = [F.col(c).alias(f"b{i}") for i, c in enumerate(block_cols)]
     bkeys = [f"b{i}" for i in range(len(block_cols))]
     r = records.select(
@@ -82,14 +88,16 @@ def blocking_pairs(
         F.lower(F.trim(F.col(name_col))).alias("nm"),
         *cols,
     )
-    sizes = r.groupBy(*bkeys).agg(F.count("*").alias("__bn"))
     if stats is not None:
-        sizes = sizes.localCheckpoint()
-        stats["blocks_skipped"] = sizes.filter(
-            F.col("__bn") > F.lit(int(max_block))
-        ).count()
+        stats["blocks_skipped"] = (
+            r.groupBy(*bkeys)
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > F.lit(int(max_block)))
+            .count()
+        )
+    w = Window.partitionBy(*bkeys)
     kept = (
-        r.join(sizes, bkeys)
+        r.withColumn("__bn", F.count("*").over(w))
         .filter(
             (F.col("__bn") >= F.lit(2))
             & (F.col("__bn") <= F.lit(int(max_block)))
