@@ -174,6 +174,11 @@ HEADLINE = [
     "er_clusters",
     "similarity_join_reranked",
     "dq_drift_psi_sketch",
+    "er_survivorship",
+    "er_blocking_multipass",
+    "er_match_scores",
+    "hybrid_search_rrf",
+    "simsearch_sq_topk",
 ]
 
 WARMUP = 1

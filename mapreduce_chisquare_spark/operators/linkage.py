@@ -204,3 +204,140 @@ def survivorship(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+def blocking_pairs_multipass(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_passes: list,
+    max_edit: int = ER_MAX_EDIT,
+    max_block: int = ER_MAX_BLOCK,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Multi-pass blocking (the merge/purge recall booster): run
+    blocking_pairs once per block-key definition and UNION the
+    candidate pairs, deduplicated on (id_a, id_b) — a true match
+    missed by one pass (e.g. a typo inside pass A's key) is caught by
+    any pass whose key survives the error. Returns
+    (id_a, id_b, dist, n_passes) with n_passes = how many passes
+    proposed the pair (distances agree across passes by
+    construction — same normalized names).
+
+    Scale shape: P independent single-pass plans (each its own
+    bounded block exchange) + one map-side-combinable (id_a, id_b)
+    aggregate to dedupe. stats, when given, receives per-pass skip
+    counts under "blocks_skipped_p<i>"."""
+    if not block_passes:
+        raise ValueError("block_passes must be non-empty")
+    outs = []
+    for i, bc in enumerate(block_passes):
+        st: dict | None = {} if stats is not None else None
+        outs.append(
+            blocking_pairs(
+                records,
+                id_col,
+                name_col,
+                bc,
+                max_edit=max_edit,
+                max_block=max_block,
+                stats=st,
+            )
+        )
+        if stats is not None and st is not None:
+            stats[f"blocks_skipped_p{i}"] = st["blocks_skipped"]
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.groupBy("id_a", "id_b").agg(
+        F.min("dist").alias("dist"),
+        F.count("*").cast("long").alias("n_passes"),
+    )
+
+
+# Fellegi-Sunter-style match scoring: integer milli-point weights so
+# the score and the decision are exact in both engines.
+ER_SCORE_NAME_PER_EDIT = 300   # (max_edit+1 - dist) * this
+ER_SCORE_SUFFIX_BONUS = 100    # last normalized char agrees
+ER_THRESH_MATCH = 700
+ER_THRESH_POSSIBLE = 400
+
+
+def match_scores(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list,
+    max_edit: int = 2,
+    max_block: int = ER_MAX_BLOCK,
+) -> DataFrame:
+    """Candidate-pair match scoring — the Fellegi-Sunter
+    agreement-weight step between blocking and clustering: each
+    blocked pair gets an integer score from per-field agreement
+    (name edit distance banded at ER_SCORE_NAME_PER_EDIT per saved
+    edit, plus a last-character agreement bonus), then a three-way
+    decision by fixed thresholds: 'match' (>= ER_THRESH_MATCH),
+    'possible' (>= ER_THRESH_POSSIBLE — the clerical-review band),
+    else 'non_match'. Returns (id_a, id_b, dist, score, decision).
+
+    Everything is integer arithmetic on normalized names, so both
+    engines agree exactly — the probabilistic Fellegi-Sunter weights
+    are log-likelihood ratios in production; fixed integer weights
+    keep the SHAPE (per-field agreement -> summed score -> threshold
+    classes) while staying oracle-certifiable.
+
+    Scale shape: inherits blocking_pairs' bounds; scoring is
+    row-local arithmetic on the pair relation."""
+    cols = [F.col(c).alias(f"b{i}") for i, c in enumerate(block_cols)]
+    bkeys = [f"b{i}" for i in range(len(block_cols))]
+    from pyspark.sql import Window
+
+    r = records.select(
+        F.col(id_col).alias("rid"),
+        F.lower(F.trim(F.col(name_col))).alias("nm"),
+        *cols,
+    )
+    w = Window.partitionBy(*bkeys)
+    kept = (
+        r.withColumn("__bn", F.count("*").over(w))
+        .filter(
+            (F.col("__bn") >= F.lit(2))
+            & (F.col("__bn") <= F.lit(int(max_block)))
+        )
+        .drop("__bn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in bkeys]
+    on.append(F.col("a.rid") < F.col("b.rid"))
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    suffix_eq = F.substring(F.col("a.nm"), -1, 1) == F.substring(
+        F.col("b.nm"), -1, 1
+    )
+    score = (
+        (F.lit(int(max_edit) + 1) - F.col("dist"))
+        * F.lit(ER_SCORE_NAME_PER_EDIT)
+        + F.when(F.col("__sfx"), F.lit(ER_SCORE_SUFFIX_BONUS)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    decision = (
+        F.when(F.col("score") >= F.lit(ER_THRESH_MATCH), F.lit("match"))
+        .when(
+            F.col("score") >= F.lit(ER_THRESH_POSSIBLE),
+            F.lit("possible"),
+        )
+        .otherwise(F.lit("non_match"))
+    )
+    return (
+        a.join(b, on)
+        .filter(dist <= F.lit(int(max_edit)))
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            dist.cast("long").alias("dist"),
+            suffix_eq.alias("__sfx"),
+        )
+        .withColumn("score", score)
+        .drop("__sfx")
+        .withColumn("decision", decision)
+    )

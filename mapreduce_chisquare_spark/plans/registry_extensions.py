@@ -4946,3 +4946,198 @@ EXTENSION_QUERIES.update(
         "stream_er_screen": (stream_er_screen_q, SQL_STREAM_ER_SCREEN),
     }
 )
+
+
+# --- round-10 third batch: scalar-quantized search, multi-pass
+# blocking, Fellegi-Sunter match scoring ------------------------------------
+
+
+def simsearch_sq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization search (operators/simsearch.py sq_topk):
+    int8 index, exact-integer quantized-dot shortlist, full-precision
+    cosine re-rank — the third compression rung beside PQ/IVFPQ."""
+    return ss.sq_topk(_emb(spark, sf_dir), n_queries=8, k=5, shortlist=20)
+
+
+def _int8_dot_sql(a: str, b: str, dim: int = ss.DIM) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+
+
+SQL_SIMSEARCH_SQ_TOPK = (
+    "WITH q8 AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) * 127)))"
+    " AS BIGINT)) AS q FROM embeddings), "
+    "qq AS (SELECT vec_id AS query_id, q AS qv FROM q8 WHERE vec_id < 8), "
+    "adc AS (SELECT query_id, e.vec_id, "
+    f"{_int8_dot_sql('e.q', 'qq.qv')} AS adc "
+    "FROM q8 e CROSS JOIN qq WHERE e.vec_id <> qq.query_id), "
+    "cand AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS rn "
+    "FROM adc) WHERE rn <= 20), "
+    "qb AS (SELECT vec_id AS query_id, embedding AS q_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "resc AS (SELECT c.query_id, c.vec_id, "
+    f"{_cos_sql('e.embedding', 'qb.q_emb')} AS cos "
+    "FROM cand c JOIN embeddings e USING (vec_id) "
+    "JOIN qb USING (query_id)), "
+    "r AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) "
+    "AS rank FROM resc) "
+    "SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5"
+)
+
+
+ER_FIXTURE_MOD_B = 11  # every 11th customer gets a prefix-corrupted clone
+
+
+def _er_records2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-clone-type ER fixture for multi-pass blocking: clone A
+    (every 7th record, last char dropped) keeps the PREFIX block key
+    (name digits 1-8) but breaks the SUFFIX key (digits 3-9 — one
+    char short); clone B (every 11th record, first key digit
+    replaced by 'x') breaks the prefix key but keeps the suffix key.
+    Each pass alone misses one clone type; the union catches both —
+    the merge/purge multi-pass recall argument as a fixture."""
+    cust = scan_parquet(spark, sf_dir, "customer")
+
+    def rec(idc, namec):
+        return [
+            idc.alias("rid"),
+            namec.alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.substring(namec, 10, 8).alias("blk_p"),
+            F.substring(namec, 12, 7).alias("blk_s"),
+        ]
+
+    base = cust.select(*rec(F.col("c_custkey"), F.col("c_name")))
+    clone_a = cust.filter(
+        F.col("c_custkey") % ER_FIXTURE_MOD == 0
+    ).select(
+        *rec(
+            F.col("c_custkey") + F.lit(10_000_000),
+            F.substring("c_name", 1, 17),
+        )
+    )
+    clone_b = cust.filter(
+        F.col("c_custkey") % ER_FIXTURE_MOD_B == 0
+    ).select(
+        *rec(
+            F.col("c_custkey") + F.lit(20_000_000),
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("x"),
+                F.substring("c_name", 11, 8),
+            ),
+        )
+    )
+    return base.unionByName(clone_a).unionByName(clone_b)
+
+
+def er_blocking_multipass_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-pass blocked candidates (operators/linkage.py
+    blocking_pairs_multipass): prefix-key pass ∪ suffix-key pass,
+    deduplicated — each planted clone type is recoverable by exactly
+    one pass."""
+    from ..operators.linkage import blocking_pairs_multipass
+
+    return blocking_pairs_multipass(
+        _er_records2(spark, sf_dir),
+        "rid",
+        "name",
+        [["nation", "blk_p"], ["nation", "blk_s"]],
+        max_edit=1,
+    )
+
+
+_SQL_ER_RECS2 = (
+    "recs AS ("
+    "SELECT c_custkey AS rid, lower(trim(c_name)) AS nm, "
+    "c_nationkey AS nation, "
+    "substring(c_name, 10, 8) AS blk_p, "
+    "substring(c_name, 12, 7) AS blk_s "
+    "FROM customer "
+    "UNION ALL "
+    "SELECT c_custkey + 10000000, "
+    "lower(trim(substring(c_name, 1, 17))), c_nationkey, "
+    "substring(c_name, 10, 8), substring(c_name, 12, 6) "
+    f"FROM customer WHERE c_custkey % {ER_FIXTURE_MOD} = 0 "
+    "UNION ALL "
+    "SELECT c_custkey + 20000000, "
+    "lower(trim(substring(c_name, 1, 9) || 'x' "
+    "|| substring(c_name, 11, 8))), c_nationkey, "
+    "'x' || substring(c_name, 11, 7), "
+    "substring(c_name, 12, 7) "
+    f"FROM customer WHERE c_custkey % {ER_FIXTURE_MOD_B} = 0)"
+)
+
+SQL_ER_BLOCKING_MULTIPASS = (
+    "WITH " + _SQL_ER_RECS2 + ", "
+    "p1 AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+    "CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist "
+    "FROM recs a JOIN recs b ON a.nation = b.nation "
+    "AND a.blk_p = b.blk_p AND a.rid < b.rid "
+    "WHERE levenshtein(a.nm, b.nm) <= 1), "
+    "p2 AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+    "CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist "
+    "FROM recs a JOIN recs b ON a.nation = b.nation "
+    "AND a.blk_s = b.blk_s AND a.rid < b.rid "
+    "WHERE levenshtein(a.nm, b.nm) <= 1), "
+    "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2) "
+    "SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist, "
+    "CAST(count(*) AS BIGINT) AS n_passes "
+    "FROM u GROUP BY id_a, id_b"
+)
+
+
+def er_match_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-shaped match scoring (operators/linkage.py
+    match_scores): integer agreement weights over blocked pairs,
+    three-way match/possible/non_match decision."""
+    from ..operators.linkage import match_scores
+
+    return match_scores(
+        _er_records(spark, sf_dir),
+        "rid",
+        "name",
+        ["nation", "blk"],
+        max_edit=2,
+    )
+
+
+SQL_ER_MATCH_SCORES = (
+    "WITH " + _SQL_ER_RECS + ", "
+    "pr AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+    "CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist, "
+    "substring(a.nm, -1, 1) = substring(b.nm, -1, 1) AS sfx "
+    "FROM recs a JOIN recs b "
+    "ON a.nation = b.nation AND a.blk = b.blk AND a.rid < b.rid "
+    "WHERE levenshtein(a.nm, b.nm) <= 2), "
+    "sc AS (SELECT id_a, id_b, dist, "
+    "CAST((3 - dist) * 300 "
+    "+ (CASE WHEN sfx THEN 100 ELSE 0 END) AS BIGINT) AS score "
+    "FROM pr) "
+    "SELECT id_a, id_b, dist, score, "
+    "CASE WHEN score >= 700 THEN 'match' "
+    "WHEN score >= 400 THEN 'possible' "
+    "ELSE 'non_match' END AS decision "
+    "FROM sc"
+)
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-10 third batch — queued for the round-11 window
+        "simsearch_sq_topk": (
+            simsearch_sq_topk_q,
+            SQL_SIMSEARCH_SQ_TOPK,
+        ),
+        "er_blocking_multipass": (
+            er_blocking_multipass_q,
+            SQL_ER_BLOCKING_MULTIPASS,
+        ),
+        "er_match_scores": (er_match_scores_q, SQL_ER_MATCH_SCORES),
+    }
+)

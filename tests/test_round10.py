@@ -481,3 +481,116 @@ def test_stream_er_screen_equals_batch(spark, sf_dir):
             [type("R", (), {"new_id": n, "matched_id": n - 10_000_000})()
              for n, m, _ in got if m == n - 10_000_000]}
     assert len(srcs) > 0
+
+
+# ---------------------------------------------------------------------
+# sq_topk (scalar-quantized search)
+# ---------------------------------------------------------------------
+
+def test_sq_topk_finds_planted_neighbors(spark):
+    """Planted near-identical vectors survive the int8 shortlist and
+    win the exact re-rank; the int8 dot Arrow and expression paths
+    agree exactly (integer arithmetic)."""
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+
+    import random
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(ss.DIM)]
+        for i in range(2, 60)
+    }
+    vecs[0] = vecs[10][:]
+    vecs[0][0] += 0.01           # query 0's true NN is 10
+    vecs[1] = vecs[20][:]
+    vecs[1][1] -= 0.01           # query 1's true NN is 20
+    emb = _mk_emb(spark, vecs)
+    for arrow in (True, False):
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ss.sq_topk(
+                emb, n_queries=2, k=3, shortlist=10, use_arrow=arrow
+            ).collect()
+        }
+        assert got[(0, 1)] == 10
+        assert got[(1, 1)] == 20
+
+
+def test_int8_dot_paths_agree(spark):
+    from mapreduce_chisquare_spark.operators import simsearch as ss
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [([1, -127, 64, 0], [2, 127, -3, 9])],
+        "a array<int>, b array<int>",
+    )
+    expr = df.select(ss.int8_dot(F2.col("a"), F2.col("b")).alias("d"))
+    arrow = df.select(ss._int8_dot_arrow()(F2.col("a"), F2.col("b")).alias("d"))
+    want = 1 * 2 + (-127) * 127 + 64 * (-3) + 0 * 9
+    assert expr.collect()[0].d == want
+    assert arrow.collect()[0].d == want
+
+
+# ---------------------------------------------------------------------
+# multi-pass blocking
+# ---------------------------------------------------------------------
+
+def test_multipass_blocking_recall_union(spark):
+    """A typo inside pass A's key is caught by pass B and vice versa;
+    a pair proposed by both passes appears once with n_passes=2."""
+    from mapreduce_chisquare_spark.operators.linkage import (
+        blocking_pairs_multipass,
+    )
+
+    rows = [
+        # (rid, name, blk_a, blk_b)
+        (1, "abcdef", "abc", "def"),
+        (2, "abcdeX", "abc", "deX"),  # 1 edit; same blk_a, diff blk_b
+        (3, "Xbcdef", "Xbc", "def"),  # 1 edit from 1; diff blk_a, same blk_b
+        (4, "abcdef", "abc", "def"),  # exact dup of 1: both passes
+    ]
+    recs = spark.createDataFrame(
+        rows, "rid long, name string, blk_a string, blk_b string"
+    )
+    stats: dict = {}
+    got = {
+        (r.id_a, r.id_b): (r.dist, r.n_passes)
+        for r in blocking_pairs_multipass(
+            recs, "rid", "name", [["blk_a"], ["blk_b"]],
+            max_edit=1, stats=stats,
+        ).collect()
+    }
+    assert got[(1, 2)] == (1, 1)   # pass A only
+    assert got[(1, 3)] == (1, 1)   # pass B only
+    assert got[(1, 4)] == (0, 2)   # both passes, deduped
+    assert got[(2, 4)] == (1, 1) and got[(3, 4)] == (1, 1)
+    assert stats == {"blocks_skipped_p0": 0, "blocks_skipped_p1": 0}
+
+
+# ---------------------------------------------------------------------
+# match scoring
+# ---------------------------------------------------------------------
+
+def test_match_scores_closed_form(spark):
+    from mapreduce_chisquare_spark.operators.linkage import match_scores
+
+    rows = [
+        (1, "abcdef", "b"),
+        (2, "abcdef", "b"),   # dist 0, suffix eq  -> 900+100 match
+        (3, "abcdeX", "b"),   # dist 1 vs 1, sfx != -> 600 possible
+        (4, "abXdYf", "b"),   # dist 2 vs 1, sfx == -> 300+100 possible
+        (5, "zzzzzz", "b"),   # dist > 2 from all: absent
+    ]
+    recs = _mk_records(spark, rows)
+    got = {
+        (r.id_a, r.id_b): (r.dist, r.score, r.decision)
+        for r in match_scores(
+            recs, "rid", "name", ["blk"], max_edit=2
+        ).collect()
+    }
+    assert got[(1, 2)] == (0, 1000, "match")
+    assert got[(1, 3)] == (1, 600, "possible")
+    assert got[(1, 4)] == (2, 400, "possible")
+    assert (1, 5) not in got and (4, 5) not in got
+    assert got[(2, 4)] == (2, 400, "possible")
+    assert (3, 4) not in got  # 3 substitutions: over max_edit
