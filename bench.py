@@ -179,6 +179,9 @@ HEADLINE = [
     "er_match_scores",
     "hybrid_search_rrf",
     "simsearch_sq_topk",
+    "bpe_encode",
+    "dq_anomaly_mad",
+    "dedup_containment",
 ]
 
 WARMUP = 1

@@ -982,3 +982,63 @@ def winnowing_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_containment(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs:
+    (doc_a, doc_b, containment_a, containment_b, jaccard) with
+    containment_a = |A∩B| / |A| (how much of A lives inside B) and
+    symmetrically for B — the Broder resemblance/containment pair.
+    Jaccard punishes length asymmetry (a paragraph fully embedded in
+    a long page scores low); containment is the signal substring-
+    level dedup and quote detection actually filter on, so the two
+    are reported side by side off ONE intersection computation.
+
+    Same plan as ngram_jaccard (intersection via the doc-keyed join,
+    sizes joined back — no cross product); the three ratios are three
+    single divisions over the same exact integers."""
+    sh = shingles(docs, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            ["doc_b"],
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ni = F.col("n_inter").cast("double")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (ni / F.col("n_a").cast("double")).alias("containment_a"),
+            (ni / F.col("n_b").cast("double")).alias("containment_b"),
+            (
+                ni
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

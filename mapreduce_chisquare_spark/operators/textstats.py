@@ -867,9 +867,9 @@ def _bpe_learn(
     """The shared BPE training loop (see bpe_merges for the full
     mechanics and scale story): returns (merges, vocab) where merges
     is the list of (rank, left, right, pair_count) tuples in merge
-    order and vocab is the (syms, w_count) vocabulary DataFrame with
-    ALL chosen merges applied — the relation bpe_vocab tokenizes
-    from. The corpus is scanned once; each round collects a 1-row
+    order and vocab is the (word, syms, w_count) vocabulary DataFrame
+    with ALL chosen merges applied — the relation bpe_vocab tokenizes
+    from and bpe_encode joins the corpus against. The corpus is scanned once; each round collects a 1-row
     argmax and re-applies it as literal strings over the
     localCheckpointed vocabulary."""
     syms = F.expr(
@@ -880,7 +880,7 @@ def _bpe_learn(
         docs.select(F.explode(_words(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("w_count"))
-        .select(syms.alias("syms"), "w_count")
+        .select("word", syms.alias("syms"), "w_count")
         .localCheckpoint()
     )
     merges: list = []
@@ -917,6 +917,7 @@ def _bpe_learn(
         left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rank, left, right, cnt))
         v = v.select(
+            "word",
             F.replace(
                 F.col("syms"),
                 F.lit(f" {left}  {right} "),
@@ -1002,6 +1003,59 @@ def bpe_vocab(
         .agg(F.sum("w_count").cast("long").alias("token_count"))
         .orderBy(F.desc("token_count"), F.asc("token"))
         .limit(k)
+    )
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """The ENCODE rung that completes the BPE ladder (pair stats ->
+    merges -> vocabulary -> encode the corpus): per document, its
+    token counts under the learned subword vocabulary —
+    (doc_id, n_words, n_bpe_tokens, fertility) with fertility =
+    subwords per word (the standard tokenizer-quality metric; NULL
+    for word-free documents in both engines). A training pipeline
+    runs exactly this to budget sequence lengths before packing.
+
+    Scale shape: encoding is PER-WORD, so the corpus is never
+    re-segmented — the learned (word -> subword count) map is the
+    BOUNDED vocabulary relation (distinct words), joined to the
+    corpus word explode (AQE broadcasts it at this SF; a plain hash
+    join on word at 100 TB), then one doc_id aggregate. Same
+    call-time freeze semantics as bpe_merges."""
+    _, v = _bpe_learn(docs, n_merges, text_col)
+    wmap = v.select(
+        "word",
+        F.size(F.split(F.trim(F.col("syms")), "  "))
+        .cast("long")
+        .alias("__n_sub"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("word")
+    )
+    per_doc = (
+        words.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("__n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+        )
     )
 
 

@@ -686,3 +686,80 @@ def dq_quantiles_sketch_merge(
             for p in percentiles
         ],
     )
+
+
+# Scaled-integer MAD flag constant: 3 * 1.4826 (the normal-consistency
+# factor) = 4.4478, carried as 44478 against deviations x 10000 so the
+# flag decision is exact integer arithmetic in both engines.
+MAD_K_SCALED = 44478
+MAD_SCALE = 10000
+
+
+def dq_anomaly_mad(events, value_col: str = "value"):
+    """Robust per-type anomaly screen: flag events whose value sits
+    more than 3 robust standard deviations from the per-type MEDIAN,
+    with sigma estimated as 1.4826 x MAD (median absolute deviation)
+    — the screen that still works when the mean/stddev themselves are
+    dragged by the outliers being hunted (complements
+    ts_anomaly_zscore exactly the way dq_drift_psi_sketch complements
+    the equal-width PSI: quantile-robust where moments collapse).
+    Returns flagged rows (event_type, event_id, value, median_value,
+    mad_value).
+
+    Exactness: values are exact cents; the median and the MAD use the
+    shared 'lower' quantile rule (value at 0-based sorted position
+    ((n-1)*50) div 100, ties resolved by the value-only sort since
+    equal values are interchangeable); the flag decision is the
+    integer cross-multiplication MAD_SCALE * |c - med| >
+    MAD_K_SCALED * mad — no float ever decides membership, so both
+    engines flag identical borderline events. A zero-MAD type
+    (constant majority) flags every deviating row — the intended
+    robust behavior.
+
+    Scale shape: two type-keyed window passes (median of values, then
+    median of deviations — the deviation relation reuses the first
+    pass's broadcast medians), then a row-local flag filter. All
+    windows are partitioned by event_type; per-type row counts are
+    the stream's natural partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        "event_type",
+        "event_id",
+        F.col(value_col).alias("__v"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+    )
+
+    def lower_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        r = df.withColumn("__rn", F.row_number().over(w).cast("long"))
+        r = r.withColumn("__n", F.count("*").over(wn))
+        return (
+            r.filter(
+                F.col("__rn") - 1
+                == F.expr("((__n - 1) * 50) div 100")
+            )
+            .groupBy("event_type")
+            .agg(F.max(col).cast("long").alias(out))
+        )
+
+    med = lower_median(ev, "__c", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__d", F.abs(F.col("__c") - F.col("med"))
+    )
+    mad = lower_median(dev, "__d", "mad")
+    flagged = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("__d") * F.lit(MAD_SCALE)
+        > F.col("mad") * F.lit(MAD_K_SCALED)
+    )
+    return flagged.select(
+        "event_type",
+        "event_id",
+        F.col("__v").alias("value"),
+        (F.col("med").cast("double") / F.lit(100.0)).alias(
+            "median_value"
+        ),
+        (F.col("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+    )

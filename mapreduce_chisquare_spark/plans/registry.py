@@ -147,10 +147,11 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-11 window TODO: promote the round-10 SECOND/THIRD-BATCH tail
-# additions first (er_survivorship, hybrid_search_rrf,
+# Round-11 window TODO: promote the round-10 SECOND/THIRD/FOURTH-BATCH
+# tail additions first (er_survivorship, hybrid_search_rrf,
 # stream_er_screen, simsearch_sq_topk, er_blocking_multipass,
-# er_match_scores — registered after the round-10 window filled;
+# er_match_scores, bpe_encode, dq_anomaly_mad, dedup_containment —
+# registered after the round-10 window filled;
 # local oracle-green at all three SFs), then any round-11 tail
 # additions, then the oldest r6 rows (42: the round-5/6 tail —
 # winnowing pair, splits, asof family, scd2, layout/bucketing,

@@ -3272,7 +3272,7 @@ def _bpe_ctes(n_merges: int) -> list:
   FROM documents),
 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS w_count
        FROM w GROUP BY word),
-v0 AS (SELECT ' ' || array_to_string(
+v0 AS (SELECT word, ' ' || array_to_string(
          list_transform(range(1, length(word) + 1),
                         i -> substring(word, CAST(i AS INTEGER), 1)),
          '  ') || ' ' AS syms, w_count
@@ -3290,7 +3290,7 @@ p{r} AS (SELECT pr.l AS l, pr.r AS r,
          FROM x{r} GROUP BY 1, 2),
 m{r} AS (SELECT l, r, pair_count FROM p{r}
          ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)""")
-        ctes.append(f"""v{r} AS (SELECT coalesce(replace(syms, ' ' || m.l || '  ' || m.r || ' ',
+        ctes.append(f"""v{r} AS (SELECT word, coalesce(replace(syms, ' ' || m.l || '  ' || m.r || ' ',
                            ' ' || m.l || m.r || ' '), syms) AS syms, w_count
        FROM v{r - 1} LEFT JOIN m{r} m ON TRUE)""")
     return ctes
@@ -5139,5 +5139,126 @@ EXTENSION_QUERIES.update(
             SQL_ER_BLOCKING_MULTIPASS,
         ),
         "er_match_scores": (er_match_scores_q, SQL_ER_MATCH_SCORES),
+    }
+)
+
+
+# --- round-10 fourth batch: BPE corpus encode, robust MAD anomaly
+# screen, shingle containment ------------------------------------------------
+
+
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned 6-merge BPE
+    vocabulary (operators/textstats.py bpe_encode) — the ENCODE rung
+    that completes the BPE ladder; fertility = subwords per word."""
+    return tx.bpe_encode(_docs(spark, sf_dir))
+
+
+def _sql_bpe_encode(n_merges: int = 6) -> str:
+    sel = f"""enc AS (SELECT word,
+         CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sub
+       FROM v{n_merges}),
+dw AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+       FROM documents),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN enc USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(per.n_words, 0) AS n_words,
+  coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+  CASE WHEN per.n_words > 0
+       THEN CAST(per.n_bpe_tokens AS DOUBLE) / CAST(per.n_words AS DOUBLE)
+  END AS fertility
+FROM documents d LEFT JOIN per USING (doc_id)"""
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + ",\n" + sel
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
+def dq_anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type MAD anomaly screen (operators/warehouse.py
+    dq_anomaly_mad): flag events beyond 3 x 1.4826 x MAD from the
+    per-type median — the exact-integer cross-multiplied decision."""
+    from ..operators.warehouse import dq_anomaly_mad
+
+    return dq_anomaly_mad(_events(spark, sf_dir))
+
+
+SQL_DQ_ANOMALY_MAD = """
+WITH e AS (
+  SELECT event_type, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+mr AS (SELECT event_type, event_id, value, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY c)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       FROM e),
+med AS (SELECT event_type, CAST(max(c) AS BIGINT) AS med
+        FROM mr WHERE rn - 1 = ((n - 1) * 50) // 100
+        GROUP BY event_type),
+dv AS (SELECT e.event_type, e.event_id, e.value, e.c,
+              abs(e.c - med.med) AS d, med.med
+       FROM e JOIN med USING (event_type)),
+dr AS (SELECT event_type, d,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       FROM dv),
+mad AS (SELECT event_type, CAST(max(d) AS BIGINT) AS mad
+        FROM dr WHERE rn - 1 = ((n - 1) * 50) // 100
+        GROUP BY event_type)
+SELECT dv.event_type, dv.event_id, dv.value,
+       CAST(dv.med AS DOUBLE) / 100.0 AS median_value,
+       CAST(mad.mad AS DOUBLE) / 100.0 AS mad_value
+FROM dv JOIN mad USING (event_type)
+WHERE dv.d * 10000 > mad.mad * 44478
+"""
+
+
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment + Jaccard for the LSH
+    candidate pairs (operators/dedup.py ngram_containment) — the
+    Broder containment measure substring-dedup filters on."""
+    docs = _docs(spark, sf_dir)
+    return dd.ngram_containment(docs, dd.minhash_candidate_pairs(docs))
+
+
+SQL_DEDUP_CONTAINMENT = (
+    "WITH " + _PAIR_CTES + ", "
+    "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT p.doc_a, p.doc_b, "
+    "CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
+    "JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b) "
+    "SELECT p.doc_a, p.doc_b, "
+    "CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) "
+    "AS containment_a, "
+    "CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) "
+    "AS containment_b, "
+    "CAST(coalesce(i.n_inter, 0) AS DOUBLE) / "
+    "CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) "
+    "AS jaccard "
+    "FROM pairs p "
+    "LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+    "JOIN sz sa ON sa.doc_id = p.doc_a "
+    "JOIN sz sb ON sb.doc_id = p.doc_b"
+)
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-10 fourth batch — queued for the round-11 window
+        "bpe_encode": (bpe_encode_q, SQL_BPE_ENCODE),
+        "dq_anomaly_mad": (dq_anomaly_mad_q, SQL_DQ_ANOMALY_MAD),
+        "dedup_containment": (
+            dedup_containment_q,
+            SQL_DEDUP_CONTAINMENT,
+        ),
     }
 )

@@ -594,3 +594,117 @@ def test_match_scores_closed_form(spark):
     assert (1, 5) not in got and (4, 5) not in got
     assert got[(2, 4)] == (2, 400, "possible")
     assert (3, 4) not in got  # 3 substitutions: over max_edit
+
+
+# ---------------------------------------------------------------------
+# bpe_encode
+# ---------------------------------------------------------------------
+
+def test_bpe_encode_hand_model(spark):
+    """Tiny corpus with hand-derivable merges: merge1 = (a, a), merge2
+    = (aa, aa); 'aaaa' encodes to 1 token, 'bb' to 2. Fertility is
+    tokens/word; word-free docs get NULL."""
+    from mapreduce_chisquare_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa"), (1, "aaaa bb"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+        for r in bpe_encode(docs, n_merges=2).collect()
+    }
+    assert got[0] == (2, 2, 1.0)
+    assert got[1] == (2, 3, 1.5)
+    assert got[2] == (0, 0, None)
+
+
+# ---------------------------------------------------------------------
+# dq_anomaly_mad
+# ---------------------------------------------------------------------
+
+def test_dq_anomaly_mad_flags_and_threshold_exactness(spark):
+    """Matches an independent Python model of the full median/MAD/
+    cross-multiplied rule, including a value engineered to sit just
+    UNDER the integer threshold (not flagged — strict >)."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_anomaly_mad,
+    )
+
+    # type 't': base values 0..8 plus three tails; full-set median is
+    # 400 cents, MAD 300 -> threshold d*10000 > 300*44478 means
+    # d > 1334.34: |c-400| = 1334 (value 17.34) must NOT flag,
+    # 1335 (17.35) must.
+    rows = [("t", i, float(i)) for i in range(9)]
+    rows += [("t", 100, 17.34), ("t", 101, 17.35), ("t", 102, -9.99)]
+    ev = spark.createDataFrame(
+        [(t, e, v, "2024-01-01 00:00:00") for t, e, v in rows],
+        "event_type string, event_id long, value double, ts_s string",
+    ).select(
+        "event_type", "event_id", "value",
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+    # python model
+    cents = sorted(round(v * 100) for _, _, v in rows)
+    n = len(cents)
+    med = cents[((n - 1) * 50) // 100]
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[((n - 1) * 50) // 100]
+    want = {
+        e for _, e, v in rows
+        if abs(round(v * 100) - med) * 10000 > mad * 44478
+    }
+    got = {
+        r.event_id: (r.median_value, r.mad_value)
+        for r in dq_anomaly_mad(ev).collect()
+    }
+    assert set(got) == want
+    assert 101 in got and 102 in got and 100 not in got
+    assert got[101] == (med / 100.0, mad / 100.0)
+
+
+def test_dq_anomaly_mad_zero_mad_type(spark):
+    """A constant-majority type has MAD 0: every deviating row flags
+    (robust behavior where stddev-based screens divide by ~0)."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_anomaly_mad,
+    )
+
+    rows = [("c", i, 5.0) for i in range(10)] + [("c", 99, 5.01)]
+    ev = spark.createDataFrame(
+        [(t, e, v, "2024-01-01 00:00:00") for t, e, v in rows],
+        "event_type string, event_id long, value double, ts_s string",
+    ).select(
+        "event_type", "event_id", "value",
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+    got = [r.event_id for r in dq_anomaly_mad(ev).collect()]
+    assert got == [99]
+
+
+# ---------------------------------------------------------------------
+# ngram_containment
+# ---------------------------------------------------------------------
+
+def test_ngram_containment_embedded_doc(spark):
+    """A document fully embedded in a longer one scores containment
+    1.0 while Jaccard stays below — the length-asymmetry signal."""
+    from mapreduce_chisquare_spark.operators.dedup import (
+        ngram_containment,
+    )
+
+    a = "alpha bravo charlie delta echo"   # 3 distinct 3-shingles
+    b = a + " foxtrot golf"                # 5 shingles, superset
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, "kilo lima mike nov")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b, r.jaccard)
+        for r in ngram_containment(docs, pairs).collect()
+    }
+    assert got[(1, 2)] == (1.0, 3 / 5, 3 / 5)
+    assert got[(1, 3)] == (0.0, 0.0, 0.0)
