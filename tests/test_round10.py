@@ -708,3 +708,88 @@ def test_ngram_containment_embedded_doc(spark):
     }
     assert got[(1, 2)] == (1.0, 3 / 5, 3 / 5)
     assert got[(1, 3)] == (0.0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------
+# property: linkage vs a plain-Python model
+# ---------------------------------------------------------------------
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+_rec_strategy = hst.lists(
+    hst.tuples(
+        hst.text(alphabet="ab c", min_size=0, max_size=6),  # name
+        hst.sampled_from(["b1", "b2", "b3"]),               # block
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(recs=_rec_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_blocking_pairs_matches_python_model(spark, recs):
+    """blocking_pairs == the brute-force Python model on random
+    records: every same-block unordered pair within Levenshtein 2 of
+    the normalized (lower+trim) names, with exact distances, and
+    cluster assignment equals Python union-find's min-label
+    components."""
+    rows = [(i, nm, blk) for i, (nm, blk) in enumerate(recs)]
+    df = _mk_records(spark, rows)
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocking_pairs(
+            df, "rid", "name", ["blk"], max_edit=2
+        ).collect()
+    }
+    norm = {i: nm.lower().strip() for i, nm, _ in rows}
+    blocks = {i: blk for i, _, blk in rows}
+    want = {}
+    for i, _, _ in rows:
+        for j, _, _ in rows:
+            if i < j and blocks[i] == blocks[j]:
+                d = _py_lev(norm[i], norm[j])
+                if d <= 2:
+                    want[(i, j)] = d
+    assert got == want
+    # clustering equals union-find min-label components
+    parent = {i: i for i, _, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b) in want:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_clusters = {
+        i: min(j for j in parent if find(j) == find(i))
+        for i in parent
+        if any(i in p for p in want)
+    }
+    got_clusters = {
+        r.entity_id: r.cluster_id
+        for r in match_clusters(
+            blocking_pairs(df, "rid", "name", ["blk"], max_edit=2)
+        ).collect()
+    }
+    assert got_clusters == want_clusters
