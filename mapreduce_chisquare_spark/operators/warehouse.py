@@ -410,12 +410,16 @@ def dq_drift_psi_sketch(
     The fold is the shared _psi_from_sided_counts, so the double
     result matches the DuckDB twin bit-for-bit.
 
-    Scale shape: one pass builds the sided relation (lazy per-type
-    time-bounds relation for the midpoint — no driver state), the
-    sketch is a WindowGroupLimit over the reference side (<= k rows
-    per type survive the exchange), edges live in a broadcast
-    (type, B-1 values) relation, and bucketing + the (type, side,
-    bucket) count are map-side combinable. Unlike the equal-width
+    Scale shape: three-to-four column-pruned passes over (ts, value,
+    event_type, event_id) — the per-type time-bounds relation for the
+    midpoint (lazy, no driver state), the reference-side sketch pass,
+    and the bucket-count pass (the sided projection is re-derived per
+    consumer; each re-derivation is a map-side scan+broadcast-join,
+    cheaper at scale than materializing the corpus-sized sided
+    relation). The sketch is a WindowGroupLimit over the reference
+    side (<= k rows per type survive the exchange), edges live in a
+    broadcast (type, B-1 values) relation, and bucketing + the
+    (type, side, bucket) count are map-side combinable. Unlike the equal-width
     variant's full-log min/max, the edges are quantile-robust: one
     outlier cannot collapse every row into one bucket."""
     from pyspark.sql import Window
