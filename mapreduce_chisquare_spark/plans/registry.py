@@ -67,97 +67,93 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-10 window (50) = the 3 round-9 second-batch tail entries that
-# never got a driver row (image_dedup_components, similarity_join_topk,
-# stream_quality_model — the round-9 verdict's #1 item), + the 4
-# round-10 NEW entries (er_blocking_pairs / er_clusters: the formerly
-# unregistered operators/linkage.py wired with exact Levenshtein
-# oracles; similarity_join_reranked: shortlist-then-rerank;
-# dq_drift_psi_sketch: PSI over mergeable-sketch quantile edges), +
-# ALL 43 remaining r5-era stale rows (draining the round-9 verdict's
-# #4 item — after this window no entry's newest driver green is older
-# than r6). Fast §2-spine/scalar rows lead the stale cohort; the heavy
-# dedup/PQ/pipeline fixtures close so a time-cut sweep still certifies
-# the maximum prefix.
+# Round-11 window (50) = the 9 round-10 tail entries that never got a
+# driver row (registered after the round-10 window filled; all 9 were
+# independently re-verified green by the round-10 judge), + the 2
+# round-11 NEW entries (image_phash_decoded: perceptual hash over REAL
+# decoded pixels — BMP/PPM/uncompressed-PNG pure-Python decode;
+# similarity_join_minhash_shuffle: exchange-based MinHash join for
+# probe sides too large to broadcast), + 39 of the 42 r6-era stale
+# rows (fast scalars/joins/windows lead, dedup/stream fixtures close
+# so a time-cut sweep still certifies the maximum prefix). The 3
+# heaviest r6 rows (split_no_leakage, simsearch_ivfpq_nprobe2,
+# pipeline_span_surgery) defer to r12 with the r7 cohort.
 _CERTIFY_WINDOW = [
-    # round-9 second-batch tail (registered after the r9 window
-    # filled; local oracle-green since r9 — driver signature is due)
-    "image_dedup_components",
-    "similarity_join_topk",
-    "stream_quality_model",
-    # round-10 new: entity resolution (operators/linkage.py — the
-    # module the round-9 verdict flagged as unregistered, now wired
-    # with exact Levenshtein oracles)
-    "er_blocking_pairs",
-    "er_clusters",
-    # round-10 new: shortlist-then-rerank similarity join (the
-    # retrieval ladder's second-stage scorer composition)
-    "similarity_join_reranked",
-    # round-10 new: PSI drift with mergeable-sketch quantile edges
-    "dq_drift_psi_sketch",
-    # r5-era stale re-certs — the FULL remaining 43-row cohort (after
-    # this window no entry's newest driver green is older than r6).
-    # Fast scalars/joins/aggs lead; heavy dedup/pipeline/PQ fixtures
-    # close so a time-cut sweep still certifies the maximum prefix.
-    "casefold",
-    "project",
-    "length_filter",
-    "nonempty_filter",
-    "dedup_terms",
-    "anti_join_stopwords",
-    "tokenize_positions",
-    "regexp_extract",
-    "json_schema_parse",
-    "map_scalars",
-    "sink_roundtrip",
-    "agg_grouping_sets",
-    "agg_linreg",
-    "agg_mode",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "distinct_agg",
-    "having_filter",
-    "join_broadcast_dim",
-    "join_outer",
-    "join_semi",
-    "q3_shipping_priority",
-    "q5_supplier_revenue",
-    "snapshot_diff",
-    "asof_nearest",
-    "events_funnel",
-    "sample_weighted",
-    "sample_weighted_per_source",
-    "source_temperature",
-    "corpus_composition",
-    "corpus_shard",
-    "corpus_split",
-    "lm_unigram_score",
-    "decontaminate",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_k128",
-    "simsearch_pq_encode",
-    "simsearch_pq_refined",
-    "simsearch_pq_topk",
-    "pipeline_training_corpus",
+    # round-10 tail — driver signature due (judge-verified green r10)
+    "er_survivorship",
+    "er_blocking_multipass",
+    "er_match_scores",
+    "hybrid_search_rrf",
+    "stream_er_screen",
+    "simsearch_sq_topk",
+    "bpe_encode",
+    "dq_anomaly_mad",
+    "dedup_containment",
+    # round-11 new
+    "image_phash_decoded",
+    "similarity_join_minhash_shuffle",
+    # r6-era stale re-certs (39 of 42; fast first, heavy last)
+    "skew_profile",
+    "normalize_text",
+    "null_scalars",
+    "case_when_bucket",
+    "q13_customer_distribution",
+    "agg_cube",
+    "agg_pivot",
+    "q22_idle_capital",
+    "window_rank",
+    "window_ranking",
+    "window_first_last",
+    "sample_hash",
+    "sample_stratified",
+    "agg_approx_distinct_grouped",
+    "agg_approx_percentile",
+    "select_token_budget",
+    "q21_sole_blame_supplier",
+    "vocab_oov",
+    "vocab_topv",
+    "sketch_countmin",
+    "join_salted",
+    "multiway_join",
+    "tokens_to_ids",
+    "decontaminate_spans",
+    "dedup_spans",
+    "cross_doc_repetition",
+    "similarity_join_minhash",
+    "lm_bigram_score",
+    "simsearch_lsh",
+    "simsearch_ivf_assign",
+    "simsearch_ivf_topk",
+    "corpus_cut_spans",
+    "stream_chi_square",
+    "stream_interval_join",
+    "stream_neardup",
+    "stream_sessionize",
+    "dedup_simhash",
+    "dedup_jaccard_estimate",
+    "dedup_ngram_jaccard",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-11 window TODO: promote the round-10 SECOND/THIRD/FOURTH-BATCH
-# tail additions first (er_survivorship, hybrid_search_rrf,
-# stream_er_screen, simsearch_sq_topk, er_blocking_multipass,
-# er_match_scores, bpe_encode, dq_anomaly_mad, dedup_containment —
-# registered after the round-10 window filled;
-# local oracle-green at all three SFs), then any round-11 tail
-# additions, then the oldest r6 rows (42: the round-5/6 tail —
-# winnowing pair, splits, asof family, scd2, layout/bucketing,
-# stream_neardup, ...), then the oldest r7 rows as space allows.
-# After the round-10 window lands, the staleness histogram floor
-# is r6.
+# Round-12 window TODO: promote any round-11 tail additions first,
+# then the 3 deferred r6 rows (split_no_leakage,
+# simsearch_ivfpq_nprobe2, pipeline_span_surgery), then the r7 cohort
+# (48: agg_approx_distinct agg_histogram asof_join asof_tolerance
+# bm25_score bm25_topk dedup_components dedup_exact dedup_normalized
+# doc_fingerprint dq_profile embed_label_means embed_neardup join_anti
+# join_range lang_id multimodal_frames multimodal_meta
+# multimodal_resize pii_redact pipeline_curation pipeline_dedup_corpus
+# q4_order_priority quality_score repetition_metrics resample_ffill
+# sample_per_source scan_csv scd2_merge set_intersect set_union
+# simsearch_lsh_topk simsearch_topk simsearch_topk_pandas
+# sink_partitioned sketch_kmv_distinct sketch_kmv_overlap stream_dedup
+# stream_static_join stream_tumbling token_count ts_paa
+# ts_similarity_topk window_range_frame winnowing_fingerprint
+# winnowing_pairs winsorize zorder_values) as space allows. After the
+# round-11 window lands, the staleness histogram floor is r6 (3 rows)
+# with the bulk at r7.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)
