@@ -672,13 +672,22 @@ def pq_codebooks(
     groups by (m, code, d), so the driver sees m*k*sub_dim rows per
     round regardless of corpus size."""
     sub_dim = DIM // m_sub
+    # Seeds = the k SMALLEST vec_ids (TakeOrdered — k bounded rows to
+    # the driver), mirroring kmeans_centroids: identical to the old
+    # `vec_id < k` filter on the dense 0..N-1 ids the oracle fixtures
+    # use, but on a SPARSE id space (post-dedup corpus, offset ids)
+    # the filter form silently found fewer — or zero — seeds than k,
+    # collapsing the fit and every PQ/SQ index built on it.
     rows = (
-        emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
-    seeds = [
-        [float(x) for x in r.embedding]
-        for r in sorted(rows, key=lambda r: r.vec_id)
-    ]
+    seeds = [[float(x) for x in r.embedding] for r in rows]
+    if not seeds:
+        raise ValueError("pq_codebooks: empty embedding corpus")
+    if len(seeds) < k:
+        # fewer vectors than codewords: repeat the last seed so every
+        # codebook slot exists; Lloyd rounds keep unused slots frozen.
+        seeds = seeds + [seeds[-1]] * (k - len(seeds))
     books = [
         [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
         for m in range(m_sub)
