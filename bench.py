@@ -182,6 +182,9 @@ HEADLINE = [
     "bpe_encode",
     "dq_anomaly_mad",
     "dedup_containment",
+    # round-11 additions (first measurement = their baseline)
+    "image_phash_decoded",
+    "similarity_join_minhash_shuffle",
 ]
 
 WARMUP = 1

@@ -417,6 +417,7 @@ def lsh_similarity_join(
     k: int = NUM_HASHES,
     bands: int = NUM_BANDS,
     broadcast_probe: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH similarity join — the FUZZY decontamination /
     cross-source near-dup shape: (corpus_doc, probe_doc, n_bands) for
@@ -435,17 +436,51 @@ def lsh_similarity_join(
     relation is never re-exchanged on (band, key) for the join, and
     the post-join aggregate shuffles collision pairs, not the corpus.
     That is the shape that makes run-per-release decontamination
-    affordable at 100 TB. Set broadcast_probe=False for probe sets
-    too big to broadcast; AQE then picks the strategy on a
-    (band, key) exchange."""
+    affordable at 100 TB.
+
+    Set broadcast_probe=False when the probe side is itself
+    corpus-sized (cross-SOURCE near-dup between two crawls, not a
+    bounded eval suite): both band relations then meet on one
+    (band, key) hash exchange each. In that regime the "no quadratic
+    risk" argument above no longer holds — per band key the work is
+    |corpus bucket| x |probe bucket| and a degenerate bucket on BOTH
+    sides (boilerplate shingles common to both crawls) multiplies —
+    so pass max_bucket to cap each side's buckets independently
+    before the join (same documented recall trade as the self-join
+    candidate generator's MAX_BUCKET guard; a bucket over the cap is
+    a stop-shingle band, not a near-dup signal). The guard's window
+    count partitions by (band, key) — the join key — so Catalyst
+    reuses that exchange for the join itself: guarded shuffle join
+    costs the same TWO exchanges as the unguarded one."""
     cb = lsh_band_keys(shingles(corpus, text_col), k, bands).select(
         F.col("doc_id").alias("corpus_doc"), "band", "key"
     )
     pb = lsh_band_keys(shingles(probe, text_col), k, bands).select(
         F.col("doc_id").alias("probe_doc"), "band", "key"
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key")
+
+        def _guard(b: DataFrame) -> DataFrame:
+            return (
+                b.withColumn("__sz", F.count("*").over(w))
+                .filter(F.col("__sz") <= F.lit(int(max_bucket)))
+                .drop("__sz")
+            )
+
+        cb, pb = _guard(cb), _guard(pb)
     if broadcast_probe:
         pb = F.broadcast(pb)
+    else:
+        # Pin the exchange-based strategy: without the hint Catalyst's
+        # static size estimate of the probe band relation can still
+        # pick a broadcast build, which is exactly the OOM this mode
+        # exists to avoid when the probe is corpus-sized. Sort-merge
+        # is the spill-safe strategy at that scale; AQE may still
+        # upgrade to broadcast at runtime when the probe side proves
+        # genuinely small — a safe, measured decision, unlike the
+        # static estimate.
+        pb = pb.hint("merge")
     return (
         cb.join(pb, ["band", "key"])
         .groupBy("corpus_doc", "probe_doc")

@@ -26,11 +26,17 @@ PR_ITERATIONS = 10
 PR_DAMP_NUM = 85  # d = 85/100
 PR_DAMP_DEN = 100
 
+# Diagnostic: iterations the last pagerank()/personalized_pagerank()
+# call actually executed (== `iterations` unless tol stopped it
+# early). Read by tests and ops tooling; never an input.
+LAST_PR_ITERATIONS = 0
+
 
 def pagerank(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
     scale: int = PR_SCALE,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list
     (columns `src`, `dst`; duplicates allowed — deduped here).
@@ -56,7 +62,17 @@ def pagerank(
     checkpointed per round to truncate lineage (the
     dedup_components discipline). Build-time freeze: N and the node
     set reflect the edges at call time.
+
+    Early exit: with `tol` set, iteration stops once
+    max_v |r'(v) - r(v)| <= tol * scale — one extra 1-row max
+    aggregate per round over the rank relation both rounds already
+    materialized (the per-round checkpoint makes the comparison
+    cheap and lineage-safe). Default tol=None keeps the fixed
+    iteration count, which is the cross-engine contract the
+    registered oracle twins unroll — registered entries never pass
+    tol. LAST_PR_ITERATIONS records how many rounds actually ran.
     """
+    global LAST_PR_ITERATIONS
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -79,7 +95,10 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     ).localCheckpoint()
+    tol_fp = None if tol is None else int(tol * scale)
+    LAST_PR_ITERATIONS = 0
     for _ in range(int(iterations)):
+        prev = ranks
         contrib = (
             ranks.join(outdeg, "node")
             .select(
@@ -112,6 +131,23 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        LAST_PR_ITERATIONS += 1
+        if tol_fp is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("r").alias("r_prev")),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.max(F.abs(F.col("r") - F.col("r_prev"))),
+                        F.lit(0),
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta <= tol_fp:
+                break
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -221,6 +257,7 @@ def personalized_pagerank(
     seeds: list,
     iterations: int = PR_ITERATIONS,
     scale: int = PR_SCALE,
+    tol: float | None = None,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank — the relevance
     propagator behind 'more like these' corpus expansion: identical
@@ -236,9 +273,11 @@ def personalized_pagerank(
     the seed set; nodes unreachable from it stay at 0 — exactly the
     semantics seed-expansion curation wants. Seeds absent from the
     graph still receive restart mass (standard PPR: the restart
-    vector is over S, not over V ∩ S). Same scale shape and
-    bit-identical-BIGINT guarantees as pagerank(); the DuckDB twin
-    unrolls iterations with the seed set as a literal relation."""
+    vector is over S, not over V ∩ S). Same scale shape,
+    bit-identical-BIGINT guarantees, and `tol` early-exit contract as
+    pagerank(); the DuckDB twin unrolls iterations with the seed set
+    as a literal relation (registered entries never pass tol)."""
+    global LAST_PR_ITERATIONS
     seeds = sorted(set(seeds))
     if not seeds:
         raise ValueError("personalized_pagerank needs >= 1 seed")
@@ -269,7 +308,10 @@ def personalized_pagerank(
         .cast("long")
         .alias("r"),
     ).localCheckpoint()
+    tol_fp = None if tol is None else int(tol * scale)
+    LAST_PR_ITERATIONS = 0
     for _ in range(int(iterations)):
+        prev = ranks
         contrib = ranks.join(outdeg, "node").select(
             F.col("node").alias("src"),
             F.expr("r div deg").alias("contrib"),
@@ -303,6 +345,23 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
+        LAST_PR_ITERATIONS += 1
+        if tol_fp is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("r").alias("r_prev")),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.max(F.abs(F.col("r") - F.col("r_prev"))),
+                        F.lit(0),
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta <= tol_fp:
+                break
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 

@@ -2,10 +2,15 @@
 
 Image/audio/video travel as `binary` columns with a small metadata
 struct; decode/feature-extraction runs as Arrow-batched mapInPandas.
-The media libraries are not in this container, so the real decoder is
-a clearly-marked stub (NotImplementedError) and a deterministic fake
-decoder exercises the full Spark-side plumbing — schema, batch
-iteration, partitioning — which IS real and tested.
+What is REAL here without any codec library: header metadata probes
+for PNG/GIF/JPEG/WAV/AVI (public byte layouts), and full PIXEL decode
+for PNG (zlib inflate + all five scanline filters) and binary
+PGM/PPM (decode_png_pixels / decode_ppm_pixels, bottom of this
+file). The NotImplementedError contract now covers only the
+genuinely-absent entropy decoders (JPEG huffman, GIF LZW, video
+codecs); a deterministic fake decoder remains for those paths so the
+Spark-side plumbing — schema, batch iteration, partitioning — stays
+exercised end-to-end.
 
 At scale: binary columns stay columnar in parquet, mapInPandas
 processes Arrow batches (no per-row Python), and decode parallelism is
@@ -622,3 +627,338 @@ def av_probe_documents(docs: DataFrame) -> DataFrame:
         av_synth_batch, AV_MEDIA_SCHEMA
     )
     return media.mapInPandas(av_probe_batch, AV_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode: PNG (zlib inflate + all five scanline filters)
+# and binary PPM/PGM — pure stdlib, no codec library. This retires
+# the "pixels are a header-probe stand-in" caveat for these formats:
+# image_phash_decoded (operators/imagehash.py) hashes REAL decoded
+# pixels end-to-end. Entropy-coded formats (JPEG huffman, GIF LZW,
+# video codecs) still raise NotImplementedError — that contract now
+# covers ONLY genuinely absent decoders.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (bit depth 8 only):
+# 0 grayscale, 2 RGB, 4 gray+alpha, 6 RGBA. Palette (3) needs a PLTE
+# lookup this decoder does not implement.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/
+    upper-left to p = a + b - c, ties broken left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _luma(r: int, g: int, b: int) -> int:
+    """Integer BT.601 luma, (299R + 587G + 114B) div 1000 — chosen
+    over the float form so the DuckDB oracle twin can reproduce it
+    bit-exactly with integer `//`."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rows, color_type: int = 0, row_filter=None) -> bytes:
+    """Minimal REAL PNG encoder (bit depth 8, no interlace): rows of
+    gray ints (color type 0) or channel tuples (2/4/6), one IHDR +
+    one zlib-compressed IDAT + IEND, correct CRCs. `row_filter(y)`
+    picks the scanline filter (0-4, default all-None) — the fixture
+    hook that lets tests and synth_png exercise every filter type the
+    decoder must undo. PIL round-trip-verified where PIL exists."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    h, w = len(rows), len(rows[0])
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, row in enumerate(rows):
+        cur = bytearray()
+        for px in row:
+            if ch == 1:
+                cur.append(px & 255)
+            else:
+                cur.extend(v & 255 for v in px)
+        f = int(row_filter(y)) if row_filter is not None else 0
+        raw.append(f)
+        for i in range(len(cur)):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = (
+                0 if f == 0
+                else a if f == 1
+                else b if f == 2
+                else (a + b) >> 1 if f == 3
+                else _paeth(a, b, c)
+            )
+            raw.append((cur[i] - pred) & 255)
+        prev = bytes(cur)
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL PNG pixel decode, pure stdlib: walk the chunk stream
+    (CRC-checked), inflate the concatenated IDAT payload with zlib,
+    undo the per-scanline filter (all five types incl. Paeth), and
+    return (width, height, grayscale rows as bytes) — RGB/RGBA rows
+    collapse through the integer BT.601 luma, gray+alpha drops
+    alpha. Raises NotImplementedError for the layouts this decoder
+    does not cover (bit depth != 8, interlaced, palette) and
+    ValueError for corrupt bytes (bad CRC, bad filter id, payload /
+    dimension mismatch) — corrupt data fails loud, never fabricates
+    pixels."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG byte stream")
+    pos, dims, ctype, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + ln : pos + 12 + ln]
+        )
+        if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">II5B", body
+            )
+            if depth != 8 or inter != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG layout not covered: depth={depth} "
+                    f"color_type={ctype} interlace={inter}"
+                )
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("PNG without IHDR")
+    w, h = dims
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    rows, prev, pos = [], bytes(stride), 0
+    for _y in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:
+            for i in range(len(line)):
+                if i >= ch:
+                    line[i] = (line[i] + line[i - ch]) & 255
+        elif f == 2:
+            for i in range(len(line)):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG filter id {f}")
+        if ch == 1:
+            gray = bytes(line)
+        elif ch == 2:
+            gray = bytes(line[0::2])
+        else:
+            gray = bytes(
+                _luma(line[i * ch], line[i * ch + 1], line[i * ch + 2])
+                for i in range(w)
+            )
+        rows.append(gray)
+        prev = bytes(line)
+    return w, h, rows
+
+
+def decode_ppm_pixels(blob: bytes):
+    """Binary PGM (P5, grayscale) / PPM (P6, RGB) pixel decode —
+    the uncompressed-raster companion to decode_png_pixels. Header
+    tokens (width, height, maxval) may be separated by whitespace or
+    '#' comments per the netpbm spec; maxval must be 255. Returns
+    (width, height, grayscale rows as bytes), P6 through the same
+    integer luma as the PNG path."""
+    magic = blob[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError("not a binary PGM/PPM byte stream")
+    vals, pos = [], 2
+    while len(vals) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated PGM/PPM header")
+        b = blob[pos]
+        if b == 0x23:  # '#' comment to end of line
+            while pos < len(blob) and blob[pos] not in (10, 13):
+                pos += 1
+        elif b in (9, 10, 13, 32):
+            pos += 1
+        elif 48 <= b <= 57:
+            v = 0
+            while pos < len(blob) and 48 <= blob[pos] <= 57:
+                v = v * 10 + (blob[pos] - 48)
+                pos += 1
+            vals.append(v)
+        else:
+            raise ValueError("bad PGM/PPM header byte")
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("PGM/PPM maxval != 255 not covered")
+    pos += 1  # exactly one whitespace byte before the raster
+    ch = 1 if magic == b"P5" else 3
+    data = blob[pos : pos + w * h * ch]
+    if len(data) != w * h * ch:
+        raise ValueError("PGM/PPM raster size mismatch")
+    rows = []
+    for y in range(h):
+        line = data[y * w * ch : (y + 1) * w * ch]
+        if ch == 1:
+            rows.append(bytes(line))
+        else:
+            rows.append(
+                bytes(
+                    _luma(line[i * 3], line[i * 3 + 1], line[i * 3 + 2])
+                    for i in range(w)
+                )
+            )
+    return w, h, rows
+
+
+def decode_image_pixels(blob: bytes):
+    """Format-dispatching REAL pixel decode: PNG and binary PGM/PPM
+    decode to (width, height, grayscale rows); anything else —
+    including the entropy-coded formats (JPEG, GIF) whose headers
+    probe_image_header still reads — raises NotImplementedError, the
+    same fail-loud contract as decode_media."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png_pixels(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return decode_ppm_pixels(blob)
+    raise NotImplementedError(
+        "no pixel decoder for this format (PNG and binary PGM/PPM "
+        "decode; JPEG/GIF entropy decode is genuinely absent here — "
+        "header probes still answer metadata)"
+    )
+
+
+def gray_grid_samples(w: int, h: int, rows, grid_r: int, grid_cols: int):
+    """Point-sample a decoded grayscale image down to the dHash grid:
+    sample (r, c) reads pixel (r*(h-1) div (grid_r-1),
+    c*(w-1) div (grid_cols-1)) — corners exact, interior uniform, the
+    same div lattice imagehash.pixel_pos uses over text payloads, so
+    the DuckDB oracle can address the identical pixel by formula."""
+    return [
+        rows[(r * (h - 1)) // (grid_r - 1)][(c * (w - 1)) // (grid_cols - 1)]
+        for r in range(grid_r)
+        for c in range(grid_cols)
+    ]
+
+
+# Synth-PNG fixture lattice: dimensions, color type, and per-channel
+# pixel formulas are all integer functions of doc_id SQL can state,
+# so the oracle computes ground-truth pixels directly while the Spark
+# path must recover them through a REAL encode -> zlib -> unfilter
+# round trip — any decoder defect breaks the hash equality.
+PNG_W_BASE, PNG_W_MOD = 9, 8  # width  9..16
+PNG_H_BASE, PNG_H_MOD = 8, 5  # height 8..12
+
+
+def synth_png_pixels(doc_id: int):
+    """Ground-truth pixels for synth_png(doc_id): (w, h, color_type,
+    rows). Color type cycles gray/RGB/RGBA by doc_id % 3; channels
+    are affine-mod-256 in (doc_id, row, col) — mirrored literally in
+    SQL_IMAGE_PHASH_DECODED (registry_extensions.py)."""
+    w = PNG_W_BASE + doc_id % PNG_W_MOD
+    h = PNG_H_BASE + doc_id % PNG_H_MOD
+    ctype = (0, 2, 6)[doc_id % 3]
+    rows = []
+    for r in range(h):
+        row = []
+        for c in range(w):
+            if ctype == 0:
+                row.append((doc_id * 7 + r * 13 + c * 31) % 256)
+            else:
+                px = (
+                    (doc_id * 5 + r * 11 + c * 17) % 256,
+                    (doc_id * 3 + r * 7 + c * 19) % 256,
+                    (doc_id * 13 + r * 3 + c * 23) % 256,
+                )
+                if ctype == 6:
+                    px = (*px, (doc_id + r + c) % 256)
+                row.append(px)
+        rows.append(row)
+    return w, h, ctype, rows
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic real PNG per doc id; the scanline filter cycles
+    (doc_id + y) % 5 so every corpus exercises all five filter
+    types."""
+    w, h, ctype, rows = synth_png_pixels(doc_id)
+    del w, h
+    return encode_png(
+        rows, ctype, row_filter=lambda y: (doc_id + y) % 5
+    )
+
+
+PNG_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_png_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched PNG fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_png(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synth_png_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) of real PNG bytes per document id —
+    narrow mapInPandas, no shuffle; the binary column stays columnar
+    exactly as a parquet-stored media column would."""
+    return docs.select("doc_id").mapInPandas(
+        synth_png_batch, PNG_MEDIA_SCHEMA
+    )

@@ -5262,3 +5262,117 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Round-11 additions: real-pixel perceptual hash, exchange-based
+# cross-corpus LSH join
+# =========================================================================
+
+from ..operators import multimodal as mm  # noqa: E402
+
+
+def image_phash_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash over REAL decoded pixels: per document, synthesize
+    a real PNG (dimensions/color type/channel values are
+    SQL-stateable functions of doc_id; scanline filters cycle all
+    five types), then recover the grayscale grid through the
+    pure-stdlib zlib-inflate + unfilter decoder and hash it
+    (operators/imagehash.py image_phash_decoded). The oracle computes
+    ground-truth pixels directly from the fixture formulas — it never
+    sees the PNG bytes — so hash equality certifies the DECODER:
+    any filter-undo, luma, CRC, or sampling defect breaks it."""
+    media = mm.synth_png_documents(_docs(spark, sf_dir))
+    return ih.image_phash_decoded(media)
+
+
+def _sql_decoded_px_cols() -> str:
+    """DuckDB twin of the decoded-pixel grid: ground-truth grayscale
+    from multimodal.synth_png_pixels' channel formulas (affine mod
+    256 in (doc_id, row, col); integer BT.601 luma for RGB/RGBA — the
+    ctsel = 0 arm is color type 0/grayscale, 1 and 2 are RGB and
+    RGBA whose luma ignores alpha), point-sampled at
+    gray_grid_samples' lattice (r*(h-1) // (GRID_R-1),
+    c*(w-1) // GRID_C)."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        gray = (
+            f"CASE WHEN ctsel = 0 "
+            f"THEN (doc_id*7 + {pr}*13 + {pc}*31) % 256 "
+            f"ELSE (299*((doc_id*5 + {pr}*11 + {pc}*17) % 256) "
+            f"+ 587*((doc_id*3 + {pr}*7 + {pc}*19) % 256) "
+            f"+ 114*((doc_id*13 + {pr}*3 + {pc}*23) % 256)) // 1000 "
+            f"END"
+        )
+        outs.append(f"CAST({gray} AS INTEGER) AS px{i}")
+    return ", ".join(outs)
+
+
+SQL_IMAGE_PHASH_DECODED = f"""
+WITH dims AS (SELECT doc_id,
+                     {mm.PNG_W_BASE} + doc_id % {mm.PNG_W_MOD} AS w,
+                     {mm.PNG_H_BASE} + doc_id % {mm.PNG_H_MOD} AS h,
+                     doc_id % 3 AS ctsel
+              FROM documents),
+px AS (SELECT doc_id, {_sql_decoded_px_cols()} FROM dims),
+hh AS (SELECT doc_id, {_sql_band_cols()} FROM px)
+SELECT doc_id, b0, b1, b2, b3,
+       lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+       || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0') AS phash
+FROM hh
+"""
+
+
+def similarity_join_minhash_shuffle_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exchange-based cross-corpus LSH similarity join — the
+    corpus-vs-corpus regime (cross-source near-dup between two
+    crawls) where the probe side is too large to broadcast: both band
+    relations meet on a (band, key) hash exchange, each side's
+    buckets independently capped at MAX_BUCKET before the join
+    (operators/dedup.py lsh_similarity_join,
+    broadcast_probe=False). Plan-asserted broadcast-free in
+    tests/test_plans.py."""
+    d = _docs(spark, sf_dir)
+    return dd.lsh_similarity_join(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        broadcast_probe=False,
+        max_bucket=dd.MAX_BUCKET,
+    )
+
+
+SQL_SIMILARITY_JOIN_MINHASH_SHUFFLE = (
+    "WITH " + _minhash_band_ctes() + ", "
+    "cb0 AS (SELECT * FROM bands WHERE doc_id % 10 <> 0), "
+    "pb0 AS (SELECT * FROM bands WHERE doc_id % 10 = 0), "
+    "cb AS (SELECT doc_id, band, key FROM ("
+    "SELECT *, count(*) OVER (PARTITION BY band, key) AS sz FROM cb0"
+    f") WHERE sz <= {dd.MAX_BUCKET}), "
+    "pb AS (SELECT doc_id, band, key FROM ("
+    "SELECT *, count(*) OVER (PARTITION BY band, key) AS sz FROM pb0"
+    f") WHERE sz <= {dd.MAX_BUCKET}) "
+    "SELECT c.doc_id AS corpus_doc, p.doc_id AS probe_doc, "
+    "CAST(count(DISTINCT c.band) AS BIGINT) AS n_bands "
+    "FROM cb c JOIN pb p ON c.band = p.band AND c.key = p.key "
+    "GROUP BY c.doc_id, p.doc_id"
+)
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 first batch — in the round-11 certification window
+        "image_phash_decoded": (
+            image_phash_decoded_q,
+            SQL_IMAGE_PHASH_DECODED,
+        ),
+        "similarity_join_minhash_shuffle": (
+            similarity_join_minhash_shuffle_q,
+            SQL_SIMILARITY_JOIN_MINHASH_SHUFFLE,
+        ),
+    }
+)

@@ -309,3 +309,217 @@ def test_av_probe_documents_recovers_synth_params(spark, sf_dir):
             assert (r.sample_rate, r.channels, r.n_samples) == (
                 None, None, None,
             )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: REAL pixel decode (PNG zlib+unfilter, binary PGM/PPM)
+
+
+def test_png_roundtrip_every_color_type_and_filter():
+    """encode_png -> decode_png_pixels recovers the exact grayscale of
+    every supported color type under every scanline filter: for each
+    ctype the fixture pins filter f on ALL rows, so a defect in any
+    single unfilter branch (Sub/Up/Average/Paeth) fails its own
+    case instead of hiding behind mixed filters."""
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    w, h = 11, 9
+
+    def pixels(ctype):
+        out = []
+        for r in range(h):
+            row = []
+            for c in range(w):
+                if ctype == 0:
+                    row.append((r * 37 + c * 91 + 5) % 256)
+                elif ctype == 4:
+                    row.append(((r * 37 + c * 91) % 256, (r + c) % 256))
+                else:
+                    px = (
+                        (r * 31 + c * 7) % 256,
+                        (r * 3 + c * 53) % 256,
+                        (r * 89 + c * 11 + 100) % 256,
+                    )
+                    row.append(px if ctype == 2 else (*px, (r * c) % 256))
+            out.append(row)
+        return out
+
+    for ctype in (0, 2, 4, 6):
+        rows = pixels(ctype)
+        for f in range(5):
+            blob = mm.encode_png(rows, ctype, row_filter=lambda y: f)
+            dw, dh, gray = mm.decode_png_pixels(blob)
+            assert (dw, dh) == (w, h)
+            for r in range(h):
+                for c in range(w):
+                    px = rows[r][c]
+                    if ctype == 0:
+                        want = px
+                    elif ctype == 4:
+                        want = px[0]  # gray+alpha drops alpha
+                    else:
+                        want = mm._luma(px[0], px[1], px[2])
+                    assert gray[r][c] == want, (ctype, f, r, c)
+
+
+def test_png_decode_fails_loud_not_fabricated():
+    """Corrupt bytes raise ValueError; layouts outside the decoder's
+    contract (16-bit, interlaced, palette, non-PNG) raise
+    NotImplementedError — never silent garbage pixels."""
+    import struct
+    import zlib
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    good = mm.synth_png(42)
+    # flip a byte inside the IHDR body -> CRC mismatch
+    bad = bytearray(good)
+    bad[18] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png_pixels(bytes(bad))
+    # 16-bit depth is outside the contract
+    ihdr = struct.pack(">II5B", 3, 3, 16, 0, 0, 0, 0)
+    deep = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 21))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        mm.decode_png_pixels(deep)
+    # truncated pixel payload
+    ihdr = struct.pack(">II5B", 4, 4, 8, 0, 0, 0, 0)
+    short = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm.decode_png_pixels(short)
+    # JPEG/GIF headers probe fine but pixel decode must refuse
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+
+
+def test_ppm_pgm_decode_with_comments_and_luma():
+    """Binary P5/P6 parse: whitespace/comment-separated header tokens,
+    P6 collapsing through the same integer luma as PNG RGB."""
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    w, h = 6, 4
+    rgb = bytes(
+        v
+        for r in range(h)
+        for c in range(w)
+        for v in ((r * 40) % 256, (c * 30) % 256, (r + c) % 256)
+    )
+    p6 = b"P6\n# fixture\n6 4\n255\n" + rgb
+    dw, dh, gray = mm.decode_ppm_pixels(p6)
+    assert (dw, dh) == (w, h)
+    assert gray[2][3] == mm._luma(80, 90, 5)
+    p5 = b"P5 6 4 255 " + bytes((r * w + c) % 256 for r in range(h) for c in range(w))
+    dw, dh, gray = mm.decode_ppm_pixels(p5)
+    assert gray[3][5] == 23
+    with pytest.raises(NotImplementedError, match="maxval"):
+        mm.decode_ppm_pixels(b"P5 2 2 65535 " + b"\x00" * 8)
+    with pytest.raises(ValueError, match="raster"):
+        mm.decode_ppm_pixels(b"P6 9 9 255 " + b"\x00" * 5)
+
+
+def test_png_matches_pil_where_available():
+    """Cross-decoder check: PIL (when importable) must read our
+    encoder's bytes and agree on dimensions and raw channel values —
+    an independent implementation validating both directions."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    for doc_id in (0, 1, 2, 7, 13):
+        w, h, ctype, rows = mm.synth_png_pixels(doc_id)
+        im = PIL.open(io.BytesIO(mm.synth_png(doc_id)))
+        assert (im.width, im.height) == (w, h)
+        got = list(im.getdata())
+        flat = [px for row in rows for px in row]
+        assert got == flat
+
+
+def test_gray_grid_samples_corners_and_tiny_images():
+    """The sampling lattice hits exact corners and degrades to
+    duplicated samples (never out of range) on images smaller than
+    the grid."""
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    w, h = 20, 10
+    rows = [bytes((r * 50 + c) % 256 for c in range(w)) for r in range(h)]
+    s = mm.gray_grid_samples(w, h, rows, 8, 9)
+    assert len(s) == 72
+    assert s[0] == rows[0][0]
+    assert s[8] == rows[0][w - 1]
+    assert s[71] == rows[h - 1][w - 1]
+    one = mm.gray_grid_samples(1, 1, [b"\x7f"], 8, 9)
+    assert one == [127] * 72
+
+
+def test_image_phash_decoded_feeds_neardup_on_real_pixels(spark):
+    """End-to-end image dedup on REAL pixels: two PNGs that differ by
+    one pixel decode -> hash within Hamming 3 and surface as a
+    neardup pair; an unrelated image does not. This is the
+    decoded-pixel analog of the perturbed-clone oracle corpus."""
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    w, h = 16, 12
+    base = [
+        [(r * 17 + c * 29) % 256 for c in range(w)] for r in range(h)
+    ]
+    near = [row[:] for row in base]
+    near[3][4] = (near[3][4] + 128) % 256  # one sampled-cell flip
+    far = [
+        [(255 - (r * 31 + c * 3)) % 256 for c in range(w)]
+        for r in range(h)
+    ]
+    blobs = [
+        (0, mm.encode_png(base, 0, row_filter=lambda y: y % 5)),
+        (1, mm.encode_png(near, 0, row_filter=lambda y: (y + 2) % 5)),
+        (2, mm.encode_png(far, 0)),
+    ]
+    media = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    hashes = ih.image_phash_decoded(media)
+    rows = {r.doc_id: r for r in hashes.collect()}
+    assert len(rows) == 3 and len(rows[0].phash) == 16
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in ih.image_neardup_pairs(hashes).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_synth_png_corpus_matches_formula_ground_truth(spark):
+    """The registered image_phash_decoded path: synthesize real PNGs
+    for a doc_id slice, decode through zlib+unfilter, and check the
+    72 grid samples equal the formula ground truth the DuckDB oracle
+    states — per pixel, not just per hash."""
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = mm.synth_png_documents(docs)
+    px = media.mapInPandas(ih.decoded_pixel_batch, ih.PX_SCHEMA)
+    got = {r["doc_id"]: r for r in px.collect()}
+    assert len(got) == 40
+    for doc_id in (0, 1, 2, 3, 17, 39):
+        w, h, ctype, rows = mm.synth_png_pixels(doc_id)
+        gray = [
+            [
+                px0 if ctype == 0 else mm._luma(px0[0], px0[1], px0[2])
+                for px0 in row
+            ]
+            for row in rows
+        ]
+        for i in range(ih.N_PIX):
+            r, c = divmod(i, ih.GRID_C + 1)
+            want = gray[(r * (h - 1)) // 7][(c * (w - 1)) // 8]
+            assert got[doc_id][f"px{i}"] == want, (doc_id, i)

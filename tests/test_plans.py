@@ -456,3 +456,40 @@ def test_quality_model_broadcasts_weight_table(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
         assert marker not in p
+
+
+# ---------------------------------------------------------------------------
+# Round 11: decoded phash stays narrow; shuffle LSH join is
+# broadcast-free by construction
+
+
+def test_image_phash_decoded_no_shuffle(spark, sf_dir):
+    """Real-pixel hashing is synth -> decode -> projection: zero
+    Exchange in the whole plan (decode parallelism IS partition
+    parallelism), and the only Python is the Arrow-batched
+    mapInPandas stages — no row-at-a-time eval."""
+    import re
+
+    p = plan_text(REGISTRY["image_phash_decoded"][0](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    for marker in ("BatchEvalPython", "pythonUDF"):
+        assert marker not in p
+    assert "MapInPandas" in p
+
+
+def test_similarity_join_minhash_shuffle_is_broadcast_free(spark, sf_dir):
+    """The corpus-vs-corpus LSH join must compile exchange-based
+    (SortMergeJoin), never a static broadcast build of the probe
+    side — that build is the OOM this mode exists to avoid. The
+    broadcast variant keeps its BroadcastHashJoin."""
+    p = plan_text(
+        REGISTRY["similarity_join_minhash_shuffle"][0](spark, sf_dir),
+        mode="simple",
+    )
+    assert "Broadcast" not in p, p
+    assert "SortMergeJoin" in p, p
+    p2 = plan_text(
+        REGISTRY["similarity_join_minhash"][0](spark, sf_dir),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in p2, p2
