@@ -187,6 +187,143 @@ HEADLINE = [
     "similarity_join_minhash_shuffle",
 ]
 
+# ---------------------------------------------------------------------------
+# Bench exclusion policy (explicit — sync_docs.py --check proves the
+# three sets below PARTITION the registry, so no entry can silently
+# go unbenched):
+#
+# 1. HEADLINE — timed every round at $SPARK_GRAFT_SF_DIR; first
+#    measurement becomes the entry's BASELINE.md row, later rounds
+#    are held to the 2x bound.
+# 2. stream_* — EXCLUDED from wall-clock by policy: Structured
+#    Streaming micro-batch queries are trigger/harness-dominated at
+#    bench SFs (availableNow micro-batch setup >> operator cost), so
+#    a wall-clock number would measure the harness, not the plan.
+#    Their correctness IS certified (batch-twin oracles); their plan
+#    shapes are asserted in tests/test_plans.py and
+#    tests/test_streaming_late.py. See BASELINE.md "Streaming
+#    entries".
+# 3. BENCH_EXCLUDED_LIGHT — batch entries whose execution cost is
+#    dominated by a benched HEADLINE representative of the same
+#    family (scalar/projection/filter one-liners, sink round-trips,
+#    window/set-op variants, cheaper operating points of benched
+#    operators). Listing them would add ~100 sub-second rows of
+#    sentinel noise to every bench without a regression signal the
+#    family representative doesn't already give. Any NEW entry must
+#    be placed in exactly one of these sets or sync_docs --check
+#    fails.
+# ---------------------------------------------------------------------------
+
+BENCH_EXCLUDED_LIGHT = [
+    "agg_approx_distinct",
+    "agg_approx_distinct_grouped",
+    "agg_approx_percentile",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_unpivot",
+    "anti_join_stopwords",
+    "array_scalars",
+    "asof_tolerance",
+    "case_when_bucket",
+    "casefold",
+    "corpus_shard",
+    "corpus_split",
+    "count_cat",
+    "count_term",
+    "count_total",
+    "date_scalars",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_terms",
+    "distinct_agg",
+    "doc_chunk",
+    "doc_fingerprint",
+    "dq_profile",
+    "embed_label_means",
+    "embed_neardup",
+    "embed_quantize",
+    "explode_outer_keywords",
+    "format_report",
+    "having_filter",
+    "join_anti",
+    "join_bloom_prefilter",
+    "join_broadcast_dim",
+    "join_bucketed",
+    "join_cat_totals",
+    "join_outer",
+    "join_range",
+    "join_semi",
+    "join_term_totals",
+    "json_schema_parse",
+    "length_filter",
+    "map_scalars",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multiway_join",
+    "ngram_counts",
+    "nonempty_filter",
+    "null_scalars",
+    "pack_sequences",
+    "pii_redact",
+    "project",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "regexp_extract",
+    "resample_ffill",
+    "rollup_multigrain",
+    "sample_hash",
+    "sample_per_source",
+    "sample_stratified",
+    "sample_weighted",
+    "scan_csv",
+    "scan_json",
+    "scd2_merge",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "simsearch_ivf_assign",
+    "simsearch_ivf_topk",
+    "simsearch_lsh",
+    "simsearch_pq_encode",
+    "simsearch_pq_topk",
+    "simsearch_topk_pandas",
+    "sink_orc_roundtrip",
+    "sink_partitioned",
+    "sink_roundtrip",
+    "sketch_kmv_overlap",
+    "sql_correlated_subquery",
+    "stopword_filter",
+    "string_scalars",
+    "token_count",
+    "tokenize_positions",
+    "top_n_global",
+    "vocab_topv",
+    "window_first_last",
+    "window_lag",
+    "window_moving_sum",
+    "window_ntile",
+    "window_range_frame",
+    "window_ranking",
+    "window_sliding",
+    "winsorize",
+    "zorder_values",
+]
+
 WARMUP = 1
 RUNS = 3
 # Extra attempts allowed per query when the sentinel flags contention.

@@ -36,6 +36,42 @@ _TARGETS = [
 ]
 
 
+def check_bench_partition() -> list[str]:
+    """The bench exclusion policy (bench.py) must PARTITION the
+    registry: every entry is exactly one of HEADLINE (timed),
+    stream_* (documented streaming exclusion), or
+    BENCH_EXCLUDED_LIGHT (documented family-representative
+    exclusion). Catches the round-10 verdict finding — an entry
+    silently carrying no bench/baseline row — for every future
+    entry."""
+    import bench  # repo root already on sys.path
+
+    reg = set(REGISTRY)
+    head = set(bench.HEADLINE)
+    light = set(bench.BENCH_EXCLUDED_LIGHT)
+    stream = {k for k in reg if k.startswith("stream_")}
+    problems = []
+    for name in sorted(head & light):
+        problems.append(f"{name}: in both HEADLINE and BENCH_EXCLUDED_LIGHT")
+    for name in sorted((head | light) & stream):
+        problems.append(
+            f"{name}: streaming entry must not appear in HEADLINE/"
+            "BENCH_EXCLUDED_LIGHT (stream_* is its own excluded set)"
+        )
+    for name in sorted((head | light) - reg):
+        problems.append(f"{name}: named in bench.py but not in REGISTRY")
+    for name in sorted(reg - head - light - stream):
+        problems.append(
+            f"{name}: registered but neither benched (HEADLINE) nor "
+            "explicitly excluded (BENCH_EXCLUDED_LIGHT)"
+        )
+    if len(head) != len(bench.HEADLINE):
+        problems.append("HEADLINE contains duplicates")
+    if len(light) != len(bench.BENCH_EXCLUDED_LIGHT):
+        problems.append("BENCH_EXCLUDED_LIGHT contains duplicates")
+    return problems
+
+
 def main() -> int:
     check = "--check" in sys.argv
     n = len(REGISTRY)
@@ -56,6 +92,14 @@ def main() -> int:
             continue
         path.write_text(count_re.sub(tmpl.format(n=n), text))
         print(f"{path.name} updated: {m.group(1)} -> {n}")
+    problems = check_bench_partition()
+    if problems:
+        # not auto-fixable: a human must decide benched vs excluded
+        for p in problems:
+            print(f"bench partition: {p}", file=sys.stderr)
+        rc = 1
+    else:
+        print("bench.py exclusion sets partition the registry")
     return rc
 
 

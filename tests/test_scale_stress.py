@@ -1178,3 +1178,112 @@ def test_rank_sketch_merge_law_and_error_at_sf01(spark):
                 below / tot,
             )
     print(f"[stress] rank sketch at sf0.1: n={n}, merge law exact")
+
+
+# ---------------------------------------------------------------------------
+# Flagship χ² hot-key skew stress (round 11, round-10 verdict #4)
+# ---------------------------------------------------------------------------
+
+def _skewed_reviews(spark, n: int = 100_000):
+    """100k docs with BOTH skew axes planted: 90% of docs in one
+    category ('hotcat'), and one term ('hotterm') in 80% of ALL docs —
+    the raw (term, category) stream carries 70k rows on a single key
+    (~23% of the whole stream). Vocabulary words are 4-letter alpha
+    tokens (digits are delimiters) spread over ~17.6k values."""
+
+    def word(prefix: str, e: str) -> str:
+        a = f"char(97 + ({e}) % 26)"
+        b = f"char(97 + (({e}) div 26) % 26)"
+        c = f"char(97 + (({e}) div 676) % 26)"
+        return f"concat('{prefix}', {a}, {b}, {c})"
+
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat({word('w', 'id')}, ' ', {word('v', 'id * 7 + 3')}, "
+        "CASE WHEN id % 5 != 0 THEN ' hotterm' ELSE '' END) "
+        "AS reviewText",
+        "CASE WHEN id % 10 <= 8 THEN 'hotcat' ELSE 'coldcat' END "
+        "AS category",
+    )
+
+
+def test_flagship_chi2_hot_key_collapses_before_exchange(spark):
+    """The flagship's answer to key skew is STRUCTURAL — partial
+    (map-side) aggregation collapses a hot (term, category) key to
+    one partial row per input partition before anything shuffles, so
+    no reducer-side partition inherits the key's raw frequency. This
+    test executes that claim at 100k docs and measures it:
+
+      (a) the stress is real: hash-distributing the RAW token stream
+          by (term, category) — what a combiner-less engine does —
+          produces a partition carrying >= 5x the mean (the hot key's
+          ~70k rows land on one reducer);
+      (b) the flagship's post-aggregate relation, hash-partitioned on
+          the same key (AQE coalescing off so the 32-way layout is
+          observable), stays balanced: max partition <= 2x mean;
+      (c) under BOTH planted skews the planted key's chi2 equals the
+          closed-form Python computation bit-for-bit, and the
+          pipeline's top-k completes.
+    Measured numbers recorded in SCALE.md ("Executed stress")."""
+    import statistics as stats
+
+    from mapreduce_chisquare_spark.functions.text import tokens_relation
+    from mapreduce_chisquare_spark.operators.contingency import (
+        chi_square_relation,
+        term_cat_counts,
+    )
+    from mapreduce_chisquare_spark.plans.chisquare import (
+        chi_square_top_terms,
+    )
+
+    n = 100_000
+    reviews = _skewed_reviews(spark, n)
+    docs = reviews.selectExpr("doc_id", "reviewText AS text", "category")
+    tokens = tokens_relation(docs, stopwords=[])
+
+    def pid_counts(df):
+        rows = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return [r["count"] for r in rows]
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # (a) raw stream by key: the hot key funnels one partition
+        raw = pid_counts(tokens.repartition(32, "term", "category"))
+        raw_ratio = max(raw) / stats.mean(raw)
+        assert raw_ratio >= 5.0, raw
+        # (b) post partial-agg: the same key layout is balanced
+        agg = term_cat_counts(tokens)
+        post = pid_counts(agg)
+        post_ratio = max(post) / stats.mean(post)
+        assert post_ratio <= 2.0, post
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    print(
+        f"SCALE-STRESS flagship skew: raw max/mean {raw_ratio:.1f}x "
+        f"(n={sum(raw)} rows), post-agg max/mean {post_ratio:.2f}x "
+        f"(n={sum(post)} keys)"
+    )
+
+    # (c) exact result under skew: closed-form for (hotterm, hotcat)
+    a, df_t, df_c = 70_000, 80_000, 90_000
+    b, c = df_t - a, df_c - a
+    d = n - a - b - c
+    ad_bc = float(a) * float(d) - float(b) * float(c)
+    num = float(n) * ad_bc * ad_bc
+    denom = float(a + b) * float(a + c) * float(b + d) * float(c + d)
+    expected = num / denom
+    got = (
+        chi_square_relation(tokens, docs)
+        .filter((F.col("term") == "hotterm") & (F.col("category") == "hotcat"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["chi2"] == expected
+    topk = chi_square_top_terms(reviews, stopwords=[], k=5).collect()
+    cats = {r["category"] for r in topk}
+    assert cats == {"hotcat", "coldcat"}
