@@ -575,6 +575,8 @@ def select_token_budget(
         F.col("n_tokens") > 0
     )
     buckets = d.groupBy("n_chars").agg(F.sum("n_tokens").alias("bt"))
+    # Unpartitioned cumsum window is BOUNDED: `buckets` has one row
+    # per DISTINCT n_chars value (<= max doc length), not per doc.
     w_b = (
         Window.orderBy(F.desc("n_chars"))
         .rowsBetween(Window.unboundedPreceding, 0)

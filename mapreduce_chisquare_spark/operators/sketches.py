@@ -242,6 +242,8 @@ def mg_summary(
         .cast("long")
         .alias("t")
     )
+    # Unpartitioned window is BOUNDED: `top` is the (k+1)-row
+    # TakeOrdered head, so this single task ranks k+1 rows.
     w = Window.orderBy(F.desc("c"), F.asc(key_col))
     return (
         top.crossJoin(F.broadcast(t_rel))

@@ -218,6 +218,9 @@ def corpus_composition(
             F.sum("nt").alias("n_tokens"),
         )
     )
+    # Both unpartitioned windows are BOUNDED: the relation is the
+    # (lang, source) aggregate — |langs| x |sources| rows, a grid of
+    # label cardinalities, never corpus rows.
     w_all = Window.partitionBy()  # whole (tiny) relation
     # Tie-break NULL order is pinned explicitly: Spark ASC defaults to
     # NULLS FIRST while DuckDB defaults to NULLS LAST, so a NULL
@@ -366,6 +369,9 @@ def vocab_topv(
         counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(vocab_size)
         .withColumn(
+            # unpartitioned window BOUNDED by the preceding
+            # .limit(vocab_size) — ranks vocab_size rows, not the
+            # term universe
             "vrank",
             F.row_number()
             .over(

@@ -253,6 +253,8 @@ def ts_similarity_topk(
     on engine-chosen addition order."""
     sk = ts_paa(events, segments, value_col)
     per_user = _sketch_dist2(sk, query_user)
+    # Unpartitioned rank window is BOUNDED: it runs AFTER the
+    # TakeOrdered .limit(k), so the single task ranks k rows.
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (
         per_user.orderBy(F.asc("dist2"), F.asc("user_id"))
@@ -528,6 +530,9 @@ def ts_similarity_sax_topk(
         ).alias("paa_value"),
     ).join(F.broadcast(members), "user_id")
     ranked = _sketch_dist2(sk, query_user)
+    # Unpartitioned rank window is BOUNDED: the join with the
+    # broadcast `cand` shortlist cuts the relation to shortlist size
+    # before ranking.
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (
         ranked.join(F.broadcast(cand), "user_id")
@@ -634,6 +639,9 @@ def ts_similarity_refined(
         .localCheckpoint()
     )
     refined = _sketch_dist2(fine, query_user)
+    # Unpartitioned rank window is BOUNDED: the join with the
+    # broadcast `cand` shortlist cuts the relation to shortlist size
+    # before ranking.
     w = Window.orderBy(F.asc("dist2"), F.asc("user_id"))
     return (
         refined.join(F.broadcast(cand), "user_id")
@@ -815,6 +823,9 @@ def ts_similarity_dtw_topk(
     scored = arrs.select(
         "user_id", _dtw_band_arrow(qv, band)(F.col("cells")).alias("dtw2")
     )
+    # Unpartitioned rank window is BOUNDED: the join with the
+    # broadcast `cand` shortlist cuts the relation to shortlist size
+    # before ranking.
     w = Window.orderBy(F.asc("dtw2"), F.asc("user_id"))
     return (
         scored.join(F.broadcast(cand), "user_id")

@@ -75,6 +75,9 @@ def rrf_fuse(
             "rrf"
         ),
     )
+    # Unpartitioned window is BOUNDED: `scored` is the join of two
+    # tiers each pre-cut to <= k_tier rows upstream, so this single
+    # task ranks <= k_tier rows, never a corpus.
     w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
