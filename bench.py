@@ -185,6 +185,7 @@ HEADLINE = [
     # round-11 additions (first measurement = their baseline)
     "image_phash_decoded",
     "similarity_join_minhash_shuffle",
+    "image_phash_gif",
 ]
 
 # ---------------------------------------------------------------------------

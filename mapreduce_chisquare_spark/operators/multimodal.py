@@ -4,13 +4,13 @@ Image/audio/video travel as `binary` columns with a small metadata
 struct; decode/feature-extraction runs as Arrow-batched mapInPandas.
 What is REAL here without any codec library: header metadata probes
 for PNG/GIF/JPEG/WAV/AVI (public byte layouts), and full PIXEL decode
-for PNG (zlib inflate + all five scanline filters) and binary
-PGM/PPM (decode_png_pixels / decode_ppm_pixels, bottom of this
-file). The NotImplementedError contract now covers only the
-genuinely-absent entropy decoders (JPEG huffman, GIF LZW, video
-codecs); a deterministic fake decoder remains for those paths so the
-Spark-side plumbing — schema, batch iteration, partitioning — stays
-exercised end-to-end.
+for PNG (zlib inflate + all five scanline filters), GIF (pure-Python
+variable-width LZW incl. interlace and the KwKwK case), and binary
+PGM/PPM (decode_*_pixels, bottom of this file). The
+NotImplementedError contract now covers only the genuinely-absent
+entropy decoders (JPEG huffman+DCT, video codecs); a deterministic
+fake decoder remains for those paths so the Spark-side plumbing —
+schema, batch iteration, partitioning — stays exercised end-to-end.
 
 At scale: binary columns stay columnar in parquet, mapInPandas
 processes Arrow batches (no per-row Python), and decode parallelism is
@@ -858,19 +858,21 @@ def decode_ppm_pixels(blob: bytes):
 
 
 def decode_image_pixels(blob: bytes):
-    """Format-dispatching REAL pixel decode: PNG and binary PGM/PPM
-    decode to (width, height, grayscale rows); anything else —
-    including the entropy-coded formats (JPEG, GIF) whose headers
-    probe_image_header still reads — raises NotImplementedError, the
-    same fail-loud contract as decode_media."""
+    """Format-dispatching REAL pixel decode: PNG, GIF, and binary
+    PGM/PPM decode to (width, height, grayscale rows); anything
+    else — now only JPEG among the formats probe_image_header reads —
+    raises NotImplementedError, the same fail-loud contract as
+    decode_media."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(blob)
     if blob[:2] in (b"P5", b"P6"):
         return decode_ppm_pixels(blob)
     raise NotImplementedError(
-        "no pixel decoder for this format (PNG and binary PGM/PPM "
-        "decode; JPEG/GIF entropy decode is genuinely absent here — "
-        "header probes still answer metadata)"
+        "no pixel decoder for this format (PNG, GIF, and binary "
+        "PGM/PPM decode; JPEG huffman+DCT entropy decode is genuinely "
+        "absent here — the header probe still answers metadata)"
     )
 
 
@@ -961,4 +963,283 @@ def synth_png_documents(docs: DataFrame) -> DataFrame:
     exactly as a parquet-stored media column would."""
     return docs.select("doc_id").mapInPandas(
         synth_png_batch, PNG_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (pure-Python LZW) + fixture encoder. With this the
+# only image format whose PIXELS this module cannot decode is JPEG
+# (huffman + DCT entropy decode — genuinely absent); PNG, GIF and
+# binary PGM/PPM all decode for real.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices, mcs: int) -> bytes:
+    """Real GIF-flavor LZW compressor over palette indices (variable
+    code width starting at mcs+1, CLEAR on dictionary overflow at
+    4096, END terminator) — the fixture encoder that forces
+    decode_gif_pixels to exercise genuine dictionary references, not
+    just literal codes. Returns the packed little-endian bitstream
+    (pre-sub-blocking)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_bits = []  # (code, width) pairs
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code, width = end + 1, mcs + 1
+    out_bits.append((clear, width))
+    seq = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        out_bits.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code, width = end + 1, mcs + 1
+        seq = (px,)
+    if seq:
+        out_bits.append((table[seq], width))
+    out_bits.append((end, width))
+    buf, acc, nbits = bytearray(), 0, 0
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    index_rows, palette, interlace: bool = False
+) -> bytes:
+    """Minimal REAL GIF89a encoder: global color table from `palette`
+    (list of (r, g, b), length padded to a power of two), one image
+    descriptor, real LZW-compressed pixel indices, optional Adam-free
+    GIF row interlace. The fixture side of the decode round-trip."""
+    import struct
+
+    h, w = len(index_rows), len(index_rows[0])
+    size_bits = max(1, (max(len(palette) - 1, 1)).bit_length())
+    n_pal = 1 << size_bits
+    pal = list(palette) + [(0, 0, 0)] * (n_pal - len(palette))
+    lsd = struct.pack(
+        "<HHBBB", w, h, 0x80 | (size_bits - 1) << 4 | (size_bits - 1), 0, 0
+    )
+    gct = bytes(v for rgb in pal for v in rgb)
+    idesc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = index_rows
+    if interlace:
+        order = [
+            y
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        rows = [index_rows[y] for y in order]
+    flat = [px for row in rows for px in row]
+    mcs = max(2, size_bits)
+    lzw = _lzw_compress(flat, mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a" + lsd + gct + idesc + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif_pixels(blob: bytes):
+    """REAL GIF pixel decode, pure Python: logical screen descriptor,
+    global/local color table, full variable-width LZW (CLEAR/END,
+    dictionary growth to 4096, the KwKwK special case), GIF row
+    de-interlacing, palette lookup collapsed through the same integer
+    BT.601 luma as the PNG path. First image frame only (animation
+    frames carry no extra information for fingerprinting). Raises
+    NotImplementedError for non-GIF bytes and ValueError for corrupt
+    streams — fail loud, never fabricate pixels."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF byte stream")
+    w0, h0 = struct.unpack("<HH", blob[6:10])
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(blob) and blob[p] != 0:
+            p += 1 + blob[p]
+        return p + 1
+
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x21:  # extension
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor: decode this frame
+            _l, _t, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            lpacked = blob[pos + 9]
+            pos += 10
+            pal = gct
+            if lpacked & 0x80:
+                n = 2 << (lpacked & 7)
+                pal = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            interlaced = bool(lpacked & 0x40)
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decompress(bytes(data), mcs, w * h)
+            if len(indices) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = [indices[y * w : (y + 1) * w] for y in range(h)]
+            if interlaced:
+                out = [None] * h
+                it = iter(grid)
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        out[y] = next(it)
+                grid = out
+            npal = len(pal) // 3
+            luma = [
+                _luma(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
+                for i in range(npal)
+            ]
+            rows = []
+            for line in grid:
+                try:
+                    rows.append(bytes(luma[i] for i in line))
+                except IndexError:
+                    raise ValueError(
+                        "GIF index outside color table"
+                    ) from None
+            return w, h, rows
+        else:  # trailer or junk
+            break
+    raise ValueError(f"GIF with no image frame ({w0}x{h0} screen)")
+
+
+def _lzw_decompress(data: bytes, mcs: int, max_px: int):
+    """GIF LZW decoder: variable width from mcs+1, CLEAR resets the
+    table, END stops, dictionary entries are prev + first(cur) with
+    the KwKwK case (code == next_code) handled per spec. Stops after
+    max_px pixels (a frame's worth)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = 0
+    width = mcs + 1
+    table = [(i,) for i in range(1 << mcs)] + [(), ()]
+    prev = None
+    out = []
+    i = 0
+    while i < len(data) or nbits >= width:
+        while nbits < width and i < len(data):
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(j,) for j in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond dictionary")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= max_px:
+            break
+    return out
+
+
+# Synth-GIF fixture lattice: like synth_png_pixels, dimensions and
+# the palette-index formula are integer functions of doc_id SQL can
+# state. The palette is the 256-entry grayscale ramp (i, i, i), whose
+# integer BT.601 luma is exactly i — so ground-truth gray == the index
+# formula and the oracle needs no palette table. Interlace alternates
+# by doc_id so half the corpus exercises the de-interlace path.
+GIF_GRAY_PALETTE = [(i, i, i) for i in range(256)]
+
+
+def synth_gif_pixels(doc_id: int):
+    """Ground-truth palette indices for synth_gif(doc_id):
+    (w, h, index rows). Mirrored literally in SQL_IMAGE_PHASH_GIF
+    (registry_extensions.py)."""
+    w = PNG_W_BASE + doc_id % PNG_W_MOD
+    h = PNG_H_BASE + doc_id % PNG_H_MOD
+    rows = [
+        [(doc_id * 11 + r * 17 + c * 7) % 256 for c in range(w)]
+        for r in range(h)
+    ]
+    return w, h, rows
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic real GIF per doc id (LZW-compressed for real;
+    odd doc ids interlaced)."""
+    _w, _h, rows = synth_gif_pixels(doc_id)
+    return encode_gif(
+        rows, GIF_GRAY_PALETTE, interlace=bool(doc_id % 2)
+    )
+
+
+def synth_gif_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched GIF fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_gif(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synth_gif_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) of real GIF bytes per document id —
+    same narrow no-shuffle shape as synth_png_documents."""
+    return docs.select("doc_id").mapInPandas(
+        synth_gif_batch, PNG_MEDIA_SCHEMA
     )

@@ -137,7 +137,8 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-12 window TODO: promote any round-11 tail additions first,
+# Round-12 window TODO: promote the round-11 tail additions first
+# (image_phash_gif — locally gated green at all 3 SFs in round 11),
 # then the 3 deferred r6 rows (split_no_leakage,
 # simsearch_ivfpq_nprobe2, pipeline_span_surgery), then the r7 cohort
 # (48: agg_approx_distinct agg_histogram asof_join asof_tolerance

@@ -5376,3 +5376,57 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+def image_phash_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash over REAL GIF-decoded pixels: per document a real
+    LZW-compressed GIF (grayscale-ramp palette; odd doc ids
+    interlaced) is synthesized, then the pixel grid is RECOVERED
+    through the pure-Python variable-width LZW decoder + de-interlace
+    and hashed (operators/imagehash.py image_phash_decoded — the
+    format dispatch covers GIF). As with image_phash_decoded, the
+    oracle computes ground-truth pixels from the index formula
+    without ever seeing the GIF bytes, so hash equality certifies the
+    LZW decoder, the interlace reorder, and the palette luma."""
+    media = mm.synth_gif_documents(_docs(spark, sf_dir))
+    return ih.image_phash_decoded(media)
+
+
+def _sql_gif_px_cols() -> str:
+    """DuckDB twin of the GIF decoded-pixel grid: the grayscale ramp
+    palette makes luma(index) == index, so gray is
+    multimodal.synth_gif_pixels' index formula directly, sampled at
+    the shared grid lattice."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        outs.append(
+            f"CAST((doc_id*11 + {pr}*17 + {pc}*7) % 256 "
+            f"AS INTEGER) AS px{i}"
+        )
+    return ", ".join(outs)
+
+
+SQL_IMAGE_PHASH_GIF = f"""
+WITH dims AS (SELECT doc_id,
+                     {mm.PNG_W_BASE} + doc_id % {mm.PNG_W_MOD} AS w,
+                     {mm.PNG_H_BASE} + doc_id % {mm.PNG_H_MOD} AS h
+              FROM documents),
+px AS (SELECT doc_id, {_sql_gif_px_cols()} FROM dims),
+hh AS (SELECT doc_id, {_sql_band_cols()} FROM px)
+SELECT doc_id, b0, b1, b2, b3,
+       lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+       || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0') AS phash
+FROM hh
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 second batch — registry tail, queued for the
+        # round-12 certification window (locally gated at all 3 SFs)
+        "image_phash_gif": (image_phash_gif_q, SQL_IMAGE_PHASH_GIF),
+    }
+)

@@ -523,3 +523,96 @@ def test_synth_png_corpus_matches_formula_ground_truth(spark):
             r, c = divmod(i, ih.GRID_C + 1)
             want = gray[(r * (h - 1)) // 7][(c * (w - 1)) // 8]
             assert got[doc_id][f"px{i}"] == want, (doc_id, i)
+
+
+def test_gif_lzw_roundtrip_fuzz_and_interlace():
+    """encode_gif -> decode_gif_pixels recovers exact palette-luma
+    pixels across fuzzed sizes/palettes, interlaced and not; a
+    repetitive image forces deep LZW dictionary use (real
+    compression, not literal-only codes)."""
+    import random
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(11)
+    for _ in range(20):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        npal = rng.choice([2, 4, 16, 64, 256])
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(npal)
+        ]
+        rows = [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+        for inter in (False, True):
+            blob = mm.encode_gif(rows, pal, interlace=inter)
+            dw, dh, gray = mm.decode_gif_pixels(blob)
+            assert (dw, dh) == (w, h)
+            for r in range(h):
+                for c in range(w):
+                    assert gray[r][c] == mm._luma(*pal[rows[r][c]])
+    w, h = 200, 120
+    rows = [[(r // 3 + c // 5) % 16 for c in range(w)] for r in range(h)]
+    pal = [(i * 16, i * 8, 255 - i * 16) for i in range(16)]
+    blob = mm.encode_gif(rows, pal)
+    assert len(blob) < w * h // 4  # genuinely compressed
+    dw, dh, gray = mm.decode_gif_pixels(blob)
+    assert all(
+        gray[r][c] == mm._luma(*pal[rows[r][c]])
+        for r in range(h)
+        for c in range(w)
+    )
+
+
+def test_gif_decode_fails_loud():
+    """Corrupt GIF streams raise ValueError (no frame, truncated
+    pixels, index past the palette); non-GIF raises
+    NotImplementedError from the GIF entry point."""
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_gif_pixels(b"\x89PNGnope")
+    # header + trailer, no image descriptor
+    noframe = b"GIF89a" + b"\x05\x00\x04\x00\x00\x00\x00" + b"\x3b"
+    with pytest.raises(ValueError, match="no image frame"):
+        mm.decode_gif_pixels(noframe)
+    good = mm.synth_gif(3)
+    # chop the LZW sub-blocks: truncated pixel data
+    with pytest.raises(ValueError):
+        mm.decode_gif_pixels(good[: len(good) // 2] + b"\x00\x3b")
+
+
+def test_gif_matches_pil_where_available():
+    """Cross-decoder check: PIL must read our GIF encoder's bytes and
+    agree on dimensions and palette indices, interlaced included."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    for doc_id in (0, 1, 2, 7):
+        w, h, rows = mm.synth_gif_pixels(doc_id)
+        im = PIL.open(io.BytesIO(mm.synth_gif(doc_id)))
+        assert (im.width, im.height) == (w, h)
+        got = list(im.getdata())
+        assert got == [px for row in rows for px in row]
+
+
+def test_synth_gif_feeds_decoded_phash_path(spark):
+    """The registered image_phash_gif path end to end at small scale:
+    synth real GIFs, decode through LZW + de-interlace inside
+    mapInPandas, and check the grid samples equal the index formula
+    (palette luma == index on the grayscale ramp)."""
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    media = mm.synth_gif_documents(docs)
+    px = media.mapInPandas(ih.decoded_pixel_batch, ih.PX_SCHEMA)
+    got = {r["doc_id"]: r for r in px.collect()}
+    assert len(got) == 24
+    for doc_id in (0, 1, 5, 23):
+        w, h, rows = mm.synth_gif_pixels(doc_id)
+        for i in (0, 8, 35, 71):
+            r, c = divmod(i, ih.GRID_C + 1)
+            want = rows[(r * (h - 1)) // 7][(c * (w - 1)) // 8]
+            assert got[doc_id][f"px{i}"] == want, (doc_id, i)
