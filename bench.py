@@ -186,6 +186,7 @@ HEADLINE = [
     "image_phash_decoded",
     "similarity_join_minhash_shuffle",
     "image_phash_gif",
+    "image_phash_jpeg",
 ]
 
 # ---------------------------------------------------------------------------

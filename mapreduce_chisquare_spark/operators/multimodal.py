@@ -5,12 +5,13 @@ struct; decode/feature-extraction runs as Arrow-batched mapInPandas.
 What is REAL here without any codec library: header metadata probes
 for PNG/GIF/JPEG/WAV/AVI (public byte layouts), and full PIXEL decode
 for PNG (zlib inflate + all five scanline filters), GIF (pure-Python
-variable-width LZW incl. interlace and the KwKwK case), and binary
+variable-width LZW incl. interlace and the KwKwK case), baseline
+grayscale JPEG (canonical Huffman + dequant + IDCT), and binary
 PGM/PPM (decode_*_pixels, bottom of this file). The
-NotImplementedError contract now covers only the genuinely-absent
-entropy decoders (JPEG huffman+DCT, video codecs); a deterministic
-fake decoder remains for those paths so the Spark-side plumbing —
-schema, batch iteration, partitioning — stays exercised end-to-end.
+NotImplementedError contract now covers only the documented variant
+gaps (progressive/color JPEG, video codecs); a deterministic fake
+decoder remains for those paths so the Spark-side plumbing — schema,
+batch iteration, partitioning — stays exercised end-to-end.
 
 At scale: binary columns stay columnar in parquet, mapInPandas
 processes Arrow batches (no per-row Python), and decode parallelism is
@@ -858,21 +859,24 @@ def decode_ppm_pixels(blob: bytes):
 
 
 def decode_image_pixels(blob: bytes):
-    """Format-dispatching REAL pixel decode: PNG, GIF, and binary
-    PGM/PPM decode to (width, height, grayscale rows); anything
-    else — now only JPEG among the formats probe_image_header reads —
-    raises NotImplementedError, the same fail-loud contract as
-    decode_media."""
+    """Format-dispatching REAL pixel decode: PNG, GIF, baseline
+    grayscale JPEG, and binary PGM/PPM all decode to (width, height,
+    grayscale rows) — every image container family the header probe
+    reads now has a real pixel path. NotImplementedError remains for
+    the variants each decoder documents (progressive/color JPEG,
+    16-bit/interlaced/palette PNG) and for non-image bytes — the same
+    fail-loud contract as decode_media."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(blob)
     if blob[:2] in (b"P5", b"P6"):
         return decode_ppm_pixels(blob)
     raise NotImplementedError(
-        "no pixel decoder for this format (PNG, GIF, and binary "
-        "PGM/PPM decode; JPEG huffman+DCT entropy decode is genuinely "
-        "absent here — the header probe still answers metadata)"
+        "no pixel decoder for this byte format (PNG, GIF, baseline "
+        "grayscale JPEG, and binary PGM/PPM decode here)"
     )
 
 
@@ -1242,4 +1246,450 @@ def synth_gif_documents(docs: DataFrame) -> DataFrame:
     same narrow no-shuffle shape as synth_png_documents."""
     return docs.select("doc_id").mapInPandas(
         synth_gif_batch, PNG_MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale) pixel decode + fixture encoder — pure
+# Python/numpy over the PUBLIC ITU T.81 layout: DQT/SOF0/DHT/SOS
+# segment parse, canonical Huffman decode (Annex K tables in the
+# fixture encoder), DC differential coding, zigzag, dequantization,
+# 8x8 IDCT, level shift, edge cropping, 0xFF00 byte unstuffing. With
+# this, all three image container families (PNG, GIF, JPEG) decode
+# REAL pixels; what remains out of scope is multi-component chroma
+# (3-channel JPEGs raise NotImplementedError, as do progressive
+# scans) — honest partial support, fail-loud beyond it.
+#
+# Certification trick (image_phash_jpeg): JPEG is lossy, so a
+# formula-stated oracle is normally impossible — EXCEPT for images
+# that are constant on each 8x8 block. A flat block's DCT spectrum is
+# DC-only, the Annex K DC quantum (16) divides 8*(v-128) whenever
+# v-128 is even, and the IDCT of a DC-only block is exactly flat — so
+# encode->decode is BIT-EXACT and the oracle can state the decoded
+# pixel as the block formula. The decoder still runs its full real
+# path (huffman, dequant, IDCT, crop) to get there.
+# ---------------------------------------------------------------------------
+
+# Annex K luminance quantization table (zigzag order) and Huffman
+# specs (BITS, HUFFVAL) — public ITU T.81 constants.
+_JPEG_QTBL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (T.81 C.2): value -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / (2 ** 0.5)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * __import__("math").cos(
+                (2 * x + 1) * u * __import__("math").pi / 16
+            )
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+def _category(v: int):
+    """T.81 F.1.2.1: (size category, raw bits) of a DC diff / AC
+    value — negative values encode as value-1 in `size` low bits."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(rows, qtbl=None) -> bytes:
+    """Minimal REAL baseline JPEG encoder, grayscale single component:
+    full FDCT per 8x8 block (numpy), zigzag + quantization against
+    `qtbl` (Annex K luminance by default; pass [1]*64 for a
+    near-lossless fixture), DC differential coding, Annex K canonical
+    Huffman, byte stuffing, SOI/DQT/SOF0/DHT/SOS/EOI segments. Edge
+    blocks pad by edge replication."""
+    import struct
+
+    import numpy as np
+
+    q = list(qtbl) if qtbl is not None else list(_JPEG_QTBL)
+    h, w = len(rows), len(rows[0])
+    img = np.asarray(rows, dtype=np.float64)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    m = _dct_mat()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _BitWriter()
+    prev_dc = 0
+    # q is in ZIGZAG order (as stored in DQT); build natural-order grid
+    qnat = np.empty(64)
+    for zi, nat in enumerate(_ZIGZAG):
+        qnat[nat] = q[zi]
+    qnat = qnat.reshape(8, 8)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            f = m @ blk @ m.T
+            coef = np.rint(f / qnat).astype(int)
+            zz = [int(coef.flat[nat]) for nat in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s, bits = _category(diff)
+            code, ln = dc_codes[s]
+            bw_.put(code, ln)
+            if s:
+                bw_.put(bits, s)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw_.put(code, ln)
+                    run -= 16
+                s, bits = _category(zz[i])
+                code, ln = ac_codes[(run << 4) | s]
+                bw_.put(code, ln)
+                bw_.put(bits, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw_.put(code, ln)
+    scan = bw_.flush()
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG marker in scan tail")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits, vals):
+    """(code, length) -> value lookup for canonical Huffman."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `s` raw bits to the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(blob: bytes):
+    """REAL baseline JPEG pixel decode, grayscale single component:
+    segment walk, DQT/DHT/SOF0/SOS parse, canonical Huffman decode of
+    the entropy-coded scan (byte unstuffing, DC differential, EOB/ZRL
+    runs), dequantization, zigzag inverse, 8x8 IDCT (numpy), level
+    shift + clamp, MCU-edge cropping. Returns (width, height,
+    grayscale rows as bytes). Raises NotImplementedError for
+    progressive scans (SOF2), arithmetic coding, multi-component
+    (color) images, and restart intervals; ValueError for corrupt
+    streams."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG byte stream")
+    pos = 2
+    qtbls: dict = {}
+    dc_tbl: dict = {}
+    ac_tbl: dict = {}
+    dims = None
+    comp_q = 0
+    comp_dc = comp_ac = 0
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("broken JPEG marker stream")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        body = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not covered")
+                qtbls[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                (dc_tbl if tc == 0 else ac_tbl)[th] = _huff_decoder(
+                    bits, vals
+                )
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component (color) JPEG not covered"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG not covered")
+            comp_q = body[8]
+            dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type 0xFF{marker:02X} not covered "
+                "(baseline SOF0 only)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not covered")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0xF
+            scan = blob[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    if dims is None or scan is None:
+        raise ValueError("JPEG without SOF/SOS")
+    w, h = dims
+    q = qtbls.get(comp_q)
+    dc = dc_tbl.get(comp_dc)
+    ac = ac_tbl.get(comp_ac)
+    if q is None or dc is None or ac is None:
+        raise ValueError("JPEG references a missing DQT/DHT table")
+    # strip the EOI if present so stray 0xFFD9 never reads as data
+    end = scan.rfind(b"\xff\xd9")
+    if end != -1:
+        scan = scan[:end]
+    rd = _BitReader(scan)
+
+    def read_code(table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    m = _dct_mat()
+    qnat = np.empty(64)
+    for zi, nat in enumerate(_ZIGZAG):
+        qnat[nat] = q[zi]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            s = read_code(dc)
+            diff = _extend(rd.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = read_code(ac)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                i += run
+                if i > 63 or size == 0:
+                    raise ValueError("corrupt JPEG AC run")
+                zz[i] = _extend(rd.bits(size), size)
+                i += 1
+            coef = np.zeros(64)
+            for zi, nat in enumerate(_ZIGZAG):
+                coef[nat] = zz[zi]
+            f = coef.reshape(8, 8) * qnat.reshape(8, 8)
+            blk = m.T @ f @ m + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    pix = np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+    return w, h, [bytes(pix[y]) for y in range(h)]
+
+
+def synth_jpeg_pixels(doc_id: int):
+    """Ground-truth pixels for synth_jpeg(doc_id): (w, h, rows),
+    CONSTANT on every 8x8 block with even offsets from 128 — the
+    construction that makes baseline JPEG bit-exact (DC-only spectra;
+    Annex K DC quantum 16 divides 8*(v-128)), so the oracle can state
+    the decoded pixel as this formula. Mirrored literally in
+    SQL_IMAGE_PHASH_JPEG (registry_extensions.py)."""
+    w = PNG_W_BASE + doc_id % PNG_W_MOD
+    h = PNG_H_BASE + doc_id % PNG_H_MOD
+    rows = [
+        [
+            64 + 2 * ((doc_id * 3 + (r // 8) * 5 + (c // 8) * 7) % 64)
+            for c in range(w)
+        ]
+        for r in range(h)
+    ]
+    return w, h, rows
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic real baseline JPEG per doc id (Annex K tables,
+    real Huffman scan)."""
+    _w, _h, rows = synth_jpeg_pixels(doc_id)
+    return encode_jpeg_gray(rows)
+
+
+def synth_jpeg_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched JPEG fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_jpeg(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synth_jpeg_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) of real JPEG bytes per document id —
+    same narrow no-shuffle shape as synth_png_documents."""
+    return docs.select("doc_id").mapInPandas(
+        synth_jpeg_batch, PNG_MEDIA_SCHEMA
     )

@@ -71,7 +71,8 @@ except ImportError:
 # driver row (registered after the round-10 window filled; all 9 were
 # independently re-verified green by the round-10 judge), + the 2
 # round-11 NEW entries (image_phash_decoded: perceptual hash over REAL
-# decoded pixels — BMP/PPM/uncompressed-PNG pure-Python decode;
+# decoded pixels — pure-Python PNG (zlib + all five filters) and
+# binary PGM/PPM decode;
 # similarity_join_minhash_shuffle: exchange-based MinHash join for
 # probe sides too large to broadcast), + 39 of the 42 r6-era stale
 # rows (fast scalars/joins/windows lead, dedup/stream fixtures close
@@ -138,7 +139,8 @@ _CERTIFY_WINDOW = [
 # the next round's _CERTIFY_WINDOW.
 #
 # Round-12 window TODO: promote the round-11 tail additions first
-# (image_phash_gif — locally gated green at all 3 SFs in round 11),
+# (image_phash_gif, image_phash_jpeg — locally gated green at all 3
+# SFs in round 11),
 # then the 3 deferred r6 rows (split_no_leakage,
 # simsearch_ivfpq_nprobe2, pipeline_span_surgery), then the r7 cohort
 # (48: agg_approx_distinct agg_histogram asof_join asof_tolerance

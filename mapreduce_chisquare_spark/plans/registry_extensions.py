@@ -5430,3 +5430,56 @@ EXTENSION_QUERIES.update(
         "image_phash_gif": (image_phash_gif_q, SQL_IMAGE_PHASH_GIF),
     }
 )
+
+
+def image_phash_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash over REAL JPEG-decoded pixels. JPEG is lossy, so
+    a formula-stated oracle is normally impossible — the fixture
+    exploits the one exact case: images CONSTANT on each 8x8 block
+    have DC-only spectra, the Annex K DC quantum (16) divides
+    8*(v-128) for even offsets, and the IDCT of a DC-only block is
+    exactly flat, so encode -> decode is BIT-EXACT while the decoder
+    still runs its full real path (canonical Huffman scan decode,
+    dequantization, IDCT, MCU-edge crop). The oracle states the
+    block formula directly (operators/multimodal.py
+    synth_jpeg_pixels); hash equality certifies the JPEG decoder."""
+    media = mm.synth_jpeg_documents(_docs(spark, sf_dir))
+    return ih.image_phash_decoded(media)
+
+
+def _sql_jpeg_px_cols() -> str:
+    """DuckDB twin of the JPEG decoded-pixel grid: the blockwise-
+    constant fixture formula sampled at the shared grid lattice."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        outs.append(
+            f"CAST(64 + 2 * ((doc_id*3 + ({pr} // 8)*5 "
+            f"+ ({pc} // 8)*7) % 64) AS INTEGER) AS px{i}"
+        )
+    return ", ".join(outs)
+
+
+SQL_IMAGE_PHASH_JPEG = f"""
+WITH dims AS (SELECT doc_id,
+                     {mm.PNG_W_BASE} + doc_id % {mm.PNG_W_MOD} AS w,
+                     {mm.PNG_H_BASE} + doc_id % {mm.PNG_H_MOD} AS h
+              FROM documents),
+px AS (SELECT doc_id, {_sql_jpeg_px_cols()} FROM dims),
+hh AS (SELECT doc_id, {_sql_band_cols()} FROM px)
+SELECT doc_id, b0, b1, b2, b3,
+       lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+       || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0') AS phash
+FROM hh
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 second batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "image_phash_jpeg": (image_phash_jpeg_q, SQL_IMAGE_PHASH_JPEG),
+    }
+)

@@ -616,3 +616,94 @@ def test_synth_gif_feeds_decoded_phash_path(spark):
             r, c = divmod(i, ih.GRID_C + 1)
             want = rows[(r * (h - 1)) // 7][(c * (w - 1)) // 8]
             assert got[doc_id][f"px{i}"] == want, (doc_id, i)
+
+
+def test_jpeg_dc_exact_roundtrip_on_blockwise_constant():
+    """The certification construction: blockwise-constant images with
+    even offsets encode -> decode BIT-EXACT through the full baseline
+    JPEG path (real Huffman scan, dequant, IDCT, MCU-edge crop), and
+    the result equals the fixture formula. Covers edge blocks via the
+    non-multiple-of-8 dimensions."""
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    for doc_id in (0, 1, 2, 3, 7, 12, 4999):
+        w, h, rows = mm.synth_jpeg_pixels(doc_id)
+        assert w % 8 or h % 8 or doc_id == 7  # edge crop exercised
+        dw, dh, gray = mm.decode_jpeg_pixels(mm.synth_jpeg(doc_id))
+        assert (dw, dh) == (w, h)
+        for r in range(h):
+            for c in range(w):
+                assert gray[r][c] == rows[r][c], (doc_id, r, c)
+
+
+def test_jpeg_random_images_near_lossless_with_unit_quant():
+    """AC-coefficient coverage: random images through a unit quant
+    table exercise the full run-length/EOB/ZRL Huffman paths and the
+    dense IDCT; reconstruction error is bounded by DCT rounding
+    (<= 2 gray levels), never structural."""
+    import random
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(3)
+    for _ in range(4):
+        w, h = rng.randint(8, 40), rng.randint(8, 32)
+        rows = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        blob = mm.encode_jpeg_gray(rows, qtbl=[1] * 64)
+        dw, dh, gray = mm.decode_jpeg_pixels(blob)
+        assert (dw, dh) == (w, h)
+        err = max(
+            abs(gray[r][c] - rows[r][c])
+            for r in range(h)
+            for c in range(w)
+        )
+        assert err <= 2, err
+
+
+def test_jpeg_decode_fails_loud_on_uncovered_variants():
+    """Progressive (SOF2), color (3-component), and restart-interval
+    JPEGs raise NotImplementedError; corrupt scans raise ValueError;
+    non-JPEG raises NotImplementedError from the JPEG entry point."""
+    import struct
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg_pixels(b"GIF89anope")
+    good = mm.synth_jpeg(5)
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="0xFFC2"):
+        mm.decode_jpeg_pixels(prog)
+    # 3-component SOF: rebuild the frame header
+    i = good.index(b"\xff\xc0")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    h, w = struct.unpack(">HH", good[i + 5 : i + 9])
+    sof3 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    color = good[:i] + sof3 + good[i + 2 + ln :]
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        mm.decode_jpeg_pixels(color)
+    # truncated scan: ValueError
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(good[:-8])
+
+
+def test_jpeg_matches_pil_where_available():
+    """Cross-decoder check: PIL must read our baseline encoder's
+    bytes and agree pixel-for-pixel on the DC-exact fixtures."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    for doc_id in (0, 1, 2, 7):
+        w, h, rows = mm.synth_jpeg_pixels(doc_id)
+        im = PIL.open(io.BytesIO(mm.synth_jpeg(doc_id)))
+        assert (im.width, im.height) == (w, h)
+        assert list(im.getdata()) == [px for row in rows for px in row]
