@@ -187,6 +187,7 @@ HEADLINE = [
     "similarity_join_minhash_shuffle",
     "image_phash_gif",
     "image_phash_jpeg",
+    "image_neardup_decoded",
 ]
 
 # ---------------------------------------------------------------------------

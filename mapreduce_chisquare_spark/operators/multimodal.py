@@ -1693,3 +1693,52 @@ def synth_jpeg_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         synth_jpeg_batch, PNG_MEDIA_SCHEMA
     )
+
+
+# Decoded near-dup fixture: clone ids sit PHASH_CLONE_OFFSET above
+# their base and render as a GRAYSCALE re-encode of the base image's
+# decoded luma — the real-world near-dup shape (same content,
+# different container/color type) — with exactly ONE sampled grid
+# pixel pushed far away (<= 2 dHash bits, inside the banded join's
+# pigeonhole-exact d<=3 recall guarantee).
+PHASH_CLONE_OFFSET = 1_000_000
+PERTURB_SAMPLE_R, PERTURB_SAMPLE_C = 2, 2  # grid sample index 20
+
+
+def synth_png_gray_of(doc_id: int):
+    """The decoded-luma grid of synth_png(doc_id) as plain ints —
+    what decode_png_pixels returns for that image, computed directly
+    from the fixture formulas."""
+    w, h, ctype, rows = synth_png_pixels(doc_id)
+    if ctype == 0:
+        return w, h, [list(r) for r in rows]
+    return w, h, [[_luma(px[0], px[1], px[2]) for px in r] for r in rows]
+
+
+def synth_png_clone_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched fixture synthesis for the decoded near-dup pair
+    query: base ids -> standard synth_png; ids >= PHASH_CLONE_OFFSET
+    -> grayscale PNG of the base's decoded luma with the grid sample
+    (2, 2) pixel replaced by a far-away value (>60 -> 1, else 120 —
+    the same rule as the text-payload clone corpus)."""
+    import pandas as pd  # local import: executors only
+
+    def blob_of(doc_id: int) -> bytes:
+        if doc_id < PHASH_CLONE_OFFSET:
+            return synth_png(doc_id)
+        base = doc_id - PHASH_CLONE_OFFSET
+        w, h, gray = synth_png_gray_of(base)
+        pr = PERTURB_SAMPLE_R * (h - 1) // 7
+        pc = PERTURB_SAMPLE_C * (w - 1) // 8
+        gray[pr][pc] = 1 if gray[pr][pc] > 60 else 120
+        return encode_png(
+            gray, 0, row_filter=lambda y: (base + y + 3) % 5
+        )
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [blob_of(int(d)) for d in pdf["doc_id"]],
+            }
+        )

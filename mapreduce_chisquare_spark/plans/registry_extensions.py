@@ -5483,3 +5483,103 @@ EXTENSION_QUERIES.update(
         "image_phash_jpeg": (image_phash_jpeg_q, SQL_IMAGE_PHASH_JPEG),
     }
 )
+
+
+def image_neardup_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-duplicate pairs over REAL decoded pixels:
+    every 20th document gains a clone that is a GRAYSCALE re-encode
+    of its base image's decoded luma (the real-world near-dup shape —
+    same content, different container/color type, different scanline
+    filters) with ONE sampled grid pixel pushed far away (<= 2 dHash
+    bits — inside the d<=3 pigeonhole recall guarantee). The whole
+    ladder runs on decoded pixels: synth -> zlib decode -> grid ->
+    dHash -> band join (operators/imagehash.py image_phash_decoded +
+    image_neardup_pairs)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
+    )
+    media = d.unionByName(clones).mapInPandas(
+        mm.synth_png_clone_batch, mm.PNG_MEDIA_SCHEMA
+    )
+    return ih.image_neardup_pairs(ih.image_phash_decoded(media))
+
+
+def _sql_decoded_clone_px_cols() -> str:
+    """Decoded-pixel grid for the clone corpus: every px is the BASE
+    id's decoded-luma formula (clones re-render the same luma), and
+    the clone's sample (2, 2) — grid index 20 — gets the far-away
+    perturbation. `eid`/`iscl` come from the dims CTE."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        gray = (
+            f"CASE WHEN ctsel = 0 "
+            f"THEN (eid*7 + {pr}*13 + {pc}*31) % 256 "
+            f"ELSE (299*((eid*5 + {pr}*11 + {pc}*17) % 256) "
+            f"+ 587*((eid*3 + {pr}*7 + {pc}*19) % 256) "
+            f"+ 114*((eid*13 + {pr}*3 + {pc}*23) % 256)) // 1000 "
+            f"END"
+        )
+        if (r, c) == (mm.PERTURB_SAMPLE_R, mm.PERTURB_SAMPLE_C):
+            gray = (
+                f"CASE WHEN iscl THEN "
+                f"(CASE WHEN ({gray}) > 60 THEN 1 ELSE 120 END) "
+                f"ELSE ({gray}) END"
+            )
+        outs.append(f"CAST({gray} AS INTEGER) AS px{i}")
+    return ", ".join(outs)
+
+
+SQL_IMAGE_NEARDUP_DECODED = f"""
+WITH ids AS (SELECT doc_id FROM documents
+             UNION ALL
+             SELECT doc_id + {mm.PHASH_CLONE_OFFSET} FROM documents
+             WHERE doc_id % 20 = 0),
+dims AS (SELECT doc_id,
+                CASE WHEN doc_id >= {mm.PHASH_CLONE_OFFSET}
+                     THEN doc_id - {mm.PHASH_CLONE_OFFSET}
+                     ELSE doc_id END AS eid,
+                doc_id >= {mm.PHASH_CLONE_OFFSET} AS iscl
+         FROM ids),
+dims2 AS (SELECT doc_id, iscl, eid,
+                 {mm.PNG_W_BASE} + eid % {mm.PNG_W_MOD} AS w,
+                 {mm.PNG_H_BASE} + eid % {mm.PNG_H_MOD} AS h,
+                 eid % 3 AS ctsel
+          FROM dims),
+px AS (SELECT doc_id, {_sql_decoded_clone_px_cols()} FROM dims2),
+h AS (SELECT doc_id, {_sql_band_cols()} FROM px),
+unp AS (SELECT doc_id, b0, b1, b2, b3, u.j AS band_idx,
+               CASE u.j WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+        FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) u),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_val)
+                 AS sz FROM unp),
+keptb AS (SELECT * FROM sized WHERE sz <= {ih.MAX_BUCKET}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+                b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+         FROM keptb a JOIN keptb b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id),
+d AS (SELECT a_id, b_id,
+             CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+                  + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+                  AS INTEGER) AS hamming
+      FROM cand)
+SELECT a_id, b_id, hamming FROM d WHERE hamming <= 3
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 second batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "image_neardup_decoded": (
+            image_neardup_decoded_q,
+            SQL_IMAGE_NEARDUP_DECODED,
+        ),
+    }
+)
