@@ -397,9 +397,13 @@ def test_png_decode_fails_loud_not_fabricated():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         mm.decode_png_pixels(short)
-    # JPEG/GIF headers probe fine but pixel decode must refuse
-    with pytest.raises(NotImplementedError):
+    # a truncated JPEG now reaches the REAL baseline decoder (round-11
+    # JPEG support) and fails loud as corrupt, not as "no decoder"
+    with pytest.raises(ValueError, match="SOF/SOS"):
         mm.decode_image_pixels(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+    # truly undecodable byte formats still refuse up front
+    with pytest.raises(NotImplementedError, match="no pixel decoder"):
+        mm.decode_image_pixels(b"BM\x00\x00bmp-like bytes")
 
 
 def test_ppm_pgm_decode_with_comments_and_luma():
