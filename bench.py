@@ -188,6 +188,8 @@ HEADLINE = [
     "image_phash_gif",
     "image_phash_jpeg",
     "image_neardup_decoded",
+    "audio_fingerprint",
+    "video_frame_phash",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1742,3 +1742,335 @@ def synth_png_clone_batch(batches: Iterator) -> Iterator:
                 "payload": [blob_of(int(d)) for d in pdf["doc_id"]],
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Real AUDIO sample decode (WAV PCM) + fingerprint fixture, and real
+# VIDEO frame extraction (AVI movi LIST with uncompressed 24bpp DIB
+# frames). With these, all three modalities have REAL payload-decode
+# paths: image pixels (PNG/GIF/JPEG above), audio samples, and video
+# frames — the fake decoder remains only for compressed A/V codecs.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_samples(blob: bytes):
+    """REAL WAV PCM decode: RIFF chunk walk (the same public layout
+    probe_audio_header reads) plus the DATA chunk decoded to int
+    samples. 16-bit signed little-endian and 8-bit unsigned PCM,
+    mono or interleaved multichannel (channel 0 returned — the
+    fingerprint channel). Returns (sample_rate, channels, samples
+    list). Raises NotImplementedError for non-WAV bytes or other
+    sample widths, ValueError for corrupt streams."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE byte stream")
+    sr = ch = bits = block = None
+    data = None
+    for cid, body, size in _riff_chunks(blob, 12):
+        if cid == b"fmt " and body + 16 <= len(blob):
+            fmt_tag, ch, sr, _, block, bits = struct.unpack(
+                "<HHIIHH", blob[body : body + 16]
+            )
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {fmt_tag} not covered (PCM only)"
+                )
+        elif cid == b"data":
+            data = blob[body : body + size]
+            if len(data) != size:
+                raise ValueError("WAV data chunk truncated")
+    if sr is None or data is None or not block:
+        raise ValueError("WAV without fmt/data chunks")
+    if bits == 16:
+        n = len(data) // block
+        samples = [
+            struct.unpack_from("<h", data, i * block)[0] for i in range(n)
+        ]
+    elif bits == 8:
+        n = len(data) // block
+        samples = [data[i * block] - 128 for i in range(n)]
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} not covered")
+    return sr, ch, samples
+
+
+# Audio fingerprint fixture: 16-bit mono PCM whose samples are an
+# integer formula of (doc_id, i) — SQL-stateable, so the oracle
+# computes per-frame energy / zero-crossing ground truth directly
+# while the Spark path recovers samples through a REAL WAV encode ->
+# RIFF walk -> int16 decode round trip.
+AUDIO_SR = 8000
+AUDIO_FRAME = 160  # 20 ms at 8 kHz — the standard speech frame
+
+
+def synth_wav_samples(doc_id: int):
+    """Ground-truth samples for synth_wav_pcm: n = (5 + doc_id % 5)
+    frames of 160; s[i] = ((doc_id*31 + i*17) % 4001) - 2000.
+    Mirrored literally in SQL_AUDIO_FINGERPRINT."""
+    n = (5 + doc_id % 5) * AUDIO_FRAME
+    return [((doc_id * 31 + i * 17) % 4001) - 2000 for i in range(n)]
+
+
+def synth_wav_pcm(doc_id: int) -> bytes:
+    """Deterministic real 16-bit mono PCM WAV per doc id."""
+    import struct
+
+    samples = synth_wav_samples(doc_id)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def wav_frame_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched REAL audio decode: WAV payloads -> one row per
+    20 ms frame carrying the raw int samples. Feature math (energy,
+    zero crossings) happens JVM-side downstream — this stage only
+    decodes and frames."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        doc_ids, idxs, frames = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            _sr, _ch, samples = decode_wav_samples(blob)
+            for f in range(len(samples) // AUDIO_FRAME):
+                doc_ids.append(doc_id)
+                idxs.append(f)
+                frames.append(
+                    samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            }
+        )
+
+
+def synth_wav_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched WAV fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    synth_wav_pcm(int(d)) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def audio_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, energy, zcr): the classic integer audio
+    fingerprint — per 20 ms frame, total absolute amplitude and the
+    zero-crossing count (sign products < 0 between neighbours) — over
+    samples recovered from REAL WAV bytes. Decode is one narrow
+    Arrow-batched stage; the feature math runs JVM-side as array
+    expressions (aggregate / zip_with over the frame column), so the
+    hot arithmetic is codegen, not Python. Zero exchanges end to end;
+    at 100 TB the cost model is the per-blob PCM decode, partitioned
+    like any other binary column."""
+    media = docs.select("doc_id").mapInPandas(
+        synth_wav_batch, PNG_MEDIA_SCHEMA
+    )
+    frames = media.mapInPandas(wav_frame_batch, AUDIO_FRAMES_SCHEMA)
+    energy = F.expr(
+        "aggregate(frame, 0L, (acc, s) -> acc + abs(CAST(s AS BIGINT)))"
+    )
+    zcr = F.expr(
+        "size(filter(zip_with(slice(frame, 1, size(frame) - 1), "
+        "slice(frame, 2, size(frame) - 1), (a, b) -> a * b), "
+        "p -> p < 0))"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        energy.cast("long").alias("energy"),
+        zcr.cast("int").alias("zcr"),
+    )
+
+
+# Video frame extraction: real AVI containers with uncompressed
+# 24bpp DIB frames in the movi LIST — the standard BI_RGB layout
+# (bottom-up rows, 4-byte row padding, BGR byte order). Compressed
+# video codecs stay NotImplementedError.
+
+VIDEO_W_BASE, VIDEO_W_MOD = 12, 5  # width  12..16
+VIDEO_H_BASE, VIDEO_H_MOD = 8, 5   # height 8..12
+
+
+def synth_avi_frames_pixels(doc_id: int):
+    """Ground-truth grayscale frames for synth_avi_frames: (w, h,
+    frames) with frames[f][r][c] = (doc_id*7 + f*29 + r*13 + c*31)
+    % 256. Stored as BGR with B=G=R=g, whose integer luma is exactly
+    g. Mirrored literally in SQL_VIDEO_FRAME_PHASH."""
+    w = VIDEO_W_BASE + doc_id % VIDEO_W_MOD
+    h = VIDEO_H_BASE + doc_id % VIDEO_H_MOD
+    nf = 2 + doc_id % 3
+    frames = [
+        [
+            [(doc_id * 7 + f * 29 + r * 13 + c * 31) % 256 for c in range(w)]
+            for r in range(h)
+        ]
+        for f in range(nf)
+    ]
+    return w, h, frames
+
+
+def synth_avi_frames(doc_id: int) -> bytes:
+    """Deterministic real AVI per doc id: RIFF/'AVI ' with LIST/hdrl
+    (avih main header + LIST/strl holding the vids strh and the
+    BITMAPINFOHEADER strf declaring 24bpp BI_RGB) and LIST/movi
+    carrying one uncompressed '00db' DIB per frame (bottom-up rows,
+    4-byte padding, BGR)."""
+    import struct
+
+    w, h, frames = synth_avi_frames_pixels(doc_id)
+    stride = (w * 3 + 3) & ~3
+    fchunks = bytearray()
+    for fr in frames:
+        dib = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for c in range(w):
+                g = fr[r][c]
+                row += bytes((g, g, g))  # B, G, R
+            row += b"\x00" * (stride - len(row))
+            dib += row
+        fchunks += b"00db" + struct.pack("<I", len(dib)) + dib
+        if len(dib) & 1:
+            fchunks += b"\x00"
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        33333, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        30, 0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strl = (
+        b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    hdrl = (
+        b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    )
+    movi = b"movi" + bytes(fchunks)
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(blob: bytes):
+    """REAL AVI frame extraction: avih for dimensions, strf
+    (BITMAPINFOHEADER) for the pixel layout contract — 24bpp BI_RGB
+    only, compressed codecs raise NotImplementedError — then every
+    '..db'/'..dc' chunk in the movi LIST decoded from the bottom-up
+    padded BGR DIB layout to grayscale rows via the shared integer
+    luma. Returns (w, h, [frame rows]). ValueError for corrupt
+    streams."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI byte stream")
+    dims = None
+    bitcount = compression = None
+    frames = []
+    for cid, body, size in _riff_chunks(blob, 12):
+        if cid != b"LIST":
+            continue
+        ltype = blob[body : body + 4]
+        if ltype == b"hdrl":
+            for c2, b2, s2 in _riff_chunks(blob, body + 4):
+                if b2 >= body + size:
+                    break
+                if c2 == b"avih" and s2 >= 40:
+                    vals = struct.unpack("<10I", blob[b2 : b2 + 40])
+                    dims = (vals[8], vals[9])
+                elif c2 == b"LIST" and blob[b2 : b2 + 4] == b"strl":
+                    for c3, b3, s3 in _riff_chunks(blob, b2 + 4):
+                        if b3 >= b2 + s2:
+                            break
+                        if c3 == b"strf" and s3 >= 20:
+                            (
+                                _sz, _w, _h, _planes, bitcount, compression,
+                            ) = struct.unpack(
+                                "<IiiHHI", blob[b3 : b3 + 20]
+                            )
+        elif ltype == b"movi":
+            if dims is None:
+                raise ValueError("AVI movi before avih")
+            if compression not in (None, 0) or (
+                bitcount not in (None, 24)
+            ):
+                raise NotImplementedError(
+                    f"AVI frame codec not covered (bitcount={bitcount} "
+                    f"compression={compression}); uncompressed 24bpp "
+                    "BI_RGB only"
+                )
+            w, h = dims
+            stride = (w * 3 + 3) & ~3
+            for c2, b2, s2 in _riff_chunks(blob, body + 4):
+                if b2 >= body + size:
+                    break
+                if c2[2:4] not in (b"db", b"dc"):
+                    continue
+                if s2 != stride * h:
+                    raise ValueError("AVI frame size mismatch")
+                rows = []
+                for r in range(h):
+                    src = b2 + (h - 1 - r) * stride
+                    rows.append(
+                        bytes(
+                            _luma(
+                                blob[src + 3 * c + 2],
+                                blob[src + 3 * c + 1],
+                                blob[src + 3 * c],
+                            )
+                            for c in range(w)
+                        )
+                    )
+                frames.append(rows)
+    if dims is None:
+        raise ValueError("AVI without avih header")
+    return dims[0], dims[1], frames
+
+
+def synth_avi_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched AVI fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    synth_avi_frames(int(d)) for d in pdf["doc_id"]
+                ],
+            }
+        )

@@ -5583,3 +5583,110 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+def audio_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer audio fingerprint over REAL WAV PCM decode: per doc a
+    real 16-bit mono WAV is synthesized from an integer sample
+    formula, the samples are RECOVERED through the RIFF walk + int16
+    decode, and per-20ms-frame energy / zero-crossing counts are
+    computed JVM-side over the frame arrays
+    (operators/multimodal.py audio_fingerprint). The oracle computes
+    the features from the sample formula without seeing the WAV
+    bytes, so equality certifies the PCM decoder and framing."""
+    return mm.audio_fingerprint(_docs(spark, sf_dir))
+
+
+SQL_AUDIO_FINGERPRINT = f"""
+WITH f AS (SELECT doc_id, u.fi AS frame_idx
+           FROM documents,
+                UNNEST(range(5 + doc_id % 5)) AS u(fi)),
+s AS (SELECT doc_id, frame_idx,
+             frame_idx * {mm.AUDIO_FRAME} + v.i AS i,
+             v.i AS off
+      FROM f, UNNEST(range({mm.AUDIO_FRAME})) AS v(i)),
+sv AS (SELECT doc_id, frame_idx, off,
+              ((doc_id*31 + i*17) % 4001) - 2000 AS s,
+              ((doc_id*31 + (i+1)*17) % 4001) - 2000 AS s2
+       FROM s)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(sum(abs(s)) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN off < {mm.AUDIO_FRAME - 1}
+                      AND s * s2 < 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS zcr
+FROM sv GROUP BY doc_id, frame_idx
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 third batch — registry tail, queued for the
+        # round-12 certification window
+        "audio_fingerprint": (
+            audio_fingerprint_q,
+            SQL_AUDIO_FINGERPRINT,
+        ),
+    }
+)
+
+
+def video_frame_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame dHash over REAL extracted video frames: per doc a
+    real AVI (LIST/hdrl + LIST/movi with uncompressed 24bpp BI_RGB
+    DIB frames, bottom-up padded rows) is synthesized from a
+    SQL-stateable frame formula, the frames are RECOVERED through the
+    RIFF/movi walk + DIB decode, grid-sampled, and hashed per
+    (doc_id, frame_idx) (operators/imagehash.py video_frame_phash).
+    The oracle states the frame formula directly; equality certifies
+    the container walk, the bottom-up BGR decode, and the per-frame
+    fan-out."""
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA
+    )
+    return ih.video_frame_phash(media)
+
+
+def _sql_video_px_cols() -> str:
+    """DuckDB twin of the video decoded-frame grid: gray(doc, f, r,
+    c) = (doc_id*7 + f*29 + r*13 + c*31) % 256 (B=G=R in the DIB, so
+    luma == the formula), sampled at the shared grid lattice."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        outs.append(
+            f"CAST((doc_id*7 + frame_idx*29 + {pr}*13 + {pc}*31) % 256 "
+            f"AS INTEGER) AS px{i}"
+        )
+    return ", ".join(outs)
+
+
+SQL_VIDEO_FRAME_PHASH = f"""
+WITH fr AS (SELECT doc_id, u.fi AS frame_idx
+            FROM documents,
+                 UNNEST(range(2 + doc_id % 3)) AS u(fi)),
+dims AS (SELECT doc_id, frame_idx,
+                {mm.VIDEO_W_BASE} + doc_id % {mm.VIDEO_W_MOD} AS w,
+                {mm.VIDEO_H_BASE} + doc_id % {mm.VIDEO_H_MOD} AS h
+         FROM fr),
+px AS (SELECT doc_id, frame_idx, {_sql_video_px_cols()} FROM dims),
+hh AS (SELECT doc_id, frame_idx, {_sql_band_cols()} FROM px)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       b0, b1, b2, b3,
+       lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+       || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0') AS phash
+FROM hh
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 third batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "video_frame_phash": (
+            video_frame_phash_q,
+            SQL_VIDEO_FRAME_PHASH,
+        ),
+    }
+)
