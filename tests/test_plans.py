@@ -493,3 +493,19 @@ def test_similarity_join_minhash_shuffle_is_broadcast_free(spark, sf_dir):
         mode="simple",
     )
     assert "BroadcastHashJoin" in p2, p2
+
+
+def test_audio_video_decode_plans_are_narrow(spark, sf_dir):
+    """audio_fingerprint and video_frame_phash must compile with ZERO
+    exchanges — decode parallelism is partition parallelism — and
+    only Arrow-batched Python (no row-at-a-time eval). The audio
+    feature math must be JVM-side array expressions downstream of the
+    decode stage."""
+    import re
+
+    for name in ("audio_fingerprint", "video_frame_phash"):
+        p = plan_text(REGISTRY[name][0](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, (name, p)
+        for marker in ("BatchEvalPython", "pythonUDF"):
+            assert marker not in p, name
+        assert "MapInPandas" in p, name
