@@ -1007,3 +1007,144 @@ def test_semantic_dedup_matches_python_reference(spark, vecs):
         cents,
         0.8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: codec round-trip properties (no Spark needed — these pin
+# the pure-Python decoders under hypothesis-generated inputs, far
+# beyond the fixture lattices the oracle gates execute)
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 18),
+    ctype=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, ctype, seed, data):
+    """encode_png ∘ decode_png_pixels is the identity on the
+    grayscale view for EVERY pixel grid, color type, and per-row
+    filter assignment — including hypothesis-chosen filters that
+    change row to row."""
+    import random
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    rows = [
+        [
+            rng.randrange(256)
+            if ch == 1
+            else tuple(rng.randrange(256) for _ in range(ch))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    blob = mm.encode_png(rows, ctype, row_filter=lambda y: filters[y])
+    dw, dh, gray = mm.decode_png_pixels(blob)
+    assert (dw, dh) == (w, h)
+    for r in range(h):
+        for c in range(w):
+            px = rows[r][c]
+            want = (
+                px
+                if ch == 1
+                else px[0]
+                if ch == 2
+                else mm._luma(px[0], px[1], px[2])
+            )
+            assert gray[r][c] == want
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 18),
+    pal_bits=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(w, h, pal_bits, interlace, seed):
+    """encode_gif ∘ decode_gif_pixels is the identity on palette luma
+    for every grid size, palette size, and interlace flag — the LZW
+    coder round-trips arbitrary index streams."""
+    import random
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    npal = 1 << pal_bits
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(npal)
+    ]
+    rows = [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+    blob = mm.encode_gif(rows, pal, interlace=interlace)
+    dw, dh, gray = mm.decode_gif_pixels(blob)
+    assert (dw, dh) == (w, h)
+    for r in range(h):
+        for c in range(w):
+            assert gray[r][c] == mm._luma(*pal[rows[r][c]])
+
+
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_unit_quant_error_bound_property(w, h, seed):
+    """Baseline JPEG through the unit quantization table reconstructs
+    ANY grayscale image within 2 gray levels per pixel (DCT rounding
+    only) — the lossy-codec analog of a round-trip identity."""
+    import random
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    rows = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    blob = mm.encode_jpeg_gray(rows, qtbl=[1] * 64)
+    dw, dh, gray = mm.decode_jpeg_pixels(blob)
+    assert (dw, dh) == (w, h)
+    assert all(
+        abs(gray[r][c] - rows[r][c]) <= 2
+        for r in range(h)
+        for c in range(w)
+    )
+
+
+@given(
+    n_frames=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_wav_pcm_roundtrip_property(n_frames, seed):
+    """WAV PCM encode/decode is the identity on arbitrary int16
+    sample streams (not just the fixture formula)."""
+    import random
+    import struct
+
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    rng = random.Random(seed)
+    samples = [
+        rng.randrange(-32768, 32768)
+        for _ in range(n_frames * mm.AUDIO_FRAME)
+    ]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    )
+    sr, ch, got = mm.decode_wav_samples(blob)
+    assert (sr, ch) == (8000, 1) and got == samples
