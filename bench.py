@@ -190,6 +190,7 @@ HEADLINE = [
     "image_neardup_decoded",
     "audio_fingerprint",
     "video_frame_phash",
+    "video_neardup",
 ]
 
 # ---------------------------------------------------------------------------

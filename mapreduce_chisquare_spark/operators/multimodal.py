@@ -1917,15 +1917,23 @@ VIDEO_H_BASE, VIDEO_H_MOD = 8, 5   # height 8..12
 
 def synth_avi_frames_pixels(doc_id: int):
     """Ground-truth grayscale frames for synth_avi_frames: (w, h,
-    frames) with frames[f][r][c] = (doc_id*7 + f*29 + r*13 + c*31)
-    % 256. Stored as BGR with B=G=R=g, whose integer luma is exactly
-    g. Mirrored literally in SQL_VIDEO_FRAME_PHASH."""
+    frames) with frames[f][r][c] = (doc_id*7 + f*29 + r*13 + c*31
+    + doc_id*c*3 + f*r*11) % 256 — the doc_id*c and f*r cross terms
+    make the COLUMN GRADIENT (what dHash measures) doc- and
+    frame-dependent, so distinct videos hash apart instead of
+    colliding on a shared linear ramp. Stored as BGR with B=G=R=g,
+    whose integer luma is exactly g. Mirrored literally in
+    SQL_VIDEO_FRAME_PHASH / SQL_VIDEO_NEARDUP."""
     w = VIDEO_W_BASE + doc_id % VIDEO_W_MOD
     h = VIDEO_H_BASE + doc_id % VIDEO_H_MOD
     nf = 2 + doc_id % 3
     frames = [
         [
-            [(doc_id * 7 + f * 29 + r * 13 + c * 31) % 256 for c in range(w)]
+            [
+                (doc_id * 7 + f * 29 + r * 13 + c * 31
+                 + doc_id * c * 3 + f * r * 11) % 256
+                for c in range(w)
+            ]
             for r in range(h)
         ]
         for f in range(nf)
@@ -1933,15 +1941,14 @@ def synth_avi_frames_pixels(doc_id: int):
     return w, h, frames
 
 
-def synth_avi_frames(doc_id: int) -> bytes:
-    """Deterministic real AVI per doc id: RIFF/'AVI ' with LIST/hdrl
-    (avih main header + LIST/strl holding the vids strh and the
+def encode_avi_frames(w: int, h: int, frames) -> bytes:
+    """Minimal REAL AVI encoder: RIFF/'AVI ' with LIST/hdrl (avih
+    main header + LIST/strl holding the vids strh and the
     BITMAPINFOHEADER strf declaring 24bpp BI_RGB) and LIST/movi
-    carrying one uncompressed '00db' DIB per frame (bottom-up rows,
-    4-byte padding, BGR)."""
+    carrying one uncompressed '00db' DIB per grayscale frame
+    (bottom-up rows, 4-byte padding, B=G=R)."""
     import struct
 
-    w, h, frames = synth_avi_frames_pixels(doc_id)
     stride = (w * 3 + 3) & ~3
     fchunks = bytearray()
     for fr in frames:
@@ -1984,6 +1991,12 @@ def synth_avi_frames(doc_id: int) -> bytes:
         + b"LIST" + struct.pack("<I", len(movi)) + movi
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi_frames(doc_id: int) -> bytes:
+    """Deterministic real AVI per doc id (see
+    synth_avi_frames_pixels for the frame formula)."""
+    return encode_avi_frames(*synth_avi_frames_pixels(doc_id))
 
 
 def decode_avi_frames(blob: bytes):
@@ -2072,5 +2085,35 @@ def synth_avi_batch(batches: Iterator) -> Iterator:
                 "payload": [
                     synth_avi_frames(int(d)) for d in pdf["doc_id"]
                 ],
+            }
+        )
+
+
+def synth_avi_clone_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched fixture synthesis for the video near-dup query:
+    base ids -> standard synth_avi_frames; ids >= PHASH_CLONE_OFFSET
+    -> the base video re-rendered with ONE pixel of FRAME 0 pushed
+    far away (the grid-sample (2, 2) position), so the clone shares
+    n_frames - 1 bit-identical frame hashes with its base and one
+    near frame — the re-encoded-with-a-watermark shape frame-level
+    video dedup exists to catch."""
+    import pandas as pd  # local import: executors only
+
+    def blob_of(doc_id: int) -> bytes:
+        if doc_id < PHASH_CLONE_OFFSET:
+            return synth_avi_frames(doc_id)
+        base = doc_id - PHASH_CLONE_OFFSET
+        w, h, frames = synth_avi_frames_pixels(base)
+        pr = PERTURB_SAMPLE_R * (h - 1) // 7
+        pc = PERTURB_SAMPLE_C * (w - 1) // 8
+        g = frames[0][pr][pc]
+        frames[0][pr][pc] = 1 if g > 60 else 120
+        return encode_avi_frames(w, h, frames)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [blob_of(int(d)) for d in pdf["doc_id"]],
             }
         )

@@ -5647,8 +5647,8 @@ def video_frame_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_video_px_cols() -> str:
-    """DuckDB twin of the video decoded-frame grid: gray(doc, f, r,
-    c) = (doc_id*7 + f*29 + r*13 + c*31) % 256 (B=G=R in the DIB, so
+    """DuckDB twin of the video decoded-frame grid:
+    multimodal.synth_avi_frames_pixels' formula (B=G=R in the DIB, so
     luma == the formula), sampled at the shared grid lattice."""
     outs = []
     for i in range(ih.N_PIX):
@@ -5656,7 +5656,8 @@ def _sql_video_px_cols() -> str:
         pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
         pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
         outs.append(
-            f"CAST((doc_id*7 + frame_idx*29 + {pr}*13 + {pc}*31) % 256 "
+            f"CAST((doc_id*7 + frame_idx*29 + {pr}*13 + {pc}*31 "
+            f"+ doc_id*{pc}*3 + frame_idx*{pr}*11) % 256 "
             f"AS INTEGER) AS px{i}"
         )
     return ", ".join(outs)
@@ -5688,5 +5689,91 @@ EXTENSION_QUERIES.update(
             video_frame_phash_q,
             SQL_VIDEO_FRAME_PHASH,
         ),
+    }
+)
+
+
+def video_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup over REAL extracted frames: every
+    20th doc gains a clone video re-rendered with one pixel of frame
+    0 pushed far away, so each clone shares n_frames - 1 bit-identical
+    frame hashes with its base. Pipeline: real AVI synth -> movi/DIB
+    frame decode -> per-frame dHash -> guarded hash-equality join
+    counting distinct shared frame hashes (operators/imagehash.py
+    video_neardup_pairs)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
+    )
+    media = d.unionByName(clones).mapInPandas(
+        mm.synth_avi_clone_batch, mm.PNG_MEDIA_SCHEMA
+    )
+    return ih.video_neardup_pairs(ih.video_frame_phash(media))
+
+
+def _sql_video_clone_px_cols() -> str:
+    """Video decoded-frame grid over the clone corpus: the base id's
+    frame formula, with the clone's frame-0 sample (2, 2) perturbed
+    (the same far-away rule as the image clone fixture)."""
+    outs = []
+    for i in range(ih.N_PIX):
+        r, c = divmod(i, ih.GRID_C + 1)
+        pr = f"(({r} * (h - 1)) // {ih.GRID_R - 1})"
+        pc = f"(({c} * (w - 1)) // {ih.GRID_C})"
+        gray = (
+            f"(eid*7 + frame_idx*29 + {pr}*13 + {pc}*31 "
+            f"+ eid*{pc}*3 + frame_idx*{pr}*11) % 256"
+        )
+        if (r, c) == (mm.PERTURB_SAMPLE_R, mm.PERTURB_SAMPLE_C):
+            gray = (
+                f"CASE WHEN iscl AND frame_idx = 0 THEN "
+                f"(CASE WHEN ({gray}) > 60 THEN 1 ELSE 120 END) "
+                f"ELSE ({gray}) END"
+            )
+        outs.append(f"CAST({gray} AS INTEGER) AS px{i}")
+    return ", ".join(outs)
+
+
+SQL_VIDEO_NEARDUP = f"""
+WITH ids AS (SELECT doc_id FROM documents
+             UNION ALL
+             SELECT doc_id + {mm.PHASH_CLONE_OFFSET} FROM documents
+             WHERE doc_id % 20 = 0),
+base AS (SELECT doc_id,
+                CASE WHEN doc_id >= {mm.PHASH_CLONE_OFFSET}
+                     THEN doc_id - {mm.PHASH_CLONE_OFFSET}
+                     ELSE doc_id END AS eid,
+                doc_id >= {mm.PHASH_CLONE_OFFSET} AS iscl
+         FROM ids),
+fr AS (SELECT doc_id, eid, iscl, u.fi AS frame_idx
+       FROM base, UNNEST(range(2 + eid % 3)) AS u(fi)),
+dims AS (SELECT doc_id, eid, iscl, frame_idx,
+                {mm.VIDEO_W_BASE} + eid % {mm.VIDEO_W_MOD} AS w,
+                {mm.VIDEO_H_BASE} + eid % {mm.VIDEO_H_MOD} AS h
+         FROM fr),
+px AS (SELECT doc_id, frame_idx, {_sql_video_clone_px_cols()}
+       FROM dims),
+hh AS (SELECT doc_id, frame_idx, {_sql_band_cols()} FROM px),
+hv AS (SELECT doc_id,
+              lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0')
+              || lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0')
+                AS phash
+       FROM hh),
+sized AS (SELECT *, count(*) OVER (PARTITION BY phash) AS sz FROM hv),
+kept AS (SELECT doc_id, phash FROM sized WHERE sz <= {ih.MAX_BUCKET})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(DISTINCT a.phash) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b
+  ON a.phash = b.phash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(DISTINCT a.phash) >= 1
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 third batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "video_neardup": (video_neardup_q, SQL_VIDEO_NEARDUP),
     }
 )

@@ -827,3 +827,34 @@ def test_video_frame_phash_keys_and_fanout(spark):
         assert len(per_doc[d]) == 2 + d % 3, d
     hashes_doc0 = {r.phash for r in per_doc[0]}
     assert len(hashes_doc0) == len(per_doc[0])  # frames differ
+
+
+def test_video_neardup_recalls_every_planted_clone(spark):
+    """Every planted clone video (one perturbed pixel in frame 0)
+    must pair with its base sharing AT LEAST n_frames - 1 distinct
+    frame hashes — bit-identical frames survive the real encode ->
+    decode -> hash pipeline. (The perturbed frame may still hash
+    identically when the pushed pixel does not flip either adjacent
+    dHash comparison — dHash measures gradients, not values — so
+    n_shared == n_frames is legal, not a decode bug.)"""
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    base = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    clones = base.filter("doc_id % 20 = 0").selectExpr(
+        f"doc_id + {mm.PHASH_CLONE_OFFSET} AS doc_id"
+    )
+    media = base.unionByName(clones).mapInPandas(
+        mm.synth_avi_clone_batch, mm.PNG_MEDIA_SCHEMA
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in ih.video_neardup_pairs(
+            ih.video_frame_phash(media)
+        ).collect()
+    }
+    for b in (0, 20, 40):
+        key = (b, b + mm.PHASH_CLONE_OFFSET)
+        n_frames = 2 + b % 3
+        assert key in pairs, key
+        assert pairs[key] >= n_frames - 1, (key, pairs[key])
