@@ -1287,3 +1287,153 @@ def test_flagship_chi2_hot_key_collapses_before_exchange(spark):
     topk = chi_square_top_terms(reviews, stopwords=[], k=5).collect()
     cats = {r["category"] for r in topk}
     assert cats == {"hotcat", "coldcat"}
+
+
+# ---------------------------------------------------------------------------
+# Round-11 media-decode ladder stress: decode throughput is linear,
+# and the video pair stage survives a slate-frame bomb
+# ---------------------------------------------------------------------------
+
+def _id_df(spark, n):
+    return spark.range(0, n).withColumnRenamed("id", "doc_id")
+
+
+def test_decoded_phash_scales_linearly(spark):
+    """Real-PNG decode + dHash is partition-parallel Python with zero
+    exchanges: 10x the images must cost far less than 10x wall-clock
+    (fixed overhead dominates at these sizes; a super-linear decode
+    would blow the 30x bound the other linear stress rows use)."""
+    import time
+
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    def run(n):
+        media = _id_df(spark, n).mapInPandas(
+            mm.synth_png_batch, mm.PNG_MEDIA_SCHEMA
+        )
+        t0 = time.perf_counter()
+        cnt = ih.image_phash_decoded(media).count()
+        return cnt, time.perf_counter() - t0
+
+    run(10_000)  # warm-up: codegen, Arrow init
+    c1, t1 = run(10_000)
+    c2, t2 = run(100_000)
+    assert (c1, c2) == (10_000, 100_000)
+    assert t2 <= 30 * t1, (t1, t2)
+    print(
+        f"SCALE-STRESS decoded phash: 10k={t1:.2f}s 100k={t2:.2f}s "
+        f"({t2 / t1:.1f}x wall for 10x images)"
+    )
+
+
+def _stress_video_frames(d: int):
+    """Hash-pixel 3-frame clip per doc id: every pixel is an
+    avalanche-mixed hash of (doc, frame, row, col), so 50k videos
+    occupy the 64-bit dHash space sparsely — unlike the registered
+    fixture's affine formula, whose gradient patterns repeat mod 256
+    and saturate at this scale (measured: corpus-wide buckets over
+    MAX_BUCKET excised the planted pairs), and unlike a plain LCG,
+    whose LOW-bit stream depends only on seed mod 256 (also
+    measured: the whole corpus collapsed onto <= 256 distinct pixel
+    streams). Both are the guard trade working as documented — but
+    the wrong fixture for a recall assertion."""
+    w, h = 12, 8
+    frames = []
+    for f in range(3):
+        rows = []
+        for r in range(h):
+            row = []
+            for c in range(w):
+                v = (
+                    d * 2654435761
+                    + f * 40503
+                    + r * 2246822519
+                    + c * 3266489917
+                ) & 0xFFFFFFFF
+                v = ((v ^ (v >> 15)) * 2246822519) & 0xFFFFFFFF
+                row.append((v >> 13) % 256)
+            rows.append(row)
+        frames.append(rows)
+    return w, h, frames
+
+
+def test_video_neardup_survives_slate_frame_bomb(spark):
+    """Adversarial video dedup at 50k videos + a 3,000-video bomb of
+    IDENTICAL all-black clips (every frame hashes equal — the 'slate
+    frames' degenerate case). The MAX_BUCKET guard must excise the
+    bomb's hash buckets BEFORE the self-join (an unguarded join would
+    pay ~3000^2 * frames pairs), every planted one-perturbed-pixel
+    clone must be recalled, and no bomb video may appear in any
+    pair."""
+    import time
+
+    import pandas as pd
+
+    from mapreduce_chisquare_spark.operators import imagehash as ih
+    from mapreduce_chisquare_spark.operators import multimodal as mm
+
+    n, n_bomb = 50_000, 3_000
+    bomb_base = 10_000_000
+
+    def media_batch(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= bomb_base:  # identical all-black 3-frame clip
+                    payloads.append(
+                        mm.encode_avi_frames(
+                            12, 8, [[[0] * 12 for _ in range(8)]] * 3
+                        )
+                    )
+                elif d >= mm.PHASH_CLONE_OFFSET:
+                    w, h, frames = _stress_video_frames(
+                        d - mm.PHASH_CLONE_OFFSET
+                    )
+                    frames[0][3][4] = (frames[0][3][4] + 128) % 256
+                    payloads.append(mm.encode_avi_frames(w, h, frames))
+                else:
+                    payloads.append(
+                        mm.encode_avi_frames(*_stress_video_frames(d))
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    base = _id_df(spark, n)
+    clones = base.filter("doc_id % 1000 = 0").selectExpr(
+        f"doc_id + {mm.PHASH_CLONE_OFFSET} AS doc_id"
+    )
+    bombs = spark.range(bomb_base, bomb_base + n_bomb).withColumnRenamed(
+        "id", "doc_id"
+    )
+    media = (
+        base.unionByName(clones)
+        .unionByName(bombs)
+        .mapInPandas(media_batch, mm.PNG_MEDIA_SCHEMA)
+    )
+    t0 = time.perf_counter()
+    got = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in ih.video_neardup_pairs(
+            ih.video_frame_phash(media)
+        ).collect()
+    }
+    wall = time.perf_counter() - t0
+    # every planted clone recalled: frames 1 and 2 are bit-identical
+    recalled = 0
+    for b in range(0, n, 1000):
+        key = (b, b + mm.PHASH_CLONE_OFFSET)
+        assert key in got and got[key] >= 2, (key, got.get(key))
+        recalled += 1
+    # the bomb contributes ZERO pairs (guard excised its buckets)
+    bomb_pairs = [
+        k for k in got if k[0] >= bomb_base or k[1] >= bomb_base
+    ]
+    assert bomb_pairs == [], bomb_pairs[:5]
+    print(
+        f"SCALE-STRESS video bomb: {n} videos + {n_bomb} identical "
+        f"slates -> {len(got)} pairs, {recalled}/50 clones recalled, "
+        f"0 bomb pairs, {wall:.1f}s end-to-end"
+    )
