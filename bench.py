@@ -191,6 +191,12 @@ HEADLINE = [
     "audio_fingerprint",
     "video_frame_phash",
     "video_neardup",
+    # round-11 fourth batch (first measurement = their baseline)
+    "inverted_index",
+    "audio_energy_segments",
+    "video_shot_boundaries",
+    "cdc_apply",
+    "events_attribution",
 ]
 
 # ---------------------------------------------------------------------------

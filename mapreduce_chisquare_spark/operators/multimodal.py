@@ -2117,3 +2117,42 @@ def synth_avi_clone_batch(batches: Iterator) -> Iterator:
                 "payload": [blob_of(int(d)) for d in pdf["doc_id"]],
             }
         )
+
+
+AUDIO_ACTIVE_ENERGY = 160_000  # ≈ frame mean |s|·160; synth spread 109k-211k
+
+
+def audio_energy_segments(
+    docs: DataFrame, threshold: int = AUDIO_ACTIVE_ENERGY
+) -> DataFrame:
+    """Energy-based activity segmentation (VAD shape) over REAL WAV
+    PCM decode: frames whose total absolute amplitude reaches
+    `threshold` are active; maximal runs of consecutive active frames
+    merge into segments. Returns (doc_id, seg_start, seg_end,
+    n_frames, total_energy) — the segment table an audio curation
+    pipeline uses to cut silence and keep speech-dense spans.
+
+    Scale shape: frame features come from the zero-shuffle decode
+    path (audio_fingerprint); segmentation is the classic
+    islands-and-gaps rewrite — ONE exchange on doc_id, a row_number
+    over the per-video frame order, and the run key frame_idx - rn
+    (constant within each consecutive run), then a per-run aggregate
+    on the SAME partitioning. No self-joins, no per-row Python."""
+    from pyspark.sql import Window
+
+    fp = audio_fingerprint(docs)
+    act = fp.filter(F.col("energy") >= F.lit(int(threshold)))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("frame_idx")
+    )
+    runs = act.withColumn("__run", F.col("frame_idx") - rn)
+    return (
+        runs.groupBy("doc_id", "__run")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("energy").cast("long").alias("total_energy"),
+        )
+        .drop("__run")
+    )

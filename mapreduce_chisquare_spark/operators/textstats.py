@@ -1280,3 +1280,51 @@ def skipgram_cooc(
     return counts.orderBy(
         F.desc("pair_cnt"), F.asc("center"), F.asc("context")
     ).limit(int(k))
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index construction — the retrieval artifact BM25 and
+    phrase search read: per term its document frequency, collection
+    frequency, and a bounded posting list (the first `max_postings`
+    doc ids in ascending order, comma-joined so the row stays a flat
+    scalar). Returns the top-`k` terms by (df DESC, term ASC):
+    (term, df, cf, postings).
+
+    Scale shape: the token stream collapses to (term, doc_id, tf)
+    with one map-side-combinable aggregate; a row_number over the
+    term partitioning marks the first `max_postings` postings so the
+    final per-term aggregate collects a BOUNDED list — a plain
+    collect_list(doc_id) would buffer every posting of a stopword-
+    grade term (millions of ids per key at corpus scale), which is
+    exactly the skew this avoids. df/cf come from the same aggregate
+    pass; the top-k head is a TakeOrdered, never a full sort."""
+    base = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    )
+    per_doc = base.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")
+    )
+    ranked = per_doc.withColumn("__rn", rn)
+    kept_id = F.when(
+        F.col("__rn") <= F.lit(int(max_postings)), F.col("doc_id")
+    )
+    agg = ranked.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_id)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.orderBy(F.desc("df"), F.asc("term")).limit(int(k))

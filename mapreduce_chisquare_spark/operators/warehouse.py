@@ -9,7 +9,7 @@ warehouses run on every refresh — expressed table-format-agnostically
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -766,4 +766,110 @@ def dq_anomaly_mad(events, value_col: str = "value"):
             "median_value"
         ),
         (F.col("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str = "k",
+    val: str = "v",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Type-1 CDC MERGE apply — the change-stream counterpart of
+    scd2_merge (which keeps history; this keeps only current state):
+    given the last snapshot `base(key, val)` and a change stream
+    `changes(key, val, op, seq)` with op in ('I', 'U', 'D') and a
+    per-key monotone sequence number, produce the next snapshot.
+    The LATEST change per key (max seq) wins — earlier changes to the
+    same key are superseded, exactly Debezium/binlog compaction
+    semantics; 'D' removes the key, 'I'/'U' upsert the carried value,
+    untouched base keys pass through. Returns (key, val).
+
+    Scale shape: the change stream collapses to one row per key via a
+    single max_by aggregate (map-side combinable — at 100 TB the
+    stream is far larger than its key space, so partial aggregation
+    does the heavy lifting BEFORE the exchange), then ONE full-outer
+    shuffle join with the snapshot on the key. No windows, no driver
+    state; a Delta/Iceberg MERGE INTO would replace only the final
+    write, not this plan."""
+    latest = changes.groupBy(F.col(key).alias("__k")).agg(
+        F.max_by(
+            F.struct(F.col(val).alias("v"), F.col(op_col).alias("op")),
+            F.col(seq_col),
+        ).alias("__c")
+    )
+    b = base.select(F.col(key).alias("__k"), F.col(val).alias("__bv"))
+    j = b.join(latest, "__k", "full_outer")
+    return (
+        j.filter(
+            F.col("__c").isNull() | (F.col("__c.op") != F.lit("D"))
+        )
+        .select(
+            F.col("__k").alias(key),
+            F.coalesce(F.col("__c.v"), F.col("__bv")).alias(val),
+        )
+    )
+
+
+def events_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    lookback_us: int = 7 * 86400 * 1_000_000,
+) -> DataFrame:
+    """Last-touch attribution — for every conversion event, the most
+    recent PRECEDING non-conversion event by the same user within the
+    lookback window gets the credit (the standard marketing/product
+    attribution primitive; funnel and retention live beside it in
+    this module). Returns one row per conversion:
+    (conv_id, user_id, conv_ts_us, conv_value, touch_id, touch_type)
+    with NULL touch columns when no touch qualifies.
+
+    Order is the total (ts, event_id) tuple order, so same-timestamp
+    rows resolve deterministically; a conversion never credits
+    another conversion (conversion rows carry NULL in the carried
+    struct, and last(ignorenulls) skips them).
+
+    Scale shape: ONE exchange on user_id; the candidate touch rides a
+    running last(ignorenulls) window over that partitioning — no
+    self-join of the event stream against itself (the join form
+    shuffles conversions x touches; this shuffles each event once).
+    The lookback test is a residual predicate on the carried
+    timestamp: if the MOST RECENT touch is too old, every older one
+    is too, so the window form loses nothing."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    touch = F.when(
+        F.col("event_type") != F.lit(convert_type),
+        F.struct(
+            F.col("ts_us").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "__t", F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = carried.filter(F.col("event_type") == F.lit(convert_type))
+    in_window = F.col("__t").isNotNull() & (
+        F.col("__t.t_ts") >= F.col("ts_us") - F.lit(int(lookback_us))
+    )
+    return conv.select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts_us").alias("conv_ts_us"),
+        F.col("value").alias("conv_value"),
+        F.when(in_window, F.col("__t.t_id")).alias("touch_id"),
+        F.when(in_window, F.col("__t.t_type")).alias("touch_type"),
     )

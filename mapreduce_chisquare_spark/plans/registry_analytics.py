@@ -1260,3 +1260,114 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# CDC merge apply + marketing attribution (round 11 tail)
+# =========================================================================
+
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 CDC MERGE apply (operators/warehouse.py cdc_apply):
+    latest-change-per-key compaction of a synthetic I/U/D change
+    stream derived from orders, full-outer-applied to the snapshot.
+    The fixture plants superseded changes (a seq-3 DELETE overridden
+    by a seq-4 UPDATE on keys % 55 == 0) so the certification fails
+    unless latest-wins ordering is honored."""
+    from ..operators.warehouse import cdc_apply
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    base = o.filter(F.col("k") % 100 < 90)
+    c1 = o.filter(F.col("k") % 5 == 0).select(
+        "k", (F.col("v") + 111).alias("v"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    c2 = o.filter((F.col("k") % 100 >= 90) & (F.col("k") % 3 == 0)).select(
+        "k", F.lit(555).cast("long").alias("v"),
+        F.lit("I").alias("op"), F.lit(2).alias("seq"),
+    )
+    c3 = o.filter(F.col("k") % 11 == 0).select(
+        "k", F.lit(None).cast("long").alias("v"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    c4 = o.filter(F.col("k") % 55 == 0).select(
+        "k", (F.col("v") + 999).alias("v"),
+        F.lit("U").alias("op"), F.lit(4).alias("seq"),
+    )
+    changes = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    return cdc_apply(base, changes, key="k", val="v")
+
+
+SQL_CDC_APPLY = """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+base AS (SELECT k, v FROM o WHERE k % 100 < 90),
+ch AS (
+  SELECT k, v + 111 AS v, 'U' AS op, 1 AS seq FROM o WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, CAST(555 AS BIGINT), 'I', 2 FROM o
+  WHERE k % 100 >= 90 AND k % 3 = 0
+  UNION ALL
+  SELECT k, CAST(NULL AS BIGINT), 'D', 3 FROM o WHERE k % 11 = 0
+  UNION ALL
+  SELECT k, v + 999, 'U', 4 FROM o WHERE k % 55 = 0),
+latest AS (
+  SELECT k, v AS cv, op AS cop FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch)
+  WHERE rn = 1),
+j AS (SELECT coalesce(b.k, l.k) AS k, b.v AS bv, l.cv, l.cop
+      FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
+SELECT k, coalesce(cv, bv) AS v
+FROM j WHERE cop IS NULL OR cop <> 'D'
+"""
+
+
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/warehouse.py
+    events_attribution): every purchase credits the most recent
+    preceding non-purchase event by the same user within 7 days. The
+    Spark plan is the single-pass carried-window form; the oracle is
+    the independent join + row_number argmax form, so equality
+    certifies the window rewrite."""
+    from ..operators.warehouse import events_attribution
+
+    return events_attribution(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH ev AS (SELECT event_id, user_id, event_type, value,
+                   epoch_us(ts) AS ts_us
+            FROM events),
+conv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+cand AS (
+  SELECT c.event_id AS conv_id, t.event_id AS t_id,
+         t.event_type AS t_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts_us DESC, t.event_id DESC)
+           AS rn
+  FROM conv c JOIN t ON c.user_id = t.user_id
+   AND (t.ts_us < c.ts_us
+        OR (t.ts_us = c.ts_us AND t.event_id < c.event_id))
+   AND t.ts_us >= c.ts_us - 604800000000)
+SELECT c.event_id AS conv_id, c.user_id, c.ts_us AS conv_ts_us,
+       c.value AS conv_value, p.t_id AS touch_id,
+       p.t_type AS touch_type
+FROM conv c
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) p
+  ON c.event_id = p.conv_id
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 fourth batch — registry tail, queued for the
+        # round-12 certification window
+        "cdc_apply": (cdc_apply_q, SQL_CDC_APPLY),
+        "events_attribution": (events_attribution_q, SQL_EVENTS_ATTRIBUTION),
+    }
+)

@@ -5777,3 +5777,126 @@ EXTENSION_QUERIES.update(
         "video_neardup": (video_neardup_q, SQL_VIDEO_NEARDUP),
     }
 )
+
+
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (operators/textstats.py
+    inverted_index): top-100 terms by document frequency with df, cf
+    and the first 20 postings comma-joined — the bounded-collect
+    form whose per-key state never exceeds max_postings ids even for
+    stopword-grade terms."""
+    return tx.inverted_index(_docs(spark, sf_dir))
+
+
+SQL_INVERTED_INDEX = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY term, doc_id),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pd),
+a AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf,
+             string_agg(CASE WHEN rn <= 20
+                             THEN CAST(doc_id AS VARCHAR) END,
+                        ',' ORDER BY doc_id) AS postings
+      FROM r GROUP BY term)
+SELECT term, df, cf, postings FROM a
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def audio_energy_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-shape activity segmentation over REAL WAV PCM decode
+    (operators/multimodal.py audio_energy_segments): per-frame energy
+    from the recovered samples, threshold at the synth-fixture mean,
+    islands-and-gaps merge into (seg_start, seg_end) runs. The oracle
+    states the sample formula and the same islands rewrite; equality
+    certifies the decode AND the run-key algebra."""
+    return mm.audio_energy_segments(_docs(spark, sf_dir))
+
+
+SQL_AUDIO_ENERGY_SEGMENTS = f"""
+WITH f AS (SELECT doc_id, u.fi AS frame_idx
+           FROM documents,
+                UNNEST(range(5 + doc_id % 5)) AS u(fi)),
+s AS (SELECT doc_id, frame_idx,
+             frame_idx * {mm.AUDIO_FRAME} + v.i AS i
+      FROM f, UNNEST(range({mm.AUDIO_FRAME})) AS v(i)),
+fe AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+              CAST(sum(abs(((doc_id*31 + i*17) % 4001) - 2000))
+                   AS BIGINT) AS energy
+       FROM s GROUP BY doc_id, frame_idx),
+act AS (SELECT *,
+               frame_idx - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx)
+                 AS run
+        FROM fe WHERE energy >= {mm.AUDIO_ACTIVE_ENERGY})
+SELECT doc_id,
+       CAST(min(frame_idx) AS INTEGER) AS seg_start,
+       CAST(max(frame_idx) AS INTEGER) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(energy) AS BIGINT) AS total_energy
+FROM act GROUP BY doc_id, run
+"""
+
+
+def video_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL extracted video frames
+    (operators/imagehash.py video_shot_boundaries): per-video lag
+    window over the frame dHashes, exact popcount-of-XOR distance,
+    cut where >= SHOT_THRESHOLD of 64 bits flip. The oracle restates
+    the frame formula, the band hash, and the same lag algebra."""
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA
+    )
+    return ih.video_shot_boundaries(media)
+
+
+SQL_VIDEO_SHOT_BOUNDARIES = f"""
+WITH fr AS (SELECT doc_id, u.fi AS frame_idx
+            FROM documents,
+                 UNNEST(range(2 + doc_id % 3)) AS u(fi)),
+dims AS (SELECT doc_id, frame_idx,
+                {mm.VIDEO_W_BASE} + doc_id % {mm.VIDEO_W_MOD} AS w,
+                {mm.VIDEO_H_BASE} + doc_id % {mm.VIDEO_H_MOD} AS h
+         FROM fr),
+px AS (SELECT doc_id, frame_idx, {_sql_video_px_cols()} FROM dims),
+hh AS (SELECT doc_id, frame_idx, {_sql_band_cols()} FROM px),
+lg AS (SELECT doc_id, frame_idx, b0, b1, b2, b3,
+              lag(b0) OVER w AS p0, lag(b1) OVER w AS p1,
+              lag(b2) OVER w AS p2, lag(b3) OVER w AS p3
+       FROM hh
+       WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+d AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(bit_count(xor(CAST(b0 AS BIGINT), CAST(p0 AS BIGINT)))
+                + bit_count(xor(CAST(b1 AS BIGINT), CAST(p1 AS BIGINT)))
+                + bit_count(xor(CAST(b2 AS BIGINT), CAST(p2 AS BIGINT)))
+                + bit_count(xor(CAST(b3 AS BIGINT), CAST(p3 AS BIGINT)))
+                AS INTEGER) AS dist
+      FROM lg WHERE p0 IS NOT NULL)
+SELECT doc_id, frame_idx, dist,
+       dist >= {ih.SHOT_THRESHOLD} AS is_boundary
+FROM d
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 fourth batch — registry tail, queued for the
+        # round-12 certification window
+        "inverted_index": (inverted_index_q, SQL_INVERTED_INDEX),
+        "audio_energy_segments": (
+            audio_energy_segments_q,
+            SQL_AUDIO_ENERGY_SEGMENTS,
+        ),
+        "video_shot_boundaries": (
+            video_shot_boundaries_q,
+            SQL_VIDEO_SHOT_BOUNDARIES,
+        ),
+    }
+)

@@ -1,0 +1,200 @@
+"""Round-11 fourth-batch operator contracts: CDC merge apply,
+last-touch attribution, bounded inverted index, audio energy
+segmentation, and video shot-boundary detection — each validated
+against a plain-Python model or a planted-edge-case fixture."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mapreduce_chisquare_spark.operators import imagehash as ih
+from mapreduce_chisquare_spark.operators import multimodal as mm
+from mapreduce_chisquare_spark.operators.textstats import inverted_index
+from mapreduce_chisquare_spark.operators.warehouse import (
+    cdc_apply,
+    events_attribution,
+)
+
+
+# ---------------------------------------------------------------------
+# cdc_apply
+# ---------------------------------------------------------------------
+
+def test_cdc_apply_latest_change_wins(spark):
+    """A superseded change must never apply: key 1 gets U(seq1) then
+    D(seq2) then U(seq3) — only the last U survives; key 2's D
+    removes it; key 3 is untouched; key 4 is a pure insert."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 11, "U", 1),
+            (1, None, "D", 2),
+            (1, 13, "U", 3),
+            (2, None, "D", 1),
+            (4, 44, "I", 1),
+        ],
+        "k long, v long, op string, seq long",
+    )
+    got = {r.k: r.v for r in cdc_apply(base, changes).collect()}
+    assert got == {1: 13, 3: 30, 4: 44}
+
+
+def test_cdc_apply_delete_of_missing_key_is_noop(spark):
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    changes = spark.createDataFrame(
+        [(9, None, "D", 1)], "k long, v long, op string, seq long"
+    )
+    got = {r.k: r.v for r in cdc_apply(base, changes).collect()}
+    assert got == {1: 10}
+
+
+# ---------------------------------------------------------------------
+# events_attribution
+# ---------------------------------------------------------------------
+
+def _ts(s: int):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_events_attribution_edge_cases(spark):
+    """Last preceding touch wins; a purchase never credits another
+    purchase; a touch older than the lookback yields NULL; a
+    same-timestamp touch counts only when its event_id precedes."""
+    day = 86400
+    rows = [
+        # user 1: click → view → purchase: credits the view (latest)
+        (101, 1, "click", 0.0, _ts(0)),
+        (102, 1, "view", 0.0, _ts(10)),
+        (103, 1, "purchase", 9.0, _ts(20)),
+        # ...and a second purchase right after: credits the view too
+        # (the first purchase is skipped — conversions aren't touches)
+        (104, 1, "purchase", 7.0, _ts(30)),
+        # user 2: touch 8 days before purchase → out of lookback
+        (201, 2, "click", 0.0, _ts(0)),
+        (202, 2, "purchase", 5.0, _ts(8 * day)),
+        # user 3: same-timestamp tie — touch id 301 < conv id 302
+        # counts; touch id 304 > conv id 303 does not
+        (301, 3, "view", 0.0, _ts(100)),
+        (302, 3, "purchase", 1.0, _ts(100)),
+        (303, 3, "purchase", 2.0, _ts(200)),
+        (304, 3, "click", 0.0, _ts(200)),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp",
+    )
+    got = {
+        r.conv_id: (r.touch_id, r.touch_type)
+        for r in events_attribution(ev).collect()
+    }
+    assert got == {
+        103: (102, "view"),
+        104: (102, "view"),
+        202: (None, None),
+        302: (301, "view"),
+        303: (301, "view"),
+    }
+
+
+# ---------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------
+
+def test_inverted_index_counts_and_bounded_postings(spark):
+    docs = spark.createDataFrame(
+        [(2, "apple banana apple"), (10, "apple cherry"), (1, "apple")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: (r.df, r.cf, r.postings)
+        for r in inverted_index(docs, max_postings=2).collect()
+    }
+    # postings sort NUMERICALLY (1,2,10 — not "1","10","2") and cap
+    # at max_postings while df/cf still count everything
+    assert got["apple"] == (3, 4, "1,2")
+    assert got["banana"] == (1, 1, "2")
+    assert got["cherry"] == (1, 1, "10")
+
+
+def test_inverted_index_topk_orders_by_df_then_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a"), (2, "b a"), (3, "b z")], "doc_id long, text string"
+    )
+    rows = inverted_index(docs, k=2).collect()
+    assert [r.term for r in rows] == ["b", "a"]
+
+
+# ---------------------------------------------------------------------
+# audio_energy_segments vs plain-Python model
+# ---------------------------------------------------------------------
+
+def _py_segments(doc_id: int):
+    samples = mm.synth_wav_samples(doc_id)
+    energies = [
+        sum(
+            abs(s)
+            for s in samples[f * mm.AUDIO_FRAME : (f + 1) * mm.AUDIO_FRAME]
+        )
+        for f in range(len(samples) // mm.AUDIO_FRAME)
+    ]
+    segs, start = [], None
+    for f, e in enumerate(energies + [0]):  # sentinel closes last run
+        active = e >= mm.AUDIO_ACTIVE_ENERGY
+        if active and start is None:
+            start = f
+        elif not active and start is not None:
+            span = energies[start:f]
+            segs.append((start, f - 1, len(span), sum(span)))
+            start = None
+    return segs
+
+
+def test_audio_energy_segments_match_python_model(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    got = {}
+    for r in mm.audio_energy_segments(docs).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.seg_start, r.seg_end, r.n_frames, r.total_energy)
+        )
+    for d in range(12):
+        assert sorted(got.get(d, [])) == sorted(_py_segments(d)), d
+
+
+# ---------------------------------------------------------------------
+# video_shot_boundaries vs plain-Python model
+# ---------------------------------------------------------------------
+
+def _py_frame_bits(doc_id: int, f: int):
+    w, h, frames = mm.synth_avi_frames_pixels(doc_id)
+    bits = []
+    for rr in range(ih.GRID_R):
+        pr = rr * (h - 1) // (ih.GRID_R - 1)
+        for cc in range(ih.GRID_C):
+            a = frames[f][pr][cc * (w - 1) // ih.GRID_C]
+            b = frames[f][pr][(cc + 1) * (w - 1) // ih.GRID_C]
+            bits.append(1 if a > b else 0)
+    return bits
+
+
+def test_video_shot_boundaries_match_python_model(spark):
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    media = docs.mapInPandas(mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA)
+    got = {
+        (r.doc_id, r.frame_idx): (r.dist, r.is_boundary)
+        for r in ih.video_shot_boundaries(media).collect()
+    }
+    want = {}
+    for d in range(9):
+        nf = 2 + d % 3
+        for f in range(1, nf):
+            a, b = _py_frame_bits(d, f - 1), _py_frame_bits(d, f)
+            dist = sum(x != y for x, y in zip(a, b))
+            want[(d, f)] = (dist, dist >= ih.SHOT_THRESHOLD)
+    assert got == want

@@ -1437,3 +1437,41 @@ def test_video_neardup_survives_slate_frame_bomb(spark):
         f"slates -> {len(got)} pairs, {recalled}/50 clones recalled, "
         f"0 bomb pairs, {wall:.1f}s end-to-end"
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index hot-term stress (round 11 fourth batch)
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_hot_term_state_stays_bounded(spark):
+    """A stopword-grade term appearing in EVERY document is the
+    inverted index's skew axis: a naive collect_list(doc_id) buffers
+    the whole corpus under one key. This executes the bounded-collect
+    claim at 100k docs — the hot term's df/cf still count everything,
+    but its materialized posting list carries exactly max_postings
+    ids (the row_number pre-cut), and wall-clock stays in the same
+    regime as the uniform-vocabulary case."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    n = 100_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # 'the' in every doc (plus twice in every 3rd), spread
+        # vocabulary elsewhere: ~26k distinct cold terms
+        "concat('the ', CASE WHEN id % 3 = 0 THEN 'the ' ELSE '' END,"
+        " 'w', CAST(id % 26000 AS STRING)) AS text",
+    )
+    t0 = time.time()
+    rows = {r.term: r for r in inverted_index(docs, k=5).collect()}
+    wall = time.time() - t0
+    hot = rows["the"]
+    assert hot.df == n
+    assert hot.cf == n + n // 3 + (1 if n % 3 else 0)
+    postings = hot.postings.split(",")
+    assert postings == [str(i) for i in range(20)]  # bounded + sorted
+    # cold terms: df == docs per vocab slot, postings all present
+    cold = rows["w0"]
+    assert cold.df == (n + 25999) // 26000
+    assert wall < 120, f"inverted index at 100k docs took {wall:.0f}s"
