@@ -197,6 +197,10 @@ HEADLINE = [
     "video_shot_boundaries",
     "cdc_apply",
     "events_attribution",
+    # round-11 fifth batch (first measurement = their baseline)
+    "graph_label_propagation",
+    "events_markov_transitions",
+    "compaction_plan",
 ]
 
 # ---------------------------------------------------------------------------

@@ -441,3 +441,59 @@ def basket_rules(
     return scored.orderBy(
         F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
     ).limit(int(k))
+
+
+LPA_ITERATIONS = 3
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected edge list (columns `lo`, `hi`; duplicates allowed —
+    symmetrized and deduped here). Returns (node, community).
+
+    Contract (shared exactly with the DuckDB twin): labels start as
+    each node's own id; every round, EVERY node simultaneously adopts
+    the most frequent label among its neighbours, ties broken by the
+    SMALLER label, for a fixed `iterations` rounds. All-integer
+    states and a total tie order make the result bit-identical across
+    engines and partitionings — the async/random-order LPA variants
+    converge faster but are irreproducible, which disqualifies them
+    as a certified operator.
+
+    Scale shape: the symmetrized edge relation materializes once
+    (localCheckpoint; bucketed layout at cluster scale) and each
+    round is the canonical pair — one join carrying (node, lbl) over
+    |E|, one (node, lbl) count aggregate, one per-node window argmax
+    on the SAME node partitioning. Label state is |V| rows,
+    checkpointed per round to truncate lineage. No driver state; the
+    round count, not |V|, bounds the chain."""
+    sym = (
+        edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .union(
+            edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(int(iterations)):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        cnt = nb.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -192,3 +192,47 @@ def bucketed_join(
     lt = bucketed_table(left, left_name, left_key, buckets)
     rt = bucketed_table(right, right_name, right_key, buckets)
     return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    id_col: str = "path",
+    size_col: str = "size",
+) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance op
+    that turns a directory of 10k tiny parquet files into rewrite
+    groups of ~`target_bytes`: files are laid end-to-end in id order
+    and cut into bins wherever the running total crosses the target
+    (first-fit in a FIXED order, so the plan is deterministic and
+    incremental runs produce stable group ids). Returns one row per
+    bin: (bin, n_files, total_size, first_id, last_id).
+
+    Scale shape: a running cumulative sum over the id order, bin =
+    floor((cumsum - size) / target) — the file BEFORE this one
+    decides the bin, so a file larger than the target gets its own
+    bin and never splits. The window is a single global order over
+    the FILE LISTING (catalog-sized: one row per file, ~10^5 rows for
+    a 100 TB table — not data-sized), then a per-bin aggregate. The
+    data itself is never read; executing the plan is the rewrite
+    job's problem."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.select(
+        F.col(id_col).alias("__id"),
+        F.col(size_col).alias("__sz"),
+        (
+            (F.sum(size_col).over(w) - F.col(size_col))
+            / F.lit(int(target_bytes))
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("__sz").cast("long").alias("total_size"),
+        F.min("__id").alias("first_id"),
+        F.max("__id").alias("last_id"),
+    )

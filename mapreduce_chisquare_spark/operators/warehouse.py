@@ -873,3 +873,46 @@ def events_attribution(
         F.when(in_window, F.col("__t.t_id")).alias("touch_id"),
         F.when(in_window, F.col("__t.t_type")).alias("touch_type"),
     )
+
+
+def events_markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    sequences — the behavioral model next to funnel/retention/
+    attribution: for each ordered pair of event types, how often does
+    `from_type` lead directly to `to_type` within a user's timeline,
+    and what share of `from_type`'s departures is that? Returns
+    (from_type, to_type, n, prob) with prob = n / Σ_to n — each
+    user's LAST event has no successor and contributes no row.
+
+    Order is the total (ts, event_id) tuple, so same-timestamp rows
+    resolve deterministically; prob is one division of two exact
+    counts (no float accumulation).
+
+    Scale shape: ONE exchange on user_id for the lead window, then a
+    type-pair aggregate (type-cardinality², tiny) and a broadcast-
+    sized per-from_type total attached via a window over the SAME
+    grouped relation — no second scan of events, no join back."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # per-from totals over the already-aggregated relation: bounded
+    # by the type-pair cardinality, so the unpartitioned concern
+    # doesn't arise (window partitions by from_type anyway)
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("prob"),
+    )

@@ -1371,3 +1371,160 @@ ANALYTICS_QUERIES.update(
         "events_attribution": (events_attribution_q, SQL_EVENTS_ATTRIBUTION),
     }
 )
+
+
+# =========================================================================
+# Label-propagation communities + Markov transitions + compaction plan
+# =========================================================================
+
+def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities (operators/graph.py
+    label_propagation) over the support-2 co-order part graph with
+    the planted K4 — the same edge relation graph_triangles counts,
+    so the community structure is certified on a graph with known
+    dense subsets."""
+    from ..operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    ).union(
+        spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_key") == F.col("b.o_key"))
+            & (F.col("a.p_key") < F.col("b.p_key")),
+        )
+        .groupBy(
+            F.col("a.p_key").alias("lo"), F.col("b.p_key").alias("hi")
+        )
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("lo", "hi")
+    )
+    return label_propagation(edges)
+
+
+def _sql_label_propagation(iterations: int = 3) -> str:
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    blocks = [
+        f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+eg AS MATERIALIZED (
+  SELECT a.p_key AS lo, b.p_key AS hi
+  FROM op a JOIN op b ON a.o_key = b.o_key AND a.p_key < b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= 2),
+sym AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM eg UNION SELECT hi, lo FROM eg),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM sym)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        p = i - 1
+        blocks.append(
+            f"""
+c{i} AS (SELECT s.a AS node, l.lbl, count(*) AS c
+        FROM sym s JOIN l{p} l ON l.node = s.b
+        GROUP BY s.a, l.lbl),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1)"""
+        )
+    return (
+        ",".join(blocks)
+        + f"\nSELECT node, lbl AS community FROM l{int(iterations)}\n"
+    )
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _sql_label_propagation()
+
+
+def events_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table (operators/warehouse.py
+    events_markov_transitions) over per-user event sequences, with
+    the (ts, event_id) total order pinning same-timestamp rows."""
+    from ..operators.warehouse import events_markov_transitions
+
+    return events_markov_transitions(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_MARKOV = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  event_type
+           FROM events),
+p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id)
+               AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS prob
+FROM c
+"""
+
+
+COMPACTION_TARGET = 50_000  # bytes per rewrite group at test SFs
+
+
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.py
+    compaction_plan) over a file listing derived from documents
+    (path = zero-padded doc id so lexicographic == numeric order,
+    size = n_chars): deterministic bins of ~COMPACTION_TARGET."""
+    from ..operators.layout import compaction_plan
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.format_string("f%08d", F.col("doc_id")).alias("path"),
+        F.col("n_chars").alias("size"),
+    )
+    return compaction_plan(files, COMPACTION_TARGET)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH f AS (SELECT printf('f%08d', doc_id) AS path, n_chars AS size
+           FROM documents),
+c AS (SELECT path, size,
+             sum(size) OVER (ORDER BY path
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - size AS cum_before
+      FROM f)
+SELECT CAST(cum_before // {COMPACTION_TARGET} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       min(path) AS first_id, max(path) AS last_id
+FROM c GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 fifth batch — registry tail, queued for the
+        # round-12 certification window
+        "graph_label_propagation": (
+            graph_label_propagation_q,
+            SQL_GRAPH_LABEL_PROPAGATION,
+        ),
+        "events_markov_transitions": (
+            events_markov_transitions_q,
+            SQL_EVENTS_MARKOV,
+        ),
+        "compaction_plan": (compaction_plan_q, SQL_COMPACTION_PLAN),
+    }
+)

@@ -198,3 +198,113 @@ def test_video_shot_boundaries_match_python_model(spark):
             dist = sum(x != y for x, y in zip(a, b))
             want[(d, f)] = (dist, dist >= ih.SHOT_THRESHOLD)
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# label_propagation vs plain-Python model
+# ---------------------------------------------------------------------
+
+def _py_lpa(edge_list, iterations=3):
+    sym = set()
+    for lo, hi in edge_list:
+        if lo != hi:
+            sym.add((lo, hi))
+            sym.add((hi, lo))
+    nodes = sorted({a for a, _ in sym})
+    lbl = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            freq = {}
+            for a, b in sym:
+                if a == n:
+                    freq[lbl[b]] = freq.get(lbl[b], 0) + 1
+            new[n] = min(
+                freq, key=lambda v: (-freq[v], v)
+            )
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_python_model(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must keep the
+    cliques in distinct communities and agree with the synchronous
+    plain-Python model node for node."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    clique2 = [(11, 12), (11, 13), (11, 14), (12, 13), (12, 14),
+               (13, 14)]
+    bridge = [(4, 11)]
+    edges = clique1 + clique2 + bridge
+    df = spark.createDataFrame(edges, "lo long, hi long")
+    got = {
+        r.node: r.community for r in label_propagation(df).collect()
+    }
+    assert got == _py_lpa(edges)
+    # the clique interiors never cross the bridge
+    assert len({got[n] for n in (1, 2, 3)}) == 1
+    assert len({got[n] for n in (12, 13, 14)}) == 1
+    assert got[1] != got[12]
+
+
+# ---------------------------------------------------------------------
+# events_markov_transitions
+# ---------------------------------------------------------------------
+
+def test_events_markov_transitions_counts_and_probs(spark):
+    rows = [
+        # user 1: view -> click -> view   (ties broken by event_id)
+        (1, 1, "view", 0.0, _ts(0)),
+        (2, 1, "click", 0.0, _ts(10)),
+        (3, 1, "view", 0.0, _ts(20)),
+        # user 2: view -> purchase; purchase is user 2's last event
+        (4, 2, "view", 0.0, _ts(0)),
+        (5, 2, "purchase", 1.0, _ts(10)),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp",
+    )
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        events_markov_transitions,
+    )
+
+    got = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in events_markov_transitions(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+# ---------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------
+
+def test_compaction_plan_bins_and_oversize_file(spark):
+    """Files fill a bin until the running total crosses the target; a
+    file bigger than the target still lands in exactly one bin."""
+    from mapreduce_chisquare_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    files = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 12), ("d", 1)],
+        "path string, size long",
+    )
+    got = {
+        r.bin: (r.n_files, r.total_size, r.first_id, r.last_id)
+        for r in compaction_plan(files, 10).collect()
+    }
+    assert got == {
+        0: (2, 10, "a", "b"),
+        1: (1, 12, "c", "c"),
+        2: (1, 1, "d", "d"),
+    }
