@@ -201,6 +201,7 @@ HEADLINE = [
     "graph_label_propagation",
     "events_markov_transitions",
     "compaction_plan",
+    "lm_heldout_score",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1328,3 +1328,69 @@ def inverted_index(
         ).alias("postings"),
     )
     return agg.orderBy(F.desc("df"), F.asc("term")).limit(int(k))
+
+
+def lm_heldout_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_mod: int = 10,
+    train_rem: int = 0,
+) -> DataFrame:
+    """Held-out-trained unigram LM scoring with OOV smoothing — the
+    CCNet-shaped quality filter lm_unigram_score cannot express: the
+    model is fit on a DESIGNATED split (doc_id % train_mod ==
+    train_rem — in production: the trusted target-domain corpus) and
+    applied to EVERY document, so scoring-set tokens can be unseen.
+    Add-one smoothing over the train counts handles them:
+    p(w) = (c_train(w) + 1) / (T + V + 1), where T = train token
+    count and V = train vocabulary size, so an OOV token gets the
+    floor mass 1/(T + V + 1). Returns (doc_id, n_tokens, n_oov,
+    avg_logprob) for documents with >= 1 token;
+    avg_logprob = (Σ tf·ln(c+1))/Σtf − ln(T+V+1) — the corpus scalar
+    attaches ONCE after the per-doc aggregate.
+
+    Scale shape: the lm_unigram_score skeleton. The token stream
+    shuffles ONCE on term; the per-(doc, term) tf aggregate, the
+    train-count roll-up (filtered from the SAME relation — the train
+    split is not re-scanned), the count left-join, and the (T, V)
+    scalar all sit on that exchange; then one doc-level exchange for
+    the mean. (T, V) is a 1-row broadcast."""
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    )
+    tf = (
+        toks.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    train_c = (
+        tf.filter(
+            F.col("doc_id") % F.lit(int(train_mod))
+            == F.lit(int(train_rem))
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+    )
+    tv = train_c.agg(
+        (F.sum("c") + F.count("*") + F.lit(1)).alias("tv1")
+    )
+    scored = tf.join(train_c, "term", "left")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(
+            F.col("tf")
+            * F.log(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+        ).alias("__s"),
+    )
+    return per_doc.crossJoin(F.broadcast(tv)).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (
+            F.col("__s") / F.col("n_tokens")
+            - F.log(F.col("tv1").cast("double"))
+        ).alias("avg_logprob"),
+    )

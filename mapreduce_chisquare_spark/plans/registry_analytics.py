@@ -1280,23 +1280,38 @@ def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
     base = o.filter(F.col("k") % 100 < 90)
-    c1 = o.filter(F.col("k") % 5 == 0).select(
-        "k", (F.col("v") + 111).alias("v"),
-        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+
+    def _chg(cond, v, op: str, seq: int):
+        return F.when(
+            cond,
+            F.struct(
+                v.cast("long").alias("v"),
+                F.lit(op).alias("op"),
+                F.lit(seq).alias("seq"),
+            ),
+        )
+
+    # one scan of the change source: each row emits its (possibly
+    # several) change records from a filtered conditional array —
+    # the per-slice union form re-scanned orders four times
+    slices = F.filter(
+        F.array(
+            _chg(F.col("k") % 5 == 0, F.col("v") + 111, "U", 1),
+            _chg(
+                (F.col("k") % 100 >= 90) & (F.col("k") % 3 == 0),
+                F.lit(555),
+                "I",
+                2,
+            ),
+            _chg(F.col("k") % 11 == 0, F.lit(None), "D", 3),
+            _chg(F.col("k") % 55 == 0, F.col("v") + 999, "U", 4),
+        ),
+        lambda c: c.isNotNull(),
     )
-    c2 = o.filter((F.col("k") % 100 >= 90) & (F.col("k") % 3 == 0)).select(
-        "k", F.lit(555).cast("long").alias("v"),
-        F.lit("I").alias("op"), F.lit(2).alias("seq"),
+    changes = o.select("k", F.explode(slices).alias("__c")).select(
+        "k", F.col("__c.v").alias("v"), F.col("__c.op").alias("op"),
+        F.col("__c.seq").alias("seq"),
     )
-    c3 = o.filter(F.col("k") % 11 == 0).select(
-        "k", F.lit(None).cast("long").alias("v"),
-        F.lit("D").alias("op"), F.lit(3).alias("seq"),
-    )
-    c4 = o.filter(F.col("k") % 55 == 0).select(
-        "k", (F.col("v") + 999).alias("v"),
-        F.lit("U").alias("op"), F.lit(4).alias("seq"),
-    )
-    changes = c1.unionByName(c2).unionByName(c3).unionByName(c4)
     return cdc_apply(base, changes, key="k", val="v")
 
 

@@ -5900,3 +5900,86 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+def lm_heldout_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram LM with add-one OOV smoothing
+    (operators/textstats.py lm_heldout_score): fit on the doc_id %
+    10 == 0 split, score everything — the train/apply-split scorer
+    whose OOV path the corpus-self-trained LMs never exercise."""
+    return tx.lm_heldout_score(_docs(spark, sf_dir))
+
+
+SQL_LM_HELDOUT = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY doc_id, term),
+tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+       FROM tf WHERE doc_id % 10 = 0 GROUP BY term),
+tv AS (SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS tv1 FROM tc),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN c IS NULL THEN tf ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+              sum(CAST(tf AS DOUBLE)
+                  * ln(CAST(coalesce(c, 0) + 1 AS DOUBLE))) AS s
+       FROM tf LEFT JOIN tc USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       s / CAST(n_tokens AS DOUBLE) - ln(CAST(tv1 AS DOUBLE))
+         AS avg_logprob
+FROM pd, tv
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 fifth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "lm_heldout_score": (lm_heldout_score_q, SQL_LM_HELDOUT),
+    }
+)
+
+
+def stream_cdc_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest screen (streaming/cdc.py
+    cdc_screen_stream): arriving change rows classify themselves
+    against the static snapshot — stateless, append mode, the batch
+    classification join is the oracle."""
+    from ..streaming.cdc import cdc_screen_stream
+
+    return cdc_screen_stream(spark, sf_dir)
+
+
+SQL_STREAM_CDC_SCREEN = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS base_v
+  FROM orders WHERE o_orderkey % 100 < 90),
+ch AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) + 111
+         END AS v,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+              WHEN o_orderkey % 11 = 0 THEN 'D' END AS op
+  FROM orders)
+SELECT c.k, c.op, c.v,
+       CASE WHEN c.op = 'D' AND b.base_v IS NOT NULL THEN 'delete'
+            WHEN c.op = 'D' THEN 'delete_unknown'
+            WHEN b.base_v IS NOT NULL THEN 'update'
+            ELSE 'insert' END AS klass
+FROM ch c LEFT JOIN base b ON c.k = b.k
+WHERE c.op IS NOT NULL
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 fifth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "stream_cdc_screen": (stream_cdc_screen_q, SQL_STREAM_CDC_SCREEN),
+    }
+)

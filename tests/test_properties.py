@@ -1148,3 +1148,50 @@ def test_wav_pcm_roundtrip_property(n_frames, seed):
     )
     sr, ch, got = mm.decode_wav_samples(blob)
     assert (sr, ch) == (8000, 1) and got == samples
+
+
+# ---------------------------------------------------------------------
+# cdc_apply ≡ sequential change replay (round 11)
+# ---------------------------------------------------------------------
+
+_cdc_keys = st.integers(min_value=0, max_value=6)
+_cdc_base = st.dictionaries(_cdc_keys, st.integers(0, 99), max_size=5)
+_cdc_changes = st.lists(
+    st.tuples(
+        _cdc_keys,
+        st.integers(0, 99),
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    max_size=12,
+)
+
+
+@given(base=_cdc_base, changes=_cdc_changes)
+@settings(**_SETTINGS)
+def test_cdc_apply_equals_sequential_replay(spark, base, changes):
+    """cdc_apply's latest-wins compaction must equal literally
+    replaying the change stream in seq order onto a dict — for ANY
+    interleaving of inserts, updates, and deletes, including deletes
+    of absent keys and re-inserts after delete."""
+    from mapreduce_chisquare_spark.operators.warehouse import cdc_apply
+
+    state = dict(base)
+    for k, v, op in changes:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    ch_df = spark.createDataFrame(
+        [
+            (k, None if op == "D" else v, op, i)
+            for i, (k, v, op) in enumerate(changes)
+        ]
+        or [(None, None, None, None)],
+        "k long, v long, op string, seq long",
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.v for r in cdc_apply(base_df, ch_df).collect()}
+    assert got == state

@@ -308,3 +308,36 @@ def test_compaction_plan_bins_and_oversize_file(spark):
         1: (1, 12, "c", "c"),
         2: (1, 1, "d", "d"),
     }
+
+
+# ---------------------------------------------------------------------
+# lm_heldout_score
+# ---------------------------------------------------------------------
+
+def test_lm_heldout_score_oov_and_train_split(spark):
+    """Model fits ONLY on the train split (doc_id % 10 == 0); unseen
+    tokens take the add-one floor mass. Hand-computed expectations:
+    train = doc 0 ('a a b') → c(a)=2, c(b)=1, T=3, V=2, T+V+1=6."""
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        lm_heldout_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a z"), (21, "z z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.avg_logprob)
+        for r in lm_heldout_score(docs).collect()
+    }
+    ln6 = math.log(6.0)
+    # doc 0: tokens a,a,b → (2*ln3 + ln2)/3 - ln6 ; 0 OOV
+    exp0 = (2 * math.log(3.0) + math.log(2.0)) / 3 - ln6
+    # doc 1: a (seen, ln3), z (OOV, ln1=0) → ln3/2 - ln6 ; 1 OOV
+    exp1 = math.log(3.0) / 2 - ln6
+    # doc 21: all OOV → -ln6 ; 2 OOV
+    assert got[0][0:2] == (3, 0) and abs(got[0][2] - exp0) < 1e-12
+    assert got[1][0:2] == (2, 1) and abs(got[1][2] - exp1) < 1e-12
+    assert got[21][0:2] == (2, 2) and abs(got[21][2] + ln6) < 1e-12
