@@ -202,6 +202,9 @@ HEADLINE = [
     "events_markov_transitions",
     "compaction_plan",
     "lm_heldout_score",
+    # round-11 sixth batch (first measurement = their baseline)
+    "dq_checks",
+    "html_strip",
 ]
 
 # ---------------------------------------------------------------------------
@@ -334,6 +337,7 @@ BENCH_EXCLUDED_LIGHT = [
     "window_lag",
     "window_moving_sum",
     "window_ntile",
+    "window_percentiles",
     "window_range_frame",
     "window_ranking",
     "window_sliding",

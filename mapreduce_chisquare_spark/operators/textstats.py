@@ -1394,3 +1394,38 @@ def lm_heldout_score(
             - F.log(F.col("tv1").cast("double"))
         ).alias("avg_logprob"),
     )
+
+
+def html_strip(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Markup-to-text extraction — the first stage of every web-crawl
+    pipeline (the input to lang-id / quality / dedup is STRIPPED
+    text, not raw HTML): drop tags, decode the five XML/HTML core
+    entities, squeeze the whitespace runs stripping leaves behind.
+    Returns (doc_id, text).
+
+    Pure Catalyst expressions (regexp_replace chain — no Python), so
+    the strip runs inside whole-stage codegen map-side with ZERO
+    exchanges: at 100 TB this stage is scan-bound, exactly as it
+    should be. The tag regex `<[^>]*>` is the bounded non-backtracking
+    form (no nested quantifiers); script/style CONTENT is dropped
+    first with a reluctant match so their inline payloads don't leak
+    into text. Real-world tag-soup recovery (unclosed tags, CDATA)
+    belongs to a full parser — documented out of scope, fail-soft:
+    unparseable fragments stay as text rather than erroring."""
+    x = F.col(html_col)
+    # script/style payloads out first (reluctant inner match),
+    # then all tags, then entities, then whitespace normalization
+    x = F.regexp_replace(x, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return pages.select("doc_id", x.alias("text"))

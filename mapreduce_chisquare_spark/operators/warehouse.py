@@ -916,3 +916,90 @@ def events_markov_transitions(events: DataFrame) -> DataFrame:
         "n",
         (F.col("n").cast("double") / tot.cast("double")).alias("prob"),
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    non_negative: list[str] = (),
+    ref: tuple[str, DataFrame, str] | None = None,
+) -> DataFrame:
+    """Expectation-suite evaluation — the acceptance gate a drop runs
+    AFTER dq_profile has described it: each declared rule yields one
+    row (rule, n_checked, n_failed, passed) where passed = n_failed
+    == 0. Rules: not-null per column, uniqueness per column,
+    non-negativity per numeric column, and referential integrity
+    (`ref` = (fk_col, dim_df, pk_col): every foreign key must exist
+    in the dimension).
+
+    Scale shape: all not-null/non-negative rules fold into ONE
+    map-side-combinable aggregation pass over the input (a conditional
+    sum per rule — never a pass per rule). Each uniqueness rule is
+    one column-pruned aggregate (count - count_distinct); the
+    referential rule is one left-anti join against the dimension
+    counted. The rule report is rows-per-rule tiny, assembled with a
+    unioned explode — the input is scanned once plus once per
+    unique/ref rule, each scan pruned to a single column."""
+    reports = []
+    scans = []
+    for c in not_null:
+        scans.append(
+            F.struct(
+                F.lit(f"not_null:{c}").alias("rule"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_failed"),
+            )
+        )
+    for c in non_negative:
+        scans.append(
+            F.struct(
+                F.lit(f"non_negative:{c}").alias("rule"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum((F.col(c) < 0).cast("long")).alias("n_failed"),
+            )
+        )
+    if scans:
+        wide = df.agg(F.array(*scans).alias("__rules"))
+        reports.append(
+            wide.select(F.explode("__rules").alias("r")).select("r.*")
+        )
+    for c in unique:
+        reports.append(
+            df.agg(
+                F.lit(f"unique:{c}").alias("rule"),
+                F.count(F.col(c)).alias("n_checked"),
+                (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(
+                    "n_failed"
+                ),
+            )
+        )
+    if ref is not None:
+        fk, dim, pk = ref
+        orphans = df.select(F.col(fk).alias("__fk")).join(
+            dim.select(F.col(pk).alias("__fk")).distinct(),
+            "__fk",
+            "left_anti",
+        )
+        reports.append(
+            df.agg(F.count(F.col(fk)).alias("n_checked"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_failed"))
+            )
+            .select(
+                F.lit(f"ref:{fk}").alias("rule"),
+                "n_checked",
+                "n_failed",
+            )
+        )
+    if not reports:
+        raise ValueError("dq_checks: no rules declared")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )

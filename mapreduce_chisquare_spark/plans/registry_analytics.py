@@ -12,7 +12,7 @@ shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import (
@@ -1541,5 +1541,100 @@ ANALYTICS_QUERIES.update(
             SQL_EVENTS_MARKOV,
         ),
         "compaction_plan": (compaction_plan_q, SQL_COMPACTION_PLAN),
+    }
+)
+
+
+# =========================================================================
+# Expectation-suite checks + percentile windows (round 11 sixth batch)
+# =========================================================================
+
+def dq_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite gate (operators/warehouse.py dq_checks) over
+    lineitem: not-null and non-negative rules folded into one
+    aggregation pass, a uniqueness rule that genuinely FAILS
+    (l_orderkey repeats per line), and referential integrity against
+    orders via one anti-join."""
+    from ..operators.warehouse import dq_checks
+
+    return dq_checks(
+        _t(spark, sf_dir, "lineitem"),
+        not_null=["l_orderkey", "l_shipdate"],
+        unique=["l_orderkey"],
+        non_negative=["l_extendedprice", "l_discount"],
+        ref=("l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey"),
+    )
+
+
+SQL_DQ_CHECKS = """
+WITH r AS (
+  SELECT 'not_null:l_orderkey' AS rule,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_failed
+  FROM lineitem
+  UNION ALL
+  SELECT 'not_null:l_shipdate', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'non_negative:l_extendedprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'non_negative:l_discount', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique:l_orderkey', CAST(count(l_orderkey) AS BIGINT),
+         CAST(count(l_orderkey) - count(DISTINCT l_orderkey)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'ref:l_orderkey', CAST(count(l_orderkey) AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_orderkey = l.l_orderkey))
+  FROM lineitem)
+SELECT rule, n_checked, n_failed, n_failed = 0 AS passed FROM r
+"""
+
+
+def window_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — the two rank-normalizing window
+    functions the window family (rank/dense/ntile/lag/frames) did not
+    yet cover; both are functions of the ORDER KEY VALUE alone, so
+    ties cannot make them nondeterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_PERCENTILES = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       percent_rank() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS pct_rank,
+       cume_dist() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_quantity) AS cume
+FROM lineitem
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 sixth batch — registry tail, queued for the
+        # round-12 certification window
+        "dq_checks": (dq_checks_q, SQL_DQ_CHECKS),
+        "window_percentiles": (window_percentiles_q, SQL_WINDOW_PERCENTILES),
     }
 )

@@ -5983,3 +5983,74 @@ EXTENSION_QUERIES.update(
         "stream_cdc_screen": (stream_cdc_screen_q, SQL_STREAM_CDC_SCREEN),
     }
 )
+
+
+_HTML_TAIL = (
+    '</p><p>AT&amp;T says 1 &lt; 2 &quot;q&quot; &apos;a&apos;</p>'
+    '<script type="text/javascript">var hidden = "LEAK";</script>'
+    "</body></html>"
+)
+
+
+def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction (operators/textstats.py html_strip)
+    over a deterministic wrapping of documents.text in real page
+    structure — head/style block, heading, inline tags, entity-coded
+    punctuation, and a trailing script whose payload must NOT leak
+    into the text. Both engines build the identical page string;
+    each strips with its own regex engine, so equality certifies the
+    tag/entity/whitespace chain."""
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><style>p {color: red}</style></head>"
+                "<body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.replace(
+                F.col("text"), F.lit(" data "), F.lit(" <b>data</b> ")
+            ),
+            F.lit(_HTML_TAIL),
+        ).alias("html"),
+    )
+    return tx.html_strip(pages)
+
+
+SQL_HTML_STRIP = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><style>p {{color: red}}</style></head>'
+         || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || replace(text, ' data ', ' <b>data</b> ')
+         || '{_HTML_TAIL.replace("'", "''")}' AS html
+  FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g') AS h
+       FROM pages),
+s2 AS (SELECT doc_id,
+              regexp_replace(h,
+                '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g') AS h
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS h
+       FROM s2),
+s4 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(h,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&apos;', ''''), '&amp;', '&') AS h
+       FROM s3)
+SELECT doc_id,
+       trim(regexp_replace(h, '\\s+', ' ', 'g')) AS text
+FROM s4
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "html_strip": (html_strip_q, SQL_HTML_STRIP),
+    }
+)

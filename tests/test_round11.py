@@ -341,3 +341,67 @@ def test_lm_heldout_score_oov_and_train_split(spark):
     assert got[0][0:2] == (3, 0) and abs(got[0][2] - exp0) < 1e-12
     assert got[1][0:2] == (2, 1) and abs(got[1][2] - exp1) < 1e-12
     assert got[21][0:2] == (2, 2) and abs(got[21][2] + ln6) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# dq_checks
+# ---------------------------------------------------------------------
+
+def test_dq_checks_rules_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (2, None), (4, 7)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    from mapreduce_chisquare_spark.operators.warehouse import dq_checks
+
+    got = {
+        r.rule: (r.n_checked, r.n_failed, r.passed)
+        for r in dq_checks(
+            df,
+            not_null=["v"],
+            unique=["k"],
+            non_negative=["v"],
+            ref=("k", dim, "pk"),
+        ).collect()
+    }
+    assert got["not_null:v"] == (4, 1, False)
+    assert got["unique:k"] == (4, 1, False)  # k=2 twice
+    # null v is neither < 0 nor counted as failed
+    assert got["non_negative:v"] == (4, 1, False)
+    assert got["ref:k"] == (4, 1, False)  # k=4 not in dim
+
+
+def test_dq_checks_no_rules_raises(spark):
+    import pytest as _pytest
+
+    from mapreduce_chisquare_spark.operators.warehouse import dq_checks
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        dq_checks(df)
+
+
+# ---------------------------------------------------------------------
+# html_strip
+# ---------------------------------------------------------------------
+
+def test_html_strip_tags_entities_script_payload(spark):
+    from mapreduce_chisquare_spark.operators.textstats import html_strip
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><style a="b">h1 {x}</style></head><body>'
+                "<h1>Title</h1><p>one  <b>two</b></p>"
+                "<script>var secret = 'LEAK';</script>"
+                "<p>AT&amp;T &lt;raw&gt; &amp;lt;</p></body></html>",
+            ),
+            (2, "no markup at all"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r.doc_id: r.text for r in html_strip(pages).collect()}
+    assert got[1] == 'Title one two AT&T <raw> &lt;'
+    assert "LEAK" not in got[1] and "{x}" not in got[1]
+    assert got[2] == "no markup at all"
