@@ -205,6 +205,7 @@ HEADLINE = [
     # round-11 sixth batch (first measurement = their baseline)
     "dq_checks",
     "html_strip",
+    "ts_forecast_holt_winters",
 ]
 
 # ---------------------------------------------------------------------------

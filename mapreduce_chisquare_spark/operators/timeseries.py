@@ -1655,3 +1655,94 @@ def ts_acf(
         F.col("cell.m").alias("n_pairs"),
         ((m * sxy - sx * sy) / (F.sqrt(da) * F.sqrt(db))).alias("acf"),
     )
+
+
+def ts_forecast_holt_winters(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+    period: int = 4,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series Holt-Winters additive (triple exponential)
+    smoothing — the seasonal rung above ts_forecast_holt: level,
+    trend, AND an m-slot additive seasonal state (Winters 1960,
+    public). Fold over the (ts, event_id)-ordered values with the
+    element at 1-based position p touching seasonal slot
+    j = ((p - 1) mod m) + 1:
+
+        l' = (x - s_j)*alpha + (l + b)*(1 - alpha)
+        b' = (l' - l)*beta + b*(1 - beta)
+        s_j' = (x - l')*gamma + s_j*(1 - gamma)
+
+    seeded (l, b, s) = (x1, 0, zeros(m)) — the zero seasonal seed
+    keeps single-point series well-defined and is the SAME simple
+    init on both engines (textbook inits fit a first-cycle regression;
+    a certified operator needs a closed-form seed). Returns (user_id,
+    n_points, level, trend, season_next, forecast_1 = level + trend +
+    season_next) where season_next is the slot the NEXT point would
+    touch.
+
+    Cross-engine exactness: the ts_forecast_holt discipline — the
+    DuckDB twin iterates the identical recurrence as a recursive CTE
+    (never list_reduce: its in-place struct mutation reads l' where l
+    is meant), l' is inlined into b' and s_j' on BOTH sides so the
+    double-rounding pattern matches, and the seasonal array is
+    rebuilt per step by slice-concat (no in-place element write
+    exists in either engine's expression language — the same rebuild
+    both sides). Scale shape: identical to the other folds — one
+    user-keyed exchange, one materialized-array pass; per-step state
+    adds m doubles."""
+    m = int(period)
+    a1, a2 = float(alpha), 1.0 - float(alpha)
+    b1, b2 = float(beta), 1.0 - float(beta)
+    g1, g2 = float(gamma), 1.0 - float(gamma)
+    arr = _user_value_arrays(events, value_col)
+
+    def _j(acc):  # 1-based seasonal slot of the element consumed now
+        return (acc["i"] % F.lit(m)) + F.lit(1)
+
+    def _sj(acc):
+        return F.element_at(acc["s"], _j(acc))
+
+    def _lvl(acc, x):
+        return (x - _sj(acc)) * F.lit(a1) + (
+            acc["l"] + acc["b"]
+        ) * F.lit(a2)
+
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.array_repeat(F.lit(0.0), m).alias("s"),
+            F.lit(1).alias("i"),
+        ),
+        lambda acc, x: F.struct(
+            _lvl(acc, x).alias("l"),
+            (
+                (_lvl(acc, x) - acc["l"]) * F.lit(b1)
+                + acc["b"] * F.lit(b2)
+            ).alias("b"),
+            F.concat(
+                F.slice(acc["s"], F.lit(1), _j(acc) - F.lit(1)),
+                F.array(
+                    (x - _lvl(acc, x)) * F.lit(g1) + _sj(acc) * F.lit(g2)
+                ),
+                F.slice(acc["s"], _j(acc) + F.lit(1), F.lit(m) - _j(acc)),
+            ).alias("s"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        ),
+    )
+    season_next = F.element_at(
+        fold["s"], (F.size("vals") % F.lit(m)) + F.lit(1)
+    )
+    return arr.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_points"),
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        season_next.alias("season_next"),
+        (fold["l"] + fold["b"] + season_next).alias("forecast_1"),
+    )

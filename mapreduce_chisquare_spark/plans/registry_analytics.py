@@ -1638,3 +1638,79 @@ ANALYTICS_QUERIES.update(
         "window_percentiles": (window_percentiles_q, SQL_WINDOW_PERCENTILES),
     }
 )
+
+
+# =========================================================================
+# Holt-Winters additive seasonal forecast (round 11 sixth batch)
+# =========================================================================
+
+_HW_A, _HW_B, _HW_G, _HW_M = 0.3, 0.2, 0.3, 4
+
+
+def ts_forecast_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ts_forecast_holt_winters
+
+    return ts_forecast_holt_winters(
+        _t(spark, sf_dir, "events"),
+        alpha=_HW_A, beta=_HW_B, gamma=_HW_G, period=_HW_M,
+    )
+
+
+def _sql_holt_winters(
+    alpha: float = _HW_A,
+    beta: float = _HW_B,
+    gamma: float = _HW_G,
+    m: int = _HW_M,
+) -> str:
+    """Recursive-CTE twin of the Holt-Winters fold — the _sql_holt
+    discipline (never list_reduce; l' inlined into b' and the
+    seasonal update; slice-concat array rebuild)."""
+    a1, a2 = repr(float(alpha)), repr(1.0 - float(alpha))
+    b1, b2 = repr(float(beta)), repr(1.0 - float(beta))
+    g1, g2 = repr(float(gamma)), repr(1.0 - float(gamma))
+    j = f"((i % {m}) + 1)"
+    lvl = (
+        f"(vals[i + 1] - sn[{j}]) * CAST({a1} AS DOUBLE) "
+        f"+ (l + b) * CAST({a2} AS DOUBLE)"
+    )
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * int(m))
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+           AS vals
+  FROM events GROUP BY user_id),
+rec AS (
+  SELECT user_id, vals, 1 AS i,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         [{zeros}] AS sn
+  FROM s
+  UNION ALL
+  SELECT user_id, vals, i + 1,
+         {lvl},
+         ({lvl} - l) * CAST({b1} AS DOUBLE)
+           + b * CAST({b2} AS DOUBLE),
+         list_concat(list_concat(
+           list_slice(sn, 1, {j} - 1),
+           [(vals[i + 1] - ({lvl})) * CAST({g1} AS DOUBLE)
+            + sn[{j}] * CAST({g2} AS DOUBLE)]),
+           list_slice(sn, {j} + 1, {m}))
+  FROM rec WHERE i < len(vals))
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+       l AS level, b AS trend,
+       sn[(len(vals) % {m}) + 1] AS season_next,
+       l + b + sn[(len(vals) % {m}) + 1] AS forecast_1
+FROM rec WHERE i = len(vals)
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "ts_forecast_holt_winters": (
+            ts_forecast_holt_winters_q,
+            _sql_holt_winters(),
+        ),
+    }
+)

@@ -405,3 +405,54 @@ def test_html_strip_tags_entities_script_payload(spark):
     assert got[1] == 'Title one two AT&T <raw> &lt;'
     assert "LEAK" not in got[1] and "{x}" not in got[1]
     assert got[2] == "no markup at all"
+
+
+# ---------------------------------------------------------------------
+# ts_forecast_holt_winters vs plain-Python model
+# ---------------------------------------------------------------------
+
+def _py_holt_winters(vals, a=0.3, b=0.2, g=0.3, m=4):
+    l, tr, s = vals[0], 0.0, [0.0] * m
+    for p in range(2, len(vals) + 1):
+        x = vals[p - 1]
+        j = (p - 2 + 1) % m  # 0-based slot of position p (i = p-1)
+        lp = (x - s[j]) * a + (l + tr) * (1 - a)
+        tr = (lp - l) * b + tr * (1 - b)
+        s[j] = (x - lp) * g + s[j] * (1 - g)
+        l = lp
+    jn = len(vals) % m
+    return l, tr, s[jn], l + tr + s[jn]
+
+
+def test_holt_winters_matches_python_model(spark):
+    """Seasonal series with trend: the fold must reproduce the
+    textbook recurrence exactly (same seed, same update order)."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_forecast_holt_winters,
+    )
+
+    series = {
+        1: [10.0, 14.0, 8.0, 12.0, 11.0, 15.0, 9.0, 13.0, 12.0],
+        2: [5.0],          # single point: seed state, zero season
+        3: [3.0, 3.0, 3.0, 3.0, 3.0],
+    }
+    rows = []
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((uid * 1000 + i, uid, "m", v, _ts(i * 60)))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp",
+    )
+    got = {
+        r.user_id: (r.n_points, r.level, r.trend, r.season_next,
+                    r.forecast_1)
+        for r in ts_forecast_holt_winters(ev).collect()
+    }
+    for uid, vals in series.items():
+        l, tr, sn, f1 = _py_holt_winters(vals)
+        n, gl, gt, gs, gf = got[uid]
+        assert n == len(vals)
+        for a, b2 in ((gl, l), (gt, tr), (gs, sn), (gf, f1)):
+            assert abs(a - b2) < 1e-12, (uid, a, b2)
