@@ -206,6 +206,7 @@ HEADLINE = [
     "dq_checks",
     "html_strip",
     "ts_forecast_holt_winters",
+    "embed_power_iteration",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1297,3 +1297,79 @@ def sq_topk(
         )
     )
     return topk_per_group(rescored, "query_id", "cos", "vec_id", k)
+
+
+PI_QSCALE = 10_000      # embedding quantization (1e-4 resolution)
+PI_VSCALE = 1_000_000   # iterate normalization (max |component|)
+PI_ITERATIONS = 5
+
+
+def embed_power_iteration(
+    emb: DataFrame,
+    iterations: int = PI_ITERATIONS,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by FIXED-POINT
+    INTEGER power iteration — the whitening/drift-axis primitive
+    (which way is this corpus's embedding mass pointing?) computed
+    the way the integer PageRank is: every step BIGINT, so partial-
+    aggregation order cannot perturb the result and both engines are
+    bit-identical. Returns (dim, v_fp): the direction as 64 integers
+    with max |component| ≈ PI_VSCALE (sign convention: whatever the
+    deterministic all-ones seed converges to).
+
+    Per round: dot_i = Σ_j q_ij·v_j rides a zip_with fold INSIDE the
+    row (no dim explosion), then ONE map-side-combinable aggregate
+    forms u_j = Σ_i q_ij·dot_i via posexplode, and the iterate
+    renormalizes by den = max_j|u_j| div VSCALE with truncation
+    toward zero spelled sign·(|u| div den) — the one integer-division
+    form Spark (div = trunc) and DuckDB (// = floor) agree on for
+    signed values. Intermediate iterates are collected to the driver:
+    64 ints per round — FIT-SIZED state, the codebook-fit precedent
+    (simsearch.py kmeans/pq), never corpus-sized; the FINAL round
+    stays fully in-plan (max as a 1-row broadcast) so the returned
+    relation is lineage-complete. Overflow audit at test scale:
+    |q| <= ~3e3 (unit-ish floats x 1e4), dot <= 64·3e3·1e6 ≈ 2e11,
+    u <= N·3e3·2e11 — safe under int64 for N <= ~1e4; larger corpora
+    lower QSCALE/VSCALE (documented, not silently wrapped)."""
+    q = emb.select(
+        F.expr(
+            f"transform({emb_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {PI_QSCALE}.0) AS BIGINT))"
+        ).alias("q")
+    ).localCheckpoint()
+    v = [PI_VSCALE] * 64
+
+    def _u_relation(v_now: list[int]) -> DataFrame:
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v_now])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        ex = q.select(dot.alias("dot"), F.posexplode("q").alias("dim", "x"))
+        return ex.groupBy("dim").agg(
+            F.sum(F.col("x") * F.col("dot")).cast("long").alias("u")
+        )
+
+    for _ in range(int(iterations) - 1):
+        rows = _u_relation(v).collect()  # 64 rows — fit-sized
+        u = {r["dim"]: r["u"] for r in rows}
+        den = max(max(abs(x) for x in u.values()) // PI_VSCALE, 1)
+        v = [
+            (-((-u[d]) // den) if u[d] < 0 else u[d] // den)
+            for d in range(64)
+        ]
+    final_u = _u_relation(v)
+    den_rel = final_u.agg(
+        F.greatest(
+            F.expr(f"CAST(max(abs(u)) AS BIGINT) div {PI_VSCALE}"),
+            F.lit(1).cast("long"),
+        ).alias("den")
+    )
+    signed_div = F.when(
+        F.col("u") < 0, -F.expr("(-u) div den")
+    ).otherwise(F.expr("u div den"))
+    return final_u.crossJoin(F.broadcast(den_rel)).select(
+        "dim", signed_div.cast("long").alias("v_fp")
+    )

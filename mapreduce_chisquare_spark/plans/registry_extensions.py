@@ -6054,3 +6054,59 @@ EXTENSION_QUERIES.update(
         "html_strip": (html_strip_q, SQL_HTML_STRIP),
     }
 )
+
+
+def embed_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer power iteration (operators/simsearch.py
+    embed_power_iteration): the corpus's top embedding direction as
+    64 BIGINTs, bit-identical across engines — the DuckDB twin
+    unrolls the same 5 integer rounds as chained CTEs."""
+    return ss.embed_power_iteration(
+        scan_parquet(spark, sf_dir, "embeddings")
+    )
+
+
+def _sql_power_iteration(iterations: int = 5) -> str:
+    qs, vs = ss.PI_QSCALE, ss.PI_VSCALE
+    blocks = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, r.d AS dim,
+         CAST(round(CAST(embedding[r.d + 1] AS DOUBLE) * {qs}.0)
+              AS BIGINT) AS x
+  FROM embeddings, UNNEST(range(64)) r(d)),
+v0 AS (SELECT r.d AS dim, CAST({vs} AS BIGINT) AS v
+       FROM UNNEST(range(64)) r(d))"""
+    ]
+    for k in range(1, int(iterations) + 1):
+        p = k - 1
+        blocks.append(
+            f"""
+d{k} AS (SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS dot
+        FROM q JOIN v{p} USING (dim) GROUP BY vec_id),
+u{k} AS (SELECT dim, CAST(sum(x * dot) AS BIGINT) AS u
+        FROM q JOIN d{k} USING (vec_id) GROUP BY dim),
+m{k} AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT) // {vs},
+                         CAST(1 AS BIGINT)) AS den FROM u{k}),
+v{k} AS (SELECT dim,
+                CAST(CASE WHEN u < 0 THEN -((-u) // den)
+                     ELSE u // den END AS BIGINT) AS v
+        FROM u{k}, m{k})"""
+        )
+    return (
+        ",".join(blocks)
+        + f"\nSELECT CAST(dim AS INTEGER) AS dim, v AS v_fp"
+        f" FROM v{int(iterations)}\n"
+    )
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "embed_power_iteration": (
+            embed_power_iteration_q,
+            _sql_power_iteration(),
+        ),
+    }
+)

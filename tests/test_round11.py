@@ -456,3 +456,47 @@ def test_holt_winters_matches_python_model(spark):
         assert n == len(vals)
         for a, b2 in ((gl, l), (gt, tr), (gs, sn), (gf, f1)):
             assert abs(a - b2) < 1e-12, (uid, a, b2)
+
+
+# ---------------------------------------------------------------------
+# embed_power_iteration
+# ---------------------------------------------------------------------
+
+def test_power_iteration_finds_planted_direction(spark):
+    """Vectors drawn along a planted dominant axis (plus small
+    deterministic off-axis noise): the integer iterate must align
+    with numpy's top eigenvector of the same quantized data."""
+    import numpy as np
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        PI_QSCALE,
+        embed_power_iteration,
+    )
+
+    rng = [(i * 37 % 97) / 97.0 - 0.5 for i in range(64)]
+    axis = [1.0 if d < 8 else 0.05 for d in range(64)]
+    rows = []
+    for i in range(200):
+        scale = (i % 19 - 9) / 9.0 or 0.3
+        vec = [
+            scale * axis[d] + 0.01 * rng[(i + d) % 64]
+            for d in range(64)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.dim: r.v_fp for r in embed_power_iteration(emb).collect()
+    }
+    v = np.array([got[d] for d in range(64)], dtype=float)
+    q = np.array(
+        [
+            [round(float(np.float32(x)) * PI_QSCALE) for x in vec]
+            for _, vec in rows
+        ]
+    )
+    w, vecs = np.linalg.eigh(q.T @ q)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
