@@ -207,6 +207,7 @@ HEADLINE = [
     "html_strip",
     "ts_forecast_holt_winters",
     "embed_power_iteration",
+    "bootstrap_ci",
 ]
 
 # ---------------------------------------------------------------------------

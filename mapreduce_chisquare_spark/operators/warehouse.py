@@ -1003,3 +1003,106 @@ def dq_checks(
         F.col("n_failed").cast("long").alias("n_failed"),
         (F.col("n_failed") == 0).alias("passed"),
     )
+
+
+# Poisson(1) CDF boundaries scaled to the 32-bit hash space
+# (floor(2^32 * P(X <= k)) for k = 0..5; weights above 5 clamp to 6).
+# Integer comparisons on a shared md5-slice hash make the bootstrap
+# weights bit-identical across engines.
+BOOTSTRAP_CDF_FP = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+]
+BOOTSTRAP_B = 50
+
+
+def bootstrap_ci(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    b: int = BOOTSTRAP_B,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean of
+    `value_col` — the statistician's answer to "is this week's crawl
+    really shorter, or is that noise?". Classic bootstrap resampling
+    needs a global index (unshardable); the POISSON bootstrap
+    (Chamandy et al., public) replaces it: each row enters replica r
+    with weight ~ Poisson(1), drawn here DETERMINISTICALLY by
+    inverse-CDF over a shared md5-slice hash of (doc_id, r), so both
+    engines produce identical replicas. Returns one row:
+    (n_replicas, ci_lo, ci_median, ci_hi) — the lo/median/hi order
+    statistics of the B replica means.
+
+    Exactness: each replica mean is ONE division of two exact integer
+    sums (Σ w·v / Σ w), so the B doubles are bit-identical and their
+    order statistics unambiguous (ties broken by replica id).
+
+    Scale shape: the explode is B× on a TWO-COLUMN projection (id,
+    value) — column-pruned before fan-out, so 100 TB of documents
+    bootstraps over ~B·N·16 bytes, not B× the corpus; one map-side-
+    combinable aggregate per replica, then a B-row final pass. No
+    global sample index, no driver state."""
+    reps = docs.select(
+        "doc_id", F.col(value_col).alias("__v")
+    ).select(
+        "doc_id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("rep"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(BOOTSTRAP_CDF_FP) - 1, -1, -1):
+        w = F.when(h < F.lit(BOOTSTRAP_CDF_FP[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("__w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("sv"),
+            F.sum("__w").cast("long").alias("sw"),
+        )
+        .select(
+            "rep",
+            (
+                F.col("sv").cast("double")
+                / F.nullif(F.col("sw"), F.lit(0)).cast("double")
+            ).alias("mean_r"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy("mean_r", "rep")  # B rows — bounded window
+    )
+    ranked = means.withColumn("__rn", rn)
+    idx_lo = max(1, int(-(-lo * b // 1)))
+    idx_med = max(1, int(-(-0.5 * b // 1)))
+    idx_hi = max(1, int(-(-hi * b // 1)))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_replicas"),
+        F.max(F.when(F.col("__rn") == idx_lo, F.col("mean_r"))).alias(
+            "ci_lo"
+        ),
+        F.max(
+            F.when(F.col("__rn") == idx_med, F.col("mean_r"))
+        ).alias("ci_median"),
+        F.max(F.when(F.col("__rn") == idx_hi, F.col("mean_r"))).alias(
+            "ci_hi"
+        ),
+    )

@@ -6110,3 +6110,59 @@ EXTENSION_QUERIES.update(
         ),
     }
 )
+
+
+from .oracle_common import sql_md5_hash32  # noqa: E402
+from ..operators import warehouse as wh  # noqa: E402
+
+
+def bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean document length
+    (operators/warehouse.py bootstrap_ci): deterministic md5-slice
+    Poisson weights, exact-integer replica sums, order-statistic
+    interval over B = 50 replicas."""
+    return wh.bootstrap_ci(_docs(spark, sf_dir))
+
+
+def _sql_bootstrap_ci(b: int = wh.BOOTSTRAP_B) -> str:
+    h = sql_md5_hash32("CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+    t = wh.BOOTSTRAP_CDF_FP
+    wcase = (
+        f"CASE WHEN {h} < {t[0]} THEN 0 "
+        + " ".join(
+            f"WHEN {h} < {t[k]} THEN {k}" for k in range(1, len(t))
+        )
+        + " ELSE 6 END"
+    )
+    idx_lo = max(1, -(-5 * b // 100))
+    idx_med = max(1, -(-50 * b // 100))
+    idx_hi = max(1, -(-95 * b // 100))
+    return f"""
+WITH reps AS (
+  SELECT doc_id, n_chars AS v, r.rep
+  FROM documents, UNNEST(range({int(b)})) r(rep)),
+wt AS (SELECT rep, {wcase} AS w, v FROM reps),
+means AS (
+  SELECT rep,
+         CAST(sum(w * v) AS DOUBLE)
+           / CAST(nullif(sum(w), 0) AS DOUBLE) AS mean_r
+  FROM wt GROUP BY rep),
+ranked AS (
+  SELECT mean_r,
+         row_number() OVER (ORDER BY mean_r, rep) AS rn
+  FROM means)
+SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+       max(CASE WHEN rn = {idx_lo} THEN mean_r END) AS ci_lo,
+       max(CASE WHEN rn = {idx_med} THEN mean_r END) AS ci_median,
+       max(CASE WHEN rn = {idx_hi} THEN mean_r END) AS ci_hi
+FROM ranked
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "bootstrap_ci": (bootstrap_ci_q, _sql_bootstrap_ci()),
+    }
+)

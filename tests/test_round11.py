@@ -500,3 +500,29 @@ def test_power_iteration_finds_planted_direction(spark):
     top = vecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999, cos
+
+
+# ---------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------
+
+def test_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
+    """On a tight synthetic distribution the CI must bracket the true
+    mean, order lo <= median <= hi, and repeat bit-identically."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        bootstrap_ci,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 11)) for i in range(400)],
+        "doc_id long, n_chars long",
+    )
+    r1 = bootstrap_ci(docs).collect()[0]
+    r2 = bootstrap_ci(docs).collect()[0]
+    assert r1 == r2
+    true_mean = sum(100 + (i % 11) for i in range(400)) / 400
+    assert r1.n_replicas == 50
+    assert r1.ci_lo <= r1.ci_median <= r1.ci_hi
+    assert r1.ci_lo <= true_mean <= r1.ci_hi
+    # Poisson(1) noise on 400 docs: interval should be tight (±10%)
+    assert abs(r1.ci_median - true_mean) / true_mean < 0.1
