@@ -208,6 +208,7 @@ HEADLINE = [
     "ts_forecast_holt_winters",
     "embed_power_iteration",
     "bootstrap_ci",
+    "lm_kn_bigram_score",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1429,3 +1429,80 @@ def html_strip(
         x = F.replace(x, F.lit(ent), F.lit(ch))
     x = F.trim(F.regexp_replace(x, r"\s+", " "))
     return pages.select("doc_id", x.alias("text"))
+
+
+KN_DISCOUNT = 0.75
+
+
+def lm_kn_bigram_score(
+    docs: DataFrame, text_col: str = "text", d: float = KN_DISCOUNT
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram scoring — the state-of-the-art
+    count-based LM (Kneser & Ney 1995, public) above the add-one
+    lm_bigram_score: absolute discounting with the CONTINUATION
+    back-off (how many contexts a word follows, not how often it
+    occurs — 'francisco' is frequent but only follows 'san'):
+
+      p(w2|w1) = max(c(w1 w2) - d, 0)/c(w1)
+               + d·N1+(w1·)/c(w1) · (N1+(·w2)/|bigram types|)
+
+    Returns (doc_id, n_bigrams, avg_logprob) for documents with >= 2
+    tokens; every count is an exact integer and the float expression
+    is pinned left-to-right identically in the DuckDB twin.
+
+    Scale shape: the lm_bigram_score skeleton exactly — one
+    corpus-sized (w1, w2) exchange serving the per-doc tf aggregate
+    AND the corpus bigram counts; the three KN statistics (c1 and
+    N1+(w1·) roll up per w1 FROM the bigram relation, N1+(·w2) per
+    w2, |types| as a 1-row broadcast) are all vocabulary-sized.
+    Self-trained: every scored bigram is observed, so c12 >= 1 and
+    the discounted term never needs an unseen branch."""
+    base = docs.select("doc_id", _words(text_col).alias("__arr"))
+    pairs = base.select(
+        "doc_id", F.explode(bigram_structs("__arr")).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
+    tfb = (
+        pairs.repartition("w1", "w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    c12 = tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_bwd")
+    )
+    types = c12.agg(F.count("*").cast("long").alias("n_types"))
+    scored = (
+        tfb.join(c12, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(types))
+    )
+    dd = float(d)
+    lp = F.log(
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(dd), F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + F.lit(dd)
+        * F.col("n1p_fwd").cast("double")
+        / F.col("c1").cast("double")
+        * (
+            F.col("n1p_bwd").cast("double")
+            / F.col("n_types").cast("double")
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf").cast("double") * lp).alias("__s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("__s") / F.col("n_bigrams").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )

@@ -6166,3 +6166,55 @@ EXTENSION_QUERIES.update(
         "bootstrap_ci": (bootstrap_ci_q, _sql_bootstrap_ci()),
     }
 )
+
+
+def lm_kn_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM scoring (operators/textstats.py
+    lm_kn_bigram_score): absolute discounting + continuation back-off
+    with all-integer counts; the float expression is pinned
+    left-to-right identically in the twin."""
+    return tx.lm_kn_bigram_score(_docs(spark, sf_dir))
+
+
+SQL_LM_KN_BIGRAM = rf"""
+WITH b AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS arr
+  FROM documents
+),
+pairs AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          FROM b, UNNEST(range(1, len(arr))) AS r(i)),
+tfb AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        FROM pairs GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+        FROM tfb GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p_fwd
+        FROM c12 GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd
+         FROM c12 GROUP BY w2),
+ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         sum(CAST(tf AS DOUBLE)
+             * ln(greatest(CAST(c12 AS DOUBLE) - {tx.KN_DISCOUNT},
+                           0.0)
+                    / CAST(c1 AS DOUBLE)
+                  + {tx.KN_DISCOUNT} * CAST(n1p_fwd AS DOUBLE)
+                    / CAST(c1 AS DOUBLE)
+                    * (CAST(n1p_bwd AS DOUBLE)
+                       / CAST(n_types AS DOUBLE)))) AS s
+       FROM tfb JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+       JOIN cont USING (w2) CROSS JOIN ty GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  s / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+FROM pd
+"""
+
+
+EXTENSION_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "lm_kn_bigram_score": (lm_kn_bigram_score_q, SQL_LM_KN_BIGRAM),
+    }
+)

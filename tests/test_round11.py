@@ -526,3 +526,63 @@ def test_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
     assert r1.ci_lo <= true_mean <= r1.ci_hi
     # Poisson(1) noise on 400 docs: interval should be tight (±10%)
     assert abs(r1.ci_median - true_mean) / true_mean < 0.1
+
+
+# ---------------------------------------------------------------------
+# lm_kn_bigram_score vs plain-Python model
+# ---------------------------------------------------------------------
+
+def test_kn_bigram_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        KN_DISCOUNT,
+        lm_kn_bigram_score,
+    )
+
+    corpus = {
+        1: "a b a b a c",
+        2: "b a b c",
+        3: "c c a b",
+        4: "solo",  # single token: no bigrams, no output row
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    # python model
+    big = Counter()
+    per_doc = {}
+    for did, t in corpus.items():
+        ws = t.split()
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[did] = Counter(bgs)
+        big.update(bgs)
+    c1 = Counter()
+    fwd = Counter()
+    bwd = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        fwd[w1] += 1
+        bwd[w2] += 1
+    types = len(big)
+    want = {}
+    for did, bgs in per_doc.items():
+        if not bgs:
+            continue
+        n = sum(bgs.values())
+        s = 0.0
+        for (w1, w2), tf in bgs.items():
+            p = max(big[(w1, w2)] - KN_DISCOUNT, 0.0) / c1[w1] + (
+                KN_DISCOUNT * fwd[w1] / c1[w1] * (bwd[w2] / types)
+            )
+            s += tf * math.log(p)
+        want[did] = (n, s / n)
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in lm_kn_bigram_score(docs).collect()
+    }
+    assert set(got) == set(want)  # doc 4 absent
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert abs(got[did][1] - want[did][1]) < 1e-12
