@@ -209,6 +209,7 @@ HEADLINE = [
     "embed_power_iteration",
     "bootstrap_ci",
     "lm_kn_bigram_score",
+    "graph_kcore",
 ]
 
 # ---------------------------------------------------------------------------

@@ -497,3 +497,54 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core peeling over an undirected edge list (columns `lo`,
+    `hi`) — the density skeleton community/robustness audits read:
+    repeatedly delete nodes of degree < k; what survives is (after
+    enough rounds) the k-core. Returns (node, deg): survivors of a
+    FIXED `rounds` peels with their degree inside the surviving
+    subgraph.
+
+    Contract: the round count is pinned (the LPA/PageRank discipline)
+    so both engines compute the identical partial peel — the oracle
+    unrolls the same rounds as chained CTEs. Fixed rounds bound the
+    peel DEPTH, not correctness of what is reported: every reported
+    degree is the true degree of the surviving subgraph, and on
+    graphs whose peeling converges within `rounds` (asserted for the
+    test fixture) the result IS the exact k-core.
+
+    Scale shape: per round one degree aggregate over |E| and one
+    semi-join restriction of the edge relation on each endpoint —
+    all on the node key; the edge relation is checkpointed per round
+    (lineage discipline), state is |E| rows and shrinks
+    monotonically. No driver state beyond the loop counter."""
+    sym = (
+        edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .union(
+            edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = sym
+    for _ in range(int(rounds)):
+        deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("a")
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )

@@ -1714,3 +1714,82 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# k-core peeling (round 11 sixth batch)
+# =========================================================================
+
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.py kcore_peel) on the same
+    support-2 co-order part graph as triangles/LPA: the planted K4
+    guarantees a non-empty 3-core, organic hairs peel away."""
+    from ..operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    ).union(
+        spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_key") == F.col("b.o_key"))
+            & (F.col("a.p_key") < F.col("b.p_key")),
+        )
+        .groupBy(
+            F.col("a.p_key").alias("lo"), F.col("b.p_key").alias("hi")
+        )
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("lo", "hi")
+    )
+    return kcore_peel(edges, k=3)
+
+
+def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    blocks = [
+        f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+eg AS MATERIALIZED (
+  SELECT a.p_key AS lo, b.p_key AS hi
+  FROM op a JOIN op b ON a.o_key = b.o_key AND a.p_key < b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= 2),
+e0 AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM eg UNION SELECT hi, lo FROM eg)"""
+    ]
+    for i in range(1, int(rounds) + 1):
+        p = i - 1
+        blocks.append(
+            f"""
+d{i} AS (SELECT a, count(*) AS deg FROM e{p} GROUP BY a),
+n{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE deg >= {int(k)}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  WHERE e.a IN (SELECT a FROM n{i}) AND e.b IN (SELECT a FROM n{i}))"""
+        )
+    return (
+        ",".join(blocks)
+        + f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e{int(rounds)} GROUP BY a
+"""
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 sixth batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "graph_kcore": (graph_kcore_q, _sql_kcore()),
+    }
+)

@@ -586,3 +586,24 @@ def test_kn_bigram_matches_python_model(spark):
     for did in want:
         assert got[did][0] == want[did][0]
         assert abs(got[did][1] - want[did][1]) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------
+
+def test_kcore_peels_hairs_keeps_clique(spark):
+    """A 4-clique with pendant chains: 3-core peeling must remove
+    every chain node (including ones whose degree only drops below 3
+    AFTER their neighbor peels — the cascading case) and keep exactly
+    the clique at degree 3."""
+    from mapreduce_chisquare_spark.operators.graph import kcore_peel
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # chain 4-10-11-12 cascades away; star on 20 (deg 3 but its
+    # neighbors are deg-1) also peels over two rounds
+    hairs = [(4, 10), (10, 11), (11, 12),
+             (20, 21), (20, 22), (20, 23)]
+    df = spark.createDataFrame(clique + hairs, "lo long, hi long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
