@@ -210,6 +210,9 @@ HEADLINE = [
     "bootstrap_ci",
     "lm_kn_bigram_score",
     "graph_kcore",
+    # round-11 seventh batch (first measurement = their baseline)
+    "ts_decompose_classical",
+    "graph_linkpred_jaccard",
 ]
 
 # ---------------------------------------------------------------------------

@@ -548,3 +548,73 @@ def kcore_peel(
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").cast("long").alias("deg"))
     )
+
+
+LINKPRED_MAX_DEG = 200  # hub excision guard, as dedup.py MAX_BUCKET
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    k: int = 50,
+    max_deg: int = LINKPRED_MAX_DEG,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (columns `lo`, `hi`): for non-adjacent node pairs that share at
+    least one neighbor, the Jaccard score |N(a)∩N(b)| /
+    |N(a)∪N(b)|; top-k by (score DESC, a, b). The classic
+    "people you may know" / co-purchase-recommendation primitive.
+
+    Scale shape: candidate pairs come from the wedge join (two edge
+    relations joined on the shared neighbor) — Σ deg(n)² work, so a
+    HUB IS THE SKEW AXIS: nodes above `max_deg` are excised from the
+    WEDGE-CENTER role before the self-join (their incident edges
+    still count toward degrees — scores stay exact for surviving
+    pairs; what is skipped is pairs whose ONLY witnesses are hubs —
+    the same disclosed-excision contract as the LSH bucket guard,
+    and the right one: a mega-hub's co-neighbors are weak evidence).
+    Degrees are one aggregate; existing edges leave via one
+    anti-join; the head is a TakeOrdered. Ties cannot drift: equal
+    rationals compare equal as doubles, and (a, b) breaks the rest."""
+    sym = (
+        edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .union(
+            edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    centers = deg.filter(F.col("deg") <= F.lit(int(max_deg))).select(
+        F.col("a").alias("n")
+    )
+    # wedges through non-hub centers: (n, a) x (n, b), a < b
+    wa = sym.select(F.col("b").alias("n"), F.col("a").alias("wa"))
+    wb = sym.select(F.col("b").alias("n"), F.col("a").alias("wb"))
+    pairs = (
+        wa.join(centers, "n", "left_semi")
+        .join(wb.join(centers, "n", "left_semi"), "n")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy(F.col("wa").alias("u"), F.col("wb").alias("w"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    existing = sym.select(
+        F.col("a").alias("u"), F.col("b").alias("w")
+    )
+    cand = pairs.join(existing, ["u", "w"], "left_anti")
+    da = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    db = deg.select(F.col("a").alias("w"), F.col("deg").alias("dw"))
+    scored = cand.join(da, "u").join(db, "w")
+    score = F.col("common").cast("double") / (
+        F.col("du") + F.col("dw") - F.col("common")
+    ).cast("double")
+    return (
+        scored.select(
+            F.col("u").alias("a"),
+            F.col("w").alias("b"),
+            "common",
+            score.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+    )

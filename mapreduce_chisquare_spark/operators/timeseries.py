@@ -1746,3 +1746,83 @@ def ts_forecast_holt_winters(
         season_next.alias("season_next"),
         (fold["l"] + fold["b"] + season_next).alias("forecast_1"),
     )
+
+
+DECOMP_PERIOD = 4
+
+
+def ts_decompose_classical(
+    events: DataFrame,
+    period: int = DECOMP_PERIOD,
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method every STL exposition starts from — textbook, public): per
+    user series, trend = centered 2×m moving average, detrended =
+    value − trend, seasonal = per-slot mean of the detrended values,
+    residual = detrended − seasonal. Returns (user_id, idx, value,
+    trend, seasonal, resid) for interior points (m/2 < idx <=
+    n − m/2, where the centered window is full). Period m must be
+    even (the 2×m form).
+
+    Exactness posture: the trend is an explicit fixed-order
+    expression over lag/lead values (identical both engines); the
+    seasonal slot mean is one division of a float sum whose
+    cross-engine summation-order drift sits far below the gate's
+    9-significant-digit comparison (documented float-sum tolerance,
+    as for the tfidf/lm families).
+
+    Scale shape: ONE user-keyed exchange for the lag/lead window (the
+    frame is m+1 rows of state), one (user, slot) aggregate for the
+    m-row-per-user seasonal table, broadcast-shaped join back. No
+    arrays materialized — this operator is pure windows, so it holds
+    for series too long to collect (unlike the forecast folds, whose
+    contract bounds per-entity length)."""
+    m = int(period)
+    if m % 2 != 0:
+        raise ValueError("classical 2xm decomposition needs even m")
+    h = m // 2
+    w = Window.partitionBy("user_id").orderBy("us", "eid")
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withColumn("idx", F.row_number().over(w))
+    lags = base
+    for off in range(-h, h + 1):
+        cname = f"__o{off + h}"
+        col = (
+            F.lag("v", -off).over(w) if off < 0 else F.lead("v", off).over(w)
+        )
+        lags = lags.withColumn(cname, col)
+    # centered 2xm MA: half weight on both edge offsets, fixed order
+    terms = [F.col("__o0") * F.lit(0.5)]
+    terms += [F.col(f"__o{i}") for i in range(1, m)]
+    terms.append(F.col(f"__o{m}") * F.lit(0.5))
+    trend = terms[0]
+    for t in terms[1:]:
+        trend = trend + t
+    trend = trend / F.lit(float(m))
+    td = lags.select(
+        "user_id",
+        "idx",
+        "v",
+        trend.alias("trend"),
+        ((F.col("idx") - 1) % F.lit(m)).alias("slot"),
+    ).filter(F.col("trend").isNotNull())
+    det = td.withColumn("det", F.col("v") - F.col("trend"))
+    seas = det.groupBy("user_id", "slot").agg(
+        (F.sum("det") / F.count("*")).alias("seasonal")
+    )
+    return (
+        det.join(seas, ["user_id", "slot"])
+        .select(
+            "user_id",
+            "idx",
+            F.col("v").alias("value"),
+            "trend",
+            "seasonal",
+            (F.col("det") - F.col("seasonal")).alias("resid"),
+        )
+    )

@@ -146,8 +146,9 @@ _CERTIFY_WINDOW = [
 # events_markov_transitions, compaction_plan, lm_heldout_score,
 # stream_cdc_screen, dq_checks, window_percentiles, html_strip,
 # ts_forecast_holt_winters, embed_power_iteration, bootstrap_ci,
-# lm_kn_bigram_score, graph_kcore — locally gated green at sf0.001 +
-# sf0.01 in round 11),
+# lm_kn_bigram_score, graph_kcore, ts_decompose_classical,
+# graph_linkpred_jaccard — locally gated green at sf0.001 + sf0.01
+# in round 11),
 # then the 3 deferred r6 rows (split_no_leakage,
 # simsearch_ivfpq_nprobe2, pipeline_span_surgery), then the r7 cohort
 # (48: agg_approx_distinct agg_histogram asof_join asof_tolerance

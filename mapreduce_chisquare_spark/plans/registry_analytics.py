@@ -1793,3 +1793,133 @@ ANALYTICS_QUERIES.update(
         "graph_kcore": (graph_kcore_q, _sql_kcore()),
     }
 )
+
+
+# =========================================================================
+# Classical seasonal decomposition + Jaccard link prediction (round 11)
+# =========================================================================
+
+def ts_decompose_classical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/timeseries.py
+    ts_decompose_classical): centered 2x4 moving-average trend,
+    per-slot seasonal means, residuals — pure windows, no
+    materialized arrays."""
+    from ..operators.timeseries import ts_decompose_classical
+
+    return ts_decompose_classical(_t(spark, sf_dir, "events"))
+
+
+SQL_TS_DECOMPOSE = """
+WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
+                  CAST(value AS DOUBLE) AS v
+           FROM events),
+r AS (SELECT user_id, v,
+             row_number() OVER w AS idx,
+             lag(v, 2) OVER w AS l2, lag(v, 1) OVER w AS l1,
+             lead(v, 1) OVER w AS f1, lead(v, 2) OVER w AS f2
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)),
+t AS (SELECT user_id, idx, v,
+             (l2 * 0.5 + l1 + v + f1 + f2 * 0.5) / 4.0 AS trend,
+             (idx - 1) % 4 AS slot
+      FROM r),
+d AS (SELECT user_id, idx, v, trend, slot, v - trend AS det
+      FROM t WHERE trend IS NOT NULL),
+s AS (SELECT user_id, slot, sum(det) / count(*) AS seasonal
+      FROM d GROUP BY user_id, slot)
+SELECT d.user_id, CAST(d.idx AS INTEGER) AS idx, d.v AS value,
+       d.trend, s.seasonal, d.det - s.seasonal AS resid
+FROM d JOIN s USING (user_id, slot)
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 seventh batch — registry tail, queued for the
+        # round-12 certification window
+        "ts_decompose_classical": (
+            ts_decompose_classical_q,
+            SQL_TS_DECOMPOSE,
+        ),
+    }
+)
+
+
+def graph_linkpred_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction (operators/graph.py
+    jaccard_link_prediction) on the support-2 co-order part graph
+    with planted K4 — hub-guarded wedge join, top-50 non-adjacent
+    pairs by common-neighbor Jaccard."""
+    from ..operators.graph import jaccard_link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    ).union(
+        spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_key") == F.col("b.o_key"))
+            & (F.col("a.p_key") < F.col("b.p_key")),
+        )
+        .groupBy(
+            F.col("a.p_key").alias("lo"), F.col("b.p_key").alias("hi")
+        )
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("lo", "hi")
+    )
+    return jaccard_link_prediction(edges)
+
+
+def _sql_linkpred(k: int = 50, max_deg: int = 200) -> str:
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+eg AS MATERIALIZED (
+  SELECT a.p_key AS lo, b.p_key AS hi
+  FROM op a JOIN op b ON a.o_key = b.o_key AND a.p_key < b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= 2),
+sym AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM eg UNION SELECT hi, lo FROM eg),
+deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg
+                     FROM sym GROUP BY a),
+ctr AS (SELECT a AS n FROM deg WHERE deg <= {int(max_deg)}),
+pairs AS (
+  SELECT x.a AS u, y.a AS w, CAST(count(*) AS BIGINT) AS common
+  FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+  WHERE x.b IN (SELECT n FROM ctr)
+  GROUP BY x.a, y.a),
+cand AS (
+  SELECT * FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM sym s
+                    WHERE s.a = p.u AND s.b = p.w)),
+scored AS (
+  SELECT c.u AS a, c.w AS b, c.common,
+         CAST(c.common AS DOUBLE)
+           / CAST(du.deg + dw.deg - c.common AS DOUBLE) AS jaccard
+  FROM cand c JOIN deg du ON du.a = c.u JOIN deg dw ON dw.a = c.w)
+SELECT a, b, common, jaccard FROM scored
+ORDER BY jaccard DESC, a ASC, b ASC
+LIMIT {int(k)}
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-11 seventh batch (continued) — registry tail, queued
+        # for the round-12 certification window
+        "graph_linkpred_jaccard": (
+            graph_linkpred_jaccard_q,
+            _sql_linkpred(),
+        ),
+    }
+)

@@ -607,3 +607,61 @@ def test_kcore_peels_hairs_keeps_clique(spark):
     df = spark.createDataFrame(clique + hairs, "lo long, hi long")
     got = {r.node: r.deg for r in kcore_peel(df, k=3).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------
+# ts_decompose_classical
+# ---------------------------------------------------------------------
+
+def test_decompose_recovers_planted_trend_and_season(spark):
+    """Linear trend + pure period-4 seasonal: the 2x4 MA recovers the
+    trend exactly on interior points (the centered MA of a linear
+    function is itself, and a full-cycle seasonal sums to zero), so
+    seasonal means equal the planted pattern and residuals vanish."""
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_decompose_classical,
+    )
+
+    season = [3.0, -1.0, -4.0, 2.0]
+    rows = []
+    for i in range(16):
+        v = 10.0 + 2.0 * i + season[i % 4]
+        rows.append((i, 1, "m", v, _ts(i * 60)))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp",
+    )
+    got = {r.idx: r for r in ts_decompose_classical(ev).collect()}
+    assert set(got) == set(range(3, 15))  # interior: 2 < idx <= 14
+    for idx, r in got.items():
+        i = idx - 1
+        assert abs(r.trend - (10.0 + 2.0 * i)) < 1e-9, idx
+        assert abs(r.seasonal - season[i % 4]) < 1e-9, idx
+        assert abs(r.resid) < 1e-9, idx
+
+
+# ---------------------------------------------------------------------
+# jaccard_link_prediction
+# ---------------------------------------------------------------------
+
+def test_linkpred_scores_and_hub_guard(spark):
+    from mapreduce_chisquare_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # path 1-2-3 plus both attached to 4: candidates (1,3) share
+    # {2, 4}; deg(1)=deg(3)=2 → jaccard = 2/(2+2-2) = 1.0
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "lo long, hi long")
+    got = {
+        (r.a, r.b): (r.common, r.jaccard)
+        for r in jaccard_link_prediction(df).collect()
+    }
+    assert got[(1, 3)] == (2, 1.0)
+    assert got[(2, 4)] == (2, 1.0)
+    assert len(got) == 2  # adjacent pairs excluded
+    # hub guard: with max_deg=1 every center is excised → no pairs
+    assert (
+        jaccard_link_prediction(df, max_deg=1).count() == 0
+    )
