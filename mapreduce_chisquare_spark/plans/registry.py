@@ -67,104 +67,89 @@ except ImportError:
 #   entries, window_moving_sum's HUGEINT fix, and the rewritten
 #   dedup/tfidf/decontaminate re-certs. Cumulative driver-green: 156.
 #
-# Round-11 window (50) = the 9 round-10 tail entries that never got a
-# driver row (registered after the round-10 window filled; all 9 were
-# independently re-verified green by the round-10 judge), + the 2
-# round-11 NEW entries (image_phash_decoded: perceptual hash over REAL
-# decoded pixels — pure-Python PNG (zlib + all five filters) and
-# binary PGM/PPM decode;
-# similarity_join_minhash_shuffle: exchange-based MinHash join for
-# probe sides too large to broadcast), + 39 of the 42 r6-era stale
-# rows (fast scalars/joins/windows lead, dedup/stream fixtures close
-# so a time-cut sweep still certifies the maximum prefix). The 3
-# heaviest r6 rows (split_no_leakage, simsearch_ivfpq_nprobe2,
-# pipeline_span_surgery) defer to r12 with the r7 cohort.
+# Round-11 window history: the 9 round-10 tail entries, the 2 round-11
+# flagship additions (image_phash_decoded, similarity_join_minhash_shuffle),
+# and 39 r6-era stale re-certs — all 50 driver-green (CORRECTNESS_r11).
+#
+# Round-12 window (50) = the 26 round-11 tail entries that have never
+# had a driver row (locally gated green at sf0.001 + sf0.01 in round
+# 11, and re-verified 26/26 by the round-11 judge), + the 3 r6 rows
+# deferred since round 10 (split_no_leakage, simsearch_ivfpq_nprobe2,
+# pipeline_span_surgery — judge-verified green r11), + 21 of the 48
+# r7-era stale rows (fast scalars/joins/windows first so a time-cut
+# sweep certifies the maximum prefix). The remaining 27 r7 rows
+# promote in round 13.
 _CERTIFY_WINDOW = [
-    # round-10 tail — driver signature due (judge-verified green r10)
-    "er_survivorship",
-    "er_blocking_multipass",
-    "er_match_scores",
-    "hybrid_search_rrf",
-    "stream_er_screen",
-    "simsearch_sq_topk",
-    "bpe_encode",
-    "dq_anomaly_mad",
-    "dedup_containment",
-    # round-11 new
-    "image_phash_decoded",
-    "similarity_join_minhash_shuffle",
-    # r6-era stale re-certs (39 of 42; fast first, heavy last)
-    "skew_profile",
-    "normalize_text",
-    "null_scalars",
-    "case_when_bucket",
-    "q13_customer_distribution",
-    "agg_cube",
-    "agg_pivot",
-    "q22_idle_capital",
-    "window_rank",
-    "window_ranking",
-    "window_first_last",
-    "sample_hash",
-    "sample_stratified",
-    "agg_approx_distinct_grouped",
-    "agg_approx_percentile",
-    "select_token_budget",
-    "q21_sole_blame_supplier",
-    "vocab_oov",
-    "vocab_topv",
-    "sketch_countmin",
-    "join_salted",
-    "multiway_join",
-    "tokens_to_ids",
-    "decontaminate_spans",
-    "dedup_spans",
-    "cross_doc_repetition",
-    "similarity_join_minhash",
-    "lm_bigram_score",
-    "simsearch_lsh",
-    "simsearch_ivf_assign",
-    "simsearch_ivf_topk",
-    "corpus_cut_spans",
-    "stream_chi_square",
-    "stream_interval_join",
-    "stream_neardup",
-    "stream_sessionize",
-    "dedup_simhash",
-    "dedup_jaccard_estimate",
-    "dedup_ngram_jaccard",
+    # round-11 tail — driver signature due (judge-verified green r11)
+    "cdc_apply",
+    "events_attribution",
+    "events_markov_transitions",
+    "compaction_plan",
+    "dq_checks",
+    "window_percentiles",
+    "html_strip",
+    "lm_heldout_score",
+    "lm_kn_bigram_score",
+    "inverted_index",
+    "bootstrap_ci",
+    "ts_forecast_holt_winters",
+    "ts_decompose_classical",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_linkpred_jaccard",
+    "stream_cdc_screen",
+    "embed_power_iteration",
+    "audio_energy_segments",
+    "audio_fingerprint",
+    "image_phash_gif",
+    "image_phash_jpeg",
+    "image_neardup_decoded",
+    "video_frame_phash",
+    "video_neardup",
+    "video_shot_boundaries",
+    # r6 rows deferred since round 10 (judge-verified green r11)
+    "split_no_leakage",
+    "simsearch_ivfpq_nprobe2",
+    "pipeline_span_surgery",
+    # r7-era stale re-certs (21 of 48; fast first, heavy last)
+    "scan_csv",
+    "token_count",
+    "set_union",
+    "set_intersect",
+    "join_anti",
+    "q4_order_priority",
+    "winsorize",
+    "sample_per_source",
+    "agg_approx_distinct",
+    "agg_histogram",
+    "window_range_frame",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "pii_redact",
+    "dq_profile",
+    "resample_ffill",
+    "zorder_values",
+    "asof_join",
+    "asof_tolerance",
+    "sketch_kmv_distinct",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-12 window TODO: promote the round-11 tail additions first
-# (image_phash_gif, image_phash_jpeg, image_neardup_decoded,
-# audio_fingerprint, video_frame_phash, video_neardup,
-# inverted_index, audio_energy_segments, video_shot_boundaries,
-# cdc_apply, events_attribution, graph_label_propagation,
-# events_markov_transitions, compaction_plan, lm_heldout_score,
-# stream_cdc_screen, dq_checks, window_percentiles, html_strip,
-# ts_forecast_holt_winters, embed_power_iteration, bootstrap_ci,
-# lm_kn_bigram_score, graph_kcore, ts_decompose_classical,
-# graph_linkpred_jaccard — locally gated green at sf0.001 + sf0.01
-# in round 11),
-# then the 3 deferred r6 rows (split_no_leakage,
-# simsearch_ivfpq_nprobe2, pipeline_span_surgery), then the r7 cohort
-# (48: agg_approx_distinct agg_histogram asof_join asof_tolerance
-# bm25_score bm25_topk dedup_components dedup_exact dedup_normalized
-# doc_fingerprint dq_profile embed_label_means embed_neardup join_anti
-# join_range lang_id multimodal_frames multimodal_meta
-# multimodal_resize pii_redact pipeline_curation pipeline_dedup_corpus
-# q4_order_priority quality_score repetition_metrics resample_ffill
-# sample_per_source scan_csv scd2_merge set_intersect set_union
+# Round-13 window TODO: promote the remaining 27 r7-era stale rows
+# (bm25_score bm25_topk dedup_components dedup_exact dedup_normalized
+# embed_label_means embed_neardup join_range multimodal_frames
+# multimodal_meta multimodal_resize pipeline_curation
+# pipeline_dedup_corpus repetition_metrics scd2_merge
 # simsearch_lsh_topk simsearch_topk simsearch_topk_pandas
-# sink_partitioned sketch_kmv_distinct sketch_kmv_overlap stream_dedup
-# stream_static_join stream_tumbling token_count ts_paa
-# ts_similarity_topk window_range_frame winnowing_fingerprint
-# winnowing_pairs winsorize zorder_values) as space allows. After the
-# round-11 window lands, the staleness histogram floor is r6 (3 rows)
-# with the bulk at r7.
+# sink_partitioned sketch_kmv_overlap stream_dedup stream_static_join
+# stream_tumbling ts_paa ts_similarity_topk winnowing_fingerprint
+# winnowing_pairs), then any round-12 tail additions (list new
+# entries here as they are registered), then the oldest r8 rows as
+# space allows. After the round-12 window lands, the staleness
+# histogram floor is r7 (27 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)
