@@ -30,6 +30,15 @@ whose quiet-machine cost is calibrated at startup. A sample whose
 sentinel exceeds the threshold is discarded and re-run (bounded
 retries); sentinel stats land in the output JSON so a recorded
 regression is distinguishable from a loaded machine.
+
+Canary control (round 12): a fixed 10-query CANARY set is timed at
+session start AND end; both runs, their totals, and the end/start
+drift ratio are recorded (BENCH_FULL.json `canary`, compact line
+`sentinel.canary_drift_ratio`). Identical code runs twice, so a
+ratio well above 1 proves the box heated during the session and the
+mid-session medians inherit that discount; a ratio near 1 makes a
+recorded regression structural. BENCH_FULL.json also records
+`run_order` so position-in-session effects are reconstructable.
 """
 
 from __future__ import annotations
@@ -358,6 +367,29 @@ RUNS = 3
 # Extra attempts allowed per query when the sentinel flags contention.
 MAX_HOT_RETRIES_PER_QUERY = 2
 
+# Canary control (round-12 addition): a fixed 10-query set, spanning
+# the cheap-to-heavy range of benched families, timed once at session
+# START and again at session END with the same sentinel discipline.
+# Rationale: the r11 board drifted +18% on the common set with
+# byte-identical plans; with only per-query medians there is no way
+# to decide box-noise vs real regression from the record alone. The
+# canary gives that decision: end/start drift >> 1 on identical code
+# within one session == the box heated under us, and the mid-session
+# per-query numbers inherit that discount. Both runs plus the drift
+# ratio land in BENCH_FULL.json and the compact summary line.
+CANARY = [
+    "topk_per_group",
+    "chi_square",
+    "q1_pricing_summary",
+    "window_rank",
+    "dedup_exact",
+    "simsearch_topk",
+    "tfidf",
+    "quality_score",
+    "distinct_sketch_kmv",
+    "ts_paa",
+]
+
 
 def _sentinel_time(spark) -> float:
     """One fixed tiny job (8 tasks, ~1M rows of codegen arithmetic):
@@ -421,64 +453,99 @@ def _emit(results: dict[str, float], total: float, sf, sentinel: dict) -> list[s
     return lines
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
-    quiet, threshold = _calibrate(spark)
-    hot_discards = 0
-    max_seen = quiet
-    results: dict[str, float] = {}
-    # queries whose recorded median includes a sample admitted while
-    # the sentinel still flagged contention (retries exhausted) — so
-    # consumers can discount those entries instead of reading a
-    # regression into load noise
-    hot_queries: list[str] = []
-    for name in HEADLINE:
+class _Bench:
+    """Sentinel-guarded timing state shared by canary + headline runs."""
+
+    def __init__(self, spark, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.quiet, self.threshold = _calibrate(spark)
+        self.hot_discards = 0
+        self.max_seen = self.quiet
+        # queries whose recorded median includes a sample admitted
+        # while the sentinel still flagged contention (retries
+        # exhausted) — so consumers can discount those entries
+        # instead of reading a regression into load noise
+        self.hot_queries: list[str] = []
+
+    def time_query(self, name: str, track_hot: bool = True) -> float | None:
         spec = REGISTRY.get(name)
         if spec is None:
-            continue
+            return None
         fn = spec[0]
         times = []
         retries_left = MAX_HOT_RETRIES_PER_QUERY
         i = 0
         query_hot = False
         while i < WARMUP + RUNS:
-            s = _sentinel_time(spark)
-            max_seen = max(max_seen, s)
-            if s > threshold:
+            s = _sentinel_time(self.spark)
+            self.max_seen = max(self.max_seen, s)
+            if s > self.threshold:
                 if retries_left > 0:
-                    hot_discards += 1  # loaded box: don't trust this sample
+                    self.hot_discards += 1  # loaded box: skip sample
                     retries_left -= 1
                     continue
                 if i >= WARMUP:
-                    query_hot = True  # contended sample admitted to median
+                    query_hot = True  # contended sample admitted
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = fn(self.spark, self.sf_dir)
             df.collect()
             dt = time.perf_counter() - t0
             if i >= WARMUP:
                 times.append(dt)
             i += 1
-        results[name] = round(statistics.median(times), 3)
-        if query_hot:
-            hot_queries.append(name)
+        if query_hot and track_hot:
+            self.hot_queries.append(name)
+        return round(statistics.median(times), 3)
+
+    def run_canary(self) -> dict[str, float]:
+        # canary hotness is visible in the drift ratio itself, so it
+        # does not pollute the headline hot_queries list
+        out = {n: self.time_query(n, track_hot=False) for n in CANARY}
+        return {n: t for n, t in out.items() if t is not None}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    bench = _Bench(spark, sf_dir)
+    canary_start = bench.run_canary()
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        t = bench.time_query(name)
+        if t is not None:
+            results[name] = t
+    canary_end = bench.run_canary()
+    cs, ce = sum(canary_start.values()), sum(canary_end.values())
+    canary = {
+        "start": canary_start,
+        "end": canary_end,
+        "start_total_sec": round(cs, 3),
+        "end_total_sec": round(ce, 3),
+        # identical code both runs: ratio >> 1 == the box heated
+        # during the session; ~1 == mid-session numbers trustworthy
+        "drift_ratio": round(ce / cs, 4) if cs > 0 else None,
+    }
     total = round(sum(results.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     sentinel = {
-        "quiet_sec": round(quiet, 4),
-        "threshold_sec": round(threshold, 4),
-        "max_seen_sec": round(max_seen, 4),
-        "hot_discards": hot_discards,
-        "hot_queries": hot_queries,
+        "quiet_sec": round(bench.quiet, 4),
+        "threshold_sec": round(bench.threshold, 4),
+        "max_seen_sec": round(bench.max_seen, 4),
+        "hot_discards": bench.hot_discards,
+        "hot_queries": bench.hot_queries,
+        "canary_drift_ratio": canary["drift_ratio"],
     }
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "run_order": list(results),
         "sf": sf_val,
         "sentinel": sentinel,
+        "canary": canary,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f)

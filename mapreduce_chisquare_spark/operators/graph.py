@@ -566,15 +566,18 @@ def jaccard_link_prediction(
 
     Scale shape: candidate pairs come from the wedge join (two edge
     relations joined on the shared neighbor) — Σ deg(n)² work, so a
-    HUB IS THE SKEW AXIS: nodes above `max_deg` are excised from the
-    WEDGE-CENTER role before the self-join (their incident edges
-    still count toward degrees — scores stay exact for surviving
-    pairs; what is skipped is pairs whose ONLY witnesses are hubs —
-    the same disclosed-excision contract as the LSH bucket guard,
-    and the right one: a mega-hub's co-neighbors are weak evidence).
-    Degrees are one aggregate; existing edges leave via one
-    anti-join; the head is a TakeOrdered. Ties cannot drift: equal
-    rationals compare equal as doubles, and (a, b) breaks the rest."""
+    HUB IS THE SKEW AXIS: nodes above `max_deg` (by full degree) are
+    excised from the graph entirely, and the score is the EXACT
+    Jaccard over the hub-excised neighbor sets N'(x) = {neighbors of
+    x with degree ≤ max_deg}: common = |N'(u)∩N'(w)| from the wedge
+    count and du/dw = |N'(u)|, |N'(w)| from the same excised
+    relation, so numerator and denominator agree. Pairs whose only
+    witnesses are hubs are skipped (the same disclosed-excision
+    contract as the LSH bucket guard, and the right one: a
+    mega-hub's co-neighbors are weak evidence). Degrees are one
+    aggregate; existing edges leave via one anti-join; the head is a
+    TakeOrdered. Ties cannot drift: equal rationals compare equal as
+    doubles, and (a, b) breaks the rest."""
     sym = (
         edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .union(
@@ -602,8 +605,17 @@ def jaccard_link_prediction(
         F.col("a").alias("u"), F.col("b").alias("w")
     )
     cand = pairs.join(existing, ["u", "w"], "left_anti")
-    da = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
-    db = deg.select(F.col("a").alias("w"), F.col("deg").alias("dw"))
+    # degrees over the SAME hub-excised relation the wedges use, so
+    # |N'(u)∩N'(w)| and |N'(u)|+|N'(w)| are consistent
+    deg_x = (
+        sym.join(
+            centers.select(F.col("n").alias("b")), "b", "left_semi"
+        )
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg_x.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    db = deg_x.select(F.col("a").alias("w"), F.col("deg").alias("dw"))
     scored = cand.join(da, "u").join(db, "w")
     score = F.col("common").cast("double") / (
         F.col("du") + F.col("dw") - F.col("common")

@@ -222,13 +222,20 @@ def compaction_plan(
         Window.orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # integer `div` on the long cumsum, not double '/' then cast:
+    # doubles lose exactness past ~2^53 cumulative bytes (multi-PB
+    # catalogs), where a near-boundary quotient could round across a
+    # bin edge; sizes are non-negative so div == floor here
     binned = files.select(
         F.col(id_col).alias("__id"),
         F.col(size_col).alias("__sz"),
         (
-            (F.sum(size_col).over(w) - F.col(size_col))
-            / F.lit(int(target_bytes))
-        ).cast("long").alias("bin"),
+            (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+        ).alias("__cb"),
+    ).select(
+        "__id",
+        "__sz",
+        F.expr(f"__cb div {int(target_bytes)}").cast("long").alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n_files"),

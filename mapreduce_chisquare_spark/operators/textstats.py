@@ -1296,37 +1296,44 @@ def inverted_index(
     (term, df, cf, postings).
 
     Scale shape: the token stream collapses to (term, doc_id, tf)
-    with one map-side-combinable aggregate; a row_number over the
-    term partitioning marks the first `max_postings` postings so the
-    final per-term aggregate collects a BOUNDED list — a plain
-    collect_list(doc_id) would buffer every posting of a stopword-
-    grade term (millions of ids per key at corpus scale), which is
-    exactly the skew this avoids. df/cf come from the same aggregate
-    pass; the top-k head is a TakeOrdered, never a full sort."""
+    with one map-side-combinable aggregate; the posting cut is a
+    rank FILTER (`rn <= max_postings`) on its own relation, which
+    Catalyst rewrites to WindowGroupLimit with a PARTIAL map-side
+    limit — each input partition forwards at most `max_postings`
+    postings per term into the exchange, so a stopword-grade term
+    (millions of postings at corpus scale) never sorts or shuffles
+    its full list; df/cf come from a separate plain aggregate over
+    the same relation and join back on term (co-partitioned — no
+    extra exchange). The top-k head is a TakeOrdered, never a full
+    sort."""
     base = docs.select(
         "doc_id", F.explode(_words(text_col)).alias("term")
     )
     per_doc = base.groupBy("term", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
     rn = F.row_number().over(
         Window.partitionBy("term").orderBy("doc_id")
     )
-    ranked = per_doc.withColumn("__rn", rn)
-    kept_id = F.when(
-        F.col("__rn") <= F.lit(int(max_postings)), F.col("doc_id")
+    posts = (
+        per_doc.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= F.lit(int(max_postings)))
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
     )
-    agg = ranked.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_id)),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
-    )
+    agg = stats.join(posts, "term")
     return agg.orderBy(F.desc("df"), F.asc("term")).limit(int(k))
 
 
@@ -1415,9 +1422,12 @@ def html_strip(
     belongs to a full parser — documented out of scope, fail-soft:
     unparseable fragments stay as text rather than erroring."""
     x = F.col(html_col)
-    # script/style payloads out first (reluctant inner match),
+    # script payloads out first, then style (two sequential passes,
+    # not one alternation+backreference pass, so interleaved or
+    # unclosed markup resolves the same way on every regex engine),
     # then all tags, then entities, then whitespace normalization
-    x = F.regexp_replace(x, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style\s*>", " ")
     x = F.regexp_replace(x, r"<[^>]*>", " ")
     for ent, ch in (
         ("&lt;", "<"),

@@ -784,7 +784,9 @@ def cdc_apply(
     per-key monotone sequence number, produce the next snapshot.
     The LATEST change per key (max seq) wins — earlier changes to the
     same key are superseded, exactly Debezium/binlog compaction
-    semantics; 'D' removes the key, 'I'/'U' upsert the carried value,
+    semantics; 'D' removes the key, 'I'/'U' upsert the carried value
+    (a NULL-valued upsert writes NULL — the carried value is
+    authoritative, never silently preserving the prior value),
     untouched base keys pass through. Returns (key, val).
 
     Scale shape: the change stream collapses to one row per key via a
@@ -808,7 +810,9 @@ def cdc_apply(
         )
         .select(
             F.col("__k").alias(key),
-            F.coalesce(F.col("__c.v"), F.col("__bv")).alias(val),
+            F.when(F.col("__c").isNotNull(), F.col("__c.v"))
+            .otherwise(F.col("__bv"))
+            .alias(val),
         )
     )
 
@@ -1087,10 +1091,17 @@ def bootstrap_ci(
             ).alias("mean_r"),
         )
     )
+    # drop all-zero-weight replicas (mean_r NULL) BEFORE ranking:
+    # Spark sorts NULLs first, DuckDB's ORDER BY defaults to NULLS
+    # LAST, so a surviving NULL would shift the order-statistic
+    # ranks differently per engine (P ≈ e^-N per replica — but the
+    # tie discipline is explicit everywhere else, so close it here)
     rn = F.row_number().over(
         Window.orderBy("mean_r", "rep")  # B rows — bounded window
     )
-    ranked = means.withColumn("__rn", rn)
+    ranked = means.filter(F.col("mean_r").isNotNull()).withColumn(
+        "__rn", rn
+    )
     idx_lo = max(1, int(-(-lo * b // 1)))
     idx_med = max(1, int(-(-0.5 * b // 1)))
     idx_hi = max(1, int(-(-hi * b // 1)))

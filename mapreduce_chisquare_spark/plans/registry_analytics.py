@@ -1272,7 +1272,9 @@ def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream derived from orders, full-outer-applied to the snapshot.
     The fixture plants superseded changes (a seq-3 DELETE overridden
     by a seq-4 UPDATE on keys % 55 == 0) so the certification fails
-    unless latest-wins ordering is honored."""
+    unless latest-wins ordering is honored, and NULL-valued upserts
+    (seq-5 'U' carrying NULL on keys % 23 == 0) so the certification
+    fails unless the carried NULL overwrites the prior value."""
     from ..operators.warehouse import cdc_apply
 
     o = _t(spark, sf_dir, "orders").select(
@@ -1305,6 +1307,7 @@ def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _chg(F.col("k") % 11 == 0, F.lit(None), "D", 3),
             _chg(F.col("k") % 55 == 0, F.col("v") + 999, "U", 4),
+            _chg(F.col("k") % 23 == 0, F.lit(None), "U", 5),
         ),
         lambda c: c.isNotNull(),
     )
@@ -1328,7 +1331,9 @@ ch AS (
   UNION ALL
   SELECT k, CAST(NULL AS BIGINT), 'D', 3 FROM o WHERE k % 11 = 0
   UNION ALL
-  SELECT k, v + 999, 'U', 4 FROM o WHERE k % 55 = 0),
+  SELECT k, v + 999, 'U', 4 FROM o WHERE k % 55 = 0
+  UNION ALL
+  SELECT k, CAST(NULL AS BIGINT), 'U', 5 FROM o WHERE k % 23 = 0),
 latest AS (
   SELECT k, v AS cv, op AS cop FROM (
     SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
@@ -1336,7 +1341,7 @@ latest AS (
   WHERE rn = 1),
 j AS (SELECT coalesce(b.k, l.k) AS k, b.v AS bv, l.cv, l.cop
       FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
-SELECT k, coalesce(cv, bv) AS v
+SELECT k, CASE WHEN cop IS NOT NULL THEN cv ELSE bv END AS v
 FROM j WHERE cop IS NULL OR cop <> 'D'
 """
 
@@ -1902,11 +1907,14 @@ cand AS (
   SELECT * FROM pairs p
   WHERE NOT EXISTS (SELECT 1 FROM sym s
                     WHERE s.a = p.u AND s.b = p.w)),
+degx AS MATERIALIZED (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym
+  WHERE b IN (SELECT n FROM ctr) GROUP BY a),
 scored AS (
   SELECT c.u AS a, c.w AS b, c.common,
          CAST(c.common AS DOUBLE)
            / CAST(du.deg + dw.deg - c.common AS DOUBLE) AS jaccard
-  FROM cand c JOIN deg du ON du.a = c.u JOIN deg dw ON dw.a = c.w)
+  FROM cand c JOIN degx du ON du.a = c.u JOIN degx dw ON dw.a = c.w)
 SELECT a, b, common, jaccard FROM scored
 ORDER BY jaccard DESC, a ASC, b ASC
 LIMIT {int(k)}

@@ -2936,7 +2936,7 @@ def test_bpe_twins_survive_pair_exhaustion(spark):
         bpe_merges,
         bpe_vocab,
     )
-    from mapreduce_chisquare_spark.plans.registry_extensions import (
+    from mapreduce_chisquare_spark.plans.ext_analytics_ext import (
         _sql_bpe_merges,
         _sql_bpe_vocab,
     )

@@ -509,3 +509,16 @@ def test_audio_video_decode_plans_are_narrow(spark, sf_dir):
         for marker in ("BatchEvalPython", "pythonUDF"):
             assert marker not in p, name
         assert "MapInPandas" in p, name
+
+
+def test_inverted_index_postings_cut_is_window_group_limit(spark, sf_dir):
+    """The posting cut must compile to WindowGroupLimit with a
+    PARTIAL map-side stage (round-12 rewrite): each input partition
+    forwards at most max_postings postings per term into the
+    exchange, so a stopword-grade term never sorts or ships its full
+    posting list. The head must stay a distributed partial top-k."""
+    p = plan_text(REGISTRY["inverted_index"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p.split("WindowGroupLimit", 1)[1] or \
+        p.count("WindowGroupLimit") >= 2, p
+    assert "TakeOrderedAndProject" in p, p

@@ -1159,7 +1159,7 @@ _cdc_base = st.dictionaries(_cdc_keys, st.integers(0, 99), max_size=5)
 _cdc_changes = st.lists(
     st.tuples(
         _cdc_keys,
-        st.integers(0, 99),
+        st.one_of(st.none(), st.integers(0, 99)),  # NULL upserts too
         st.sampled_from(["I", "U", "D"]),
     ),
     max_size=12,
@@ -1172,7 +1172,8 @@ def test_cdc_apply_equals_sequential_replay(spark, base, changes):
     """cdc_apply's latest-wins compaction must equal literally
     replaying the change stream in seq order onto a dict — for ANY
     interleaving of inserts, updates, and deletes, including deletes
-    of absent keys and re-inserts after delete."""
+    of absent keys, re-inserts after delete, and NULL-valued upserts
+    (the carried NULL overwrites the prior value)."""
     from mapreduce_chisquare_spark.operators.warehouse import cdc_apply
 
     state = dict(base)

@@ -665,3 +665,23 @@ def test_linkpred_scores_and_hub_guard(spark):
     assert (
         jaccard_link_prediction(df, max_deg=1).count() == 0
     )
+
+
+def test_linkpred_hub_excision_consistent_degrees(spark):
+    """When a pair shares BOTH a hub and a non-hub neighbor, the
+    score is the exact Jaccard over the hub-EXCISED neighbor sets:
+    numerator (non-hub wedges) and denominator (non-hub degrees)
+    must agree. Here 1 and 2 share {3, hub 4}; with the hub excised
+    N'(1) = N'(2) = {3}, so jaccard = 1/(1+1-1) = 1.0 — NOT the
+    inconsistent 1/(2+2-1) = 1/3 a full-degree denominator gives."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    edges = [(1, 3), (2, 3), (1, 4), (2, 4), (4, 5), (4, 6), (4, 7)]
+    df = spark.createDataFrame(edges, "lo long, hi long")
+    got = {
+        (r.a, r.b): (r.common, r.jaccard)
+        for r in jaccard_link_prediction(df, max_deg=3).collect()
+    }
+    assert got[(1, 2)] == (1, 1.0)

@@ -315,10 +315,8 @@ def test_quality_model_composes_with_pipeline_curation(spark):
     from mapreduce_chisquare_spark.operators.curation import (
         quality_model_score,
     )
-    from mapreduce_chisquare_spark.plans.registry_extensions import (
-        _docs,
-        pipeline_curation,
-    )
+    from mapreduce_chisquare_spark.plans.ext_common import _docs
+    from mapreduce_chisquare_spark.plans.ext_media import pipeline_curation
 
     sf = "/root/testdata/sf0.001"
     survivors = pipeline_curation(spark, sf).select("doc_id")
