@@ -222,6 +222,11 @@ HEADLINE = [
     # round-11 seventh batch (first measurement = their baseline)
     "ts_decompose_classical",
     "graph_linkpred_jaccard",
+    # round-12 additions (first measurement = their baseline)
+    "graph_hits",
+    "events_cumulative_reach",
+    "lm_stupid_backoff",
+    "image_thumbnail_decoded",
 ]
 
 # ---------------------------------------------------------------------------
@@ -275,6 +280,7 @@ BENCH_EXCLUDED_LIGHT = [
     "count_total",
     "date_scalars",
     "dedup_components",
+    "dedup_url_canonical",
     "dedup_keep_best",
     "dedup_simhash",
     "dedup_terms",
@@ -282,6 +288,7 @@ BENCH_EXCLUDED_LIGHT = [
     "doc_chunk",
     "doc_fingerprint",
     "dq_profile",
+    "dq_referential",
     "embed_label_means",
     "embed_neardup",
     "embed_quantize",
@@ -328,6 +335,7 @@ BENCH_EXCLUDED_LIGHT = [
     "scan_csv",
     "scan_json",
     "scd2_merge",
+    "sentence_stats",
     "set_except",
     "set_except_all",
     "set_intersect",
@@ -388,6 +396,19 @@ CANARY = [
     "quality_score",
     "distinct_sketch_kmv",
     "ts_paa",
+]
+
+# Second operating point (round-12 addition): the heaviest media
+# decode entries are additionally timed at a SECOND scale factor
+# (default sf0.01, override $SPARK_GRAFT_SF2_DIR) so the decode cost
+# model in SCALE.md (wall linear in blob bytes) rests on two measured
+# points per entry instead of one. Recorded in BENCH_FULL.json under
+# `second_point`; excluded from the headline total.
+SECOND_POINT = [
+    "image_phash_jpeg",
+    "image_phash_gif",
+    "audio_fingerprint",
+    "video_frame_phash",
 ]
 
 
@@ -516,6 +537,17 @@ def main() -> None:
         t = bench.time_query(name)
         if t is not None:
             results[name] = t
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    second_point: dict[str, float] = {}
+    if os.path.isdir(sf2_dir):
+        bench2 = _Bench(spark, sf2_dir)
+        bench2.quiet, bench2.threshold = bench.quiet, bench.threshold
+        for name in SECOND_POINT:
+            t = bench2.time_query(name, track_hot=False)
+            if t is not None:
+                second_point[name] = t
+        bench.max_seen = max(bench.max_seen, bench2.max_seen)
+        bench.hot_discards += bench2.hot_discards
     canary_end = bench.run_canary()
     cs, ce = sum(canary_start.values()), sum(canary_end.values())
     canary = {
@@ -546,6 +578,7 @@ def main() -> None:
         "sf": sf_val,
         "sentinel": sentinel,
         "canary": canary,
+        "second_point": {"sf_dir": sf2_dir, "queries": second_point},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f)

@@ -999,3 +999,88 @@ def quality_model_score_rowlocal(
             >= 0
         ).alias("keep"),
     )
+
+
+def canonicalize_url(url: F.Column | str) -> F.Column:
+    """Canonical form of a crawl URL — the normalization every
+    CommonCrawl-style pipeline applies before exact URL dedup
+    (scheme/host case, www., default ports, tracking params, query
+    order, trailing slashes, fragments are all presentation noise):
+
+      1. fragment dropped (everything from '#')
+      2. scheme lowercased; host lowercased, 'www.' stripped,
+         default port stripped (':443' for https, ':80' for http)
+      3. path: trailing '/' runs stripped; empty path becomes '/'
+      4. query: params split on '&', tracking params dropped
+         (utm_* / fbclid* / gclid* prefixes), survivors sorted
+         lexically and rejoined; empty query drops its '?'
+      5. path and query VALUES keep their case — only scheme and
+         host are case-insensitive per RFC 3986
+
+    Pure Catalyst string/array expressions (split/instr/filter/
+    array_sort) — zero exchanges, whole-stage codegen; the dedup
+    that follows is one exact groupBy on the canonical string. A
+    full WHATWG parser (percent-encoding normalization, IDN) is a
+    library, not an expression — documented out of scope."""
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.split(u, "#")[0]
+    scheme = F.lower(F.split(nofrag, "://")[0])
+    rest = F.try_element_at(F.split(nofrag, "://"), F.lit(2))
+    slash = F.instr(rest, "/")
+    hostport = F.when(
+        slash > 0, F.substring(rest, F.lit(1), slash - 1)
+    ).otherwise(rest)
+    tail = F.when(slash > 0, F.substr(rest, slash)).otherwise(F.lit(""))
+    base_host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
+    # strip only the port that is the SCHEME's default — a
+    # non-default port (http://h:443) is a different authority
+    host = (
+        F.when(
+            scheme == "https", F.regexp_replace(base_host, ":443$", "")
+        )
+        .when(scheme == "http", F.regexp_replace(base_host, ":80$", ""))
+        .otherwise(base_host)
+    )
+    path = F.split(tail, r"\?")[0]
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.try_element_at(F.split(tail, r"\?"), F.lit(2))
+    qs = F.filter(
+        F.split(F.coalesce(q, F.lit("")), "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~x.startswith("fbclid")
+        & ~x.startswith("gclid"),
+    )
+    qjoin = F.array_join(F.array_sort(qs), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoin == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qjoin)
+        ),
+    )
+
+
+def dedup_url_groups(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the canonical URL: groups of >= 2 pages whose
+    URLs normalize identically. Returns (canon_url, n_dups,
+    keep_id) — keep_id is the smallest member id (the deterministic
+    survivor rule shared with dedup_exact). One exchange on the
+    canonical string; the canonicalization itself is map-side."""
+    c = pages.select(
+        F.col(id_col).alias("__id"),
+        canonicalize_url(url_col).alias("canon_url"),
+    )
+    return (
+        c.groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("__id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )

@@ -630,3 +630,100 @@ def jaccard_link_prediction(
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(int(k))
     )
+
+
+HITS_SCALE = 10**9  # hub/authority mass in integer 1e-9 units
+HITS_ITERATIONS = 8
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999, public) over a
+    directed edge list (columns `src`, `dst`; duplicates deduped):
+    hubs point at good authorities, authorities are pointed at by
+    good hubs. Returns (node, hub_fp, auth_fp) — BIGINT multiples of
+    1/scale, the pagerank() exactness discipline.
+
+    Contract (shared bit-for-bit with the DuckDB twin):
+      h0(v)    = scale div N
+      a_raw(v) = Σ_{u→v} h(u);  A = Σ_v a_raw(v)
+      a(v)     = a_raw(v) div max(A div scale, 1)     (L1 renorm)
+      h_raw(v) = Σ_{v→w} a(w);  H = Σ_v h_raw(v)
+      h(v)     = h_raw(v) div max(H div scale, 1)
+    for a fixed `iterations` rounds — every step BIGINT, so sums are
+    order-independent and the two engines cannot drift. Overflow
+    budget: after renorm Σ mass ≈ scale (1e9), so a_raw(v) ≤ ~1e9
+    and the global sums A, H ≤ ~scale · max_outdeg ≤ 1e14 for
+    million-degree hubs — five orders of magnitude inside int64.
+
+    Scale shape: the deduped edge relation is materialized ONCE and
+    re-joined per half-step; each half-step is the canonical two
+    exchanges (mass join on one endpoint, aggregate on the other)
+    plus a 1-row L1-total broadcast — the pagerank dangling-mass
+    pattern. State is |V| rows, localCheckpoint-ed per round to
+    truncate lineage. Nodes with no incoming (or outgoing) edges
+    carry authority (hub) 0 — kept in the output, not dropped."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    h = nodes.select(
+        "node", F.lit(int(scale) // n).cast("long").alias("m")
+    ).localCheckpoint()
+
+    def _half(
+        mass: DataFrame, out_key: str, in_key: str, checkpoint: bool
+    ) -> DataFrame:
+        """One half-step: push `mass` along out_key→in_key edges,
+        aggregate at the receiving endpoint, L1-renormalize. Only
+        the h half materializes (one localCheckpoint per FULL
+        iteration — the a half's lineage is two joins deep and gets
+        truncated when h lands, so checkpointing it too would just
+        double the |V|-row materializations)."""
+        raw = (
+            e.join(
+                mass.select(F.col("node").alias(out_key), "m"), out_key
+            )
+            .groupBy(F.col(in_key).alias("node"))
+            .agg(F.sum("m").cast("long").alias("raw"))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t")
+        ).select(
+            F.greatest(
+                F.expr(f"t div CAST({int(scale)} AS BIGINT)"), F.lit(1)
+            ).cast("long").alias("d")
+        )
+        out = (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr("COALESCE(raw, CAST(0 AS BIGINT)) div d")
+                .cast("long")
+                .alias("m"),
+            )
+        )
+        return out.localCheckpoint() if checkpoint else out
+
+    a = None
+    for i in range(int(iterations)):
+        a = _half(h, "src", "dst", checkpoint=(i == int(iterations) - 1))
+        h = _half(a, "dst", "src", checkpoint=True)
+    return (
+        h.select("node", F.col("m").alias("hub_fp"))
+        .join(a.select("node", F.col("m").alias("auth_fp")), "node")
+    )

@@ -2156,3 +2156,88 @@ def audio_energy_segments(
         )
         .drop("__run")
     )
+
+
+THUMB_T = 4  # thumbnail grid: THUMB_T x THUMB_T block means
+
+GRAY_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("gray", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def gray_flat_batch(batches: Iterator) -> Iterator:
+    """mapInPandas kernel: (doc_id, payload binary) -> (doc_id, w, h,
+    gray row-major flat array) via the real pixel decoders — the
+    full-resolution companion of imagehash.decoded_pixel_batch (which
+    point-samples); resize-family operators need every pixel."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        ws, hs, flats = [], [], []
+        for blob in pdf["payload"]:
+            w, h, rows = decode_image_pixels(blob)
+            ws.append(w)
+            hs.append(h)
+            flats.append([v for row in rows for v in row])
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "w": ws, "h": hs, "gray": flats}
+        )
+
+
+def image_thumbnail_decoded(
+    media: DataFrame, t: int = THUMB_T
+) -> DataFrame:
+    """t x t block-mean thumbnail over REAL decoded pixels — the
+    resize primitive of every vision-data pipeline (downsample
+    before embedding / dedup / layout detection), on the decoded
+    grid rather than a byte-length proxy. Pixel (r, c) belongs to
+    cell (r*t div h, c*t div w); the cell value is the integer mean
+    (sum div count) of its block's grayscale. Returns (doc_id, w, h,
+    thumb) with thumb the row-major CSV of the t*t means — a flat
+    scalar the driver canonicalizer and the DuckDB twin both hash
+    directly.
+
+    Scale shape: ONE narrow Arrow-batched decode stage (mapInPandas
+    — per-blob cost is the scaling model, embarrassingly parallel),
+    then the block means are pure JVM array expressions
+    (filter/aggregate over the flat grid) inside whole-stage codegen
+    — zero exchanges end to end, the audio_fingerprint posture. The
+    mean is integer `div`, so engines cannot drift."""
+    px = media.select("doc_id", "payload").mapInPandas(
+        gray_flat_batch, GRAY_FLAT_SCHEMA
+    )
+    cells = []
+    for i in range(int(t)):
+        for j in range(int(t)):
+            cells.append(
+                F.expr(
+                    f"aggregate(filter(sequence(0, w * h - 1), "
+                    f"k -> ((k div w) * {int(t)}) div h = {i} "
+                    f"AND ((k % w) * {int(t)}) div w = {j}), "
+                    f"named_struct('s', CAST(0 AS BIGINT), "
+                    f"'n', CAST(0 AS BIGINT)), "
+                    f"(acc, k) -> named_struct("
+                    f"'s', acc.s + CAST(gray[k] AS BIGINT), "
+                    f"'n', acc.n + CAST(1 AS BIGINT)), "
+                    f"acc -> acc.s div acc.n)"
+                ).cast("long").alias(f"m{i}_{j}")
+            )
+    grid = px.select("doc_id", "w", "h", *cells)
+    return grid.select(
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{i}_{j}").cast("string")
+                for i in range(int(t))
+                for j in range(int(t))
+            ],
+        ).alias("thumb"),
+    )

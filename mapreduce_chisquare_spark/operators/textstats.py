@@ -1516,3 +1516,178 @@ def lm_kn_bigram_score(
             "avg_logprob"
         ),
     )
+
+
+SB_ALPHA_NUM = 4  # stupid-backoff alpha = 0.4 = 4/10
+SB_ALPHA_DEN = 10
+
+
+def lm_stupid_backoff_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_mod: int = 10,
+    train_rem: int = 0,
+) -> DataFrame:
+    """Trigram stupid-backoff scoring (Brants et al., EMNLP 2007,
+    public — "Large Language Models in Machine Translation"): the
+    web-scale count-based LM that skips normalized discounting
+    entirely; relative frequencies with a fixed backoff penalty
+    alpha = 0.4 beat Kneser-Ney at large counts for a fraction of
+    the compute. Trained on the designated split (doc_id %
+    train_mod == train_rem), scored over EVERY document:
+
+      S(w3|w1,w2) = c123/c12                     if c123 > 0
+                  = 0.4 * c23/c2                 elif c23 > 0
+                  = 0.4^2 * (c3 + 1)/(T + V + 1) otherwise
+                    (add-one floor so unseen words stay finite —
+                     stupid backoff leaves OOV undefined; the
+                     lm_heldout_score floor is reused verbatim)
+
+    ALL counts are roll-ups of the train TRIGRAM relation (c12 =
+    sum over w3, c23 = sum over w1, c2/c3/T = further roll-ups,
+    V = distinct w3), so the corpus tokenizes ONCE and every count
+    relation rides the same (w1, w2, w3) exchange — the lm_bigram
+    "V from the bigram relation itself" discipline, disclosed: c12
+    here counts (w1, w2) as trigram CONTEXT, not free-standing
+    bigrams (the two differ only at document tails). Returns
+    (doc_id, n_trigrams, n_bo1, n_bo2, avg_logprob) for documents
+    with >= 3 tokens — the backoff-level counts make the gate fail
+    if the CASE ladder picks the wrong branch.
+
+    Scale shape: one corpus-sized exchange on (w1, w2, w3) serves
+    the per-doc tf aggregate AND the train counts; the roll-up
+    chain is vocabulary-sized; (T, V) attach as a 1-row broadcast
+    (J3); one doc-keyed aggregate closes."""
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(int(train_mod)) == F.lit(int(train_rem)))
+        .alias("__train"),
+        _words(text_col).alias("__arr"),
+    )
+    tris = base.select(
+        "doc_id",
+        "__train",
+        F.explode(
+            F.expr(
+                "transform(slice(__arr, 1, greatest(size(__arr) - 2, 0)), "
+                "(__sb_w, __sb_i) -> struct(__sb_w AS w1, "
+                "__arr[__sb_i + 1] AS w2, __arr[__sb_i + 2] AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "__train", "g.w1", "g.w2", "g.w3")
+    tfb = (
+        tris.repartition("w1", "w2", "w3")
+        .groupBy("doc_id", "__train", "w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    c123 = (
+        tfb.filter("__train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("tf").cast("long").alias("c123"))
+    )
+    c12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12")
+    )
+    c23 = c123.groupBy("w2", "w3").agg(
+        F.sum("c123").cast("long").alias("c23")
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
+    c3 = c23.groupBy("w3").agg(F.sum("c23").cast("long").alias("c3"))
+    tv = c123.agg(
+        F.coalesce(F.sum("c123"), F.lit(0)).cast("long").alias("t"),
+        F.count_distinct("w3").cast("long").alias("v"),
+    )
+    scored = (
+        tfb.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, "w2", "left")
+        .join(c3, "w3", "left")
+        .join(F.broadcast(tv))
+    )
+    alpha = F.lit(SB_ALPHA_NUM).cast("double") / F.lit(
+        SB_ALPHA_DEN
+    ).cast("double")
+    s1 = F.col("c123").cast("double") / F.col("c12").cast("double")
+    s2 = alpha * (F.col("c23").cast("double") / F.col("c2").cast("double"))
+    s3 = (
+        alpha
+        * alpha
+        * (
+            (F.coalesce(F.col("c3"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (
+                F.col("t").cast("double")
+                + F.col("v").cast("double")
+                + F.lit(1.0)
+            )
+        )
+    )
+    lvl = F.when(F.col("c123").isNotNull(), F.lit(0)).otherwise(
+        F.when(F.col("c23").isNotNull(), F.lit(1)).otherwise(F.lit(2))
+    )
+    s = F.when(lvl == 0, s1).otherwise(F.when(lvl == 1, s2).otherwise(s3))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_trigrams"),
+        F.sum(F.when(lvl == 1, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_bo1"),
+        F.sum(F.when(lvl == 2, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_bo2"),
+        F.sum(F.col("tf").cast("double") * F.log(s)).alias("__s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        "n_bo1",
+        "n_bo2",
+        (F.col("__s") / F.col("n_trigrams").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation statistics — the readability/quality
+    signal family (Flesch-style heuristics, Gopher's mean-sentence
+    bounds) reads: split on terminator runs `[.!?]+`, trim each
+    fragment, drop empties. Returns (doc_id, n_sentences,
+    total_chars, avg_sentence_chars, max_sentence_chars) for
+    documents with >= 1 sentence; char counts measure the TRIMMED
+    fragments.
+
+    Pure Catalyst array expressions (split/transform/filter/
+    aggregate) — zero exchanges beyond the scan, whole-stage
+    codegen: at 100 TB this is scan-bound, the html_strip posture.
+    A full Punkt-style abbreviation-aware segmenter is a model, not
+    an expression — documented out of scope; terminator-run
+    splitting is the disclosed contract (it never splits on
+    abbreviation-internal periods followed by more letters, e.g.
+    "U.S." loses its dots but yields no empty fragments)."""
+    frags = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    lens = F.transform(frags, lambda x: F.length(x).cast("long"))
+    out = docs.select(
+        "doc_id",
+        F.size(lens).cast("long").alias("n_sentences"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.array_max(lens).cast("long").alias("max_sentence_chars"),
+    )
+    return out.filter(F.col("n_sentences") > 0).select(
+        "doc_id",
+        "n_sentences",
+        "total_chars",
+        (
+            F.col("total_chars").cast("double")
+            / F.col("n_sentences").cast("double")
+        ).alias("avg_sentence_chars"),
+        "max_sentence_chars",
+    )

@@ -1117,3 +1117,109 @@ def bootstrap_ci(
             "ci_hi"
         ),
     )
+
+
+def cumulative_reach(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cumulative distinct-user reach per event type by day — the
+    growth-analytics staple ("how many unique users has feature X
+    ever touched, day over day?"). Returns one row per (event_type,
+    day_us) with daily event count, daily NEW users, and the running
+    cumulative distinct-user total:
+    (event_type, day_us, n_events, new_users, cum_users).
+
+    The naive form — per-day `count(DISTINCT user)` over a growing
+    prefix, or a collect_set window — re-aggregates the entire
+    history for every day and holds per-key state proportional to
+    the user base. This plan is FIRST-TOUCH decomposition instead:
+    a user contributes to distinct reach exactly once, on their
+    first event of that type (row_number == 1 over (ts, event_id) —
+    a total order, so ties cannot flip the attribution day), so
+    cumulative reach is a running SUM of daily first-touch counts.
+
+    Scale shape: one (type, user) exchange for the first-touch
+    window, one (type, day) map-side-combinable aggregate, then a
+    running-sum window over (type, day) — at 100 TB the last window
+    is catalog-sized (days × types), never data-sized. Day is
+    epoch-microseconds div 86400e6 (integer; epoch days) — identical
+    arithmetic on both engines."""
+    day = F.expr(
+        f"unix_micros({ts_col}) div CAST(86400000000 AS BIGINT)"
+    ).cast("long")
+    w_first = Window.partitionBy(type_col, user_col).orderBy(
+        ts_col, id_col
+    )
+    tagged = events.select(
+        F.col(type_col).alias("event_type"),
+        day.alias("day_us"),
+        (F.row_number().over(w_first) == 1).cast("long").alias(
+            "__first"
+        ),
+    )
+    daily = tagged.groupBy("event_type", "day_us").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("__first").cast("long").alias("new_users"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_us",
+        "n_events",
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("long").alias("cum_users"),
+    )
+
+
+def referential_integrity(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit — the DQ expectation dq_checks
+    cannot express because it needs TWO relations: for each
+    (name, child_df, fk_col, parent_df, pk_col) relationship, count
+    child rows and child rows whose FK has no matching parent key
+    (NULL FKs count as orphans — a dangling reference either way).
+    Returns one row per relationship:
+    (relationship, n_child, n_orphans, orphan_rate).
+
+    Scale shape: each relationship is one left-anti join on the key
+    (broadcast when the parent's key projection is small — the
+    planner's call via AQE) feeding a 1-row aggregate, then a union
+    of the per-relationship scalars — relationship count is
+    catalog-sized, so the union is trivially bounded. orphan_rate is
+    one double division of two exact longs, identical left-to-right
+    on both engines."""
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        c = child.select(F.col(fk).alias("__fk"))
+        p = parent.select(F.col(pk).alias("__fk")).distinct()
+        n_child = c.agg(
+            F.count("*").cast("long").alias("n_child")
+        )
+        n_orph = (
+            c.join(p, "__fk", "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        outs.append(
+            n_child.crossJoin(n_orph).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1,0 +1,251 @@
+"""Round-12 extension entries: trigram stupid-backoff LM, sentence
+segmentation stats, URL canonicalization dedup.
+
+Registered by registry_extensions.py after the round-11 batches, so
+these sit at the registry tail for the round-13 certification window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textstats as tx
+from .ext_common import _docs
+
+
+def lm_stupid_backoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff scoring (operators/textstats.py
+    lm_stupid_backoff_score): trained on the doc_id % 10 == 0 split,
+    scored over every document, so all three backoff levels fire."""
+    return tx.lm_stupid_backoff_score(_docs(spark, sf_dir))
+
+
+SQL_LM_STUPID_BACKOFF = r"""
+WITH b AS (
+  SELECT doc_id, doc_id % 10 = 0 AS train,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tris AS (SELECT doc_id, train, arr[i] AS w1, arr[i+1] AS w2,
+                arr[i+2] AS w3
+         FROM b, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+tfb AS (SELECT doc_id, train, w1, w2, w3,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM tris GROUP BY doc_id, train, w1, w2, w3),
+c123 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123
+         FROM tfb WHERE train GROUP BY w1, w2, w3),
+c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+        FROM c123 GROUP BY w1, w2),
+c23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23
+        FROM c123 GROUP BY w2, w3),
+c2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM c23 GROUP BY w2),
+c3 AS (SELECT w3, CAST(sum(c23) AS BIGINT) AS c3 FROM c23 GROUP BY w3),
+tv AS (SELECT CAST(COALESCE(sum(c123), 0) AS BIGINT) AS t,
+              CAST(count(DISTINCT w3) AS BIGINT) AS v
+       FROM c123),
+scored AS (
+  SELECT tfb.doc_id, tfb.tf,
+         CASE WHEN c123.c123 IS NOT NULL THEN 0
+              WHEN c23.c23 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+         CASE
+           WHEN c123.c123 IS NOT NULL THEN
+             CAST(c123.c123 AS DOUBLE) / CAST(c12.c12 AS DOUBLE)
+           WHEN c23.c23 IS NOT NULL THEN
+             (CAST(4 AS DOUBLE) / CAST(10 AS DOUBLE))
+               * (CAST(c23.c23 AS DOUBLE) / CAST(c2.c2 AS DOUBLE))
+           ELSE
+             (CAST(4 AS DOUBLE) / CAST(10 AS DOUBLE))
+               * (CAST(4 AS DOUBLE) / CAST(10 AS DOUBLE))
+               * ((CAST(COALESCE(c3.c3, 0) AS DOUBLE) + 1.0)
+                  / (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE) + 1.0))
+         END AS s
+  FROM tfb
+  LEFT JOIN c123 USING (w1, w2, w3)
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c23 USING (w2, w3)
+  LEFT JOIN c2 USING (w2)
+  LEFT JOIN c3 USING (w3)
+  CROSS JOIN tv),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+              CAST(sum(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS BIGINT)
+                AS n_bo1,
+              CAST(sum(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS BIGINT)
+                AS n_bo2,
+              sum(CAST(tf AS DOUBLE) * ln(s)) AS s
+       FROM scored GROUP BY doc_id)
+SELECT doc_id, n_trigrams, n_bo1, n_bo2,
+       s / CAST(n_trigrams AS DOUBLE) AS avg_logprob
+FROM pd
+"""
+
+
+def sentence_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (operators/textstats.py
+    sentence_stats) over documents."""
+    return tx.sentence_stats(_docs(spark, sf_dir))
+
+
+SQL_SENTENCE_STATS = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[.!?]+'),
+                          x -> trim(x)),
+           x -> x <> '') AS frags
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         list_transform(frags, x -> CAST(length(x) AS BIGINT)) AS lens
+  FROM f),
+s AS (
+  SELECT doc_id,
+         CAST(len(lens) AS BIGINT) AS n_sentences,
+         CAST(list_sum(lens) AS BIGINT) AS total_chars,
+         CAST(list_max(lens) AS BIGINT) AS max_sentence_chars
+  FROM l)
+SELECT doc_id, n_sentences, total_chars,
+       CAST(total_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+         AS avg_sentence_chars,
+       max_sentence_chars
+FROM s WHERE n_sentences > 0
+"""
+
+
+EXT_ROUND12_QUERIES: dict = {
+    "lm_stupid_backoff": (lm_stupid_backoff_q, SQL_LM_STUPID_BACKOFF),
+    "sentence_stats": (sentence_stats_q, SQL_SENTENCE_STATS),
+}
+
+
+def dedup_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (operators/curation.py
+    canonicalize_url + dedup_url_groups): six messy variants of the
+    same logical page are synthesized per doc_id — scheme/host case,
+    www., explicit :443, fragment, trailing slash, utm_*/tracking
+    params, shuffled query order — three consecutive doc_ids share a
+    page. The ORACLE states the expected canonical string directly
+    from the fixture formula (it never runs the canonicalizer), so
+    hash equality certifies every normalization rule at once."""
+    from ..operators.curation import dedup_url_groups
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    base = F.concat(
+        F.lit("/docs/p"), F.expr("doc_id div 3").cast("string")
+    )
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://example.com"), base))
+        .when(
+            m == 1,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM"), base, F.lit("/")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://example.com:443"), base, F.lit("#sec2")
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("https://www.example.com"),
+                base,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            m == 4,
+            F.concat(F.lit("https://example.com"), base, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com"),
+                base,
+                F.lit("?a=1&b=2&utm_campaign=x"),
+            )
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return dedup_url_groups(pages)
+
+
+SQL_DEDUP_URL_CANONICAL = """
+WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id // 3 AS pg
+           FROM documents),
+c AS (SELECT doc_id,
+             'https://example.com/docs/p' || CAST(pg AS VARCHAR)
+               || CASE WHEN m IN (4, 5) THEN '?a=1&b=2' ELSE '' END
+               AS canon_url
+      FROM d)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM c GROUP BY canon_url HAVING count(*) >= 2
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "dedup_url_canonical": (
+            dedup_url_canonical_q,
+            SQL_DEDUP_URL_CANONICAL,
+        ),
+    }
+)
+
+
+def image_thumbnail_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x4 block-mean thumbnail over REAL decoded pixels
+    (operators/multimodal.py image_thumbnail_decoded): per document
+    a real PNG is synthesized (dimensions / color type / channel
+    values are SQL-stateable functions of doc_id, scanline filters
+    cycle all five types) and decoded through the pure-stdlib
+    zlib-inflate + unfilter path; the oracle computes ground-truth
+    block means directly from the fixture formulas — it never sees
+    the PNG bytes — so equality certifies decoder AND resize."""
+    from ..operators import multimodal as mm
+
+    media = mm.synth_png_documents(_docs(spark, sf_dir))
+    return mm.image_thumbnail_decoded(media)
+
+
+def _sql_image_thumbnail() -> str:
+    from ..operators import multimodal as mm
+
+    t = mm.THUMB_T
+    return f"""
+WITH dims AS (SELECT doc_id,
+                     {mm.PNG_W_BASE} + doc_id % {mm.PNG_W_MOD} AS w,
+                     {mm.PNG_H_BASE} + doc_id % {mm.PNG_H_MOD} AS h,
+                     doc_id % 3 AS ctsel
+              FROM documents),
+g AS (SELECT doc_id, w, h, ctsel, rr.r AS r, cc.c AS c
+      FROM dims, UNNEST(range(h)) rr(r), UNNEST(range(w)) cc(c)),
+px AS (SELECT doc_id, w, h,
+              (r * {t}) // h AS bi, (c * {t}) // w AS bj,
+              CASE WHEN ctsel = 0
+                THEN (doc_id*7 + r*13 + c*31) % 256
+                ELSE (299*((doc_id*5 + r*11 + c*17) % 256)
+                    + 587*((doc_id*3 + r*7 + c*19) % 256)
+                    + 114*((doc_id*13 + r*3 + c*23) % 256)) // 1000
+              END AS gray
+       FROM g),
+cells AS (SELECT doc_id, w, h, bi, bj,
+                 CAST(sum(gray) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS m
+          FROM px GROUP BY doc_id, w, h, bi, bj)
+SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       string_agg(CAST(m AS VARCHAR), ',' ORDER BY bi, bj) AS thumb
+FROM cells GROUP BY doc_id, w, h
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "image_thumbnail_decoded": (
+            image_thumbnail_decoded_q,
+            _sql_image_thumbnail(),
+        ),
+    }
+)

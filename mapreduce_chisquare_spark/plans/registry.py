@@ -146,10 +146,12 @@ _CERTIFY_WINDOW = [
 # simsearch_lsh_topk simsearch_topk simsearch_topk_pandas
 # sink_partitioned sketch_kmv_overlap stream_dedup stream_static_join
 # stream_tumbling ts_paa ts_similarity_topk winnowing_fingerprint
-# winnowing_pairs), then any round-12 tail additions (list new
-# entries here as they are registered), then the oldest r8 rows as
-# space allows. After the round-12 window lands, the staleness
-# histogram floor is r7 (27 rows).
+# winnowing_pairs), then the round-12 tail additions (graph_hits
+# events_cumulative_reach dq_referential lm_stupid_backoff
+# sentence_stats dedup_url_canonical image_thumbnail_decoded —
+# locally gated green at sf0.001 + sf0.01 in round 12), then the
+# oldest r8 rows as space allows. After the round-12 window lands,
+# the staleness histogram floor is r7 (27 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

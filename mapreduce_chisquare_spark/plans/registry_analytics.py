@@ -1931,3 +1931,200 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Round-12 additions: HITS, cumulative reach, referential integrity
+# =========================================================================
+
+def graph_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS (operators/graph.py hits) over the
+    customer->supplier trade graph — suppliers are pure authorities
+    (hub 0) and customers pure hubs (authority 0), so both zero
+    paths of the renormalized half-steps are exercised on every
+    round, not just in unit tests."""
+    from ..operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return hits(edges)
+
+
+def _sql_hits(iterations: int | None = None, scale: int | None = None) -> str:
+    """DuckDB twin of hits(): the fixed round count unrolled into
+    chained CTEs (the _sql_pagerank pattern), every sum CAST back to
+    BIGINT, `//` mirroring Spark's `div` (all values non-negative)."""
+    from ..operators.graph import HITS_ITERATIONS, HITS_SCALE
+
+    its = HITS_ITERATIONS if iterations is None else int(iterations)
+    sc = HITS_SCALE if scale is None else int(scale)
+    blocks = [
+        f"""
+WITH eg AS MATERIALIZED (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+h0 AS MATERIALIZED (
+  SELECT node, CAST({sc} // (SELECT n FROM nn) AS BIGINT) AS m
+  FROM nodes)"""
+    ]
+    for i in range(1, its + 1):
+        p = i - 1
+        blocks.append(
+            f"""
+araw{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.m) AS BIGINT) AS raw
+  FROM eg e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
+ad{i} AS MATERIALIZED (
+  SELECT greatest(CAST(COALESCE(sum(raw), 0) AS BIGINT) // {sc}, 1) AS d
+  FROM araw{i}),
+a{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(COALESCE(r.raw, 0) // (SELECT d FROM ad{i}) AS BIGINT) AS m
+  FROM nodes nd LEFT JOIN araw{i} r ON nd.node = r.node),
+hraw{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.m) AS BIGINT) AS raw
+  FROM eg e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+hd{i} AS MATERIALIZED (
+  SELECT greatest(CAST(COALESCE(sum(raw), 0) AS BIGINT) // {sc}, 1) AS d
+  FROM hraw{i}),
+h{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(COALESCE(r.raw, 0) // (SELECT d FROM hd{i}) AS BIGINT) AS m
+  FROM nodes nd LEFT JOIN hraw{i} r ON nd.node = r.node)"""
+        )
+    return (
+        ",".join(blocks)
+        + f"""
+SELECT h{its}.node, h{its}.m AS hub_fp, a{its}.m AS auth_fp
+FROM h{its} JOIN a{its} ON h{its}.node = a{its}.node
+"""
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-12 first batch — registry tail, queued for the
+        # round-13 certification window
+        "graph_hits": (graph_hits_q, _sql_hits()),
+    }
+)
+
+
+def events_cumulative_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user reach per event type by day
+    (operators/warehouse.py cumulative_reach): first-touch
+    decomposition — running sum of daily first-touch counts, never a
+    growing-prefix count(DISTINCT)."""
+    from ..operators.warehouse import cumulative_reach
+
+    return cumulative_reach(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_CUMULATIVE_REACH = """
+WITH tagged AS (
+  SELECT event_type,
+         epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day_us,
+         CASE WHEN row_number() OVER (
+             PARTITION BY event_type, user_id
+             ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_t
+  FROM events),
+daily AS (
+  SELECT event_type, day_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(first_t) AS BIGINT) AS new_users
+  FROM tagged GROUP BY event_type, day_us)
+SELECT event_type, day_us, n_events, new_users,
+       CAST(sum(new_users) OVER (
+         PARTITION BY event_type ORDER BY day_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+# Planted orphan FKs (negative keys never exist in the parent
+# tables), so the gate certifies real orphan counting — without the
+# plant TPC-H data is referentially clean and the check could pass
+# on an all-zeros result.
+_RI_PLANT = [-1, -2, -3]
+
+
+def dq_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/warehouse.py
+    referential_integrity) over the lineitem->orders and
+    orders->customer relationships, each with 3 planted orphan child
+    rows (negative FKs)."""
+    from ..operators.warehouse import referential_integrity
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    plant = spark.createDataFrame(
+        [(int(k),) for k in _RI_PLANT], "k long"
+    )
+    li_fk = li.select(F.col("l_orderkey").alias("k")).unionAll(plant)
+    o_fk = orders.select(F.col("o_custkey").alias("k")).unionAll(plant)
+    return referential_integrity(
+        [
+            ("lineitem.l_orderkey->orders", li_fk, "k", orders, "o_orderkey"),
+            ("orders.o_custkey->customer", o_fk, "k", cust, "c_custkey"),
+        ]
+    )
+
+
+def _sql_dq_referential() -> str:
+    plant = ", ".join(f"({k})" for k in _RI_PLANT)
+    return f"""
+WITH li_fk AS (
+  SELECT l_orderkey AS k FROM lineitem
+  UNION ALL SELECT * FROM (VALUES {plant}) v(k)),
+o_fk AS (
+  SELECT o_custkey AS k FROM orders
+  UNION ALL SELECT * FROM (VALUES {plant}) v(k)),
+r1 AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(*) FILTER (WHERE p.o_orderkey IS NULL) AS BIGINT)
+           AS n_orphans
+  FROM li_fk c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+    ON c.k = p.o_orderkey),
+r2 AS (
+  SELECT 'orders.o_custkey->customer' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(count(*) FILTER (WHERE p.c_custkey IS NULL) AS BIGINT)
+           AS n_orphans
+  FROM o_fk c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+    ON c.k = p.c_custkey),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT relationship, n_child, n_orphans,
+       CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+         AS orphan_rate
+FROM u
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-12 first batch (continued) — registry tail, queued
+        # for the round-13 certification window
+        "events_cumulative_reach": (
+            events_cumulative_reach_q,
+            SQL_EVENTS_CUMULATIVE_REACH,
+        ),
+        "dq_referential": (dq_referential_q, _sql_dq_referential()),
+    }
+)

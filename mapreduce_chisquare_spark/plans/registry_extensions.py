@@ -2594,3 +2594,11 @@ EXTENSION_QUERIES.update(
         "lm_kn_bigram_score": (lm_kn_bigram_score_q, SQL_LM_KN_BIGRAM),
     }
 )
+
+
+# Round-12 additions live in their own part module (the registry
+# split keeps this aggregator from regrowing); registered last so
+# they sit at the extension-registry tail.
+from .ext_round12 import EXT_ROUND12_QUERIES  # noqa: E402
+
+EXTENSION_QUERIES.update(EXT_ROUND12_QUERIES)
