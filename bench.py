@@ -227,6 +227,12 @@ HEADLINE = [
     "events_cumulative_reach",
     "lm_stupid_backoff",
     "image_thumbnail_decoded",
+    # round-12 second batch (first measurement = their baseline)
+    "distinct_sketch_hll",
+    "distinct_sketch_hll_merge",
+    "ts_lead_lag",
+    "quantile_bucketize",
+    "audio_downsample_decoded",
 ]
 
 # ---------------------------------------------------------------------------

@@ -320,3 +320,125 @@ def rank_sketch_merge(
         .filter(F.col("rn") <= F.lit(int(k)))
         .drop("rn")
     )
+
+
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32 - HLL_P   # 26 low bits feed the rank
+HLL_ALPHA = 0.709         # Flajolet's alpha_m for m = 64 (exact table value)
+
+
+def hll_rho_expr(w: F.Column) -> F.Column:
+    """rho(w) = leading zeros of w in HLL_W_BITS bits, plus 1 (w = 0
+    maps to HLL_W_BITS + 1) — built as an integer CASE ladder, never
+    a float log2, so both engines agree bit-for-bit at every power-
+    of-two boundary. The DuckDB twin generates the same ladder from
+    the same constants (plans/ext_round12.py _sql_hll_rho)."""
+    expr = F.lit(HLL_W_BITS + 1)
+    # descending thresholds: w >= 2^(W-1) -> 1, w >= 2^(W-2) -> 2, ...
+    for rho in range(HLL_W_BITS, 0, -1):
+        expr = F.when(
+            w >= F.lit(1 << (HLL_W_BITS - rho)), F.lit(rho)
+        ).otherwise(expr)
+    return expr
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, shard_col: str | None = None
+) -> DataFrame:
+    """HyperLogLog register relation (Flajolet et al. 2007, public):
+    each key hashes to a 32-bit md5 slice; the top HLL_P bits pick a
+    register, rho of the low bits is the rank, and the register
+    holds the MAX rank seen. Returns (idx, m_j) — all HLL_M rows,
+    absent registers at 0 — or (shard, idx, m_j) when `shard_col`
+    is given (the mergeable per-shard form).
+
+    Scale shape: ONE max aggregate, map-side combinable (max is the
+    canonical commutative combiner — at 100 TB every partition
+    reduces to <= HLL_M rows of (idx, rho) before the exchange);
+    the register join against the literal 0..m-1 index array is
+    m-row driver-side work."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = df.select(
+        *([F.col(shard_col).alias("shard")] if shard_col else []),
+        h.alias("__h"),
+    ).select(
+        *(["shard"] if shard_col else []),
+        F.expr(f"__h div {1 << HLL_W_BITS}").cast("int").alias("idx"),
+        (F.col("__h") % F.lit(1 << HLL_W_BITS)).alias("__w"),
+    )
+    per = rows.select(
+        *(["shard"] if shard_col else []),
+        "idx",
+        hll_rho_expr(F.col("__w")).cast("int").alias("__rho"),
+    ).groupBy(*(["shard", "idx"] if shard_col else ["idx"])).agg(
+        F.max("__rho").cast("int").alias("m_j")
+    )
+    full = F.explode(
+        F.sequence(F.lit(0), F.lit(HLL_M - 1))
+    ).alias("idx")
+    if shard_col:
+        shards = df.select(F.col(shard_col).alias("shard")).distinct()
+        frame = shards.select("shard", full)
+        return frame.join(per, ["shard", "idx"], "left").select(
+            "shard",
+            "idx",
+            F.coalesce(F.col("m_j"), F.lit(0)).cast("int").alias("m_j"),
+        )
+    frame = df.sparkSession.range(1).select(full)
+    return frame.join(per, "idx", "left").select(
+        "idx",
+        F.coalesce(F.col("m_j"), F.lit(0)).cast("int").alias("m_j"),
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """HLL cardinality estimate from a register relation (idx, m_j):
+    raw = alpha * m^2 / sum(2^-m_j), with Flajolet's small-range
+    linear-counting correction (raw <= 2.5m and zero registers
+    exist -> m * ln(m / V)). Every 2^-m_j is 1.0 / (1 << m_j) — an
+    exact binary fraction, so the 64-term sum is EXACT in double
+    regardless of order and the engines cannot drift. Returns one
+    row (n_registers, zero_registers, hll_raw, hll_estimate)."""
+    agg = registers.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE)")
+        ).alias("s"),
+    )
+    raw = (
+        F.lit(float(HLL_ALPHA))
+        * F.col("m").cast("double")
+        * F.col("m").cast("double")
+        / F.col("s")
+    )
+    lc = F.col("m").cast("double") * F.log(
+        F.col("m").cast("double") / F.col("v").cast("double")
+    )
+    return agg.select(
+        F.col("m").alias("n_registers"),
+        F.col("v").alias("zero_registers"),
+        raw.alias("hll_raw"),
+        F.when(
+            (raw <= F.lit(2.5) * F.col("m").cast("double"))
+            & (F.col("v") > 0),
+            lc,
+        )
+        .otherwise(raw)
+        .alias("hll_estimate"),
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge per-shard HLL registers (shard, idx, m_j) into one
+    register relation by per-index MAX — the property that makes HLL
+    the warehouse distinct sketch: 1000 executors each sketch their
+    shard, 64 ints per shard travel, and the union's estimate equals
+    the single-pass sketch EXACTLY (max is idempotent/commutative)."""
+    return registers.groupBy("idx").agg(
+        F.max("m_j").cast("int").alias("m_j")
+    )

@@ -1826,3 +1826,100 @@ def ts_decompose_classical(
             (F.col("det") - F.col("seasonal")).alias("resid"),
         )
     )
+
+
+LEAD_LAG_MAX = 2  # lags scanned: -2 .. +2 days
+
+
+def ts_lead_lag(
+    events: DataFrame,
+    max_lag: int = LEAD_LAG_MAX,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lead-lag detection between event-type activity series — the
+    "does signup activity LEAD purchase activity, and by how many
+    days?" question (cross-correlation at small integer lags, the
+    econometrics/ops-analytics staple). For every ordered type pair
+    (a < b) and lag L in [-max_lag, +max_lag], Pearson correlation
+    of a's daily count at day d against b's at day d + L over the
+    days BOTH series are active (intersection support, disclosed:
+    inactive days are absent, not zero-filled — zero-filling is one
+    resample_ffill away and changes the statistic). Reports each
+    pair's best lag: (type_a, type_b, best_lag, n_days, corr) —
+    argmax corr, ties to the smaller lag.
+
+    Exactness: the five Pearson components are exact BIGINT sums of
+    daily counts; r is one shared double formula, so ranking cannot
+    drift cross-engine. Degenerate lags (either variance zero, or
+    < 3 common days) are excluded before the argmax.
+
+    Scale shape: the event log collapses FIRST to the (type, day)
+    daily relation — one map-side-combinable aggregate; everything
+    after (the lag cross, the pair join on day, the per-(pair, lag)
+    aggregate, the argmax window) runs on catalog-sized relations
+    (types x days), vanishing next to the log. No window ever spans
+    the raw events."""
+    day = F.expr(
+        f"unix_micros({ts_col}) div CAST(86400000000 AS BIGINT)"
+    ).cast("long")
+    daily = (
+        events.select(F.col(type_col).alias("t"), day.alias("d"))
+        .groupBy("t", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    lags = events.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("__l")
+    ).select(F.col("__l").cast("long").alias("lag"))
+    a = daily.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"),
+        F.col("c").alias("x"),
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"),
+        F.col("c").alias("y"),
+    )
+    m = a.join(
+        b,
+        (F.col("ta") < F.col("tb"))
+        & (F.col("db") == F.col("da") + F.col("lag")),
+    )
+    sums = m.groupBy("ta", "tb", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    scored = sums.filter(
+        (F.col("n") >= 3) & (vx > 0) & (vy > 0)
+    ).select(
+        "ta",
+        "tb",
+        "lag",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ).alias("corr"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy(
+        F.desc("corr"), F.asc("lag")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("lag").alias("best_lag"),
+            F.col("n").alias("n_days"),
+            "corr",
+        )
+    )

@@ -1223,3 +1223,53 @@ def referential_integrity(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """EXACT equi-depth binning of an integer-valued column into `b`
+    buckets — the feature-engineering / histogram-equalization
+    primitive (ntile without the data-sized global sort): a row with
+    value v lands in bucket least(b-1, (rows_below_v * b) div N).
+    Equal values always share a bucket (unlike ntile, which splits
+    ties arbitrarily across partitions — this is the deterministic
+    contract that lets two engines agree). Returns per bucket:
+    (bucket, n_rows, lo, hi).
+
+    Scale shape: the data-sized relation collapses FIRST to the
+    (value, count) histogram — one map-side-combinable aggregate; the
+    cumulative ranks then ride a single-partition window over the
+    DISTINCT-VALUE relation, which is value-domain-sized (for
+    cents-quantized money, bounded by the price range — the
+    compaction_plan catalog-window posture, never data-sized), and N
+    attaches as a 1-row broadcast. Bucket stats come straight off
+    the histogram — the raw rows are never touched again. All
+    integer arithmetic; engines cannot drift."""
+    hist = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("below"),
+    )
+    n = df.agg(F.count("*").cast("long").alias("n"))
+    binned = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "c",
+        F.least(
+            F.lit(int(b) - 1).cast("long"),
+            F.expr(f"(below * {int(b)}) div n"),
+        ).cast("long").alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    )

@@ -249,3 +249,44 @@ EXT_ROUND12_QUERIES.update(
         ),
     }
 )
+
+
+def audio_downsample_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean audio decimation over REAL decoded WAV PCM
+    (operators/multimodal.py audio_downsample): every output sample
+    certified against ground truth computed from the synth formula —
+    the oracle never sees the WAV bytes."""
+    from ..operators import multimodal as mm
+
+    return mm.audio_downsample(_docs(spark, sf_dir))
+
+
+def _sql_audio_downsample() -> str:
+    from ..operators import multimodal as mm
+
+    k = mm.AUDIO_DS_FACTOR
+    fr = mm.AUDIO_FRAME
+    return f"""
+WITH d AS (SELECT doc_id, (5 + doc_id % 5) * {fr} AS n FROM documents),
+idxs AS (SELECT doc_id, o.out_idx
+         FROM d, UNNEST(range(n // {k})) o(out_idx)),
+sums AS (SELECT doc_id, out_idx,
+                CAST(sum(((doc_id * 31 + (out_idx * {k} + kk.k) * 17)
+                          % 4001) - 2000) AS BIGINT) AS s
+         FROM idxs, UNNEST(range({k})) kk(k)
+         GROUP BY doc_id, out_idx)
+SELECT doc_id, CAST(out_idx AS BIGINT) AS out_idx,
+       CASE WHEN s >= 0 THEN s // {k}
+            ELSE -((-s) // {k}) END AS v
+FROM sums
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "audio_downsample_decoded": (
+            audio_downsample_decoded_q,
+            _sql_audio_downsample(),
+        ),
+    }
+)

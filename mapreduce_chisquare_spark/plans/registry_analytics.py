@@ -2128,3 +2128,180 @@ ANALYTICS_QUERIES.update(
         "dq_referential": (dq_referential_q, _sql_dq_referential()),
     }
 )
+
+
+# =========================================================================
+# Round-12 second batch: HLL distinct sketch, lead-lag, bucketize
+# =========================================================================
+
+def distinct_sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate of lineitem part keys
+    (operators/sketches.py hll_registers + hll_estimate): md5-slice
+    32-bit hash, 64 registers, integer CASE-ladder rho, exact-binary-
+    fraction harmonic sum, linear-counting small-range correction."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    li = scan_parquet(spark, sf_dir, "lineitem")
+    return hll_estimate(hll_registers(li, "l_partkey"))
+
+
+def distinct_sketch_hll_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-then-merged HLL (operators/sketches.py hll_merge):
+    4 shards sketch independently (l_orderkey % 4), registers merge
+    by per-index max, and the estimate must equal the single-pass
+    sketch EXACTLY — the oracle computes global registers directly,
+    so any merge defect breaks hash equality."""
+    from ..operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    li = scan_parquet(spark, sf_dir, "lineitem").withColumn(
+        "__shard", F.col("l_orderkey") % 4
+    )
+    regs = hll_registers(li, "l_partkey", shard_col="__shard")
+    return hll_estimate(hll_merge(regs))
+
+
+def _sql_hll(key_expr: str = "CAST(l_partkey AS VARCHAR)") -> str:
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W_BITS,
+    )
+    from .oracle_common import sql_md5_hash32
+
+    wspace = 1 << HLL_W_BITS
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (HLL_W_BITS - rho)} THEN {rho}"
+            for rho in range(1, HLL_W_BITS + 1)
+        )
+        + f" ELSE {HLL_W_BITS + 1} END"
+    )
+    raw = (
+        f"{HLL_ALPHA} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) / s"
+    )
+    return f"""
+WITH h AS (SELECT {sql_md5_hash32(key_expr)} AS h32 FROM lineitem),
+r0 AS (SELECT h32 // {wspace} AS idx, h32 % {wspace} AS w FROM h),
+reg AS (SELECT idx, max({rho_case}) AS m_j FROM r0 GROUP BY idx),
+f AS (SELECT i.idx, COALESCE(reg.m_j, 0) AS m_j
+      FROM UNNEST(range({HLL_M})) i(idx)
+      LEFT JOIN reg ON reg.idx = i.idx),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v,
+               sum(1.0 / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE)) AS s
+        FROM f)
+SELECT m AS n_registers, v AS zero_registers,
+       {raw} AS hll_raw,
+       CASE WHEN {raw} <= 2.5 * CAST(m AS DOUBLE) AND v > 0
+            THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)
+                                        / CAST(v AS DOUBLE))
+            ELSE {raw} END AS hll_estimate
+FROM agg
+"""
+
+
+def ts_lead_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detection over event-type daily activity
+    (operators/timeseries.py ts_lead_lag): best cross-correlation
+    lag in [-2, +2] days per ordered type pair, exact BIGINT Pearson
+    components, ties to the smaller lag."""
+    from ..operators.timeseries import ts_lead_lag
+
+    return ts_lead_lag(_t(spark, sf_dir, "events"))
+
+
+SQL_TS_LEAD_LAG = """
+WITH daily AS (
+  SELECT event_type AS t,
+         epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT a.t AS ta, b.t AS tb, l.lag,
+         a.c AS x, b.c AS y
+  FROM daily a
+  CROSS JOIN (SELECT CAST(lag AS BIGINT) AS lag
+              FROM UNNEST(range(-2, 3)) v(lag)) l
+  JOIN daily b ON a.t < b.t AND b.d = a.d + l.lag),
+sums AS (
+  SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM m GROUP BY ta, tb, lag),
+scored AS (
+  SELECT ta, tb, lag, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+  FROM sums
+  WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ta, tb
+                               ORDER BY corr DESC, lag ASC) AS rn
+  FROM scored)
+SELECT ta AS type_a, tb AS type_b, lag AS best_lag, n AS n_days, corr
+FROM rk WHERE rn = 1
+"""
+
+
+def quantile_bucketize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth binning of lineitem extended price (cents)
+    into 8 buckets (operators/warehouse.py quantile_bucketize):
+    histogram-first, deterministic tie handling, all-integer."""
+    from ..operators.warehouse import quantile_bucketize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return quantile_bucketize(li, "cents")
+
+
+SQL_QUANTILE_BUCKETIZE = """
+WITH hist AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+cum AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS BIGINT) AS below
+  FROM hist),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+binned AS (
+  SELECT v, c,
+         least(7, (below * 8) // (SELECT n FROM n)) AS bucket
+  FROM cum)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+FROM binned GROUP BY bucket
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        # round-12 second batch — registry tail, queued for the
+        # round-13 certification window
+        "distinct_sketch_hll": (distinct_sketch_hll_q, _sql_hll()),
+        "distinct_sketch_hll_merge": (
+            distinct_sketch_hll_merge_q,
+            _sql_hll(),
+        ),
+        "ts_lead_lag": (ts_lead_lag_q, SQL_TS_LEAD_LAG),
+        "quantile_bucketize": (
+            quantile_bucketize_q,
+            SQL_QUANTILE_BUCKETIZE,
+        ),
+    }
+)

@@ -307,3 +307,161 @@ def test_image_thumbnail_decoded_matches_ground_truth(spark):
     }
     for i in ids:
         assert got[i] == _thumb_model(i), i
+
+
+# ---------------------------------------------------------------------
+# HLL distinct sketch
+# ---------------------------------------------------------------------
+
+def _hll_model(keys):
+    import hashlib
+
+    from mapreduce_chisquare_spark.operators.sketches import (
+        HLL_M,
+        HLL_W_BITS,
+    )
+
+    regs = [0] * HLL_M
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        idx, w = h >> HLL_W_BITS, h % (1 << HLL_W_BITS)
+        rho = (
+            HLL_W_BITS + 1 if w == 0 else HLL_W_BITS - w.bit_length() + 1
+        )
+        regs[idx] = max(regs[idx], rho)
+    return regs
+
+
+def test_hll_registers_match_md5_model(spark):
+    from mapreduce_chisquare_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    keys = list(range(1, 300))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.idx: r.m_j for r in hll_registers(df, "k").collect()
+    }
+    want = _hll_model(keys)
+    assert [got[i] for i in range(len(want))] == want
+
+
+def test_hll_linear_counting_small_range(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(5)], "k long")
+    r = hll_estimate(hll_registers(df, "k")).collect()[0]
+    v = r.zero_registers
+    assert 0 < v < HLL_M
+    assert r.hll_estimate == HLL_M * math.log(HLL_M / v)
+    # lc estimate of 5 distinct should be in the right ballpark
+    assert 2 <= r.hll_estimate <= 10
+
+
+def test_hll_merge_equals_single_pass(spark):
+    from mapreduce_chisquare_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [(k, k % 7) for k in range(500)]
+    df = spark.createDataFrame(rows, "k long, shard long")
+    single = hll_estimate(hll_registers(df, "k")).collect()[0]
+    merged = hll_estimate(
+        hll_merge(hll_registers(df, "k", shard_col="shard"))
+    ).collect()[0]
+    assert single == merged
+
+
+# ---------------------------------------------------------------------
+# audio_downsample
+# ---------------------------------------------------------------------
+
+def test_audio_downsample_matches_sample_model(spark):
+    k = mm.AUDIO_DS_FACTOR
+    ids = [0, 3, 4]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.doc_id, r.out_idx): r.v
+        for r in mm.audio_downsample(docs).collect()
+    }
+    for i in ids:
+        s = mm.synth_wav_samples(i)
+        for j in range(len(s) // k):
+            tot = sum(s[j * k : (j + 1) * k])
+            want = int(tot / k) if tot >= 0 else -((-tot) // k)
+            assert got[(i, j)] == want, (i, j)
+    assert len(got) == sum(len(mm.synth_wav_samples(i)) // k for i in ids)
+
+
+# ---------------------------------------------------------------------
+# ts_lead_lag
+# ---------------------------------------------------------------------
+
+def test_ts_lead_lag_detects_planted_shift(spark):
+    # b's daily counts = a's shifted one day later -> best_lag = +1,
+    # corr exactly 1.0 over the overlapping support
+    rows = []
+    eid = 0
+    pattern = [1, 5, 2, 7, 3, 6, 4]
+    for d, c in enumerate(pattern):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _ts(d + 1), 1, "a", 0.0))
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _ts(d + 2), 1, "b", 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    from mapreduce_chisquare_spark.operators.timeseries import (
+        ts_lead_lag,
+    )
+
+    out = {
+        (r.type_a, r.type_b): (r.best_lag, r.corr)
+        for r in ts_lead_lag(ev).collect()
+    }
+    lag, corr = out[("a", "b")]
+    assert lag == 1
+    assert abs(corr - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# quantile_bucketize
+# ---------------------------------------------------------------------
+
+def test_quantile_bucketize_exact_and_tie_stable(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        quantile_bucketize,
+    )
+
+    # 16 rows, heavy tie on value 5 (6 copies) — all ties share one
+    # bucket; bucket of v = least(b-1, below*b div n)
+    vals = [1, 1, 2, 3, 5, 5, 5, 5, 5, 5, 8, 9, 10, 11, 12, 13]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r.bucket: (r.n_rows, r.lo, r.hi)
+           for r in quantile_bucketize(df, "v", b=4).collect()}
+    n = len(vals)
+    import collections
+
+    model = collections.defaultdict(lambda: [0, None, None])
+    below = {}
+    for v in sorted(set(vals)):
+        below[v] = sum(1 for x in vals if x < v)
+    for v in vals:
+        bkt = min(3, below[v] * 4 // n)
+        m = model[bkt]
+        m[0] += 1
+        m[1] = v if m[1] is None else min(m[1], v)
+        m[2] = v if m[2] is None else max(m[2], v)
+    assert out == {k: tuple(v) for k, v in model.items()}
+    assert sum(r[0] for r in out.values()) == n
