@@ -294,6 +294,7 @@ BENCH_EXCLUDED_LIGHT = [
     "doc_chunk",
     "doc_fingerprint",
     "dq_profile",
+    "dq_freshness",
     "dq_referential",
     "embed_label_means",
     "embed_neardup",

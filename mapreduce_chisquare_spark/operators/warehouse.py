@@ -1273,3 +1273,40 @@ def quantile_bucketize(
         F.min("v").cast("long").alias("lo"),
         F.max("v").cast("long").alias("hi"),
     )
+
+
+def dq_freshness(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-stream freshness audit — the "which feeds have gone
+    quiet?" monitoring table every warehouse keeps: for each event
+    type, its row count, last-seen day, and staleness in days
+    against the CORPUS max day (deterministic — the reference point
+    is data-derived, never the wall clock, so re-runs and oracle
+    twins agree). Returns (event_type, n_events, last_day,
+    staleness_days).
+
+    Scale shape: one map-side-combinable (type) aggregate (max day +
+    count), then the corpus max attaches as a 1-row broadcast — the
+    J3 scalar-attach pattern. Day is epoch-microseconds div 86400e6,
+    identical integer arithmetic on both engines."""
+    day = F.expr(
+        f"unix_micros({ts_col}) div CAST(86400000000 AS BIGINT)"
+    ).cast("long")
+    per = events.select(
+        F.col(type_col).alias("event_type"), day.alias("__d")
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("__d").cast("long").alias("last_day"),
+    )
+    mx = per.agg(F.max("last_day").cast("long").alias("__mx"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n_events",
+        "last_day",
+        (F.col("__mx") - F.col("last_day")).cast("long").alias(
+            "staleness_days"
+        ),
+    )

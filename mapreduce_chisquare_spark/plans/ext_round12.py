@@ -290,3 +290,59 @@ EXT_ROUND12_QUERIES.update(
         ),
     }
 )
+
+
+def stream_url_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier URL screen
+    (streaming/urls.py url_screen_stream): arriving pages
+    canonicalize row-locally and classify against the stored
+    corpus's static canonical index. availableNow drains the
+    backlog, so the batch SQL below is the exact oracle."""
+    from ..streaming.urls import url_screen_stream
+
+    return url_screen_stream(spark, sf_dir)
+
+
+SQL_STREAM_URL_SCREEN = """
+WITH c AS (
+  SELECT doc_id,
+         'https://example.com/docs/p' || CAST(doc_id // 3 AS VARCHAR)
+           || CASE WHEN doc_id % 6 IN (4, 5) THEN '?a=1&b=2'
+                   ELSE '' END AS canon_url
+  FROM documents),
+known AS (SELECT DISTINCT canon_url FROM c WHERE doc_id % 2 = 0)
+SELECT c.doc_id, c.canon_url,
+       c.canon_url IN (SELECT canon_url FROM known) AS is_known
+FROM c
+"""
+
+
+def dq_freshness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit (operators/warehouse.py
+    dq_freshness) over events."""
+    from ..operators.warehouse import dq_freshness
+    from .ext_common import _events
+
+    return dq_freshness(_events(spark, sf_dir))
+
+
+SQL_DQ_FRESHNESS = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epoch_us(ts) // CAST(86400000000 AS BIGINT))
+           AS BIGINT) AS last_day
+  FROM events GROUP BY event_type),
+mx AS (SELECT CAST(max(last_day) AS BIGINT) AS m FROM per)
+SELECT event_type, n_events, last_day,
+       CAST((SELECT m FROM mx) - last_day AS BIGINT) AS staleness_days
+FROM per
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "stream_url_screen": (stream_url_screen_q, SQL_STREAM_URL_SCREEN),
+        "dq_freshness": (dq_freshness_q, SQL_DQ_FRESHNESS),
+    }
+)

@@ -465,3 +465,60 @@ def test_quantile_bucketize_exact_and_tie_stable(spark):
         m[2] = v if m[2] is None else max(m[2], v)
     assert out == {k: tuple(v) for k, v in model.items()}
     assert sum(r[0] for r in out.values()) == n
+
+
+# ---------------------------------------------------------------------
+# dq_freshness
+# ---------------------------------------------------------------------
+
+def test_dq_freshness_staleness_is_data_derived(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        dq_freshness,
+    )
+
+    rows = [
+        (1, _ts(1), 1, "a", 0.0),
+        (2, _ts(5), 1, "a", 0.0),   # a last seen day 5
+        (3, _ts(3), 1, "b", 0.0),   # b last seen day 3 -> 2 stale
+        (4, _ts(5), 1, "c", 0.0),   # c fresh
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {
+        r.event_type: (r.n_events, r.staleness_days)
+        for r in dq_freshness(ev).collect()
+    }
+    assert got == {"a": (2, 0), "b": (1, 2), "c": (1, 0)}
+
+
+# ---------------------------------------------------------------------
+# stream_url_screen
+# ---------------------------------------------------------------------
+
+def test_stream_url_screen_classifies_against_static_index(
+    spark, sf_dir
+):
+    """The streaming screen must equal its row-local batch twin: a
+    page is known iff an even-doc page canonicalizes to the same
+    URL. Page groups are 3 consecutive ids, so every group holds at
+    least one even id and ODD pages sharing the group canon are
+    known — spot-check the first two groups."""
+    from mapreduce_chisquare_spark.streaming.urls import (
+        url_screen_stream,
+    )
+
+    out = {
+        r.doc_id: (r.canon_url, r.is_known)
+        for r in url_screen_stream(spark, sf_dir).collect()
+    }
+    # group 0 (ids 0,1,2; m = 0,1,2): all canonicalize to p0 base;
+    # id 0 is even -> every member known
+    assert out[1][0] == "https://example.com/docs/p0"
+    assert out[1][1] and out[2][1]
+    # group 1 (ids 3,4,5): id 3 -> base canon; no EVEN doc maps to
+    # base-p1 (4 is the only even member and it carries the query) —
+    # so 3 is unknown while 5 (query canon, shared with even 4) is
+    assert out[3] == ("https://example.com/docs/p1", False)
+    assert out[5] == ("https://example.com/docs/p1?a=1&b=2", True)

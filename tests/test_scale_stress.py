@@ -1475,3 +1475,87 @@ def test_inverted_index_hot_term_state_stays_bounded(spark):
     cold = rows["w0"]
     assert cold.df == (n + 25999) // 26000
     assert wall < 120, f"inverted index at 100k docs took {wall:.0f}s"
+
+
+# ---------------------------------------------------------------------
+# Round-12 stress: bucketize ties, HLL register bound, reach mega-user
+# ---------------------------------------------------------------------
+
+def test_quantile_bucketize_hot_value_and_window_bound(spark):
+    """The distinct-value window is the quantile_bucketize scale
+    hinge: 1M rows with only THREE distinct values (a brutally hot
+    value domain — 90% one value) must (a) run the window over 3
+    rows, not 1M, (b) keep every tied row in ONE bucket, and (c)
+    partition the row count exactly."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        quantile_bucketize,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("v")
+    )
+    t0 = time.time()
+    out = {
+        r.bucket: (r.n_rows, r.lo, r.hi)
+        for r in quantile_bucketize(df, "v", b=4).collect()
+    }
+    wall = time.time() - t0
+    # value 3: below = 0 -> bucket 0; value 7: below = 100k ->
+    # 100k*4 div 1M = 0 -> bucket 0 too: every tied row lands in ONE
+    # bucket (ntile would have split the 900k-row tie across 4)
+    assert out == {0: (n, 3, 7)}
+    assert wall < 60, wall
+
+
+def test_hll_state_stays_64_rows_at_1m_keys(spark):
+    """1M distinct keys: the register relation is still exactly
+    HLL_M rows (map-side max combine — the sketch never carries the
+    key space), and the estimate lands inside the published
+    1.04/sqrt(m) relative-error envelope (3 sigma)."""
+    from mapreduce_chisquare_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k")
+    assert regs.count() == HLL_M
+    est = hll_estimate(regs).collect()[0].hll_estimate
+    rel = abs(est - n) / n
+    assert rel < 3 * 1.04 / (HLL_M ** 0.5), (est, rel)
+
+
+def test_cumulative_reach_mega_user_bounded(spark):
+    """A single user producing 500k same-type events in one day (the
+    bot/load-test skew axis): the first-touch window partitions by
+    (type, user), so the hot key is one partition of 500k rows —
+    sorted once, never exploded — and the result attributes exactly
+    ONE new user."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        cumulative_reach,
+    )
+
+    n = 500_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id")
+        ).alias("ts"),
+        F.lit(42).cast("long").alias("user_id"),
+        F.lit("bot").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    t0 = time.time()
+    rows = cumulative_reach(ev).collect()
+    wall = time.time() - t0
+    assert len(rows) == 1
+    assert (rows[0].n_events, rows[0].new_users, rows[0].cum_users) == (
+        n, 1, 1,
+    )
+    assert wall < 60, wall
