@@ -233,6 +233,7 @@ HEADLINE = [
     "ts_lead_lag",
     "quantile_bucketize",
     "audio_downsample_decoded",
+    "er_blocking_lsh",
 ]
 
 # ---------------------------------------------------------------------------

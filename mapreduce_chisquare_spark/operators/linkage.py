@@ -25,7 +25,7 @@ key; everything else is per-block local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import components_over_pairs
@@ -340,4 +340,85 @@ def match_scores(
         .withColumn("score", score)
         .drop("__sfx")
         .withColumn("decision", decision)
+    )
+
+
+def blocking_pairs_lsh(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = ER_MAX_EDIT,
+    max_bucket: int = ER_MAX_BLOCK,
+) -> DataFrame:
+    """LSH-blocked candidate pairs — the third blocking strategy
+    beside equality (blocking_pairs) and multipass
+    (blocking_pairs_multipass), for the regime where every blocking
+    ATTRIBUTE is itself dirty: records band-bucket by MinHash over
+    the normalized name's char-3-grams (the dedup.py family — same
+    hash constants, so oracles embed identical literals), candidates
+    are same-bucket pairs, and the exact Levenshtein predicate
+    (<= max_edit) filters, yielding the same (id_a, id_b, dist)
+    contract as the equality path.
+
+    Disclosed precondition: LSH blocking presumes NAME ENTROPY —
+    serial-number-style names ("Customer#000000123") share nearly
+    all grams corpus-wide, every band bucket degenerates, and the
+    bucket guard would excise everything; such keys belong to the
+    equality/multipass strategies. The guard here is the standard
+    MAX bucket excision (disclosed truncation, the dedup.py LSH
+    contract) — size-1 buckets are skipped as everywhere else.
+
+    Scale shape: one gram explode + one hash-agg for signatures
+    (map-side combinable mins), band relation carries the normalized
+    name so the distance filter needs NO join back; one (band, key)
+    exchange; pair work bounded by sum(bucket^2) <=
+    n_buckets * max_bucket^2. The distance runs JVM-side
+    (whole-stage codegen levenshtein) on bucket-local pairs only."""
+    from .dedup import lsh_bands, minhash_signatures
+
+    r = records.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.trim(F.col(name_col))).alias("nm"),
+    )
+    grams = r.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.length("nm") >= 3,
+                    F.expr(
+                        "transform(sequence(1, length(nm) - 2), "
+                        "i -> substring(nm, i, 3))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("shingle"),
+    )
+    sig = minhash_signatures(grams)
+    bands = lsh_bands(sig).join(r, "doc_id")
+    w = Window.partitionBy("band", "key")
+    sized = (
+        bands.withColumn("__bn", F.count("*").over(w))
+        .filter(
+            (F.col("__bn") >= 2)
+            & (F.col("__bn") <= F.lit(int(max_bucket)))
+        )
+        .drop("__bn")
+    )
+    a = sized.select(
+        "band", "key", F.col("doc_id").alias("id_a"),
+        F.col("nm").alias("nm_a"),
+    )
+    b = sized.select(
+        "band", "key", F.col("doc_id").alias("id_b"),
+        F.col("nm").alias("nm_b"),
+    )
+    dist = F.levenshtein(F.col("nm_a"), F.col("nm_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "nm_a", "nm_b")
+        .distinct()
+        .filter(dist <= F.lit(int(max_edit)))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )

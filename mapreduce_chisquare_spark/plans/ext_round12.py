@@ -346,3 +346,97 @@ EXT_ROUND12_QUERIES.update(
         "dq_freshness": (dq_freshness_q, SQL_DQ_FRESHNESS),
     }
 )
+
+
+ER_LSH_NAME_LEN = 12
+ER_LSH_MOD = 7  # every 7th record gets a dirty clone
+
+
+def er_blocking_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked ER candidates (operators/linkage.py
+    blocking_pairs_lsh) over hashed pseudo-names: nm =
+    md5(custkey)[:12] (12 hex chars — real name entropy, the
+    regime LSH blocking is FOR; the serial-number c_name fixture
+    belongs to the equality strategies and is documented as such in
+    the operator), with a last-char-dropped clone of every 7th
+    record (Levenshtein distance exactly 1). Random 12-hex names
+    are never within edit distance 2 of each other, so the expected
+    output is exactly the planted clone pairs — recovered through
+    real char-3-gram MinHash banding, not equality keys."""
+    from ..operators.linkage import blocking_pairs_lsh
+    from ..sources.readers import scan_parquet
+
+    cust = scan_parquet(spark, sf_dir, "customer")
+    nm = F.substring(
+        F.md5(F.col("c_custkey").cast("string")), 1, ER_LSH_NAME_LEN
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("rid"), nm.alias("name")
+    )
+    dirty = cust.filter(F.col("c_custkey") % ER_LSH_MOD == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("rid"),
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")),
+            1,
+            ER_LSH_NAME_LEN - 1,
+        ).alias("name"),
+    )
+    return blocking_pairs_lsh(
+        base.unionByName(dirty), "rid", "name", max_edit=2
+    )
+
+
+def _sql_er_blocking_lsh() -> str:
+    from ..operators.dedup import _MOD, NUM_BANDS, NUM_HASHES, hash_params
+    from .oracle_common import sql_md5_hash32
+
+    rows = NUM_HASHES // NUM_BANDS
+    params = hash_params(NUM_HASHES)
+    sig_cols = ", ".join(
+        f"min(({a} * b32 + {b}) % {_MOD}) AS h{s}"
+        for s, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT rid, nm, "
+        + f"{b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS key FROM sg"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+WITH recs AS (
+  SELECT c_custkey AS rid,
+         substring(md5(CAST(c_custkey AS VARCHAR)), 1,
+                   {ER_LSH_NAME_LEN}) AS nm
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000,
+         substring(md5(CAST(c_custkey AS VARCHAR)), 1,
+                   {ER_LSH_NAME_LEN - 1})
+  FROM customer WHERE c_custkey % {ER_LSH_MOD} = 0),
+g AS (SELECT DISTINCT rid, substring(nm, CAST(i AS INTEGER), 3) AS sh
+      FROM recs, UNNEST(range(1, len(nm) - 1)) t(i)),
+hb AS (SELECT rid, {sql_md5_hash32('sh')} AS b32 FROM g),
+sg0 AS (SELECT rid, {sig_cols} FROM hb GROUP BY rid),
+sg AS (SELECT sg0.*, recs.nm FROM sg0 JOIN recs USING (rid)),
+bands AS ({band_selects}),
+sz AS (SELECT band, key FROM bands GROUP BY band, key
+       HAVING count(*) >= 2 AND count(*) <= 1000),
+cand AS (
+  SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+                  a.nm AS na, b.nm AS nb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.rid < b.rid
+  JOIN sz ON sz.band = a.band AND sz.key = a.key)
+SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(na, nb) <= 2
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "er_blocking_lsh": (er_blocking_lsh_q, _sql_er_blocking_lsh()),
+    }
+)

@@ -522,3 +522,31 @@ def test_stream_url_screen_classifies_against_static_index(
     # so 3 is unknown while 5 (query canon, shared with even 4) is
     assert out[3] == ("https://example.com/docs/p1", False)
     assert out[5] == ("https://example.com/docs/p1?a=1&b=2", True)
+
+
+# ---------------------------------------------------------------------
+# blocking_pairs_lsh
+# ---------------------------------------------------------------------
+
+def test_er_lsh_blocking_recovers_clone_without_equality_key(spark):
+    """A dirty clone (one char dropped) must be recovered through
+    MinHash band buckets alone — no equality blocking key exists —
+    while unrelated high-entropy names produce no candidate pair."""
+    import hashlib
+
+    from mapreduce_chisquare_spark.operators.linkage import (
+        blocking_pairs_lsh,
+    )
+
+    names = {
+        i: hashlib.md5(str(i).encode()).hexdigest()[:12]
+        for i in range(1, 30)
+    }
+    rows = [(i, nm) for i, nm in names.items()]
+    rows.append((1001, names[7][:11]))   # clone of 7, distance 1
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocking_pairs_lsh(df, "rid", "name").collect()
+    }
+    assert got == {(7, 1001): 1}
