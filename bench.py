@@ -234,6 +234,7 @@ HEADLINE = [
     "quantile_bucketize",
     "audio_downsample_decoded",
     "er_blocking_lsh",
+    "distinct_sketch_hll_intersection",
 ]
 
 # ---------------------------------------------------------------------------

@@ -442,3 +442,50 @@ def hll_merge(registers: DataFrame) -> DataFrame:
     return registers.groupBy("idx").agg(
         F.max("m_j").cast("int").alias("m_j")
     )
+
+
+def hll_intersection(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """HLL set algebra: |A|, |B|, |A ∪ B| (union is EXACT sketch
+    algebra — per-index register max), and the inclusion-exclusion
+    intersection estimate |A| + |B| - |A ∪ B| — the audience-overlap
+    / cross-corpus-contamination estimator. Returns one row
+    (est_a, est_b, est_union, est_intersection). Intersection by
+    inclusion-exclusion inherits the union's absolute error (the
+    standard HLL caveat, disclosed: small true intersections can
+    estimate negative — clamped at 0 on both engines).
+
+    Scale shape: two independent register sketches (each one
+    map-side-combinable max aggregate), merged by per-index max —
+    3 * HLL_M rows of state total, three estimate formulas."""
+    ra = hll_registers(df_a, key_col)
+    rb = hll_registers(df_b, key_col)
+    ru = (
+        ra.select("idx", "m_j")
+        .unionAll(rb.select("idx", "m_j"))
+        .groupBy("idx")
+        .agg(F.max("m_j").cast("int").alias("m_j"))
+    )
+    ea = hll_estimate(ra).select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    eb = hll_estimate(rb).select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    eu = hll_estimate(ru).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
+        )
+    )

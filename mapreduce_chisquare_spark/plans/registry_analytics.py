@@ -2305,3 +2305,94 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+def distinct_sketch_hll_intersection_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL set algebra (operators/sketches.py hll_intersection):
+    audience overlap of two overlapping part-key sets — A = parts on
+    orders with even order keys, B = parts on orders with order key
+    % 3 == 0 (A ∩ B = the % 6 == 0 slice, nonempty by construction
+    so the gate certifies a real overlap estimate)."""
+    from ..operators.sketches import hll_intersection
+
+    li = scan_parquet(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 3 == 0)
+    return hll_intersection(a, b, "l_partkey")
+
+
+def _sql_hll_regs(src_filter: str, name: str) -> str:
+    """Register CTE chain for one filtered source (mirrors
+    hll_registers); emits CTEs {name}_reg and {name}_f."""
+    from ..operators.sketches import HLL_M, HLL_W_BITS
+    from .oracle_common import sql_md5_hash32
+
+    wspace = 1 << HLL_W_BITS
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (HLL_W_BITS - rho)} THEN {rho}"
+            for rho in range(1, HLL_W_BITS + 1)
+        )
+        + f" ELSE {HLL_W_BITS + 1} END"
+    )
+    h = sql_md5_hash32("CAST(l_partkey AS VARCHAR)")
+    return f"""
+{name}_h AS (SELECT {h} AS h32 FROM lineitem WHERE {src_filter}),
+{name}_r0 AS (SELECT h32 // {wspace} AS idx, h32 % {wspace} AS w
+              FROM {name}_h),
+{name}_reg AS (SELECT idx, max({rho_case}) AS m_j
+               FROM {name}_r0 GROUP BY idx),
+{name}_f AS (SELECT i.idx, COALESCE(r.m_j, 0) AS m_j
+             FROM UNNEST(range({HLL_M})) i(idx)
+             LEFT JOIN {name}_reg r ON r.idx = i.idx)"""
+
+
+def _sql_hll_est(regs_cte: str, out: str) -> str:
+    from ..operators.sketches import HLL_ALPHA
+
+    raw = f"{HLL_ALPHA} * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) / s"
+    return f"""
+{out}_agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        sum(1.0 / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE)) AS s
+        FROM {regs_cte}),
+{out} AS (SELECT CASE WHEN {raw} <= 2.5 * CAST(m AS DOUBLE) AND v > 0
+                 THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)
+                                             / CAST(v AS DOUBLE))
+                 ELSE {raw} END AS e
+          FROM {out}_agg)"""
+
+
+def _sql_hll_intersection() -> str:
+    return (
+        "WITH "
+        + _sql_hll_regs("l_orderkey % 2 = 0", "a")
+        + ","
+        + _sql_hll_regs("l_orderkey % 3 = 0", "b")
+        + """,
+u_f AS (SELECT a_f.idx, greatest(a_f.m_j, b_f.m_j) AS m_j
+        FROM a_f JOIN b_f ON a_f.idx = b_f.idx),"""
+        + _sql_hll_est("a_f", "ea")
+        + ","
+        + _sql_hll_est("b_f", "eb")
+        + ","
+        + _sql_hll_est("u_f", "eu")
+        + """
+SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+       greatest(0.0, ea.e + eb.e - eu.e) AS est_intersection
+FROM ea, eb, eu
+"""
+    )
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "distinct_sketch_hll_intersection": (
+            distinct_sketch_hll_intersection_q,
+            _sql_hll_intersection(),
+        ),
+    }
+)

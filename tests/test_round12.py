@@ -550,3 +550,20 @@ def test_er_lsh_blocking_recovers_clone_without_equality_key(spark):
         for r in blocking_pairs_lsh(df, "rid", "name").collect()
     }
     assert got == {(7, 1001): 1}
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """Overlap estimate must be exactly |A| + |B| - |A ∪ B| of the
+    three HLL estimates, and roughly track the true overlap."""
+    from mapreduce_chisquare_spark.operators.sketches import (
+        hll_intersection,
+    )
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    r = hll_intersection(a, b, "k").collect()[0]
+    assert abs(
+        r.est_intersection - max(0.0, r.est_a + r.est_b - r.est_union)
+    ) < 1e-9
+    # true overlap 1000; HLL m=64 union error compounds — wide band
+    assert 200 <= r.est_intersection <= 2500
