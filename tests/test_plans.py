@@ -522,3 +522,24 @@ def test_inverted_index_postings_cut_is_window_group_limit(spark, sf_dir):
     assert "Partial" in p.split("WindowGroupLimit", 1)[1] or \
         p.count("WindowGroupLimit") >= 2, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_quantile_bucketize_histogram_first(spark, sf_dir):
+    """The bucketize plan must collapse to the (value, count)
+    histogram BEFORE the single-partition cumulative window: the
+    only Sort in the plan sits above the SinglePartition exchange
+    whose child is the map-side-combined histogram aggregate — the
+    raw relation is never globally sorted (ntile's shape), and the
+    N branch scans zero columns."""
+    p = plan_text(REGISTRY["quantile_bucketize"][0](spark, sf_dir))
+    tree = p.split("(1) Scan", 1)[0]
+    assert tree.count("Sort") == 1, tree
+    # tree prints top-down: the one Sort sits between the Window and
+    # the exchange+aggregate chain — i.e. the aggregate is BELOW it
+    sort_at = tree.index("Sort")
+    assert tree.index("Window") < sort_at, tree
+    assert "HashAggregate" in tree[sort_at:], tree
+    # the histogram collapse is map-side combined before its exchange
+    assert "partial_count" in p, p
+    # the N scalar branch prunes every column
+    assert "ReadSchema: struct<>" in p, p
