@@ -235,6 +235,7 @@ HEADLINE = [
     "audio_downsample_decoded",
     "er_blocking_lsh",
     "distinct_sketch_hll_intersection",
+    "lm_jm_bigram_score",
 ]
 
 # ---------------------------------------------------------------------------

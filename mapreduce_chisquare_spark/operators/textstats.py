@@ -1691,3 +1691,97 @@ def sentence_stats(
         ).alias("avg_sentence_chars"),
         "max_sentence_chars",
     )
+
+
+JM_LAMBDA = 0.7  # interpolation weight on the bigram ML term
+
+
+def lm_jm_bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_mod: int = 10,
+    train_rem: int = 0,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram scoring (Jelinek & Mercer
+    1980; the smoothing baseline of Chen & Goodman 1996's study,
+    public) — the LINEAR-interpolation rung of the smoothing ladder
+    (add-one lm_bigram_score, held-out lm_heldout_score, Kneser-Ney
+    lm_kn_bigram_score, stupid-backoff lm_stupid_backoff_score):
+
+      S(w2|w1) = λ · c12/c1  +  (1-λ) · (c2 + 1)/(T + V + 1)
+
+    with λ = 0.7, trained on the designated split (doc_id %
+    train_mod == train_rem) and scored over EVERY document; an
+    unseen bigram contributes only the smoothed unigram term (the
+    ML term is 0, not undefined), so S > 0 always and the log is
+    safe. Counts are roll-ups of the train BIGRAM relation (c2 =
+    Σ_w1 c12 — continuation-style, the stupid-backoff disclosure;
+    T = Σ c12, V = distinct w2), so the corpus tokenizes ONCE.
+    Returns (doc_id, n_bigrams, n_unseen, avg_logprob) for docs
+    with >= 2 tokens; n_unseen counts positions scored by the
+    unigram term alone — the gate fails if the interpolation picks
+    the wrong arm.
+
+    Scale shape: the lm_bigram skeleton — one corpus-sized (w1, w2)
+    exchange serves the per-doc tf aggregate and the train counts;
+    roll-ups are vocabulary-sized; (T, V) is a 1-row broadcast."""
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(int(train_mod)) == F.lit(int(train_rem)))
+        .alias("__train"),
+        _words(text_col).alias("__arr"),
+    )
+    pairs = base.select(
+        "doc_id", "__train", F.explode(bigram_structs("__arr")).alias("g")
+    ).select("doc_id", "__train", "g.w1", "g.w2")
+    tfb = (
+        pairs.repartition("w1", "w2")
+        .groupBy("doc_id", "__train", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    c12 = (
+        tfb.filter("__train")
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf").cast("long").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tv = c12.agg(
+        F.coalesce(F.sum("c12"), F.lit(0)).cast("long").alias("t"),
+        F.count_distinct("w2").cast("long").alias("v"),
+    )
+    scored = (
+        tfb.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(c2, "w2", "left")
+        .join(F.broadcast(tv))
+    )
+    ml = F.when(
+        F.col("c12").isNotNull(),
+        F.lit(float(JM_LAMBDA))
+        * (F.col("c12").cast("double") / F.col("c1").cast("double")),
+    ).otherwise(F.lit(0.0))
+    uni = F.lit(1.0 - JM_LAMBDA) * (
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (
+            F.col("t").cast("double")
+            + F.col("v").cast("double")
+            + F.lit(1.0)
+        )
+    )
+    s = ml + uni
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("c12").isNull(), F.col("tf")).otherwise(F.lit(0))
+        ).cast("long").alias("n_unseen"),
+        F.sum(F.col("tf").cast("double") * F.log(s)).alias("__s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        (F.col("__s") / F.col("n_bigrams").cast("double")).alias(
+            "avg_logprob"
+        ),
+    )

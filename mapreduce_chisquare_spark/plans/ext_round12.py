@@ -440,3 +440,65 @@ EXT_ROUND12_QUERIES.update(
         "er_blocking_lsh": (er_blocking_lsh_q, _sql_er_blocking_lsh()),
     }
 )
+
+
+def lm_jm_bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM
+    (operators/textstats.py lm_jm_bigram_score): trained on the
+    doc_id % 10 == 0 split, scored everywhere, so both arms of the
+    interpolation fire."""
+    return tx.lm_jm_bigram_score(_docs(spark, sf_dir))
+
+
+def _sql_lm_jm() -> str:
+    lam = tx.JM_LAMBDA
+    one_minus = 1.0 - tx.JM_LAMBDA  # embed the exact double both ways
+    return rf"""
+WITH b AS (
+  SELECT doc_id, doc_id % 10 = 0 AS train,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+pairs AS (SELECT doc_id, train, arr[i] AS w1, arr[i+1] AS w2
+          FROM b, UNNEST(range(1, len(arr))) AS r(i)),
+tfb AS (SELECT doc_id, train, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        FROM pairs GROUP BY doc_id, train, w1, w2),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+        FROM tfb WHERE train GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+tv AS (SELECT CAST(COALESCE(sum(c12), 0) AS BIGINT) AS t,
+              CAST(count(DISTINCT w2) AS BIGINT) AS v
+       FROM c12),
+scored AS (
+  SELECT tfb.doc_id, tfb.tf, c12.c12,
+         CASE WHEN c12.c12 IS NOT NULL
+              THEN {lam!r} * (CAST(c12.c12 AS DOUBLE)
+                              / CAST(c1.c1 AS DOUBLE))
+              ELSE 0.0 END
+         + {one_minus!r}
+           * ((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
+              / (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE) + 1.0))
+           AS s
+  FROM tfb
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  LEFT JOIN c2 USING (w2)
+  CROSS JOIN tv),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+              CAST(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END)
+                AS BIGINT) AS n_unseen,
+              sum(CAST(tf AS DOUBLE) * ln(s)) AS s
+       FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_unseen,
+       s / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+FROM pd
+"""
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "lm_jm_bigram_score": (lm_jm_bigram_score_q, _sql_lm_jm()),
+    }
+)

@@ -567,3 +567,31 @@ def test_hll_intersection_inclusion_exclusion(spark):
     ) < 1e-9
     # true overlap 1000; HLL m=64 union error compounds — wide band
     assert 200 <= r.est_intersection <= 2500
+
+
+def test_lm_jm_interpolation_arms(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        JM_LAMBDA,
+        lm_jm_bigram_score,
+    )
+
+    # train doc 0: "a b a c"; bigrams (a,b),(b,a),(a,c)
+    # c12: each 1; c1: a=2, b=1; c2: b=1, a=1, c=1; T=3, V=3
+    docs = [(0, "a b a c"), (1, "a b"), (11, "z z")]
+    got = {
+        r.doc_id: r
+        for r in lm_jm_bigram_score(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    lam, om = JM_LAMBDA, 1.0 - JM_LAMBDA
+    # seen bigram (a,b): 0.7*(1/2) + 0.3*((1+1)/(3+3+1))
+    want1 = math.log(lam * (1 / 2) + om * ((1 + 1) / 7))
+    assert got[1].n_unseen == 0
+    assert abs(got[1].avg_logprob - want1) < 1e-12
+    # unseen bigram (z,z): ML arm 0, unigram arm floor (c2(z)=0)
+    want11 = math.log(om * (0 + 1) / 7)
+    assert got[11].n_unseen == 1
+    assert abs(got[11].avg_logprob - want11) < 1e-12
