@@ -1196,3 +1196,40 @@ def test_cdc_apply_equals_sequential_replay(spark, base, changes):
     ).filter(F.col("k").isNotNull())
     got = {r.k: r.v for r in cdc_apply(base_df, ch_df).collect()}
     assert got == state
+
+
+# ---------------------------------------------------------------------
+# quantile_bucketize ≡ rank-arithmetic model (round 12)
+# ---------------------------------------------------------------------
+
+_qb_vals = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+)
+_qb_b = st.integers(min_value=1, max_value=6)
+
+
+@given(vals=_qb_vals, b=_qb_b)
+@settings(**_SETTINGS)
+def test_quantile_bucketize_equals_rank_model(spark, vals, b):
+    """For ANY multiset (ties, negatives, singleton domains) and any
+    bucket count, the operator must equal the literal rank model:
+    bucket(v) = min(b-1, |{x < v}| * b // n), per-bucket counts and
+    min/max from the multiset — and the buckets must partition the
+    input exactly."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        quantile_bucketize,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.bucket: (r.n_rows, r.lo, r.hi)
+        for r in quantile_bucketize(df, "v", b=b).collect()
+    }
+    n = len(vals)
+    model: dict = {}
+    for v in vals:
+        bkt = min(b - 1, sum(1 for x in vals if x < v) * b // n)
+        cnt, lo, hi = model.get(bkt, (0, v, v))
+        model[bkt] = (cnt + 1, min(lo, v), max(hi, v))
+    assert got == model
+    assert sum(c for c, _, _ in got.values()) == n
