@@ -1765,12 +1765,17 @@ def ts_decompose_classical(
     n − m/2, where the centered window is full). Period m must be
     even (the 2×m form).
 
-    Exactness posture: the trend is an explicit fixed-order
-    expression over lag/lead values (identical both engines); the
-    seasonal slot mean is one division of a float sum whose
-    cross-engine summation-order drift sits far below the gate's
-    9-significant-digit comparison (documented float-sum tolerance,
-    as for the tfidf/lm families).
+    Exactness posture (round-12 hardening): values quantize to
+    integer CENTS and every statistic is EXACT BIGINT until one
+    final division per output column — trend = N/(2m·100) with
+    N = vc₋ₕ + 2Σ interior + vcₕ, detrended D = 2m·vc − N, seasonal
+    = ΣD / (n·2m·100). Integer sums are order-independent, so the
+    per-slot aggregate cannot drift between engines no matter the
+    partial-aggregate schedule (the original float-sum form passed
+    the 9-digit gate at sf0.01 but broke at sf0.1 group sizes).
+    Overflow budget: |D| ≤ 2m·max_cents, ΣD over n rows ≤
+    n·2m·max_cents — 1e9 rows of 1e7-cent values at m = 12 stays
+    under 2.5e17, inside int64.
 
     Scale shape: ONE user-keyed exchange for the lag/lead window (the
     frame is m+1 rows of state), one (user, slot) aggregate for the
@@ -1782,48 +1787,57 @@ def ts_decompose_classical(
     if m % 2 != 0:
         raise ValueError("classical 2xm decomposition needs even m")
     h = m // 2
+    den = float(2 * m * 100)  # fixed-point denominator, one div/out
     w = Window.partitionBy("user_id").orderBy("us", "eid")
     base = events.select(
         "user_id",
         F.unix_micros("ts").alias("us"),
         F.col("event_id").alias("eid"),
-        F.col(value_col).cast("double").alias("v"),
+        F.round(F.col(value_col) * 100).cast("long").alias("vc"),
     ).withColumn("idx", F.row_number().over(w))
     lags = base
     for off in range(-h, h + 1):
         cname = f"__o{off + h}"
         col = (
-            F.lag("v", -off).over(w) if off < 0 else F.lead("v", off).over(w)
+            F.lag("vc", -off).over(w)
+            if off < 0
+            else F.lead("vc", off).over(w)
         )
         lags = lags.withColumn(cname, col)
-    # centered 2xm MA: half weight on both edge offsets, fixed order
-    terms = [F.col("__o0") * F.lit(0.5)]
-    terms += [F.col(f"__o{i}") for i in range(1, m)]
-    terms.append(F.col(f"__o{m}") * F.lit(0.5))
-    trend = terms[0]
-    for t in terms[1:]:
-        trend = trend + t
-    trend = trend / F.lit(float(m))
+    # centered 2xm MA numerator: edge offsets once, interior doubled
+    # — EXACT BIGINT, so term order is free
+    n_t = F.col("__o0")
+    for i in range(1, m):
+        n_t = n_t + F.lit(2) * F.col(f"__o{i}")
+    n_t = n_t + F.col(f"__o{m}")
     td = lags.select(
         "user_id",
         "idx",
-        "v",
-        trend.alias("trend"),
+        "vc",
+        n_t.cast("long").alias("__nt"),
         ((F.col("idx") - 1) % F.lit(m)).alias("slot"),
-    ).filter(F.col("trend").isNotNull())
-    det = td.withColumn("det", F.col("v") - F.col("trend"))
-    seas = det.groupBy("user_id", "slot").agg(
-        (F.sum("det") / F.count("*")).alias("seasonal")
+    ).filter(F.col("__nt").isNotNull())
+    det = td.withColumn(
+        "__d",
+        (F.lit(2 * m) * F.col("vc") - F.col("__nt")).cast("long"),
     )
+    seas = det.groupBy("user_id", "slot").agg(
+        F.sum("__d").cast("long").alias("__sd"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    seasonal = F.col("__sd").cast("double") / (
+        F.col("__n").cast("double") * F.lit(den)
+    )
+    det_d = F.col("__d").cast("double") / F.lit(den)
     return (
         det.join(seas, ["user_id", "slot"])
         .select(
             "user_id",
             "idx",
-            F.col("v").alias("value"),
-            "trend",
-            "seasonal",
-            (F.col("det") - F.col("seasonal")).alias("resid"),
+            (F.col("vc").cast("double") / F.lit(100.0)).alias("value"),
+            (F.col("__nt").cast("double") / F.lit(den)).alias("trend"),
+            seasonal.alias("seasonal"),
+            (det_d - seasonal).alias("resid"),
         )
     )
 

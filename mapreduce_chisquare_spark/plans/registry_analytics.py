@@ -1816,23 +1816,31 @@ def ts_decompose_classical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TS_DECOMPOSE = """
 WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_id AS eid,
-                  CAST(value AS DOUBLE) AS v
+                  CAST(round(value * 100) AS BIGINT) AS vc
            FROM events),
-r AS (SELECT user_id, v,
+r AS (SELECT user_id, vc,
              row_number() OVER w AS idx,
-             lag(v, 2) OVER w AS l2, lag(v, 1) OVER w AS l1,
-             lead(v, 1) OVER w AS f1, lead(v, 2) OVER w AS f2
+             lag(vc, 2) OVER w AS l2, lag(vc, 1) OVER w AS l1,
+             lead(vc, 1) OVER w AS f1, lead(vc, 2) OVER w AS f2
       FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)),
-t AS (SELECT user_id, idx, v,
-             (l2 * 0.5 + l1 + v + f1 + f2 * 0.5) / 4.0 AS trend,
+t AS (SELECT user_id, idx, vc,
+             CAST(l2 + 2 * l1 + 2 * vc + 2 * f1 + f2 AS BIGINT) AS nt,
              (idx - 1) % 4 AS slot
       FROM r),
-d AS (SELECT user_id, idx, v, trend, slot, v - trend AS det
-      FROM t WHERE trend IS NOT NULL),
-s AS (SELECT user_id, slot, sum(det) / count(*) AS seasonal
+d AS (SELECT user_id, idx, vc, nt, slot,
+             CAST(8 * vc - nt AS BIGINT) AS dd
+      FROM t WHERE nt IS NOT NULL),
+s AS (SELECT user_id, slot, CAST(sum(dd) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS n
       FROM d GROUP BY user_id, slot)
-SELECT d.user_id, CAST(d.idx AS INTEGER) AS idx, d.v AS value,
-       d.trend, s.seasonal, d.det - s.seasonal AS resid
+SELECT d.user_id, CAST(d.idx AS INTEGER) AS idx,
+       CAST(d.vc AS DOUBLE) / 100.0 AS value,
+       CAST(d.nt AS DOUBLE) / 800.0 AS trend,
+       CAST(s.sd AS DOUBLE) / (CAST(s.n AS DOUBLE) * 800.0)
+         AS seasonal,
+       CAST(d.dd AS DOUBLE) / 800.0
+         - CAST(s.sd AS DOUBLE) / (CAST(s.n AS DOUBLE) * 800.0)
+         AS resid
 FROM d JOIN s USING (user_id, slot)
 """
 
