@@ -1559,3 +1559,34 @@ def test_cumulative_reach_mega_user_bounded(spark):
         n, 1, 1,
     )
     assert wall < 60, wall
+
+
+def test_hits_mega_hub_mass_conserved_and_bounded(spark):
+    """A 50k-leaf star (one mega-authority): HITS half-step totals
+    must stay inside the stated overflow budget (post-renorm mass ≈
+    scale; the raw totals here are ~scale · 1 since every edge
+    funnels into one node), the hub mass must split EXACTLY evenly
+    over the symmetric leaves, and the full 8-iteration run stays
+    wall-bounded."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        HITS_SCALE,
+        hits,
+    )
+
+    n = 50_000
+    edges = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    t0 = time.time()
+    rows = hits(edges).collect()
+    wall = time.time() - t0
+    got = {r.node: (r.hub_fp, r.auth_fp) for r in rows}
+    assert len(got) == n + 1
+    # the sink is the only authority, and holds ~all authority mass
+    assert got[0][0] == 0 and got[0][1] >= HITS_SCALE * 9 // 10
+    leaf_hubs = {got[i][0] for i in range(1, n + 1)}
+    leaf_auths = {got[i][1] for i in range(1, n + 1)}
+    assert leaf_auths == {0}
+    assert len(leaf_hubs) == 1       # symmetric leaves tie EXACTLY
+    assert leaf_hubs != {0}          # and carry real hub mass
+    assert wall < 300, wall
