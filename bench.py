@@ -234,6 +234,7 @@ HEADLINE = [
     "quantile_bucketize",
     "audio_downsample_decoded",
     "er_blocking_lsh",
+    "er_clusters_lsh",
     "distinct_sketch_hll_intersection",
     "lm_jm_bigram_score",
 ]

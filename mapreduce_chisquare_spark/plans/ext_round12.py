@@ -386,7 +386,9 @@ def er_blocking_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_er_blocking_lsh() -> str:
+def _sql_er_lsh_ctes() -> str:
+    """CTE chain ending in pr(id_a, id_b, dist) — shared by the
+    pair and cluster oracles."""
     from ..operators.dedup import _MOD, NUM_BANDS, NUM_HASHES, hash_params
     from .oracle_common import sql_md5_hash32
 
@@ -405,8 +407,7 @@ def _sql_er_blocking_lsh() -> str:
         + " AS key FROM sg"
         for b in range(NUM_BANDS)
     )
-    return f"""
-WITH recs AS (
+    return f"""recs AS (
   SELECT c_custkey AS rid,
          substring(md5(CAST(c_custkey AS VARCHAR)), 1,
                    {ER_LSH_NAME_LEN}) AS nm
@@ -429,15 +430,18 @@ cand AS (
                   a.nm AS na, b.nm AS nb
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.key = b.key AND a.rid < b.rid
-  JOIN sz ON sz.band = a.band AND sz.key = a.key)
-SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
-FROM cand WHERE levenshtein(na, nb) <= 2
-"""
+  JOIN sz ON sz.band = a.band AND sz.key = a.key),
+pr AS (SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+       FROM cand WHERE levenshtein(na, nb) <= 2)"""
 
 
 EXT_ROUND12_QUERIES.update(
     {
-        "er_blocking_lsh": (er_blocking_lsh_q, _sql_er_blocking_lsh()),
+        "er_blocking_lsh": (
+            er_blocking_lsh_q,
+            "WITH " + _sql_er_lsh_ctes()
+            + " SELECT id_a, id_b, dist FROM pr",
+        ),
     }
 )
 
@@ -500,5 +504,63 @@ FROM pd
 EXT_ROUND12_QUERIES.update(
     {
         "lm_jm_bigram_score": (lm_jm_bigram_score_q, _sql_lm_jm()),
+    }
+)
+
+
+def er_clusters_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship clusters over the LSH-blocked match graph
+    (operators/linkage.py blocking_pairs_lsh -> match_clusters):
+    the pairs-to-canonical-id composition on the hashed-pseudo-name
+    fixture, with the singleton union so the output is a TOTAL map
+    over the input ids. Oracle = recursive-CTE transitive closure
+    over the same pair chain + singleton union."""
+    from ..operators.linkage import blocking_pairs_lsh, match_clusters
+    from ..sources.readers import scan_parquet
+
+    cust = scan_parquet(spark, sf_dir, "customer")
+    nm = F.substring(
+        F.md5(F.col("c_custkey").cast("string")), 1, ER_LSH_NAME_LEN
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("rid"), nm.alias("name")
+    )
+    dirty = cust.filter(F.col("c_custkey") % ER_LSH_MOD == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("rid"),
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")),
+            1,
+            ER_LSH_NAME_LEN - 1,
+        ).alias("name"),
+    )
+    recs = base.unionByName(dirty)
+    pairs = blocking_pairs_lsh(recs, "rid", "name", max_edit=2)
+    return match_clusters(pairs, records=recs, id_col="rid")
+
+
+def _sql_er_clusters_lsh() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_er_lsh_ctes()
+        + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+reach(src, dst) AS (SELECT src, dst FROM edges
+                    UNION SELECT r.src, e.dst FROM reach r
+                    JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS entity_id,
+                least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT entity_id, cluster_id FROM comp
+UNION ALL
+SELECT rid, rid FROM recs
+WHERE rid NOT IN (SELECT entity_id FROM comp)
+"""
+    )
+
+
+EXT_ROUND12_QUERIES.update(
+    {
+        "er_clusters_lsh": (er_clusters_lsh_q, _sql_er_clusters_lsh()),
     }
 )

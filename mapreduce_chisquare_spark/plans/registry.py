@@ -152,7 +152,8 @@ _CERTIFY_WINDOW = [
 # distinct_sketch_hll distinct_sketch_hll_merge ts_lead_lag
 # quantile_bucketize audio_downsample_decoded
 # stream_url_screen dq_freshness er_blocking_lsh
-# distinct_sketch_hll_intersection lm_jm_bigram_score —
+# distinct_sketch_hll_intersection lm_jm_bigram_score
+# er_clusters_lsh —
 # locally gated green at sf0.001 + sf0.01 in round 12), then the
 # oldest r8 rows as space allows. After the round-12 window lands,
 # the staleness histogram floor is r7 (27 rows).

@@ -595,3 +595,31 @@ def test_lm_jm_interpolation_arms(spark):
     want11 = math.log(om * (0 + 1) / 7)
     assert got[11].n_unseen == 1
     assert abs(got[11].avg_logprob - want11) < 1e-12
+
+
+def test_er_clusters_lsh_total_map_and_canonical_ids(spark):
+    """Clusters over the LSH match graph: every input id gets a row
+    (total map), clone pairs share the base id as canonical, and
+    unmatched records are their own singletons."""
+    import hashlib
+
+    from mapreduce_chisquare_spark.operators.linkage import (
+        blocking_pairs_lsh,
+        match_clusters,
+    )
+
+    names = {
+        i: hashlib.md5(str(i).encode()).hexdigest()[:12]
+        for i in range(1, 20)
+    }
+    rows = [(i, nm) for i, nm in names.items()]
+    rows.append((1001, names[7][:11]))
+    df = spark.createDataFrame(rows, "rid long, name string")
+    pairs = blocking_pairs_lsh(df, "rid", "name")
+    got = {
+        r.entity_id: r.cluster_id
+        for r in match_clusters(pairs, records=df, id_col="rid").collect()
+    }
+    assert len(got) == 20            # total over all input ids
+    assert got[7] == 7 and got[1001] == 7
+    assert all(got[i] == i for i in names if i != 7)
