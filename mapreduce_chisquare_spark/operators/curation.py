@@ -1041,10 +1041,15 @@ def canonicalize_url(url: F.Column | str) -> F.Column:
         .when(scheme == "http", F.regexp_replace(base_host, ":80$", ""))
         .otherwise(base_host)
     )
-    path = F.split(tail, r"\?")[0]
+    # split path/query on the FIRST '?' only — a literal second '?'
+    # inside the query is legal per RFC 3986 and must survive
+    qpos = F.instr(tail, "?")
+    path = F.when(
+        qpos > 0, F.substring(tail, F.lit(1), qpos - 1)
+    ).otherwise(tail)
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.try_element_at(F.split(tail, r"\?"), F.lit(2))
+    q = F.when(qpos > 0, F.substr(tail, qpos + F.lit(1)))
     qs = F.filter(
         F.split(F.coalesce(q, F.lit("")), "&"),
         lambda x: (x != "")
@@ -1071,11 +1076,18 @@ def dedup_url_groups(
     URLs normalize identically. Returns (canon_url, n_dups,
     keep_id) — keep_id is the smallest member id (the deterministic
     survivor rule shared with dedup_exact). One exchange on the
-    canonical string; the canonicalization itself is map-side."""
+    canonical string; the canonicalization itself is map-side.
+
+    Malformed URLs (no '://', or NULL) canonicalize to NULL and are
+    EXCLUDED before the groupBy — groupBy treats NULLs as equal, so
+    without the filter every malformed URL corpus-wide would collapse
+    into one NULL-keyed group and unrelated pages would be falsely
+    marked duplicates of each other. Malformed rows simply never
+    appear in the output (they are trivially unique)."""
     c = pages.select(
         F.col(id_col).alias("__id"),
         canonicalize_url(url_col).alias("canon_url"),
-    )
+    ).filter(F.col("canon_url").isNotNull())
     return (
         c.groupBy("canon_url")
         .agg(

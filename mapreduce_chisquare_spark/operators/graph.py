@@ -666,6 +666,8 @@ def hits(
     pattern. State is |V| rows, localCheckpoint-ed per round to
     truncate lineage. Nodes with no incoming (or outgoing) edges
     carry authority (hub) 0 — kept in the output, not dropped."""
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1")
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))

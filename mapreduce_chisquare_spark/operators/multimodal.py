@@ -2207,7 +2207,14 @@ def image_thumbnail_decoded(
     then the block means are pure JVM array expressions
     (filter/aggregate over the flat grid) inside whole-stage codegen
     — zero exchanges end to end, the audio_fingerprint posture. The
-    mean is integer `div`, so engines cannot drift."""
+    mean is integer `div`, so engines cannot drift.
+
+    Small-image contract: when w < t or h < t, some of the t*t grid
+    cells receive no pixels (pixel (r, c) maps to cell (r*t div h,
+    c*t div w), which is not surjective below t). Empty cells emit
+    an explicit '' placeholder so the CSV always has exactly t*t
+    comma-separated fields and cell positions stay fixed — they are
+    never silently dropped."""
     px = media.select("doc_id", "payload").mapInPandas(
         gray_flat_batch, GRAY_FLAT_SCHEMA
     )
@@ -2224,7 +2231,8 @@ def image_thumbnail_decoded(
                     f"(acc, k) -> named_struct("
                     f"'s', acc.s + CAST(gray[k] AS BIGINT), "
                     f"'n', acc.n + CAST(1 AS BIGINT)), "
-                    f"acc -> acc.s div acc.n)"
+                    f"acc -> CASE WHEN acc.n = 0 THEN NULL "
+                    f"ELSE acc.s div acc.n END)"
                 ).cast("long").alias(f"m{i}_{j}")
             )
     grid = px.select("doc_id", "w", "h", *cells)
@@ -2232,10 +2240,14 @@ def image_thumbnail_decoded(
         "doc_id",
         F.col("w").cast("long").alias("w"),
         F.col("h").cast("long").alias("h"),
+        # concat_ws silently drops NULLs — coalesce each cell to the
+        # '' placeholder so the t*t field positions stay fixed
         F.concat_ws(
             ",",
             *[
-                F.col(f"m{i}_{j}").cast("string")
+                F.coalesce(
+                    F.col(f"m{i}_{j}").cast("string"), F.lit("")
+                )
                 for i in range(int(t))
                 for j in range(int(t))
             ],

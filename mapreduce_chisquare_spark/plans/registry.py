@@ -71,92 +71,89 @@ except ImportError:
 # flagship additions (image_phash_decoded, similarity_join_minhash_shuffle),
 # and 39 r6-era stale re-certs — all 50 driver-green (CORRECTNESS_r11).
 #
-# Round-12 window (50) = the 26 round-11 tail entries that have never
-# had a driver row (locally gated green at sf0.001 + sf0.01 in round
-# 11, and re-verified 26/26 by the round-11 judge), + the 3 r6 rows
-# deferred since round 10 (split_no_leakage, simsearch_ivfpq_nprobe2,
-# pipeline_span_surgery — judge-verified green r11), + 21 of the 48
-# r7-era stale rows (fast scalars/joins/windows first so a time-cut
-# sweep certifies the maximum prefix). The remaining 27 r7 rows
-# promote in round 13.
+# Round-13 window (50) = the 27 remaining r7-era stale rows (their
+# last driver-green row is CORRECTNESS_r07 — 5 rounds stale; fast
+# scalars/joins first so a time-cut sweep certifies the maximum
+# prefix), + the 18 round-12 tail entries that have never had a
+# driver row (locally gated green at sf0.001 + sf0.01 in round 12,
+# and spot-verified by the round-12 judge), + 5 of the 47 r8-era
+# stale rows (core text family). After this window lands, the
+# never-certified count drops to 0 and the staleness floor is r8.
 _CERTIFY_WINDOW = [
-    # round-11 tail — driver signature due (judge-verified green r11)
-    "cdc_apply",
-    "events_attribution",
-    "events_markov_transitions",
-    "compaction_plan",
-    "dq_checks",
-    "window_percentiles",
-    "html_strip",
-    "lm_heldout_score",
-    "lm_kn_bigram_score",
-    "inverted_index",
-    "bootstrap_ci",
-    "ts_forecast_holt_winters",
-    "ts_decompose_classical",
-    "graph_kcore",
-    "graph_label_propagation",
-    "graph_linkpred_jaccard",
-    "stream_cdc_screen",
-    "embed_power_iteration",
-    "audio_energy_segments",
-    "audio_fingerprint",
-    "image_phash_gif",
-    "image_phash_jpeg",
-    "image_neardup_decoded",
-    "video_frame_phash",
-    "video_neardup",
-    "video_shot_boundaries",
-    # r6 rows deferred since round 10 (judge-verified green r11)
-    "split_no_leakage",
-    "simsearch_ivfpq_nprobe2",
-    "pipeline_span_surgery",
-    # r7-era stale re-certs (21 of 48; fast first, heavy last)
-    "scan_csv",
-    "token_count",
-    "set_union",
-    "set_intersect",
-    "join_anti",
-    "q4_order_priority",
-    "winsorize",
-    "sample_per_source",
-    "agg_approx_distinct",
-    "agg_histogram",
-    "window_range_frame",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "pii_redact",
-    "dq_profile",
-    "resample_ffill",
-    "zorder_values",
-    "asof_join",
-    "asof_tolerance",
-    "sketch_kmv_distinct",
+    # r7-era stale re-certs (all 27 remaining; fast first, heavy last)
+    "sink_partitioned",
+    "join_range",
+    "scd2_merge",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_components",
+    "embed_label_means",
+    "repetition_metrics",
+    "bm25_score",
+    "bm25_topk",
+    "ts_paa",
+    "sketch_kmv_overlap",
+    "embed_neardup",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "simsearch_topk",
+    "simsearch_topk_pandas",
+    "simsearch_lsh_topk",
+    "ts_similarity_topk",
+    "winnowing_fingerprint",
+    "winnowing_pairs",
+    "pipeline_curation",
+    "pipeline_dedup_corpus",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_tumbling",
+    # round-12 tail — first driver signature due (judge spot-verified
+    # graph_hits / quantile_bucketize / distinct_sketch_hll_intersection)
+    "ts_lead_lag",
+    "events_cumulative_reach",
+    "dq_referential",
+    "dq_freshness",
+    "sentence_stats",
+    "lm_stupid_backoff",
+    "lm_jm_bigram_score",
+    "dedup_url_canonical",
+    "quantile_bucketize",
+    "distinct_sketch_hll",
+    "distinct_sketch_hll_merge",
+    "distinct_sketch_hll_intersection",
+    "er_blocking_lsh",
+    "er_clusters_lsh",
+    "image_thumbnail_decoded",
+    "audio_downsample_decoded",
+    "stream_url_screen",
+    "graph_hits",
+    # r8-era stale re-certs (5 of 47; core text family)
+    "scan_json",
+    "json_extract",
+    "tokenize",
+    "stopword_filter",
+    "chi_square",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-13 window TODO: promote the remaining 27 r7-era stale rows
-# (bm25_score bm25_topk dedup_components dedup_exact dedup_normalized
-# embed_label_means embed_neardup join_range multimodal_frames
-# multimodal_meta multimodal_resize pipeline_curation
-# pipeline_dedup_corpus repetition_metrics scd2_merge
-# simsearch_lsh_topk simsearch_topk simsearch_topk_pandas
-# sink_partitioned sketch_kmv_overlap stream_dedup stream_static_join
-# stream_tumbling ts_paa ts_similarity_topk winnowing_fingerprint
-# winnowing_pairs), then the round-12 tail additions (graph_hits
-# events_cumulative_reach dq_referential lm_stupid_backoff
-# sentence_stats dedup_url_canonical image_thumbnail_decoded
-# distinct_sketch_hll distinct_sketch_hll_merge ts_lead_lag
-# quantile_bucketize audio_downsample_decoded
-# stream_url_screen dq_freshness er_blocking_lsh
-# distinct_sketch_hll_intersection lm_jm_bigram_score
-# er_clusters_lsh —
-# locally gated green at sf0.001 + sf0.01 in round 12), then the
-# oldest r8 rows as space allows. After the round-12 window lands,
-# the staleness histogram floor is r7 (27 rows).
+# Round-14 window TODO: promote the remaining 42 r8-era stale rows
+# (basket_rules bpe_merges bpe_pair_counts bpe_vocab c4_line_dedup
+# collocations_pmi count_term_cat dedup_semantic distinct_sketch_kmv
+# distinct_sketch_kmv_merge dq_quantiles dsir_importance
+# events_retention format_report graph_pagerank graph_ppr
+# graph_triangles merged_dict multimodal_av_probe multimodal_decode
+# q15_top_supplier q17_small_qty_revenue q8_market_share
+# quality_gopher_rules resample_interpolate skipgram_cooc
+# stream_gopher_screen stream_quality_filter topk_per_group ts_acf
+# ts_changepoint ts_corr_topk ts_discord ts_forecast_ewma
+# ts_forecast_holt ts_motif ts_sax ts_sax_group ts_seasonality
+# ts_similarity_dtw_topk ts_similarity_refined), plus any round-13
+# tail additions first, then the oldest r9 rows as space allows.
+# After the round-13 window lands, the never-certified count is 0
+# and the staleness floor is r8 (42 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -30,15 +30,19 @@ from ..sources.fixtures import table_multifile_dir
 from .tuning import state_partitions
 
 
-def _messy_url(doc_id_col: F.Column) -> F.Column:
+def _messy_url(doc_id_col: str = "doc_id") -> F.Column:
     """The batch dedup_url_canonical fixture's mod-6 messy variants,
     row-local (plans/ext_round12.py dedup_url_canonical_q states the
-    same construction; keep in sync)."""
+    same construction; keep in sync). Takes the column NAME so both
+    the base-path `div` and the mod-6 branch derive from the same
+    column — a Column argument previously let the two silently
+    diverge."""
+    c = F.col(doc_id_col)
     base = F.concat(
         F.lit("/docs/p"),
-        F.expr("doc_id div 3").cast("string"),
+        F.expr(f"{doc_id_col} div 3").cast("string"),
     )
-    m = doc_id_col % 6
+    m = c % 6
     return (
         F.when(m == 0, F.concat(F.lit("https://example.com"), base))
         .when(
@@ -91,7 +95,7 @@ def url_screen_stream(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % 2 == 0)
         .select(
-            canonicalize_url(_messy_url(F.col("doc_id"))).alias(
+            canonicalize_url(_messy_url("doc_id")).alias(
                 "canon_url"
             )
         )
@@ -106,7 +110,7 @@ def url_screen_stream(
     )
     pages = stream.select(
         "doc_id",
-        canonicalize_url(_messy_url(F.col("doc_id"))).alias("canon_url"),
+        canonicalize_url(_messy_url("doc_id")).alias("canon_url"),
     )
     screened = pages.join(F.broadcast(known), "canon_url", "left").select(
         "doc_id",
