@@ -1590,3 +1590,120 @@ def test_hits_mega_hub_mass_conserved_and_bounded(spark):
     assert len(leaf_hubs) == 1       # symmetric leaves tie EXACTLY
     assert leaf_hubs != {0}          # and carry real hub mass
     assert wall < 300, wall
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship / LSH blocking at a 10k-member mega-cluster (round
+# 13): executes the two scale claims of the entity-resolution tier —
+# the LSH bucket guard keeps a zero-entropy mega-block from going
+# quadratic, and clustering + survivorship stay state- and
+# wall-bounded on a single 10k-member component.
+# ---------------------------------------------------------------------------
+
+
+def test_er_lsh_mega_block_excised_not_quadratic(spark):
+    """10k records sharing ONE name: every MinHash band bucket is
+    10k >> max_bucket, so the guard must excise the whole block
+    (disclosed truncation) instead of emitting ~50M intra-block
+    pairs — while normal-entropy clone pairs planted beside the
+    mega-block are still recovered, and no record's candidate-partner
+    count exceeds the bands*(max_bucket-1) contract."""
+    import hashlib
+
+    from mapreduce_chisquare_spark.operators.dedup import NUM_BANDS
+    from mapreduce_chisquare_spark.operators.linkage import (
+        ER_MAX_BLOCK,
+        blocking_pairs_lsh,
+    )
+
+    mega = [(i, "acme corporation customer record") for i in range(10_000)]
+    clones = []
+    for g in range(40):
+        nm = hashlib.md5(f"clone{g}".encode()).hexdigest()[:12]
+        clones.append((100_000 + g, nm))
+        clones.append((200_000 + g, nm[:11]))  # distance 1
+    df = spark.createDataFrame(mega + clones, "rid long, name string")
+    t0 = time.time()
+    pairs = blocking_pairs_lsh(df, "rid", "name").collect()
+    wall = time.time() - t0
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the mega-block is excised: no pair touches any of its 10k ids
+    assert all(a >= 100_000 and b >= 100_000 for a, b in got), sorted(got)[:5]
+    # every planted clone pair recovered through band buckets alone
+    want = {(100_000 + g, 200_000 + g) for g in range(40)}
+    assert want <= got, want - got
+    # per-record candidate work stays inside the guard's bound
+    from collections import Counter
+
+    partners = Counter()
+    for a, b in got:
+        partners[a] += 1
+        partners[b] += 1
+    cap = NUM_BANDS * (ER_MAX_BLOCK - 1)
+    assert max(partners.values()) <= cap, max(partners.values())
+    assert wall < 120, wall
+
+
+def test_er_survivorship_10k_member_cluster_bounded(spark):
+    """One 10k-member match component (shallow hub topology — the
+    clique-ish shape real blocked pairs produce) plus 500 singletons:
+    min-label clustering must converge in a handful of rounds (state
+    is |V| rows, never pair-quadratic), survivorship's window runs
+    over the component-sized partition once, the longest-name /
+    min-id tie-break picks the planted canonical record exactly, and
+    the whole pass stays wall-bounded."""
+    from mapreduce_chisquare_spark.operators.linkage import (
+        match_clusters,
+        survivorship,
+    )
+
+    n = 10_000
+    long_a = "consolidated global acme holdings incorporated " + "x" * 13
+    long_b = "consolidated global acme holdings incorporated " + "y" * 13
+    assert len(long_a) == len(long_b) == 60
+
+    recs = spark.range(n + 500).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") == 4_321, F.lit(long_a))
+        .when(F.col("id") == 8_000, F.lit(long_b))  # same max length
+        .otherwise(
+            F.concat(
+                F.lit("entity-"),
+                F.col("id").cast("string"),
+                F.lit("-"),
+                F.expr("repeat('x', CAST(id % 7 AS INT))"),
+            )
+        )
+        .alias("name"),
+    )
+    # shallow mega-component: leaves pair with their bucket hub,
+    # hubs pair with record 0 (diameter 4); rids >= n stay singleton
+    leaves = spark.range(1, n).select(
+        (F.col("id") - F.col("id") % 100).alias("id_a"),
+        F.col("id").alias("id_b"),
+    )
+    hubs = spark.range(1, 100).select(
+        F.lit(0).cast("long").alias("id_a"),
+        (F.col("id") * 100).alias("id_b"),
+    )
+    pairs = leaves.unionByName(hubs)
+    stats: dict = {}
+    t0 = time.time()
+    clusters = match_clusters(
+        pairs, max_iter=20, stats=stats, records=recs, id_col="rid"
+    )
+    out = {
+        r.cluster_id: (r.canonical_id, r.canonical_name, r.n_members)
+        for r in survivorship(recs, clusters).collect()
+    }
+    wall = time.time() - t0
+    assert stats["converged"], stats
+    assert stats["rounds"] <= 6, stats  # diameter 4 + detect round
+    # one mega-cluster holding all n members, canonical = longest
+    # name, tie broken to the smaller id
+    assert out[0] == (4_321, long_a, n)
+    # the 500 non-matched records survive as their own clusters
+    singles = [k for k, v in out.items() if v[2] == 1]
+    assert len(singles) == 500
+    assert all(out[k][0] == k for k in singles)
+    assert wall < 120, wall
