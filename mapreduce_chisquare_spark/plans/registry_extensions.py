@@ -1221,6 +1221,8 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = tx.bm25_topk(
         _docs(spark, sf_dir), RRF_TERMS, k=RRF_TIER_N
     )
+    # Unpartitioned rank window is BOUNDED: `lex` is bm25_topk's
+    # output, already cut to <= RRF_TIER_N rows, never a corpus.
     wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex_r = lex.withColumn("rank", F.row_number().over(wl)).select(
         "doc_id", "rank"
