@@ -243,6 +243,11 @@ HEADLINE = [
     "er_clusters_lsh",
     "distinct_sketch_hll_intersection",
     "lm_jm_bigram_score",
+    # round-13 additions (first measurement = their baseline)
+    "dedup_bloom_screen",
+    "quantile_bucketize_2level",
+    "robots_screen",
+    "image_phash_palette",
 ]
 
 # ---------------------------------------------------------------------------

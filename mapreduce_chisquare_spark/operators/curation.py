@@ -1096,3 +1096,53 @@ def dedup_url_groups(
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def robots_screen(
+    pages: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots-exclusion admission screen — the crawl-frontier gate
+    every fetch pipeline runs before touching a URL: `rules` is the
+    parsed per-host rule table (host, rule_path, allow) and a page is
+    admitted by the RFC 9309 longest-match rule — among the host's
+    rules whose rule_path is a prefix of the page's path, the
+    LONGEST rule_path decides; an allow rule wins a length tie; a
+    page matching no rule is allowed. Returns (doc_id, host, path,
+    allowed). (Rule-file PARSING is a line format, not a relation —
+    out of scope; this operator is the decision semantics.)
+
+    Scale shape: the rule table is config-sized (robots.txt lines
+    per crawled host) — broadcast; the winner is ONE map-side-
+    combinable max over a (match_len, allow) struct per page, so the
+    whole screen is a broadcast join + one (doc_id) aggregate, no
+    window, no skew surface. The struct max encodes the tie rule
+    structurally: lexicographic (len DESC via max, allow 1 > 0), so
+    both engines pick the same winner without a sort."""
+    j = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+    ).join(F.broadcast(rules), "host", "left")
+    match = F.when(
+        F.col("path").startswith(F.col("rule_path")),
+        F.struct(
+            F.length("rule_path").cast("int").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    return (
+        j.groupBy("doc_id", "host", "path")
+        .agg(F.max(match).alias("__w"))
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(F.col("__w.a") == 1, F.lit(True)).alias(
+                "allowed"
+            ),
+        )
+    )

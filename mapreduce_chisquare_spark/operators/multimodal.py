@@ -644,7 +644,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (bit depth 8 only):
 # 0 grayscale, 2 RGB, 4 gray+alpha, 6 RGBA. Palette (3) needs a PLTE
 # lookup this decoder does not implement.
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette (1 index byte/px)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -676,16 +676,20 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(rows, color_type: int = 0, row_filter=None) -> bytes:
+def encode_png(rows, color_type: int = 0, row_filter=None, palette=None) -> bytes:
     """Minimal REAL PNG encoder (bit depth 8, no interlace): rows of
-    gray ints (color type 0) or channel tuples (2/4/6), one IHDR +
-    one zlib-compressed IDAT + IEND, correct CRCs. `row_filter(y)`
+    gray ints (color type 0), channel tuples (2/4/6), or palette
+    indices (color type 3 with `palette` = list of (r, g, b) — a
+    PLTE chunk is emitted before IDAT), one IHDR + one
+    zlib-compressed IDAT + IEND, correct CRCs. `row_filter(y)`
     picks the scanline filter (0-4, default all-None) — the fixture
     hook that lets tests and synth_png exercise every filter type the
     decoder must undo. PIL round-trip-verified where PIL exists."""
     import struct
     import zlib
 
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG (color type 3) needs a palette")
     ch = _PNG_CHANNELS[color_type]
     h, w = len(rows), len(rows[0])
     raw = bytearray()
@@ -713,9 +717,18 @@ def encode_png(rows, color_type: int = 0, row_filter=None) -> bytes:
             raw.append((cur[i] - pred) & 255)
         prev = bytes(cur)
     ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    plte = (
+        _png_chunk(
+            b"PLTE",
+            bytes(v & 255 for rgb in palette for v in rgb),
+        )
+        if color_type == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -727,17 +740,18 @@ def decode_png_pixels(blob: bytes):
     undo the per-scanline filter (all five types incl. Paeth), and
     return (width, height, grayscale rows as bytes) — RGB/RGBA rows
     collapse through the integer BT.601 luma, gray+alpha drops
-    alpha. Raises NotImplementedError for the layouts this decoder
-    does not cover (bit depth != 8, interlaced, palette) and
+    alpha, palette indices (color type 3, round 13) map through the
+    PLTE entries' luma. Raises NotImplementedError for the layouts
+    this decoder does not cover (bit depth != 8, interlaced) and
     ValueError for corrupt bytes (bad CRC, bad filter id, payload /
-    dimension mismatch) — corrupt data fails loud, never fabricates
-    pixels."""
+    dimension mismatch, missing/short PLTE) — corrupt data fails
+    loud, never fabricates pixels."""
     import struct
     import zlib
 
     if blob[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG byte stream")
-    pos, dims, ctype, idat = 8, None, None, bytearray()
+    pos, dims, ctype, idat, plte = 8, None, None, bytearray(), None
     while pos + 12 <= len(blob):
         (ln,) = struct.unpack(">I", blob[pos : pos + 4])
         typ = blob[pos + 4 : pos + 8]
@@ -757,6 +771,10 @@ def decode_png_pixels(blob: bytes):
                     f"color_type={ctype} interlace={inter}"
                 )
             dims = (w, h)
+        elif typ == b"PLTE":
+            if ln % 3 != 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = bytes(body)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -764,6 +782,8 @@ def decode_png_pixels(blob: bytes):
         pos += 12 + ln
     if dims is None:
         raise ValueError("PNG without IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
     w, h = dims
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
@@ -793,7 +813,14 @@ def decode_png_pixels(blob: bytes):
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 255
         elif f != 0:
             raise ValueError(f"bad PNG filter id {f}")
-        if ch == 1:
+        if ch == 1 and ctype == 3:
+            if any(3 * i + 2 >= len(plte) for i in line):
+                raise ValueError("PNG palette index out of range")
+            gray = bytes(
+                _luma(plte[3 * i], plte[3 * i + 1], plte[3 * i + 2])
+                for i in line
+            )
+        elif ch == 1:
             gray = bytes(line)
         elif ch == 2:
             gray = bytes(line[0::2])
@@ -967,6 +994,67 @@ def synth_png_documents(docs: DataFrame) -> DataFrame:
     exactly as a parquet-stored media column would."""
     return docs.select("doc_id").mapInPandas(
         synth_png_batch, PNG_MEDIA_SCHEMA
+    )
+
+
+# Palette (color type 3) fixture: entry i of the 256-entry PLTE is
+# ((i*37)%256, (i*59)%256, (i*83)%256) — full-period affine maps (the
+# multipliers are odd), so the palette is a nontrivial permutation of
+# each channel and a decoder that misreads PLTE (or skips the index
+# indirection) cannot luckily agree with the oracle.
+PLT_R_MUL, PLT_G_MUL, PLT_B_MUL = 37, 59, 83
+
+
+def synth_png_palette_pixels(doc_id: int):
+    """Ground-truth for synth_png_palette(doc_id): (w, h, palette,
+    index rows). Index formula is affine-mod-256 in (doc_id, row,
+    col) — mirrored literally in SQL_IMAGE_PHASH_PALETTE
+    (plans/ext_round13.py)."""
+    w = PNG_W_BASE + doc_id % PNG_W_MOD
+    h = PNG_H_BASE + doc_id % PNG_H_MOD
+    palette = [
+        (
+            (i * PLT_R_MUL) % 256,
+            (i * PLT_G_MUL) % 256,
+            (i * PLT_B_MUL) % 256,
+        )
+        for i in range(256)
+    ]
+    rows = [
+        [(doc_id * 11 + r * 5 + c * 7) % 256 for c in range(w)]
+        for r in range(h)
+    ]
+    return w, h, palette, rows
+
+
+def synth_png_palette(doc_id: int) -> bytes:
+    """Deterministic real palette PNG per doc id; scanline filters
+    cycle all five types like synth_png."""
+    _w, _h, palette, rows = synth_png_palette_pixels(doc_id)
+    return encode_png(
+        rows, 3, row_filter=lambda y: (doc_id + y) % 5, palette=palette
+    )
+
+
+def synth_png_palette_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched palette-PNG fixture synthesis (doc_id -> payload)."""
+    import pandas as pd  # local import: executors only
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    synth_png_palette(int(d)) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def synth_png_palette_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) of real palette-PNG bytes per doc id."""
+    return docs.select("doc_id").mapInPandas(
+        synth_png_palette_batch, PNG_MEDIA_SCHEMA
     )
 
 

@@ -489,3 +489,95 @@ def hll_intersection(
             ).alias("est_intersection"),
         )
     )
+
+
+BLOOM_M = 1 << 14  # filter bits
+BLOOM_K = 4        # hash functions (independent md5 slices)
+
+
+def bloom_bits(df: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """The k bit positions each key sets in an m-bit Bloom filter
+    (Bloom 1970, public): hash j of key s is a 32-bit slice of
+    md5(s || ':' || j) taken mod m — the KMV/HLL shared-hash
+    discipline, so the DuckDB twin reproduces every position with
+    plans/oracle_common.sql_md5_hash32 and the two engines agree on
+    every bit, INCLUDING false positives. Returns the input columns
+    plus (j, bit) — ONE scan, row-local k-way explode (no union of
+    k passes over the input)."""
+
+    def _bit(j: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(":"),
+                        F.lit(str(j)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % F.lit(int(m))).cast("long")
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    _bit(j).alias("bit"),
+                )
+                for j in range(int(k))
+            ]
+        )
+    )
+    return df.select("*", pairs.alias("__jb")).select(
+        "*", F.col("__jb.j").alias("j"), F.col("__jb.bit").alias("bit")
+    ).drop("__jb")
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Bloom-filter membership prescreen — the cheap first gate of
+    every 100 TB exact-dedup / decontamination pipeline (test a
+    candidate against a compact filter of the stored corpus BEFORE
+    paying the exact hash join): per query row, maybe_dup is true
+    iff ALL k of its bits are set in the corpus filter. No false
+    negatives ever; false positives at the standard (1-e^{-kn/m})^k
+    rate — and because both engines replay the identical md5 bit
+    math, the oracle certifies the exact decision vector, false
+    positives included. Returns (doc_id, maybe_dup).
+
+    Scale shape: the corpus collapses to its DISTINCT set-bit
+    relation — at most m rows (16 KiB of longs at the default m),
+    the textbook broadcast side regardless of corpus size; queries
+    explode to k rows each, take the broadcast hash join, and ONE
+    map-side-combinable (doc_id) count-match aggregate decides
+    membership. One narrow exchange on doc_id total; at a bigger m
+    the same plan ships the filter as a real bitset via
+    F.broadcast all the same."""
+    set_bits = (
+        bloom_bits(corpus.select(key_col), key_col, k, m)
+        .select("bit")
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probes = bloom_bits(
+        queries.select(id_col, key_col), key_col, k, m
+    ).select(id_col, "bit")
+    hits = probes.join(F.broadcast(set_bits), "bit", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            (F.count("__set") == F.lit(int(k))).alias("maybe_dup"),
+        )
+    )

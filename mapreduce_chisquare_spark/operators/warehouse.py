@@ -1275,6 +1275,78 @@ def quantile_bucketize(
     )
 
 
+def quantile_bucketize_scalable(
+    df: DataFrame,
+    value_col: str,
+    b: int = 8,
+    coarse_width: int = 1 << 16,
+) -> DataFrame:
+    """quantile_bucketize for HIGH-CARDINALITY value domains: the
+    identical exact equi-depth contract (bucket of v = least(b-1,
+    (rows_below_v * b) div N); equal values share a bucket), but the
+    cumulative rank never rides a single-partition window over the
+    whole value domain. Two-level cumsum instead:
+
+      1. histogram (value, count) — the same map-side-combinable
+         collapse;
+      2. coarse key pk = v div coarse_width; the LOCAL cumsum runs
+         in a window PARTITIONED by pk (each partition holds at most
+         coarse_width distinct values);
+      3. per-pk totals form a relation of ceil(domain/coarse_width)
+         rows; THEIR cumsum is the only unpartitioned window, over
+         that provably tiny relation (row per 65k-value range — the
+         catalog-window posture), and broadcast-joins back as the
+         partition offset.
+
+    rows_below(v) = offset(pk) + local_below(v). Output and oracle
+    are identical to quantile_bucketize — this is the 100 TB
+    operating point of the same operator; all integer arithmetic.
+    Values must be non-negative for `div` to agree with floor
+    bucketing of the coarse key (sign-split otherwise)."""
+    hist = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        F.count("*").cast("long").alias("c")
+    ).withColumn(
+        "pk", F.expr(f"v div CAST({int(coarse_width)} AS BIGINT)")
+    )
+    w_local = Window.partitionBy("pk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = hist.withColumn(
+        "local_below",
+        (F.sum("c").over(w_local) - F.col("c")).cast("long"),
+    )
+    ptot = hist.groupBy("pk").agg(F.sum("c").cast("long").alias("pc"))
+    # Unpartitioned window is BOUNDED: one row per coarse range
+    # (<= domain / coarse_width rows), never value- or data-sized.
+    w_pk = Window.orderBy("pk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    poff = ptot.select(
+        "pk",
+        (F.sum("pc").over(w_pk) - F.col("pc")).cast("long").alias(
+            "offset"
+        ),
+    )
+    n = df.agg(F.count("*").cast("long").alias("n"))
+    binned = (
+        local.join(F.broadcast(poff), "pk")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            "c",
+            F.least(
+                F.lit(int(b) - 1).cast("long"),
+                F.expr(f"((offset + local_below) * {int(b)}) div n"),
+            ).cast("long").alias("bucket"),
+        )
+    )
+    return binned.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    )
+
+
 def dq_freshness(
     events: DataFrame,
     type_col: str = "event_type",

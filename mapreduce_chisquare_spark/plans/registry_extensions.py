@@ -2604,3 +2604,7 @@ EXTENSION_QUERIES.update(
 from .ext_round12 import EXT_ROUND12_QUERIES  # noqa: E402
 
 EXTENSION_QUERIES.update(EXT_ROUND12_QUERIES)
+
+from .ext_round13 import EXT_ROUND13_QUERIES  # noqa: E402
+
+EXTENSION_QUERIES.update(EXT_ROUND13_QUERIES)

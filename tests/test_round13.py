@@ -158,3 +158,163 @@ def test_image_thumbnail_full_size_unchanged(spark):
         fields = r.thumb.split(",")
         assert len(fields) == mm.THUMB_T * mm.THUMB_T
         assert all(f != "" for f in fields)
+
+
+# ---------------------------------------------------------------------
+# bloom_screen: decision vector matches the md5 bit model exactly
+# ---------------------------------------------------------------------
+
+def _bloom_model(corpus_keys, query_keys, k, m):
+    import hashlib
+
+    def bits(s):
+        return {
+            int(
+                hashlib.md5(f"{s}:{j}".encode()).hexdigest()[:8], 16
+            ) % m
+            for j in range(k)
+        }
+
+    filt = set()
+    for s in corpus_keys:
+        filt |= bits(s)
+    return {i: bits(s) <= filt for i, s in query_keys}
+
+
+def test_bloom_screen_matches_hash_model(spark):
+    from mapreduce_chisquare_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_screen,
+    )
+
+    corpus_keys = [f"stored document {i}" for i in range(200)]
+    query_keys = [(i, f"stored document {i}") for i in range(0, 50)] + [
+        (1000 + i, f"novel probe {i}") for i in range(50)
+    ]
+    c = spark.createDataFrame([(s,) for s in corpus_keys], "key string")
+    q = spark.createDataFrame(query_keys, "doc_id long, key string")
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen(c, q).collect()
+    }
+    want = _bloom_model(corpus_keys, query_keys, BLOOM_K, BLOOM_M)
+    assert got == want
+    # no false negatives ever: every true member flagged
+    assert all(got[i] for i in range(0, 50))
+
+
+def test_bloom_screen_tiny_filter_false_positives_deterministic(spark):
+    """At m = 64 the filter saturates and false positives are
+    guaranteed — the engine must reproduce the model's exact
+    decisions, false positives included."""
+    from mapreduce_chisquare_spark.operators.sketches import bloom_screen
+
+    corpus_keys = [f"k{i}" for i in range(60)]
+    query_keys = [(i, f"q{i}") for i in range(40)]
+    c = spark.createDataFrame([(s,) for s in corpus_keys], "key string")
+    q = spark.createDataFrame(query_keys, "doc_id long, key string")
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen(c, q, k=3, m=64).collect()
+    }
+    want = _bloom_model(corpus_keys, query_keys, 3, 64)
+    assert got == want
+    assert any(want.values())  # the stress is real: FPs occurred
+
+
+# ---------------------------------------------------------------------
+# quantile_bucketize_scalable == quantile_bucketize at any coarse width
+# ---------------------------------------------------------------------
+
+def test_bucketize_scalable_equals_single_level(spark):
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        quantile_bucketize,
+        quantile_bucketize_scalable,
+    )
+
+    df = spark.range(10_000).select(
+        ((F.col("id") * 7919) % 1000 + (F.col("id") % 13) * 100).alias(
+            "v"
+        )
+    )
+    want = {
+        r.bucket: (r.n_rows, r.lo, r.hi)
+        for r in quantile_bucketize(df, "v").collect()
+    }
+    for cw in (1, 7, 64, 1 << 16):
+        got = {
+            r.bucket: (r.n_rows, r.lo, r.hi)
+            for r in quantile_bucketize_scalable(
+                df, "v", coarse_width=cw
+            ).collect()
+        }
+        assert got == want, cw
+
+
+# ---------------------------------------------------------------------
+# robots_screen decision table
+# ---------------------------------------------------------------------
+
+def test_robots_screen_longest_match_and_ties(spark):
+    from mapreduce_chisquare_spark.operators.curation import robots_screen
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/private", False),
+            ("h", "/private/pub", True),
+            ("h", "/t", False),
+            ("h", "/t", True),          # tie: allow wins
+            ("g", "/", False),          # disallow-all host
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "h", "/private/x"),        # disallow
+            (2, "h", "/private/pub/y"),    # longer allow overrides
+            (3, "h", "/t/z"),              # exact-length tie -> allow
+            (4, "h", "/elsewhere"),        # no rule -> default allow
+            (5, "g", "/anything"),         # '/' disallow matches all
+            (6, "q", "/no/rules/host"),    # unknown host -> allow
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {
+        r.doc_id: r.allowed for r in robots_screen(pages, rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: False, 6: True}
+
+
+# ---------------------------------------------------------------------
+# palette PNG decode: round-trip + fail-loud
+# ---------------------------------------------------------------------
+
+def test_palette_png_roundtrip_exact(spark):
+    for d in [0, 1, 2, 7, 12, 255]:
+        w, h, pal, rows = mm.synth_png_palette_pixels(d)
+        dw, dh, gray = mm.decode_png_pixels(mm.synth_png_palette(d))
+        assert (dw, dh) == (w, h)
+        want = [bytes(mm._luma(*pal[i]) for i in r) for r in rows]
+        assert [bytes(g) for g in gray] == want, d
+
+
+def test_palette_png_fails_loud():
+    import struct
+
+    blob = mm.synth_png_palette(1)
+    # strip the PLTE chunk -> must raise, never fabricate pixels
+    pos, out = 8, bytearray(blob[:8])
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        if blob[pos + 4 : pos + 8] != b"PLTE":
+            out += blob[pos : pos + 12 + ln]
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png_pixels(bytes(out))
+    # index beyond a short palette -> loud
+    short = mm.encode_png(
+        [[0, 5], [1, 0]], 3, palette=[(0, 0, 0), (9, 9, 9)]
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png_pixels(short)
