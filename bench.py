@@ -278,6 +278,12 @@ HEADLINE = [
 # ---------------------------------------------------------------------------
 
 BENCH_EXCLUDED_LIGHT = [
+    # round-13: dedup_bloom_screen is the benched family
+    # representative (merge adds one distinct level on <= m rows);
+    # hard-negative mining is cosine_topk + a fused filter, dominated
+    # by the benched simsearch_topk
+    "dedup_bloom_merge",
+    "simsearch_hard_negatives",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

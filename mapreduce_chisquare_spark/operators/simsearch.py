@@ -121,6 +121,45 @@ def cosine_topk(
     return topk_per_group(scored, "query_id", "cos", "vec_id", k)
 
 
+def mine_hard_negatives(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, use_arrow: bool = True
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-embedding methodology, public): for each query vector
+    (vec_id < n_queries), the top-k most-similar corpus vectors whose
+    LABEL differs from the query's — the near-misses that actually
+    move a contrastive loss, where random negatives are trivially
+    easy. Returns (query_id, vec_id, cos, rank).
+
+    Scale shape: identical to cosine_topk — the query set broadcasts,
+    the corpus is scanned once with the label filter fused into the
+    same projection (no extra pass, no join back), and the per-query
+    cut is the shared WindowGroupLimit top-k. In production the
+    corpus scan is replaced by the IVF/PQ shortlist exactly as in
+    simsearch_ivfpq; the mining semantics (different-label filter +
+    rank) are unchanged."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _score_cos(F.col("q_emb"), F.col("embedding"), use_arrow).alias(
+                "cos"
+            ),
+        )
+    )
+    return topk_per_group(scored, "query_id", "cos", "vec_id", k)
+
+
 def cosine_topk_pandas(
     emb: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:

@@ -569,15 +569,57 @@ def bloom_screen(
         bloom_bits(corpus.select(key_col), key_col, k, m)
         .select("bit")
         .distinct()
-        .withColumn("__set", F.lit(1))
     )
+    return _bloom_probe(set_bits, queries, key_col, id_col, k, m)
+
+
+def _bloom_probe(
+    set_bits: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    m: int,
+) -> DataFrame:
+    """Probe side shared by the one-shot and merged builds: broadcast
+    the (<= m row) set-bit relation, explode each query to its k bit
+    probes, and decide membership with one map-side-combinable
+    (doc_id) count-match aggregate."""
+    marked = set_bits.withColumn("__set", F.lit(1))
     probes = bloom_bits(
         queries.select(id_col, key_col), key_col, k, m
     ).select(id_col, "bit")
-    hits = probes.join(F.broadcast(set_bits), "bit", "left")
+    hits = probes.join(F.broadcast(marked), "bit", "left")
     return (
         hits.groupBy(id_col)
         .agg(
             (F.count("__set") == F.lit(int(k))).alias("maybe_dup"),
         )
     )
+
+
+def bloom_screen_merged(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shard_col: str,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """The MERGEABLE build of bloom_screen — the 100 TB shape where
+    each ingest shard (a day's crawl, a source partition) builds its
+    own filter and the screen runs against their union: a Bloom
+    filter merges by OR, which on the set-bit relation is just
+    distinct-union, so per-shard (shard, bit) sketches — each <= m
+    rows, buildable independently and shippable as tiny artifacts —
+    collapse to the identical whole-corpus filter. Decisions are
+    bit-for-bit those of the one-shot build (same oracle); the
+    kmv_merge / hll_merge discipline applied to membership."""
+    per_shard = (
+        bloom_bits(corpus.select(shard_col, key_col), key_col, k, m)
+        .select(F.col(shard_col).alias("shard"), "bit")
+        .distinct()  # the per-shard sketch relation
+    )
+    merged = per_shard.select("bit").distinct()
+    return _bloom_probe(merged, queries, key_col, id_col, k, m)

@@ -263,8 +263,109 @@ FROM hh
 """
 
 
+def dedup_bloom_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE Bloom build (operators/sketches.py
+    bloom_screen_merged): the same corpus/probe fixture as
+    dedup_bloom_screen, but the filter is assembled from 4
+    independent per-shard (doc_id % 4) set-bit sketches OR-merged by
+    distinct-union. Decisions must be bit-for-bit those of the
+    one-shot build — the oracle is literally the same SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") % 4).alias("shard"),
+            F.col("text").alias("key"),
+        )
+        .filter(F.col("key").isNotNull())
+    )
+    a = d.filter(F.col("doc_id") % 2 == 1).alias("a")
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    ).alias("b")
+    queries = (
+        a.join(b, F.col("a.doc_id") - 1 == F.col("b_id"), "left")
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.when(F.col("a.doc_id") % 10 == 1, F.col("b_text"))
+            .otherwise(F.col("a.text"))
+            .alias("key"),
+        )
+        .filter(F.col("key").isNotNull())
+    )
+    return sk.bloom_screen_merged(corpus, queries, "shard")
+
+
+def stream_bloom_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming Bloom screen (streaming/bloom.py): every
+    arriving document tests its k bit probes row-locally against the
+    literal bitset of the even-doc corpus filter. availableNow drains
+    the backlog, so the batch bit-math replay is the oracle."""
+    from ..streaming.bloom import bloom_screen_stream
+
+    return bloom_screen_stream(spark, sf_dir)
+
+
+SQL_STREAM_BLOOM_SCREEN = f"""
+WITH corpus AS (
+  SELECT text AS key FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+setbits AS (
+  SELECT DISTINCT {_sql_bloom_bit("key")} AS bit, 1 AS one
+  FROM corpus, UNNEST(range({sk.BLOOM_K})) r(j)),
+qk AS (SELECT doc_id, text AS key FROM documents WHERE text IS NOT NULL),
+probe AS (
+  SELECT doc_id, {_sql_bloom_bit("key")} AS bit
+  FROM qk, UNNEST(range({sk.BLOOM_K})) r(j))
+SELECT p.doc_id,
+       count(s.one) = {sk.BLOOM_K} AS maybe_dup
+FROM probe p LEFT JOIN setbits s ON p.bit = s.bit
+GROUP BY p.doc_id
+"""
+
+
+def simsearch_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/simsearch.py mine_hard_negatives): per query vector
+    the top-5 most-similar corpus vectors with a DIFFERENT label —
+    the broadcast-query brute-force operating point; production swaps
+    the scan for the IVF/PQ shortlist unchanged."""
+    from ..operators import simsearch as ss
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ss.mine_hard_negatives(emb)
+
+
+def _sql_hard_negatives() -> str:
+    from .ext_retrieval import _cos_sql
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos_sql("q.q_emb", "e.embedding")} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label),
+r AS (SELECT query_id, vec_id, cos,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
 EXT_ROUND13_QUERIES: dict = {
     "dedup_bloom_screen": (dedup_bloom_screen_q, SQL_DEDUP_BLOOM_SCREEN),
+    # merged build shares the one-shot oracle — decisions identical
+    "dedup_bloom_merge": (dedup_bloom_merge_q, SQL_DEDUP_BLOOM_SCREEN),
+    "stream_bloom_screen": (
+        stream_bloom_screen_q,
+        SQL_STREAM_BLOOM_SCREEN,
+    ),
+    "simsearch_hard_negatives": (
+        simsearch_hard_negatives_q,
+        _sql_hard_negatives(),
+    ),
     # the scalable variant keeps the SAME oracle — output contract
     # identical to quantile_bucketize, only the cumsum plan differs
     "quantile_bucketize_2level": (

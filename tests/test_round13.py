@@ -318,3 +318,120 @@ def test_palette_png_fails_loud():
     )
     with pytest.raises(ValueError, match="palette index"):
         mm.decode_png_pixels(short)
+
+
+# ---------------------------------------------------------------------
+# bloom merge: per-shard sketches OR-merge to the one-shot filter
+# ---------------------------------------------------------------------
+
+def test_bloom_merged_equals_one_shot(spark):
+    from mapreduce_chisquare_spark.operators.sketches import (
+        bloom_screen,
+        bloom_screen_merged,
+    )
+
+    rows = [(i, i % 5, f"doc text {i % 70}") for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows, "rid long, shard long, key string"
+    )
+    queries = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(120)],
+        "doc_id long, key string",
+    )
+    one = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen(corpus, queries, k=3, m=256).collect()
+    }
+    merged = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen_merged(
+            corpus, queries, "shard", k=3, m=256
+        ).collect()
+    }
+    assert merged == one
+    # true members (key space 0..69 stored) all flagged
+    assert all(one[i] for i in range(70))
+
+
+# ---------------------------------------------------------------------
+# streaming bloom screen == batch decisions
+# ---------------------------------------------------------------------
+
+def test_stream_bloom_screen_matches_batch(spark):
+    from mapreduce_chisquare_spark.operators.sketches import bloom_screen
+    from mapreduce_chisquare_spark.streaming.bloom import (
+        bloom_screen_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("text").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
+    queries = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").alias("key")
+    )
+    want = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen(corpus, queries).collect()
+    }
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen_stream(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every stored (even) doc is a member — no false negatives
+    assert all(v for i, v in got.items() if i % 2 == 0)
+
+
+# ---------------------------------------------------------------------
+# hard-negative mining: label filter + exact ranking
+# ---------------------------------------------------------------------
+
+def test_mine_hard_negatives_model(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        mine_hard_negatives,
+    )
+
+    dim = 64
+    vecs = {}
+    for i in range(30):
+        vecs[i] = [
+            float(((i * 31 + d * 17) % 19) - 9) for d in range(dim)
+        ]
+    rows = [
+        (i, [float(x) for x in v], i % 3) for i, v in vecs.items()
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def cos(a, b):
+        # replicate the float32 storage: round-trip through fp32
+        import struct
+
+        a = [struct.unpack("f", struct.pack("f", x))[0] for x in a]
+        b = [struct.unpack("f", struct.pack("f", x))[0] for x in b]
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    got = {}
+    for r in mine_hard_negatives(emb, n_queries=4, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qid in range(4):
+        scored = sorted(
+            (
+                (-cos(vecs[qid], vecs[i]), i)
+                for i in vecs
+                if i != qid and i % 3 != qid % 3
+            ),
+        )[:3]
+        want = [(rk + 1, i) for rk, (_s, i) in enumerate(scored)]
+        assert sorted(got[qid]) == want, qid
