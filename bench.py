@@ -248,6 +248,7 @@ HEADLINE = [
     "quantile_bucketize_2level",
     "robots_screen",
     "image_phash_palette",
+    "quality_perplexity_buckets",
 ]
 
 # ---------------------------------------------------------------------------

@@ -1785,3 +1785,64 @@ def lm_jm_bigram_score(
             "avg_logprob"
         ),
     )
+
+
+PPL_BUCKET_K = 256  # rank-sketch sample size per language
+
+
+def quality_perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = PPL_BUCKET_K,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, public): score every document with the corpus unigram LM
+    (lm_unigram_score), then split each language into head / middle /
+    tail at its own P66 / P33 score thresholds — the "keep the head,
+    maybe the middle, drop the tail" quality tiers CCNet feeds
+    downstream. Returns (doc_id, lang, score_fp, bucket); score_fp =
+    floor(avg_logprob * 1e6), an exact BIGINT both engines derive
+    from the same double, and higher = more fluent.
+
+    Scale shape: thresholds come from the per-language DETERMINISTIC
+    bottom-k rank sketch (sketches.rank_sketch_kept — the
+    dq_quantiles_sketch machinery), NOT a per-language sort of the
+    corpus: at 100 TB a data-sized percentile window is the
+    scale-killer, while the sketch is <= k rows per language,
+    mergeable across executors, and gives the classic n/sqrt(k) rank
+    error — exactly how CCNet fits its thresholds on a sample. The
+    thresholds broadcast back (languages x 2 longs) and bucket
+    assignment is a row-local comparison. Documents with NULL lang
+    are dropped by the inner threshold join (disclosed; a NULL
+    language has no tier table).
+    """
+    from .sketches import rank_sketch_kept, rank_sketch_quantiles
+
+    scored = lm_unigram_score(docs, text_col)
+    langs = docs.select(
+        "doc_id", F.col(lang_col).alias("lang")
+    )
+    s = scored.join(langs, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("avg_logprob") * F.lit(1e6))
+        .cast("long")
+        .alias("score_fp"),
+    )
+    kept = rank_sketch_kept(
+        s, id_col="doc_id", value_col="score_fp",
+        group_cols=["lang"], k=k,
+    )
+    thr = rank_sketch_quantiles(kept, ["lang"], percentiles=(33, 66))
+    out = s.join(
+        F.broadcast(thr.select("lang", "q33", "q66")), "lang"
+    )
+    bucket = (
+        F.when(F.col("score_fp") > F.col("q66"), F.lit("head"))
+        .when(F.col("score_fp") > F.col("q33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        "doc_id", "lang", "score_fp", bucket.alias("bucket")
+    )

@@ -354,7 +354,73 @@ SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
 """
 
 
+def quality_perplexity_buckets_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity tiers
+    (operators/textstats.py quality_perplexity_buckets): unigram-LM
+    scores quantized to exact BIGINT micro-units, per-language P33 /
+    P66 thresholds from the deterministic bottom-k rank sketch, and
+    a row-local bucket assignment. The oracle replays the LM, the
+    quantization, the sketch, and the tier rule."""
+    from ..operators.textstats import quality_perplexity_buckets
+
+    return quality_perplexity_buckets(_docs(spark, sf_dir))
+
+
+def _sql_perplexity_buckets() -> str:
+    from ..operators.textstats import PPL_BUCKET_K
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, u.term FROM documents,
+    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS u(term)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM tc),
+pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+       FROM tf JOIN tc USING (term) GROUP BY doc_id),
+sc AS (SELECT p.doc_id, d.lang,
+         CAST(floor((s / CAST(n_tokens AS DOUBLE)
+                     - ln(CAST(t_total AS DOUBLE))) * 1e6) AS BIGINT)
+           AS score_fp
+       FROM pd p CROSS JOIN tot
+       JOIN documents d ON d.doc_id = p.doc_id),
+hh AS (SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h,
+         score_fp AS c
+       FROM sc WHERE doc_id IS NOT NULL),
+kept AS (SELECT lang, h, c FROM (
+   SELECT lang, h, c, row_number() OVER (
+     PARTITION BY lang ORDER BY h, c) AS rn FROM hh)
+   WHERE rn <= {PPL_BUCKET_K}),
+r AS (SELECT lang, c,
+        CAST(row_number() OVER (
+          PARTITION BY lang ORDER BY c, h) AS BIGINT) AS rn,
+        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS m
+      FROM kept),
+thr AS (SELECT lang,
+          max(CASE WHEN rn - 1 = ((m - 1) * 33) // 100 THEN c END) AS q33,
+          max(CASE WHEN rn - 1 = ((m - 1) * 66) // 100 THEN c END) AS q66
+        FROM r GROUP BY lang)
+SELECT sc.doc_id, sc.lang, sc.score_fp,
+       CASE WHEN sc.score_fp > t.q66 THEN 'head'
+            WHEN sc.score_fp > t.q33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN thr t ON sc.lang = t.lang
+"""
+
+
 EXT_ROUND13_QUERIES: dict = {
+    "quality_perplexity_buckets": (
+        quality_perplexity_buckets_q,
+        _sql_perplexity_buckets(),
+    ),
     "dedup_bloom_screen": (dedup_bloom_screen_q, SQL_DEDUP_BLOOM_SCREEN),
     # merged build shares the one-shot oracle — decisions identical
     "dedup_bloom_merge": (dedup_bloom_merge_q, SQL_DEDUP_BLOOM_SCREEN),

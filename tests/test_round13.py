@@ -435,3 +435,32 @@ def test_mine_hard_negatives_model(spark):
         )[:3]
         want = [(rk + 1, i) for rk, (_s, i) in enumerate(scored)]
         assert sorted(got[qid]) == want, qid
+
+
+# ---------------------------------------------------------------------
+# CCNet-style perplexity tiers: ordering + coverage invariants
+# ---------------------------------------------------------------------
+
+def test_perplexity_buckets_tier_ordering(spark):
+    from mapreduce_chisquare_spark.operators.textstats import (
+        quality_perplexity_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = quality_perplexity_buckets(docs).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.score_fp
+        )
+    for lang, tiers in by_lang.items():
+        if len(tiers) < 3:
+            continue  # tiny language: a tier may be empty
+        # strict tier ordering: every tail < every middle <= threshold
+        # < every head (thresholds are exclusive upper bounds)
+        assert max(tiers["tail"]) <= min(tiers["middle"]), lang
+        assert max(tiers["middle"]) <= min(tiers["head"]), lang
+        # head is the minority-to-third share, never the whole language
+        n = sum(len(v) for v in tiers.values())
+        assert 0 < len(tiers["head"]) <= n // 2, lang
