@@ -279,6 +279,9 @@ HEADLINE = [
 # ---------------------------------------------------------------------------
 
 BENCH_EXCLUDED_LIGHT = [
+    # round-13: overlapping chunker shares doc_chunk's cost shape
+    # (one tokenize + explode; doc_chunk is in this excluded set too)
+    "doc_chunk_overlap",
     # round-13: dedup_bloom_screen is the benched family
     # representative (merge adds one distinct level on <= m rows);
     # hard-negative mining is cosine_topk + a fused filter, dominated

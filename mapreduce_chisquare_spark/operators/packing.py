@@ -95,3 +95,44 @@ def pack_sequences(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+def chunk_documents_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int | None = None,
+) -> DataFrame:
+    """RAG-style OVERLAPPING chunking: a window of <= chunk_tokens
+    tokens starts every `stride` tokens (default chunk_tokens // 2),
+    so adjacent chunks share chunk_tokens - stride tokens of context
+    — the retrieval-chunking shape that keeps answers spanning a
+    chunk boundary findable, where chunk_documents' disjoint split
+    loses them. chunk_id i covers tokens [i*stride, i*stride +
+    chunk_tokens); chunks are emitted while i*stride < n_tokens, so
+    every token appears in >= 1 chunk and the tail chunk may be
+    short. Returns (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Scale shape: identical to chunk_documents — one row-local
+    tokenize + window explode, zero exchanges; output size is
+    input_tokens * (chunk_tokens / stride), the documented overlap
+    amplification factor."""
+    n = int(chunk_tokens)
+    s = int(stride) if stride is not None else max(1, n // 2)
+    base = docs.select("doc_id", _words(text_col).alias("__w"))
+    chunks = F.expr(
+        f"CASE WHEN size(__w) > 0 THEN "
+        f"transform(sequence(0, CAST(ceil(size(__w) / {s}.0) AS INT) - 1), "
+        f"i -> struct(i AS chunk_id, "
+        f"slice(__w, i * {s} + 1, {n}) AS toks)) "
+        f"ELSE array() END"
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+        )
+    )

@@ -416,7 +416,36 @@ FROM sc JOIN thr t ON sc.lang = t.lang
 """
 
 
+def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunking (operators/packing.py
+    chunk_documents_overlap): 50-token windows every 25 tokens, so
+    adjacent chunks share half their context."""
+    from ..operators.packing import chunk_documents_overlap
+
+    return chunk_documents_overlap(_docs(spark, sf_dir))
+
+
+SQL_DOC_CHUNK_OVERLAP = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents),
+c AS (
+  SELECT doc_id, arr,
+         unnest(range(0, CAST(ceil(len(arr) / 25.0) AS INT))) AS chunk_id
+  FROM t WHERE len(arr) > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(arr, chunk_id * 25 + 1, chunk_id * 25 + 50))
+       AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(arr, chunk_id * 25 + 1, chunk_id * 25 + 50),
+                  ' ') AS chunk_text
+FROM c
+"""
+
+
 EXT_ROUND13_QUERIES: dict = {
+    "doc_chunk_overlap": (doc_chunk_overlap_q, SQL_DOC_CHUNK_OVERLAP),
     "quality_perplexity_buckets": (
         quality_perplexity_buckets_q,
         _sql_perplexity_buckets(),

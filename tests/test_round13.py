@@ -464,3 +464,38 @@ def test_perplexity_buckets_tier_ordering(spark):
         # head is the minority-to-third share, never the whole language
         n = sum(len(v) for v in tiers.values())
         assert 0 < len(tiers["head"]) <= n // 2, lang
+
+
+# ---------------------------------------------------------------------
+# overlapping chunker: coverage + shared-context contract
+# ---------------------------------------------------------------------
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    from mapreduce_chisquare_spark.operators.packing import (
+        chunk_documents_overlap,
+    )
+
+    words = [f"w{i}" for i in range(103)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (
+            (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+            for r in chunk_documents_overlap(
+                docs, chunk_tokens=50, stride=25
+            ).collect()
+        )
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # ceil(103/25) = 5 windows at starts 0,25,50,75,100
+    assert [r[1] for r in d1] == [0, 1, 2, 3, 4]
+    assert [r[2] for r in d1] == [50, 50, 50, 28, 3]  # short tail
+    # window i starts at 25*i — every token covered, halves shared
+    for i, (_d, _c, _n, txt) in enumerate(d1):
+        toks = txt.split()
+        assert toks == words[25 * i : 25 * i + 50], i
+    # single-token doc -> one 1-token chunk; null doc -> nothing
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 1, "solo")]
+    assert not [r for r in rows if r[0] == 3]
