@@ -543,3 +543,67 @@ def test_quantile_bucketize_histogram_first(spark, sf_dir):
     assert "partial_count" in p, p
     # the N scalar branch prunes every column
     assert "ReadSchema: struct<>" in p, p
+
+
+def test_bloom_screen_broadcasts_filter_no_smj(spark, sf_dir):
+    """The Bloom prescreen's corpus side must reach the probe join
+    as a BROADCAST of the <= m set-bit relation — never a sort-merge
+    join (which would shuffle corpus-derived bits against the
+    probes) — and the whole plan stays JVM-side."""
+    p = plan_text(REGISTRY["dedup_bloom_screen"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p, p
+
+
+def test_bucketize_2level_no_domain_sized_single_partition_sort(spark, sf_dir):
+    """The two-level bucketize must put the ONLY SinglePartition
+    exchange below the per-range offset window — an exchange whose
+    child is the per-pk totals aggregate (ceil(domain/2^16) rows) —
+    while the value-domain cumsum runs in a pk-PARTITIONED window
+    (hashpartitioning exchange). The offsets attach by broadcast."""
+    p = plan_text(
+        REGISTRY["quantile_bucketize_2level"][0](spark, sf_dir)
+    )
+    # exactly two single-partition exchanges, both provably tiny:
+    # the per-pk totals cumsum (ceil(domain/2^16) rows) and the
+    # 1-row N scalar aggregate — NOT the value-domain histogram
+    assert p.count("SinglePartition") == 2, p
+    # the domain-sized local cumsum is hash-partitioned by pk
+    assert "hashpartitioning(pk" in p, p
+    # offsets come back as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_robots_screen_is_broadcast_plus_one_aggregate(spark, sf_dir):
+    """The robots gate: rule table broadcast, winner decided by a
+    map-side-combined max-struct aggregate — no window, no sort-merge
+    join, no Python."""
+    p = plan_text(REGISTRY["robots_screen"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
+    assert "partial_max" in p, p  # map-side combine of the struct max
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p, p
+
+
+def test_image_phash_palette_no_shuffle(spark, sf_dir):
+    """Palette decode keeps the media posture: one narrow Arrow
+    mapInPandas lineage, zero exchanges."""
+    p = plan_text(REGISTRY["image_phash_palette"][0](spark, sf_dir))
+    assert "Exchange" not in p.split("== Initial Plan ==")[0], p
+    assert "MapInPandas" in p, p
+
+
+def test_perplexity_buckets_thresholds_broadcast(spark, sf_dir):
+    """CCNet tiers: the per-language threshold table attaches by
+    broadcast, and the sketch's rank<=k cut compiles to
+    WindowGroupLimit (partial per-partition top-k before the
+    exchange), so no data-sized percentile window exists."""
+    p = plan_text(
+        REGISTRY["quality_perplexity_buckets"][0](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
