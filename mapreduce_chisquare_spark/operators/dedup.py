@@ -36,9 +36,17 @@ SHINGLE_N = 3
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by content hash; one shuffle on the hash.
     Returns (text_hash, n_dupes, keep_doc_id) for groups of size >= 2
-    (keep = smallest doc_id, the conventional survivor rule)."""
+    (keep = smallest doc_id, the conventional survivor rule).
+
+    NULL texts are EXCLUDED before the groupBy: md5(NULL) is NULL and
+    groupBy treats NULLs as equal, so without the filter every
+    NULL-text document corpus-wide would collapse into one false
+    duplicate group (the dedup_url_groups failure class). Empty
+    strings stay in — two empty documents genuinely are exact
+    duplicates."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
             F.count("*").alias("n_dupes"),
             F.min("doc_id").alias("keep_doc_id"),

@@ -49,7 +49,8 @@ WITH u AS (SELECT doc_id, text FROM documents
            FROM documents WHERE doc_id % 20 = 0)
 SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dupes,
        min(doc_id) AS keep_doc_id
-FROM u GROUP BY md5(text) HAVING count(*) >= 2
+FROM u WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING count(*) >= 2
 """
 
 # Shared shingle CTE chain (mirrors operators/dedup.py shingles for

@@ -499,3 +499,30 @@ def test_chunk_overlap_covers_and_overlaps(spark):
     # single-token doc -> one 1-token chunk; null doc -> nothing
     assert [r for r in rows if r[0] == 2] == [(2, 0, 1, "solo")]
     assert not [r for r in rows if r[0] == 3]
+
+
+# ---------------------------------------------------------------------
+# exact_duplicates: NULL texts must not collapse into one group
+# ---------------------------------------------------------------------
+
+def test_exact_duplicates_excludes_null_text(spark):
+    from mapreduce_chisquare_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, None),       # three unrelated NULL docs: no group
+        (4, "same body"),
+        (5, "same body"),
+        (6, ""),
+        (7, ""),         # two EMPTY docs genuinely are duplicates
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.text_hash: (r.n_dupes, r.keep_doc_id)
+        for r in exact_duplicates(df).collect()
+    }
+    assert len(got) == 2
+    assert (2, 4) in got.values() and (2, 6) in got.values()
