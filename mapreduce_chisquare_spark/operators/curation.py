@@ -1024,8 +1024,15 @@ def canonicalize_url(url: F.Column | str) -> F.Column:
     library, not an expression — documented out of scope."""
     u = F.col(url) if isinstance(url, str) else url
     nofrag = F.split(u, "#")[0]
-    scheme = F.lower(F.split(nofrag, "://")[0])
-    rest = F.try_element_at(F.split(nofrag, "://"), F.lit(2))
+    # scheme/rest split on the FIRST '://' only — a second '://'
+    # inside the query (redirect/callback params, ubiquitous in real
+    # crawls) must survive; a split-array element_at would truncate
+    # everything after it. No '://' anywhere -> NULL (malformed).
+    sep = F.instr(nofrag, "://")
+    scheme = F.when(
+        sep > 0, F.lower(F.substring(nofrag, F.lit(1), sep - 1))
+    )
+    rest = F.when(sep > 0, F.substr(nofrag, sep + F.lit(3)))
     slash = F.instr(rest, "/")
     hostport = F.when(
         slash > 0, F.substring(rest, F.lit(1), slash - 1)

@@ -526,3 +526,31 @@ def test_exact_duplicates_excludes_null_text(spark):
     }
     assert len(got) == 2
     assert (2, 4) in got.values() and (2, 6) in got.values()
+
+
+def test_canonicalize_url_second_scheme_separator_survives(spark):
+    """A '://' inside a query value (redirect/callback params) must
+    not truncate the canonical form."""
+    cases = [
+        (
+            "https://example.com/r?u=http://x.com/p",
+            "https://example.com/r?u=http://x.com/p",
+        ),
+        (
+            "HTTPS://WWW.EXAMPLE.COM/r?b=1&u=http://x.com/",
+            "https://example.com/r?b=1&u=http://x.com/",
+        ),
+        ("no scheme at all", None),  # malformed stays NULL
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, (src, got[i], want)
