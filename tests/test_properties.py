@@ -1233,3 +1233,106 @@ def test_quantile_bucketize_equals_rank_model(spark, vals, b):
         model[bkt] = (cnt + 1, min(lo, v), max(hi, v))
     assert got == model
     assert sum(c for c, _, _ in got.values()) == n
+
+
+# ---------------------------------------------------------------------
+# Round-13 properties: canonicalizer idempotence, Bloom soundness
+# ---------------------------------------------------------------------
+
+_URL_SEG = st.text(
+    alphabet="abcXYZ019-._~%", min_size=1, max_size=8
+)
+_url_strategy = st.builds(
+    lambda scheme, host, www, port, segs, params, frag: (
+        scheme
+        + "://"
+        + ("WWW." if www else "")
+        + host
+        + ".example.com"
+        + port
+        + "".join("/" + s for s in segs)
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTPS", "Http"]),
+    host=_URL_SEG,
+    www=st.booleans(),
+    port=st.sampled_from(["", ":443", ":80", ":8080"]),
+    segs=st.lists(_URL_SEG, max_size=3),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "utm_source=x", "q=wh?t", "u=http://e.com/p",
+             "gclid=z", "z="]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "sec", "x?y"]),
+)
+
+
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_canonicalize_url_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed
+    point — every normalization rule (case, www., default port,
+    fragment, tracking params, query sort, trailing slash) has
+    nothing left to do on its own output."""
+    from mapreduce_chisquare_spark.operators.curation import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    # two passes with a materialization between them: textually
+    # nesting canonicalize_url(canonicalize_url(...)) substitutes the
+    # large inner tree into every reference of the outer one and the
+    # squared expression kills analysis — and a real pipeline
+    # re-canonicalizes stored strings anyway
+    c1 = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in c1.items()], "doc_id long, url string"
+    )
+    c2 = {
+        r.doc_id: r.c
+        for r in df2.select(
+            "doc_id", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert c1[i] is not None  # every generated URL has '://'
+        assert c1[i] == c2[i], (u, c1[i], c2[i])
+
+
+@given(
+    stored=st.lists(st.text(min_size=1, max_size=12), min_size=1,
+                    max_size=25, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=12), min_size=1,
+                    max_size=15, unique=True),
+)
+@settings(**_SETTINGS)
+def test_bloom_screen_never_false_negative(spark, stored, probes):
+    """Soundness law: every probe whose key IS stored must be
+    flagged, whatever the corpus — false positives are allowed,
+    false negatives never."""
+    from mapreduce_chisquare_spark.operators.sketches import (
+        bloom_screen,
+    )
+
+    c = spark.createDataFrame([(s,) for s in stored], "key string")
+    q = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(stored + probes)],
+        "doc_id long, key string",
+    )
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_screen(c, q, k=3, m=128).collect()
+    }
+    for i in range(len(stored)):
+        assert got[i], stored[i]
