@@ -1301,12 +1301,19 @@ def quantile_bucketize_scalable(
     rows_below(v) = offset(pk) + local_below(v). Output and oracle
     are identical to quantile_bucketize — this is the 100 TB
     operating point of the same operator; all integer arithmetic.
-    Values must be non-negative for `div` to agree with floor
-    bucketing of the coarse key (sign-split otherwise)."""
+    The coarse key is FLOOR division (v - pmod(v, w)) div w, not
+    Spark's truncating `div`, so negative values keep a
+    monotonically ordered pk (with trunc, -1 and +1 would share
+    pk 0 and the range offsets would interleave wrongly)."""
+    cw = int(coarse_width)
     hist = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
         F.count("*").cast("long").alias("c")
     ).withColumn(
-        "pk", F.expr(f"v div CAST({int(coarse_width)} AS BIGINT)")
+        "pk",
+        F.expr(
+            f"(v - pmod(v, CAST({cw} AS BIGINT))) "
+            f"div CAST({cw} AS BIGINT)"
+        ),
     )
     w_local = Window.partitionBy("pk").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

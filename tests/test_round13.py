@@ -554,3 +554,30 @@ def test_canonicalize_url_second_scheme_separator_survives(spark):
     }
     for i, (src, want) in enumerate(cases):
         assert got[i] == want, (src, got[i], want)
+
+
+def test_bucketize_scalable_handles_negative_values(spark):
+    """The coarse key is floor division, so negative values keep a
+    monotone pk and the two-level cumsum equals the single-level
+    form on a signed domain too."""
+    from mapreduce_chisquare_spark.operators.warehouse import (
+        quantile_bucketize,
+        quantile_bucketize_scalable,
+    )
+
+    df = spark.range(5_000).select(
+        (((F.col("id") * 7919) % 2001) - 1000).alias("v")  # -1000..1000
+    )
+    want = {
+        r.bucket: (r.n_rows, r.lo, r.hi)
+        for r in quantile_bucketize(df, "v").collect()
+    }
+    for cw in (7, 64, 1 << 16):
+        got = {
+            r.bucket: (r.n_rows, r.lo, r.hi)
+            for r in quantile_bucketize_scalable(
+                df, "v", coarse_width=cw
+            ).collect()
+        }
+        assert got == want, cw
+    assert min(lo for _n, lo, _h in want.values()) < 0  # stress real
