@@ -365,6 +365,7 @@ BENCH_EXCLUDED_LIGHT = [
     "sample_stratified",
     "sample_weighted",
     "scan_csv",
+    "scan_warc",
     "scan_json",
     "scd2_merge",
     "sentence_stats",

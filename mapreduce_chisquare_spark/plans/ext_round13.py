@@ -444,7 +444,25 @@ FROM c
 """
 
 
+def scan_warc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC response-archive scan (sources/readers.py
+    scan_warc_documents): the documents table round-trips through a
+    real CRLF-headed, Content-Length-framed WARC file with
+    pathological records injected (bad length, missing length,
+    non-response record); the tolerant reader drops exactly those,
+    so the oracle is the identity projection of the parquet twin."""
+    from ..sources.readers import scan_warc_documents
+
+    return scan_warc_documents(spark, sf_dir)
+
+
+SQL_SCAN_WARC = (
+    "SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL"
+)
+
+
 EXT_ROUND13_QUERIES: dict = {
+    "scan_warc": (scan_warc_q, SQL_SCAN_WARC),
     "doc_chunk_overlap": (doc_chunk_overlap_q, SQL_DOC_CHUNK_OVERLAP),
     "quality_perplexity_buckets": (
         quality_perplexity_buckets_q,

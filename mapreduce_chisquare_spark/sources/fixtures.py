@@ -229,3 +229,85 @@ def events_stream_dir(sf_dir: str) -> str:
     _atomic_publish(tmp, d / "zz_sentinels.parquet")
     done.write_text(stamp)
     return str(d)
+
+
+# Injected WARC pathologies, one per tolerant-path branch: a record
+# whose Content-Length disagrees with its body (truncated transfer), a
+# record with no Content-Length header at all, and a non-response
+# record (request) that carries no document payload. Every one must be
+# DROPPED by the reader's validation so the scan result stays
+# comparable to the parquet twin.
+def _warc_record(headers: list, body: str) -> str:
+    return (
+        "WARC/1.0\r\n"
+        + "".join(h + "\r\n" for h in headers)
+        + "\r\n"
+        + body
+        + "\r\n\r\n"
+    )
+
+
+def warc_documents(sf_dir: str) -> str:
+    """Materialize documents.parquet as a WARC-style response archive
+    (one record per document, CRLF headers, Content-Length stated,
+    pathological records injected); returns the cached file path.
+    Fixture texts are single-line (no CR/LF), so the record boundary
+    'WARC/1.0' never appears inside a payload — the precondition the
+    splittable lineSep scan documents."""
+    tag = Path(sf_dir).name
+    dst = _CACHE / f"documents_{tag}.warc"
+    if dst.exists():
+        return str(dst)
+    _CACHE.mkdir(exist_ok=True)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    bad = [
+        _warc_record(  # Content-Length disagrees with the body
+            [
+                "WARC-Type: response",
+                "WARC-Target-URI: https://example.com/docs/p90000001",
+                "WARC-Lang: xx",
+                "Content-Length: 999",
+            ],
+            "truncated body",
+        ),
+        _warc_record(  # no Content-Length at all
+            [
+                "WARC-Type: response",
+                "WARC-Target-URI: https://example.com/docs/p90000002",
+                "WARC-Lang: xx",
+            ],
+            "unframed body",
+        ),
+        _warc_record(  # request record: no document payload
+            [
+                "WARC-Type: request",
+                "WARC-Target-URI: https://example.com/docs/p90000003",
+                "Content-Length: 0",
+            ],
+            "",
+        ),
+    ]
+    tmp = dst.with_suffix(f".tmp{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8", newline="") as f:
+        for i, row in enumerate(tbl.to_pylist()):
+            if row["text"] is None:
+                continue  # a response record needs a payload
+            f.write(
+                _warc_record(
+                    [
+                        "WARC-Type: response",
+                        "WARC-Target-URI: "
+                        f"https://example.com/docs/p{row['doc_id']}",
+                        f"WARC-Lang: {row['lang']}",
+                        "Content-Length: "
+                        f"{len(row['text'].encode('utf-8'))}",
+                    ],
+                    row["text"],
+                )
+            )
+            if i % 100 == 0:
+                f.write(bad[(i // 100) % len(bad)])
+    _atomic_publish(tmp, dst)
+    return str(dst)

@@ -143,3 +143,65 @@ def load_stopwords(spark: SparkSession, path: str | None = None) -> list[str]:
     if path is None:
         return list(STOPWORDS)
     return [r.value.strip() for r in spark.read.text(path).collect() if r.value.strip()]
+
+
+def scan_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style response-archive scan (ISO 28500 surface, round
+    13): the documents table serialized as CRLF-headed WARC records
+    with Content-Length framing and pathological records injected
+    (sources.fixtures.warc_documents), recovered to (doc_id, text,
+    lang) entirely with Catalyst expressions:
+
+      * records split by the custom lineSep 'WARC/1.0\\r\\n' — a
+        SPLITTABLE text read (Hadoop line records honor multi-char
+        delimiters), so a 100 TB archive scans partition-parallel;
+        the fixture's text/plain payloads cannot contain the
+        boundary (disclosed precondition — binary payloads need a
+        Content-Length-framed reader, out of scope);
+      * header block / body split on the FIRST blank line
+        (instr/substr — never a split-array index);
+      * headers parsed with str_to_map; Content-Length via try_cast
+        (a malformed length must drop the record, not throw);
+      * tolerant validation drops the pathologies: non-response
+        records, missing/mismatched Content-Length (octet_length of
+        the body must equal the declared length), unparseable URIs.
+    """
+    from .fixtures import warc_documents
+
+    path = warc_documents(sf_dir)
+    raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+    sep = F.instr(F.col("value"), "\r\n\r\n")
+    rec = raw.filter(F.length("value") > 0).select(
+        F.when(sep > 0, F.substring(F.col("value"), F.lit(1), sep - 1))
+        .alias("__hdr"),
+        F.when(
+            sep > 0,
+            F.regexp_replace(
+                F.substr(F.col("value"), sep + F.lit(4)),
+                "\r\n\r\n$",
+                "",
+            ),
+        ).alias("text"),
+    )
+    hdrs = F.expr("str_to_map(__hdr, '\r\n', ': ')")
+    parsed = rec.select(
+        hdrs.getItem("WARC-Type").alias("__type"),
+        hdrs.getItem("WARC-Target-URI").alias("__uri"),
+        hdrs.getItem("WARC-Lang").alias("lang"),
+        F.expr(
+            "try_cast(str_to_map(__hdr, '\r\n', ': ')"
+            "['Content-Length'] AS BIGINT)"
+        ).alias("__cl"),
+        "text",
+    )
+    return parsed.filter(
+        (F.col("__type") == "response")
+        & F.col("__cl").isNotNull()
+        & (F.col("__cl") == F.octet_length("text"))
+    ).select(
+        F.expr(
+            r"try_cast(regexp_extract(__uri, 'p(\\d+)$', 1) AS BIGINT)"
+        ).alias("doc_id"),
+        "text",
+        "lang",
+    ).filter(F.col("doc_id").isNotNull())

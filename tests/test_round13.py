@@ -581,3 +581,34 @@ def test_bucketize_scalable_handles_negative_values(spark):
         }
         assert got == want, cw
     assert min(lo for _n, lo, _h in want.values()) < 0  # stress real
+
+
+# ---------------------------------------------------------------------
+# WARC scan: tolerant drops + exact round-trip
+# ---------------------------------------------------------------------
+
+def test_scan_warc_roundtrip_and_drops(spark):
+    from mapreduce_chisquare_spark.sources.fixtures import warc_documents
+    from mapreduce_chisquare_spark.sources.readers import (
+        scan_warc_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = warc_documents(sf)
+    n_records = (
+        spark.read.option("lineSep", "WARC/1.0\r\n")
+        .text(path)
+        .filter(F.length("value") > 0)
+        .count()
+    )
+    parsed = scan_warc_documents(spark, sf)
+    want = {
+        r.doc_id: (r.text, r.lang)
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    got = {r.doc_id: (r.text, r.lang) for r in parsed.collect()}
+    assert got == want                    # byte-exact round trip
+    assert n_records == len(want) + 5     # 5 pathologies present...
+    assert parsed.count() == len(want)    # ...and all dropped
