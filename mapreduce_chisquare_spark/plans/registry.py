@@ -150,13 +150,13 @@ _CERTIFY_WINDOW = [
 # stream_gopher_screen stream_quality_filter topk_per_group ts_acf
 # ts_changepoint ts_corr_topk ts_discord ts_forecast_ewma
 # ts_forecast_holt ts_motif ts_sax ts_sax_group ts_seasonality
-# ts_similarity_dtw_topk ts_similarity_refined), with the 9 round-13
-# tail additions FIRST (dedup_bloom_screen dedup_bloom_merge
+# ts_similarity_dtw_topk ts_similarity_refined), with the 10
+# round-13 tail additions FIRST (dedup_bloom_screen dedup_bloom_merge
 # quantile_bucketize_2level robots_screen image_phash_palette
 # stream_bloom_screen simsearch_hard_negatives
-# quality_perplexity_buckets doc_chunk_overlap — locally gated green
-# at sf0.001 + sf0.01 in round 13; all but the last two also swept
-# green at sf0.1), then fill to 50 with the oldest r9 rows. After
+# quality_perplexity_buckets doc_chunk_overlap scan_warc — locally
+# gated green at sf0.001 + sf0.01 in round 13; scan_warc also at
+# sf0.1), then fill to 50 with the oldest r9 rows. After
 # the round-13 window lands, the never-certified count is 0 and the
 # staleness floor is r8 (42 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
