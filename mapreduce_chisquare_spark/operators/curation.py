@@ -1129,6 +1129,14 @@ def robots_screen(
     window, no skew surface. The struct max encodes the tie rule
     structurally: lexicographic (len DESC via max, allow 1 > 0), so
     both engines pick the same winner without a sort."""
+    # Ill-formed rules (NULL rule_path or NULL allow) are dropped up
+    # front: a NULL field inside the max-struct would order
+    # engine-specifically, and a NULL-allow winner would otherwise
+    # fall through coalesce to "allowed" — an unparseable line must
+    # never silently admit a page it meant to block.
+    rules = rules.filter(
+        F.col("rule_path").isNotNull() & F.col("allow").isNotNull()
+    )
     j = pages.select(
         F.col(id_col).alias("doc_id"),
         F.col(host_col).alias("host"),

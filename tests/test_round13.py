@@ -612,3 +612,29 @@ def test_scan_warc_roundtrip_and_drops(spark):
     assert got == want                    # byte-exact round trip
     assert n_records == len(want) + 5     # 5 pathologies present...
     assert parsed.count() == len(want)    # ...and all dropped
+
+
+def test_robots_screen_drops_ill_formed_rules(spark):
+    """A rule with NULL rule_path or NULL allow is unparseable and
+    must be ignored — it may neither crash the max-struct nor
+    silently decide a page's admission."""
+    from mapreduce_chisquare_spark.operators.curation import robots_screen
+
+    rules = spark.createDataFrame(
+        [
+            ("h", None, False),      # unparseable: no path
+            ("h", "/x", None),       # unparseable: no verdict
+            ("h", "/x/y", False),    # the one real rule
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    pages = spark.createDataFrame(
+        [(1, "h", "/x/y/z"), (2, "h", "/x/other")],
+        "doc_id long, host string, path string",
+    )
+    got = {
+        r.doc_id: r.allowed for r in robots_screen(pages, rules).collect()
+    }
+    # page 1 hits the real disallow; page 2 matches only dropped
+    # rules -> default allow
+    assert got == {1: False, 2: True}
