@@ -419,7 +419,21 @@ MAX_HOT_RETRIES_PER_QUERY = 2
 # the better median is recorded. Both readings land in
 # BENCH_FULL.json `reruns` so the decision is auditable — a query
 # that stays slow on BOTH readings is a real regression, not noise.
+#
+# Sub-second baselines sit at the measurement noise floor: a 0.28 s
+# query can read 1.9x without any plan change, yet never trips the
+# 2.0x rerun, so the drift sticks on the board for rounds (round-13
+# agg_linreg). Queries with a baseline under SMALL_BASELINE_SEC rerun
+# at the tighter SMALL_RERUN_RATIO so noise self-corrects.
 RERUN_RATIO = 2.0
+SMALL_BASELINE_SEC = 0.5
+SMALL_RERUN_RATIO = 1.3
+
+
+def _rerun_trigger(baseline: float) -> float:
+    return baseline * (
+        SMALL_RERUN_RATIO if baseline < SMALL_BASELINE_SEC else RERUN_RATIO
+    )
 
 
 def _load_baselines() -> dict[str, float]:
@@ -613,22 +627,33 @@ def main() -> None:
         t = bench.time_query(name)
         if t is not None:
             results[name] = t
-    # deferred auto-rerun: queries over RERUN_RATIO x their baseline
+    # deferred auto-rerun: queries over their rerun trigger (2x
+    # baseline; 1.3x for sub-0.5s noise-floor baselines)
     # re-measure once now that the rest of the session's load (and
     # any run_order adjacency) has passed; keep the better median
     reruns: dict[str, dict] = {}
+    rerun_still_slow: list[str] = []
     for name, t in list(results.items()):
         b = baselines.get(name)
-        if b is None or t <= RERUN_RATIO * b:
+        if b is None or t <= _rerun_trigger(b):
             continue
         t2 = bench.time_query(name)
+        kept = min(t, t2) if t2 is not None else t
+        # the rerun only CLEARS the flag when the second reading also
+        # lands back under the trigger threshold — otherwise keeping
+        # min() would let one lucky sample permanently mask a real
+        # regression in the headline totals
+        cleared = t2 is not None and t2 <= _rerun_trigger(b)
+        if not cleared:
+            rerun_still_slow.append(name)
         reruns[name] = {
             "first": t,
             "rerun": t2,
             "baseline": b,
-            "kept": min(t, t2),
+            "kept": kept,
+            "cleared": cleared,
         }
-        results[name] = min(t, t2)
+        results[name] = kept
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     second_point: dict[str, float] = {}
     if os.path.isdir(sf2_dir):
@@ -664,6 +689,9 @@ def main() -> None:
         # with both readings in BENCH_FULL.json `reruns`)
         "n_reruns": len(reruns),
         "rerun_queries": list(reruns)[:3],
+        # reruns that did NOT land back under RERUN_RATIO x baseline:
+        # min() was still recorded, but these are unmasked regressions
+        "rerun_still_slow": rerun_still_slow,
     }
     full = {
         "metric": "headline_queries_total_wall_clock",

@@ -118,7 +118,19 @@ def chunk_documents_overlap(
     input_tokens * (chunk_tokens / stride), the documented overlap
     amplification factor."""
     n = int(chunk_tokens)
+    if n < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     s = int(stride) if stride is not None else max(1, n // 2)
+    if s < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if s > n:
+        # stride > chunk_tokens would silently skip the token ranges
+        # between window ends and the next window start, breaking the
+        # every-token-covered guarantee above
+        raise ValueError(
+            f"stride ({s}) must be <= chunk_tokens ({n}): larger "
+            "strides leave token gaps no chunk covers"
+        )
     base = docs.select("doc_id", _words(text_col).alias("__w"))
     chunks = F.expr(
         f"CASE WHEN size(__w) > 0 THEN "

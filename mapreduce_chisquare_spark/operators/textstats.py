@@ -1802,8 +1802,17 @@ def quality_perplexity_buckets(
     tail at its own P66 / P33 score thresholds — the "keep the head,
     maybe the middle, drop the tail" quality tiers CCNet feeds
     downstream. Returns (doc_id, lang, score_fp, bucket); score_fp =
-    floor(avg_logprob * 1e6), an exact BIGINT both engines derive
-    from the same double, and higher = more fluent.
+    sum(tf * floor(ln(c) * 1e6)) div n_tokens - floor(ln(T) * 1e6),
+    micro-nat units, higher = more fluent.
+
+    Determinism: every per-term contribution floor(ln(c) * 1e6) is
+    an exact BIGINT of the term's corpus count c, so the per-doc sum
+    is ORDER-INDEPENDENT — summing raw doubles and flooring at the
+    end (the previous form) drifts with partition/accumulation order
+    and can flip score_fp (and a doc's tier) at a floor boundary
+    cross-engine. The only remaining float op is ln() of a fixed
+    integer, evaluated once per distinct count on each engine; the
+    non-negative s_fp div n_tokens floor-division matches DuckDB //.
 
     Scale shape: thresholds come from the per-language DETERMINISTIC
     bottom-k rank sketch (sketches.rank_sketch_kept — the
@@ -1819,14 +1828,48 @@ def quality_perplexity_buckets(
     """
     from .sketches import rank_sketch_kept, rank_sketch_quantiles
 
-    scored = lm_unigram_score(docs, text_col)
+    # lm_unigram_score's shuffle skeleton, with the per-term log
+    # quantized to BIGINT micro-nats BEFORE the per-doc sum (see
+    # determinism note above); hashpartitioning(term) serves both
+    # grouping levels, so the corpus shuffles once
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("term")
+    )
+    tf = (
+        toks.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tc = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    lc = tc.select(
+        "term",
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("lc"),
+    )
+    tot = tc.agg(
+        F.floor(F.log(F.sum("c").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("lt")
+    )
+    per_doc = (
+        tf.join(lc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lc")).cast("long").alias("s_fp"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(tot))
     langs = docs.select(
         "doc_id", F.col(lang_col).alias("lang")
     )
     s = scored.join(langs, "doc_id").select(
         "doc_id",
         "lang",
-        F.floor(F.col("avg_logprob") * F.lit(1e6))
+        # s_fp >= 0 and n_tokens > 0, so truncating div == floor ==
+        # DuckDB's //
+        (F.expr("s_fp div n_tokens") - F.col("lt"))
         .cast("long")
         .alias("score_fp"),
     )

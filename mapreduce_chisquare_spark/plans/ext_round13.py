@@ -380,14 +380,17 @@ WITH toks AS (
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        FROM toks GROUP BY doc_id, term),
 tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM tc),
+lc AS (SELECT term,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS lc
+       FROM tc),
+tot AS (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT)
+          AS lt
+        FROM tc),
 pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         sum(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
-       FROM tf JOIN tc USING (term) GROUP BY doc_id),
+         CAST(sum(tf * lc) AS BIGINT) AS s_fp
+       FROM tf JOIN lc USING (term) GROUP BY doc_id),
 sc AS (SELECT p.doc_id, d.lang,
-         CAST(floor((s / CAST(n_tokens AS DOUBLE)
-                     - ln(CAST(t_total AS DOUBLE))) * 1e6) AS BIGINT)
-           AS score_fp
+         CAST(s_fp // n_tokens - lt AS BIGINT) AS score_fp
        FROM pd p CROSS JOIN tot
        JOIN documents d ON d.doc_id = p.doc_id),
 hh AS (SELECT lang,

@@ -80,85 +80,74 @@ except ImportError:
 # stale rows (core text family). After this window lands, the
 # never-certified count drops to 0 and the staleness floor is r8.
 _CERTIFY_WINDOW = [
-    # r7-era stale re-certs (all 27 remaining; fast first, heavy last)
-    "sink_partitioned",
-    "join_range",
-    "scd2_merge",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_components",
-    "embed_label_means",
-    "repetition_metrics",
-    "bm25_score",
-    "bm25_topk",
-    "ts_paa",
-    "sketch_kmv_overlap",
-    "embed_neardup",
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_resize",
-    "simsearch_topk",
-    "simsearch_topk_pandas",
-    "simsearch_lsh_topk",
-    "ts_similarity_topk",
-    "winnowing_fingerprint",
-    "winnowing_pairs",
-    "pipeline_curation",
-    "pipeline_dedup_corpus",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_tumbling",
-    # round-12 tail — first driver signature due (judge spot-verified
-    # graph_hits / quantile_bucketize / distinct_sketch_hll_intersection)
-    "ts_lead_lag",
-    "events_cumulative_reach",
-    "dq_referential",
-    "dq_freshness",
-    "sentence_stats",
-    "lm_stupid_backoff",
-    "lm_jm_bigram_score",
-    "dedup_url_canonical",
-    "quantile_bucketize",
-    "distinct_sketch_hll",
-    "distinct_sketch_hll_merge",
-    "distinct_sketch_hll_intersection",
-    "er_blocking_lsh",
-    "er_clusters_lsh",
-    "image_thumbnail_decoded",
-    "audio_downsample_decoded",
-    "stream_url_screen",
-    "graph_hits",
-    # r8-era stale re-certs (5 of 47; core text family)
-    "scan_json",
-    "json_extract",
-    "tokenize",
-    "stopword_filter",
-    "chi_square",
+    # round-13 tail — first driver signature due (locally gated green
+    # at sf0.001 + sf0.01 in round 13; scan_warc also at sf0.1)
+    "scan_warc",
+    "doc_chunk_overlap",
+    "quality_perplexity_buckets",
+    "dedup_bloom_screen",
+    "dedup_bloom_merge",
+    "stream_bloom_screen",
+    "simsearch_hard_negatives",
+    "quantile_bucketize_2level",
+    "robots_screen",
+    "image_phash_palette",
+    # r8-era stale re-certs (40 of 42; fast scalars/joins first so a
+    # time-cut sweep certifies the maximum prefix, heavy ts/graph last)
+    "count_term_cat",
+    "format_report",
+    "merged_dict",
+    "topk_per_group",
+    "q8_market_share",
+    "events_retention",
+    "dq_quantiles",
+    "basket_rules",
+    "distinct_sketch_kmv",
+    "distinct_sketch_kmv_merge",
+    "quality_gopher_rules",
+    "dsir_importance",
+    "c4_line_dedup",
+    "collocations_pmi",
+    "resample_interpolate",
+    "multimodal_av_probe",
+    "multimodal_decode",
+    "stream_gopher_screen",
+    "stream_quality_filter",
+    "bpe_pair_counts",
+    "bpe_merges",
+    "bpe_vocab",
+    "ts_acf",
+    "ts_changepoint",
+    "ts_seasonality",
+    "ts_forecast_ewma",
+    "ts_forecast_holt",
+    "ts_sax",
+    "ts_sax_group",
+    "ts_motif",
+    "ts_discord",
+    "ts_corr_topk",
+    "ts_similarity_refined",
+    "ts_similarity_sax_topk",
+    "ts_similarity_dtw_topk",
+    "skipgram_cooc",
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_ppr",
+    "dedup_semantic",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-14 window TODO: promote the remaining 42 r8-era stale rows
-# (basket_rules bpe_merges bpe_pair_counts bpe_vocab c4_line_dedup
-# collocations_pmi count_term_cat dedup_semantic distinct_sketch_kmv
-# distinct_sketch_kmv_merge dq_quantiles dsir_importance
-# events_retention format_report graph_pagerank graph_ppr
-# graph_triangles merged_dict multimodal_av_probe multimodal_decode
-# q15_top_supplier q17_small_qty_revenue q8_market_share
-# quality_gopher_rules resample_interpolate skipgram_cooc
-# stream_gopher_screen stream_quality_filter topk_per_group ts_acf
-# ts_changepoint ts_corr_topk ts_discord ts_forecast_ewma
-# ts_forecast_holt ts_motif ts_sax ts_sax_group ts_seasonality
-# ts_similarity_dtw_topk ts_similarity_refined), with the 10
-# round-13 tail additions FIRST (dedup_bloom_screen dedup_bloom_merge
-# quantile_bucketize_2level robots_screen image_phash_palette
-# stream_bloom_screen simsearch_hard_negatives
-# quality_perplexity_buckets doc_chunk_overlap scan_warc — locally
-# gated green at sf0.001 + sf0.01 in round 13; scan_warc also at
-# sf0.1), then fill to 50 with the oldest r9 rows. After
-# the round-13 window lands, the never-certified count is 0 and the
-# staleness floor is r8 (42 rows).
+# Round-15 window TODO: promote (a) any round-14 tail additions
+# (never driver-certified) FIRST, then (b) the 2 remaining r8-era
+# stale rows deferred from round 14 (q15_top_supplier
+# q17_small_qty_revenue — stable relational entries, code untouched
+# since r8), then (c) fill to 50 with the oldest r9 rows
+# (CORRECTNESS_r09 names, e.g. count_term count_cat count_total
+# join_term_totals join_cat_totals scan_csv agg_histogram ...).
+# After the round-14 window lands, the never-certified count is 0
+# and the staleness floor is r8 (2 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)
