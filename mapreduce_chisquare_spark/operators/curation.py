@@ -1033,11 +1033,21 @@ def canonicalize_url(url: F.Column | str) -> F.Column:
         sep > 0, F.lower(F.substring(nofrag, F.lit(1), sep - 1))
     )
     rest = F.when(sep > 0, F.substr(nofrag, sep + F.lit(3)))
+    # the authority ends at the FIRST of '/' or '?' — a URL with a
+    # query but no path ('https://e.com?a=1') must not absorb the
+    # query into the host, and a '/' inside a query value
+    # ('?u=http://x/p') is not a path boundary
     slash = F.instr(rest, "/")
+    qmark = F.instr(rest, "?")
+    cut = (
+        F.when((slash > 0) & ((qmark == 0) | (slash < qmark)), slash)
+        .when(qmark > 0, qmark)
+        .otherwise(F.lit(0))
+    )
     hostport = F.when(
-        slash > 0, F.substring(rest, F.lit(1), slash - 1)
+        cut > 0, F.substring(rest, F.lit(1), cut - 1)
     ).otherwise(rest)
-    tail = F.when(slash > 0, F.substr(rest, slash)).otherwise(F.lit(""))
+    tail = F.when(cut > 0, F.substr(rest, cut)).otherwise(F.lit(""))
     base_host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
     # strip only the port that is the SCHEME's default — a
     # non-default port (http://h:443) is a different authority
@@ -1159,5 +1169,58 @@ def robots_screen(
             F.coalesce(F.col("__w.a") == 1, F.lit(True)).alias(
                 "allowed"
             ),
+        )
+    )
+
+
+# Fixture-deterministic stand-in for a real toxicity/safety lexicon
+# (LDNOOBW-style public blocklists are word lists exactly like this;
+# the operator is the lexicon-agnostic screen around one).
+BLOCKLIST_TERMS = ("slow", "big", "merge", "hash")
+BLOCKLIST_RATE_NUM = 1  # flag when n_blocked * DEN > n_tokens * NUM
+BLOCKLIST_RATE_DEN = 10  # i.e. blocked-token rate > 10%
+
+
+def blocklist_screen(
+    docs: DataFrame,
+    text_col: str = "text",
+    terms: tuple = BLOCKLIST_TERMS,
+    rate_num: int = BLOCKLIST_RATE_NUM,
+    rate_den: int = BLOCKLIST_RATE_DEN,
+) -> DataFrame:
+    """Toxicity/safety wordlist screen — the blocklist gate every
+    public curation pipeline runs (C4 ran the LDNOOBW list): count
+    blocklist-term OCCURRENCES per document (multiset, not distinct
+    — repetition is signal here) and flag documents whose blocked
+    rate exceeds rate_num/rate_den. Returns (doc_id, n_tokens,
+    n_blocked, flagged) for documents with >= 1 token.
+
+    Scale shape: pure row-local array expressions — tokenize once,
+    count membership against an expression-literal set (a few dozen
+    terms; a real lexicon of ~10^3 is still an expression literal,
+    never a join side). Zero exchanges, scan-speed. The flag decision
+    is integer cross-multiplied (n_blocked * den > n_tokens * num),
+    so engines cannot disagree at the threshold."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select("doc_id", toks.alias("__t"))
+    blocked = F.size(
+        F.filter(
+            F.col("__t"),
+            lambda t: t.isin(*[F.lit(x) for x in terms]),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.size("__t").cast("long").alias("n_tokens"),
+            blocked.cast("long").alias("n_blocked"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "flagged",
+            F.col("n_blocked") * F.lit(int(rate_den))
+            > F.col("n_tokens") * F.lit(int(rate_num)),
         )
     )
