@@ -249,6 +249,12 @@ HEADLINE = [
     "robots_screen",
     "image_phash_palette",
     "quality_perplexity_buckets",
+    # round-14 additions (first measurement = their baseline)
+    "dedup_minhash_oph",
+    "zonemap_prune",
+    "graph_components_largestar",
+    "tfidf_topk_terms",
+    "dq_drift_ks",
 ]
 
 # ---------------------------------------------------------------------------
@@ -288,6 +294,9 @@ BENCH_EXCLUDED_LIGHT = [
     # by the benched simsearch_topk
     "dedup_bloom_merge",
     "simsearch_hard_negatives",
+    # round-14: tokenize + row-local blocklist count — cost shape
+    # dominated by the benched quality_gopher_rules screen
+    "toxicity_screen",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

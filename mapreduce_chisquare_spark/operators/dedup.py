@@ -345,9 +345,21 @@ def minhash_candidate_pairs(
     shingle->signature lineage is shuffled exactly once instead of
     recomputed per consumer.
     """
+    bands_df = lsh_band_keys(shingles(docs, text_col), k, bands)
+    return band_candidate_pairs(bands_df)
+
+
+def band_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands) from any (doc_id, band, key) band
+    relation — the guarded bucket self-join shared by the classic
+    MinHash generator above and the OPH generator below. The size
+    guard is a window count over (band, key), not a groupBy+join
+    back: one exchange on the bucket key that the subsequent
+    self-join reuses (ReuseExchange), so the expensive signature
+    lineage is shuffled exactly once instead of recomputed per
+    consumer."""
     from pyspark.sql import Window
 
-    bands_df = lsh_band_keys(shingles(docs, text_col), k, bands)
     w = Window.partitionBy("band", "key")
     guarded = (
         bands_df.withColumn("sz", F.count("*").over(w))
@@ -365,6 +377,97 @@ def minhash_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+# Rotation-densification constant (any fixed odd constant works; the
+# value only needs to be identical in the oracle). Kept < 2^31 so
+# v + t*C stays far inside int64 before the mod.
+OPH_C = 1_540_483_477
+
+
+def oph_band_keys(
+    sh: DataFrame, k: int = NUM_HASHES, bands: int = NUM_BANDS
+) -> DataFrame:
+    """(doc_id, band, key) via One-Permutation Hashing: ONE universal
+    hash per shingle, k bins from its residue — vs minhash_signatures'
+    k universal hashes per shingle (Li, Owen & Zhang, NIPS 2012), with
+    rotation densification for empty bins (Shrivastava & Li, ICML
+    2014). Bin j takes min h over shingles with h % k == j; an empty
+    bin borrows from the nearest non-empty bin to its cyclic right,
+    offset-salted: (v[(j+t) % k] + t*C) % 2^31 for the smallest t with
+    a value. Same banded-LSH downstream as the classic signature.
+
+    Scale shape: the per-shingle map work drops from O(k) multiply-mods
+    to O(1) — at 100 TB the signature aggregate IS the map-side cost
+    of the dedup pass, so OPH is the cheap screen for large k. The
+    aggregate is still one map-side-combinable HashAggregate (k min
+    buffers); densification is a row-local array expression over the
+    k-wide signature, zero extra exchanges. Bins with NO shingle
+    anywhere only occur for near-empty documents; a doc with zero
+    shingles has no row at all (same contract as shingles())."""
+    a0, b0 = hash_params(1)[0]
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h = (F.lit(a0) * base + F.lit(b0)) % F.lit(_MOD)
+    withh = sh.select("doc_id", h.alias("__h"))
+    mins = withh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.when(F.col("__h") % F.lit(k) == j, F.col("__h"))
+            ).alias(f"b{j}")
+            for j in range(k)
+        ]
+    )
+    # materialize the sparse signature array once; the k densified
+    # positions each probe it up to k times (higher-order/array
+    # expressions are interpreted — same reasoning as shingles())
+    sig = mins.select(
+        "doc_id", F.array(*[F.col(f"b{j}") for j in range(k)]).alias("__v")
+    )
+    v = F.col("__v")
+    dens = sig.select(
+        "doc_id",
+        *[
+            F.coalesce(
+                *[
+                    (v[(j + t) % k] + F.lit(t * OPH_C)) % F.lit(_MOD)
+                    for t in range(k)
+                ]
+            ).alias(f"d{j}")
+            for j in range(k)
+        ],
+    )
+    rows = k // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"d{b * rows + r}") for r in range(rows)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return dens.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.key")
+
+
+def oph_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates from the OPH signature:
+    (doc_a, doc_b, n_bands) for pairs sharing >= 1 band bucket,
+    bucket-size guarded — same output contract and S-curve shape as
+    minhash_candidate_pairs, ~k x less per-shingle hash work (the OPH
+    estimator's variance at equal k is slightly higher; the classic
+    generator remains the sharp verifier tier)."""
+    return band_candidate_pairs(
+        oph_band_keys(shingles(docs, text_col), k, bands)
     )
 
 

@@ -729,3 +729,97 @@ def hits(
         h.select("node", F.col("m").alias("hub_fp"))
         .join(a.select("node", F.col("m").alias("auth_fp")), "node")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round,
+    large-star hangs every strictly-larger neighbor of a node onto
+    the node's minimum neighbor, small-star does the same for the
+    smaller-or-equal side; the edge set converges to per-component
+    stars in O(log^2 n) rounds — O(log n) in practice — regardless of
+    graph DIAMETER. That is the 100 TB story vs plain min-label
+    propagation (dedup.components_over_pairs), which needs
+    diameter-many rounds and crawls on chain-shaped components: on a
+    50-long chain this converges in ~5 rounds, propagation in 50.
+
+    Rounds are DataFrame-native: symmetrize -> per-node min (one
+    hash-agg) -> join the min back onto the adjacency (one shuffle on
+    the node key) -> emit re-hung edges. Lineage truncates per round
+    (localCheckpoint); convergence = the round's edge set equals the
+    previous one (two bounded set-difference counts on the
+    edge relation — star-contracted edge sets shrink toward one edge
+    per non-root node, so late rounds get cheaper). High-degree skew
+    is the algorithm's own medicine: large-star re-hangs a heavy
+    node's neighbors onto its min neighbor, splitting the star.
+
+    Returns (node, component_id), component_id = the component's
+    minimum node; any orderable node type works. Isolated nodes never
+    appear in an edge relation and are (documented) absent.
+    """
+    e = (
+        edges.select(F.col(edges.columns[0]).alias("src"),
+                     F.col(edges.columns[1]).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    converged = False
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select("dst", "src").toDF("src", "dst"))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = mins.select(
+            "src", F.least("src", "mn").alias("m")
+        )
+        return (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        o = ed.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        hang = (
+            o.join(mins, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        center = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return (
+            hang.union(center)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        rounds += 1
+        stepped = _small_star(_large_star(e)).localCheckpoint()
+        # bounded convergence check: both relations are edge-set-sized
+        # and shrinking; two anti-join counts, no collect
+        changed = (
+            stepped.exceptAll(e).count() + e.exceptAll(stepped).count()
+        )
+        e = stepped
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    sym = e.union(e.select("dst", "src").toDF("src", "dst"))
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.col("src")).alias("component_id")
+    )

@@ -243,3 +243,42 @@ def compaction_plan(
         F.min("__id").alias("first_id"),
         F.max("__id").alias("last_id"),
     )
+
+
+def zonemap_stats(
+    df: DataFrame,
+    file_col: str,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Per-file zone maps — the min/max column statistics every
+    parquet footer / Iceberg manifest / Delta checkpoint carries, and
+    the thing that lets a 100 TB scan read 0.1 TB: one row per file
+    with (n_rows, min_<c>, max_<c> for each stat column). One
+    map-side-combinable hash aggregate over the table; the output is
+    CATALOG-sized (one row per file, ~10^5 rows for a 100 TB table),
+    never data-sized."""
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(*aggs)
+
+
+def zonemap_prune(
+    stats: DataFrame,
+    stat_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Evaluate a half-open range predicate `lo <= col < hi` against
+    zone maps: adds `can_skip` — true iff NO row in the file can
+    match (max < lo, or min >= hi, or the file has no non-NULL value
+    so both stats are NULL). This is the planner-side file-skipping
+    decision; rows are catalog-sized, the data is never read. The
+    decision is conservative the safe way: a file with any overlap
+    keeps can_skip = false even if no row actually matches."""
+    mn, mx = F.col(f"min_{stat_col}"), F.col(f"max_{stat_col}")
+    can_skip = F.when(
+        mn.isNull() | mx.isNull(), F.lit(True)
+    ).otherwise((mx < F.lit(lo)) | (mn >= F.lit(hi)))
+    return stats.withColumn("can_skip", can_skip)

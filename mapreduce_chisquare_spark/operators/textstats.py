@@ -1889,3 +1889,33 @@ def quality_perplexity_buckets(
     return out.select(
         "doc_id", "lang", "score_fp", bucket.alias("bucket")
     )
+
+
+TFIDF_TOPK = 5
+
+
+def tfidf_topk_terms(
+    tokens_with_mult: DataFrame,
+    n_docs_df: DataFrame,
+    k: int = TFIDF_TOPK,
+) -> DataFrame:
+    """Per-document keyword extraction: the k highest-tf-idf terms of
+    each document (doc_id, term, tf, df, tfidf, trank) — the classic
+    unsupervised keyword tagger over a corpus. Ranking is a TOTAL
+    order (tfidf DESC, term ASC), so engines rank identically: each
+    tfidf is the single multiplication tf * ln(N/df) of exact
+    integers, bit-identical cross-engine, and the term tie-break
+    settles equal scores.
+
+    Scale shape: tfidf's shuffle skeleton (one term-keyed exchange
+    serving both aggregation levels) plus one doc-keyed exchange for
+    the per-doc window; row_number + filter <= k plans as
+    WindowGroupLimit, so each partition keeps k rows per doc instead
+    of materializing the full sort."""
+    scored = tfidf(tokens_with_mult, n_docs_df)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return scored.withColumn(
+        "trank", F.row_number().over(w).cast("int")
+    ).filter(F.col("trank") <= k)

@@ -1389,3 +1389,89 @@ def dq_freshness(
             "staleness_days"
         ),
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, side_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    side_col == 0 (reference) and side_col == 1 (current) slices of a
+    numeric column — the distribution-drift gate PSI (dq_drift_psi)
+    approximates with fixed buckets; KS is the bucket-free exact
+    counterpart. Returns ONE row: (n_ref, n_cur, ks_num, ks_stat)
+    where ks_stat = sup_v |F_ref(v) - F_cur(v)| and ks_num is the
+    INTEGER numerator max|C_ref(v)*n_cur - C_cur(v)*n_ref| — the
+    decision integer engines cannot disagree on; the double ks_stat
+    is one final division.
+
+    Scale shape: per-value counts (one map-side-combined hash agg over
+    the DISTINCT-value relation), then the two cumulative count
+    series via the TWO-LEVEL cumsum (quantile_bucketize_scalable's
+    machinery): the only unpartitioned window runs over the
+    floor(value) COARSE-BUCKET relation (bounded by the value domain,
+    not the row count); per-value cumsums are partitioned by coarse
+    bucket. No data-sized single-partition window. Overflow budget:
+    C*n products need n_ref, n_cur < ~3e9 each to stay in int64 —
+    beyond that, run the screen on the deterministic rank-sketch
+    sample (sketches.rank_sketch_kept), as with the CCNet perplexity
+    tiers."""
+    side = F.col(side_col).cast("long")
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.lit(1) - side).cast("long").alias("a"),
+            F.sum(side).cast("long").alias("b"),
+        )
+    )
+    coarse = F.floor(F.col("v")).cast("long")
+    pv = per_v.select(coarse.alias("cb"), "v", "a", "b")
+    bucket = pv.groupBy("cb").agg(
+        F.sum("a").cast("long").alias("ba"),
+        F.sum("b").cast("long").alias("bb"),
+    )
+    # unpartitioned window over the COARSE relation only (one row per
+    # distinct floor(value) — domain-bounded, disclosed above)
+    wb = Window.orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bpre = bucket.select(
+        "cb",
+        (F.sum("ba").over(wb) - F.col("ba")).cast("long").alias("pa"),
+        (F.sum("bb").over(wb) - F.col("bb")).cast("long").alias("pb"),
+    )
+    wi = (
+        Window.partitionBy("cb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        pv.join(bpre, "cb")
+        .select(
+            "v",
+            (F.col("pa") + F.sum("a").over(wi)).cast("long").alias("ca"),
+            (F.col("pb") + F.sum("b").over(wi)).cast("long").alias("cbm"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("a").cast("long").alias("n_ref"),
+        F.sum("b").cast("long").alias("n_cur"),
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("ca") * F.col("n_cur") - F.col("cbm") * F.col("n_ref")
+        ).alias("d"),
+    )
+    return scored.groupBy("n_ref", "n_cur").agg(
+        F.max("d").cast("long").alias("ks_num")
+    ).select(
+        "n_ref",
+        "n_cur",
+        "ks_num",
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
+        ).alias("ks_stat"),
+    )

@@ -1,0 +1,279 @@
+"""Round-14 extension entries: OPH MinHash dedup, zone-map file
+skipping, large-star/small-star connected components, blocklist
+safety screen, per-doc tf-idf keywords, exact two-sample KS drift.
+
+Registered by registry_extensions.py after the round-13 batch, so
+these sit at the registry tail for the round-15 certification window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.readers import scan_parquet
+from .ext_common import _docs, _events
+from .ext_retrieval import _BASE32_SQL, _SH_CTES
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return scan_parquet(spark, sf_dir, name)
+
+
+# =========================================================================
+# One-Permutation Hashing MinHash (operators/dedup.py oph_*)
+# =========================================================================
+
+def dedup_minhash_oph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via One-Permutation Hashing with rotation
+    densification (operators/dedup.py oph_candidate_pairs): one
+    universal hash per shingle instead of k, same banded LSH and
+    bucket guard downstream."""
+    return dd.oph_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _sql_oph_pairs(k: int = dd.NUM_HASHES, bands: int = dd.NUM_BANDS) -> str:
+    a0, b0 = dd.hash_params(1)[0]
+    rows = k // bands
+    return (
+        "WITH " + _SH_CTES + ", "
+        f"shb AS (SELECT doc_id, (({a0} * ({_BASE32_SQL}) + {b0}) % {dd._MOD}) AS h FROM sh), "
+        f"bm AS (SELECT doc_id, h % {k} AS bkt, min(h) AS v "
+        f"FROM shb GROUP BY doc_id, h % {k}), "
+        "ids AS (SELECT DISTINCT doc_id FROM bm), "
+        "cand AS (SELECT i.doc_id, jj.j AS j, tt.t AS t, bm.v "
+        f"FROM ids i CROSS JOIN UNNEST(range(0, {k})) AS jj(j) "
+        f"CROSS JOIN UNNEST(range(0, {k})) AS tt(t) "
+        f"JOIN bm ON bm.doc_id = i.doc_id AND bm.bkt = (jj.j + tt.t) % {k}), "
+        f"dens AS (SELECT doc_id, j, (v + t * {dd.OPH_C}) % {dd._MOD} AS dv, "
+        "row_number() OVER (PARTITION BY doc_id, j ORDER BY t) AS rn FROM cand), "
+        "sig2 AS (SELECT doc_id, j, dv FROM dens WHERE rn = 1), "
+        f"bands AS (SELECT doc_id, j // {rows} AS band, "
+        "string_agg(CAST(dv AS VARCHAR), '_' ORDER BY j) AS key "
+        f"FROM sig2 GROUP BY doc_id, j // {rows}), "
+        "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING count(*) >= 2 AND count(*) <= {dd.MAX_BUCKET}), "
+        "g AS (SELECT b.doc_id, b.band, b.key FROM bands b "
+        "JOIN buckets USING (band, key)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands "
+        "FROM g a JOIN g b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id"
+    )
+
+
+# =========================================================================
+# Zone-map file skipping (operators/layout.py zonemap_*)
+# =========================================================================
+
+ZM_FILE_ROWS = 256  # modeled orderkeys per file (l_orderkey div)
+ZM_LO = "1995-01-01"
+ZM_HI = "1996-01-01"
+
+
+def zonemap_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping evaluation (operators/layout.py
+    zonemap_stats + zonemap_prune) over lineitem: files modeled as
+    l_orderkey div 256 ranges (a key-ordered ingest), per-file
+    min/max of l_shipdate, and the skip decision for the half-open
+    year predicate [1995-01-01, 1996-01-01)."""
+    import datetime
+
+    from ..operators.layout import zonemap_prune, zonemap_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {ZM_FILE_ROWS}").cast("long").alias("fid"),
+        "l_shipdate",
+    )
+    stats = zonemap_stats(li, "fid", ["l_shipdate"])
+    return zonemap_prune(
+        stats,
+        "l_shipdate",
+        datetime.datetime(1995, 1, 1),
+        datetime.datetime(1996, 1, 1),
+    )
+
+
+SQL_ZONEMAP_PRUNE = f"""
+WITH s AS (SELECT l_orderkey // {ZM_FILE_ROWS} AS file_id,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  min(l_shipdate) AS min_l_shipdate,
+                  max(l_shipdate) AS max_l_shipdate
+           FROM lineitem GROUP BY 1)
+SELECT file_id, n_rows, min_l_shipdate, max_l_shipdate,
+       CASE WHEN min_l_shipdate IS NULL OR max_l_shipdate IS NULL
+            THEN TRUE
+            ELSE max_l_shipdate < TIMESTAMP '{ZM_LO}'
+                 OR min_l_shipdate >= TIMESTAMP '{ZM_HI}' END AS can_skip
+FROM s
+"""
+
+
+# =========================================================================
+# Large-star/small-star connected components (operators/graph.py)
+# =========================================================================
+
+CHAIN_BLOCK = 50  # fixture: doc chains of 50 — diameter 49
+
+
+def graph_components_largestar_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Large-star/small-star connected components (operators/graph.py
+    connected_components_star) over a planted CHAIN graph — edges
+    (doc_id, doc_id+1) within blocks of 50 — the diameter-49 shape
+    where min-label propagation needs ~50 rounds and the star
+    alternation needs ~5 (asserted in tests/test_round14.py)."""
+    from ..operators.graph import connected_components_star
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e = (
+        d.filter(F.col("doc_id") % CHAIN_BLOCK != CHAIN_BLOCK - 1)
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + 1).alias("dst"),
+        )
+        .join(d.select(F.col("doc_id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    return connected_components_star(e)
+
+
+SQL_GRAPH_COMPONENTS_LARGESTAR = f"""
+WITH RECURSIVE
+e0 AS (SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id % {CHAIN_BLOCK} <> {CHAIN_BLOCK - 1}),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(src, dst) AS (SELECT src, dst FROM edges
+  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS node, least(src, min(dst)) AS component_id
+FROM reach GROUP BY src
+"""
+
+
+# =========================================================================
+# Blocklist safety screen (operators/curation.py blocklist_screen)
+# =========================================================================
+
+def toxicity_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist safety screen (operators/curation.py
+    blocklist_screen): blocked-token occurrence counts per document
+    and the integer cross-multiplied rate flag."""
+    from ..operators.curation import blocklist_screen
+
+    return blocklist_screen(_docs(spark, sf_dir))
+
+
+def _sql_toxicity_screen() -> str:
+    from ..operators.curation import (
+        BLOCKLIST_RATE_DEN,
+        BLOCKLIST_RATE_NUM,
+        BLOCKLIST_TERMS,
+    )
+
+    terms = ", ".join("'" + t + "'" for t in BLOCKLIST_TERMS)
+    return rf"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS arr
+           FROM documents),
+c AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(arr, x -> x IN ({terms})))
+                  AS BIGINT) AS n_blocked
+      FROM t)
+SELECT doc_id, n_tokens, n_blocked,
+       n_blocked * {BLOCKLIST_RATE_DEN} > n_tokens * {BLOCKLIST_RATE_NUM}
+         AS flagged
+FROM c WHERE n_tokens > 0
+"""
+
+
+# =========================================================================
+# Per-doc tf-idf keywords (operators/textstats.py tfidf_topk_terms)
+# =========================================================================
+
+def tfidf_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/textstats.py
+    tfidf_topk_terms): top-5 tf-idf terms per doc under the total
+    order (tfidf DESC, term ASC)."""
+    from ..constants import STOPWORDS
+    from ..functions.text import nonempty_documents, terms_with_multiplicity
+    from ..operators.textstats import tfidf_topk_terms
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", "lang AS category"
+    )
+    n_docs_df = nonempty_documents(d).agg(F.count("*").alias("n_docs"))
+    return tfidf_topk_terms(terms_with_multiplicity(d, STOPWORDS), n_docs_df)
+
+
+def _sql_tfidf_topk() -> str:
+    from ..operators.textstats import TFIDF_TOPK
+    from .ext_retrieval import SQL_TFIDF
+
+    return (
+        f"WITH base AS ({SQL_TFIDF}) "
+        "SELECT doc_id, term, tf, df, tfidf, trank FROM ("
+        "SELECT base.*, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER"
+        ") AS trank FROM base) "
+        f"WHERE trank <= {TFIDF_TOPK}"
+    )
+
+
+# =========================================================================
+# Exact two-sample KS drift (operators/warehouse.py ks_two_sample)
+# =========================================================================
+
+def dq_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between the even- and
+    odd-user event-value distributions (operators/warehouse.py
+    ks_two_sample): integer decision numerator, one final division."""
+    from ..operators.warehouse import ks_two_sample
+
+    ev = _events(spark, sf_dir).select(
+        "value", (F.col("user_id") % 2).alias("side")
+    )
+    return ks_two_sample(ev, "value", "side")
+
+
+SQL_DQ_DRIFT_KS = """
+WITH s AS (SELECT value AS v, user_id % 2 AS g FROM events
+           WHERE value IS NOT NULL),
+pv AS (SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+       FROM s GROUP BY v),
+c AS (SELECT v,
+        CAST(sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS ca,
+        CAST(sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cb
+      FROM pv),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS n_ref,
+             CAST(sum(b) AS BIGINT) AS n_cur FROM pv),
+m AS (SELECT t.n_ref, t.n_cur,
+             CAST(max(abs(c.ca * t.n_cur - c.cb * t.n_ref)) AS BIGINT)
+               AS ks_num
+      FROM c CROSS JOIN t GROUP BY t.n_ref, t.n_cur)
+SELECT n_ref, n_cur, ks_num,
+       CAST(ks_num AS DOUBLE)
+         / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS ks_stat
+FROM m
+"""
+
+
+EXT_ROUND14_QUERIES: dict = {
+    "dedup_minhash_oph": (dedup_minhash_oph_q, _sql_oph_pairs()),
+    "zonemap_prune": (zonemap_prune_q, SQL_ZONEMAP_PRUNE),
+    "graph_components_largestar": (
+        graph_components_largestar_q,
+        SQL_GRAPH_COMPONENTS_LARGESTAR,
+    ),
+    "toxicity_screen": (toxicity_screen_q, _sql_toxicity_screen()),
+    "tfidf_topk_terms": (tfidf_topk_terms_q, _sql_tfidf_topk()),
+    "dq_drift_ks": (dq_drift_ks_q, SQL_DQ_DRIFT_KS),
+}

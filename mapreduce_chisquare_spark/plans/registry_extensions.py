@@ -2608,3 +2608,7 @@ EXTENSION_QUERIES.update(EXT_ROUND12_QUERIES)
 from .ext_round13 import EXT_ROUND13_QUERIES  # noqa: E402
 
 EXTENSION_QUERIES.update(EXT_ROUND13_QUERIES)
+
+from .ext_round14 import EXT_ROUND14_QUERIES  # noqa: E402
+
+EXTENSION_QUERIES.update(EXT_ROUND14_QUERIES)

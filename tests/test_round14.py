@@ -152,3 +152,187 @@ def test_bench_rerun_trigger_tiers():
     assert bench._rerun_trigger(0.28) == pytest.approx(0.28 * 1.3)
     # normal baseline: classic 2x
     assert bench._rerun_trigger(2.0) == pytest.approx(4.0)
+
+
+# =====================================================================
+# Round-14 operator batch
+# =====================================================================
+
+def test_oph_candidate_pairs_finds_planted_dups(spark):
+    """A doc and its lightly-perturbed copy share most shingles and
+    must collide in >= 1 OPH band; unrelated docs must not."""
+    import hashlib
+
+    def words(seed, n=60):
+        return " ".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:6]
+            for i in range(n)
+        )
+
+    base = words("a")
+    near = base.replace(base.split()[5], "zzz")  # 1-of-60 token edit
+    rows = [
+        (1, base),
+        (2, near),
+        (3, words("b")),
+        (4, words("c")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mapreduce_chisquare_spark.operators.dedup import (
+        oph_candidate_pairs,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in oph_candidate_pairs(df).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_connected_components_star_chain_rounds(spark):
+    """On diameter-49 chains the star alternation must converge in
+    far fewer rounds than min-label propagation's ~49 — the
+    algorithm's reason to exist."""
+    from mapreduce_chisquare_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(99) if (i + 1) % 50 != 0]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    got = {
+        r.node: r.component_id
+        for r in connected_components_star(e, stats=stats).collect()
+    }
+    assert stats["converged"]
+    assert stats["rounds"] <= 8, stats  # diameter 49; log-ish rounds
+    assert got == {i: 50 * (i // 50) for i in range(100)}
+
+
+def test_connected_components_star_two_node_and_selfloop(spark):
+    from mapreduce_chisquare_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(
+        [(7, 3), (5, 5)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component_id
+        for r in connected_components_star(e).collect()
+    }
+    # the self-loop node is dropped with its only (degenerate) edge
+    assert got == {3: 3, 7: 3}
+
+
+def test_blocklist_screen_threshold_is_strict(spark):
+    from mapreduce_chisquare_spark.operators.curation import (
+        blocklist_screen,
+    )
+
+    rows = [
+        (1, "slow a b c d e f g h i"),  # 1/10 == threshold: NOT flagged
+        (2, "slow a b c d e f g h"),  # 1/9 > 1/10: flagged
+        (3, "a b"),  # no hits
+        (4, ""),  # zero tokens: excluded
+        (5, "slow slow slow"),  # repetition counts (multiset)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_blocked, r.flagged)
+        for r in blocklist_screen(df).collect()
+    }
+    assert got == {
+        1: (10, 1, False),
+        2: (9, 1, True),
+        3: (2, 0, False),
+        5: (3, 3, True),
+    }
+
+
+def test_zonemap_prune_decisions(spark):
+    from mapreduce_chisquare_spark.operators.layout import (
+        zonemap_prune,
+        zonemap_stats,
+    )
+
+    rows = [
+        (0, 5), (0, 9),     # file 0: [5,9]  < lo -> skip
+        (1, 10), (1, 15),   # file 1: [10,15] overlaps -> keep
+        (2, 25), (2, 30),   # file 2: [25,30] min >= hi -> skip
+        (3, 19), (3, 20),   # file 3: [19,20] straddles hi -> keep
+        (4, None),          # file 4: all NULL -> skip
+    ]
+    df = spark.createDataFrame(rows, "fid long, v long")
+    stats = zonemap_stats(df, "fid", ["v"])
+    got = {
+        r.file_id: r.can_skip
+        for r in zonemap_prune(stats, "v", 10, 20).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_tfidf_topk_total_order_tiebreak(spark):
+    """Terms with identical (tf, df) tie on tfidf exactly; the term
+    tie-break must settle rank deterministically."""
+    from pyspark.sql import functions as F
+    from mapreduce_chisquare_spark.operators.textstats import (
+        tfidf_topk_terms,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, "zeta"), (1, "alpha"), (1, "mid"), (1, "mid"), (2, "mid")],
+        "doc_id long, term string",
+    )
+    n = spark.createDataFrame([(2,)], "n_docs long")
+    got = [
+        (r.term, r.trank)
+        for r in tfidf_topk_terms(toks, n, k=2)
+        .filter("doc_id = 1")
+        .orderBy("trank")
+        .collect()
+    ]
+    # mid: tf=2 but df=2 -> tfidf 0; alpha/zeta tf=1 df=1 -> ln(2);
+    # alpha beats zeta on the term tie-break
+    assert got == [("alpha", 1), ("zeta", 2)]
+
+
+def test_ks_two_sample_matches_python_model(spark):
+    import hashlib
+
+    rows = []
+    for i in range(400):
+        u = int(hashlib.md5(f"v{i}".encode()).hexdigest()[:6], 16)
+        side = i % 2
+        # shift the odd side so the drift is real
+        v = (u % 1000) / 10.0 + (7.5 if side else 0.0)
+        rows.append((float(v), side))
+    df = spark.createDataFrame(rows, "value double, side int")
+
+    ref = sorted(v for v, s in rows if s == 0)
+    cur = sorted(v for v, s in rows if s == 1)
+    pts = sorted({v for v, _ in rows})
+    import bisect
+
+    want = max(
+        abs(
+            bisect.bisect_right(ref, p) * len(cur)
+            - bisect.bisect_right(cur, p) * len(ref)
+        )
+        for p in pts
+    )
+    from mapreduce_chisquare_spark.operators.warehouse import ks_two_sample
+
+    r = ks_two_sample(df, "value", "side").collect()[0]
+    assert (r.n_ref, r.n_cur) == (len(ref), len(cur))
+    assert r.ks_num == want
+    assert r.ks_stat == want / (len(ref) * len(cur))
+
+
+def test_ks_two_sample_identical_distributions_zero(spark):
+    rows = [(float(v), s) for v in range(50) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, side int")
+    from mapreduce_chisquare_spark.operators.warehouse import ks_two_sample
+
+    r = ks_two_sample(df, "value", "side").collect()[0]
+    assert r.ks_num == 0 and r.ks_stat == 0.0
