@@ -255,6 +255,14 @@ HEADLINE = [
     "graph_components_largestar",
     "tfidf_topk_terms",
     "dq_drift_ks",
+    # round-14 promotions out of BENCH_EXCLUDED_LIGHT: the round-13
+    # dominance audit measured scan_warc at 3.4x its scan_json
+    # representative (WARC header parse + Content-Length framing is
+    # real extra work) and doc_chunk_overlap at 1.45x doc_chunk (the
+    # documented 2x window fan-out) — neither is dominated, so each
+    # gets its own regression row
+    "scan_warc",
+    "doc_chunk_overlap",
 ]
 
 # ---------------------------------------------------------------------------
@@ -285,13 +293,11 @@ HEADLINE = [
 # ---------------------------------------------------------------------------
 
 BENCH_EXCLUDED_LIGHT = [
-    # round-13: overlapping chunker shares doc_chunk's cost shape
-    # (one tokenize + explode; doc_chunk is in this excluded set too)
-    "doc_chunk_overlap",
     # round-13: dedup_bloom_screen is the benched family
-    # representative (merge adds one distinct level on <= m rows);
-    # hard-negative mining is cosine_topk + a fused filter, dominated
-    # by the benched simsearch_topk
+    # representative (round-14 dominance audit: merge 0.68 vs screen
+    # 0.65 — parity within sentinel noise); hard-negative mining is
+    # cosine_topk + a fused filter (audit: 0.50 vs simsearch_topk
+    # 0.45, parity within noise)
     "dedup_bloom_merge",
     "simsearch_hard_negatives",
     # round-14: tokenize + row-local blocklist count — cost shape
@@ -374,7 +380,6 @@ BENCH_EXCLUDED_LIGHT = [
     "sample_stratified",
     "sample_weighted",
     "scan_csv",
-    "scan_warc",
     "scan_json",
     "scd2_merge",
     "sentence_stats",
