@@ -255,6 +255,10 @@ HEADLINE = [
     "graph_components_largestar",
     "tfidf_topk_terms",
     "dq_drift_ks",
+    # round-14 second batch (first measurement = their baseline)
+    "g2_feature_scores",
+    "embed_dim_variance",
+    "embed_random_projection",
     # round-14 promotions out of BENCH_EXCLUDED_LIGHT: the round-13
     # dominance audit measured scan_warc at 3.4x its scan_json
     # representative (WARC header parse + Content-Length framing is
@@ -339,6 +343,10 @@ BENCH_EXCLUDED_LIGHT = [
     "embed_label_means",
     "embed_neardup",
     "embed_quantize",
+    # round-14: exact dot-product top-k — same broadcast-query scan +
+    # WindowGroupLimit shape as the benched simsearch_topk, minus the
+    # two norm accumulators
+    "simsearch_mips_topk",
     "explode_outer_keywords",
     "format_report",
     "having_filter",

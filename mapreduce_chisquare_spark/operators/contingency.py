@@ -113,3 +113,37 @@ def chi_square_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
     """
     df_c, n_docs_df = cat_and_total_counts(docs)
     return chi_square_from_counts(term_cat_counts(tokens), df_c, n_docs_df)
+
+
+def g2_from_counts(
+    df_tc: DataFrame, df_c: DataFrame, n_docs_df: DataFrame
+) -> DataFrame:
+    """(category, term, g2) — Dunning's log-likelihood ratio from the
+    SAME pre-aggregated counts chi_square_from_counts consumes (one
+    window sum on the counts shuffle + two broadcasts; identical
+    shuffle budget, different statistic). The G² score stays
+    calibrated at small expected counts where Pearson χ² overshoots —
+    the standard alternative feature-selection statistic."""
+    from ..functions.stats import g2_expr
+
+    df_tc = df_tc.withColumn(
+        "df_t", F.sum("df_tc").over(Window.partitionBy("term"))
+    )
+    enriched = df_tc.join(F.broadcast(df_c), "category").join(
+        F.broadcast(n_docs_df)
+    )
+    a = F.col("df_tc")
+    b = F.col("df_t") - a
+    c = F.col("df_c") - a
+    d = F.col("n_docs") - a - b - c
+    return enriched.select(
+        "category",
+        "term",
+        g2_expr(a, b, c, d, F.col("n_docs")).alias("g2"),
+    )
+
+
+def g2_relation(tokens: DataFrame, docs: DataFrame) -> DataFrame:
+    """chi_square_relation's twin for the G² statistic."""
+    df_c, n_docs_df = cat_and_total_counts(docs)
+    return g2_from_counts(term_cat_counts(tokens), df_c, n_docs_df)

@@ -1412,3 +1412,165 @@ def embed_power_iteration(
     return final_u.crossJoin(F.broadcast(den_rel)).select(
         "dim", signed_div.cast("long").alias("v_fp")
     )
+
+
+def _dot_arrow():
+    """Arrow-batched numpy inner product, dimension-sequential like
+    _cos_arrow so scores are bit-identical to the dot(...) expression
+    form and the DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):
+            num = num + A[:, d] * B[:, d]
+        return pd.Series(num)
+
+    return dot_batch
+
+
+def mips_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5, use_arrow: bool = True
+) -> DataFrame:
+    """Maximum-inner-product search: exact top-k by DOT PRODUCT (not
+    cosine) for each query vector — the retrieval objective of
+    recommendation / matrix-factorization scorers, where vector NORM
+    carries signal (popularity) that cosine normalizes away. Returns
+    (query_id, vec_id, ip, rank).
+
+    Scale shape: identical to cosine_topk — queries broadcast, corpus
+    scanned once, per-query WindowGroupLimit cut. The documented
+    cluster path for sublinear MIPS is the asymmetric transform
+    (Shrivastava & Li 2014: append sqrt(M² − ‖x‖²) to data vectors,
+    0 to queries) which reduces MIPS to the cosine machinery above —
+    the exact scorer here is that ladder's verification tier."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    score = (
+        _dot_arrow()(F.col("q_emb"), F.col("embedding"))
+        if use_arrow
+        else dot(F.col("q_emb"), F.col("embedding"))
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("ip"))
+    )
+    return topk_per_group(scored, "query_id", "ip", "vec_id", k)
+
+
+# Johnson-Lindenstrauss sketch: deterministic ±1 projection matrix
+# derived from md5 at import time (same discipline as HYPERPLANES) —
+# identical literals are embedded in the oracle SQL.
+JL_DIM = 8
+JL_SCALE = 1_048_576  # 2^20 fixed point for exact integer sums
+
+
+def _jl_signs(j: int, dim: int = DIM) -> list[int]:
+    return [
+        1
+        if int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[0], 16) % 2
+        == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+JL_PLANES = [_jl_signs(j) for j in range(JL_DIM)]
+
+
+def jl_project(emb: DataFrame, out_dim: int = JL_DIM) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
+    database-friendly form): sketch 64-dim embeddings to `out_dim`
+    components — the dimensionality-reduction preprocessing that buys
+    ANN indexes and pairwise screens an 8x cheaper distance at a
+    bounded distortion. Returns (vec_id, out_dim, comp_fp) rows;
+    comp_fp = Σ_d s(j,d)·round(x_d·2^20), an EXACT int64 both engines
+    derive identically (components quantize before the signed sum, so
+    there is no float accumulation to drift).
+
+    Scale shape: pure row-local expressions — quantize once, then
+    out_dim signed sums over the array; zero exchanges, scan-speed.
+    |comp| <= 64·2^20·max|x| ≈ 2^27 — far inside int64."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(float(JL_SCALE)))
+        .cast("long"),
+    )
+    base = emb.select("vec_id", q.alias("__q"))
+    comps = [
+        F.struct(
+            F.lit(j).alias("out_dim"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(s) for s in JL_PLANES[j]]),
+                    lambda x, s: x * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("comp_fp"),
+        )
+        for j in range(out_dim)
+    ]
+    return base.select(
+        "vec_id", F.explode(F.array(*comps)).alias("c")
+    ).select("vec_id", "c.out_dim", "c.comp_fp")
+
+
+VAR_SCALE = 65_536  # 2^16: keeps n·Σq² inside int64 through n ~ 10^8
+
+
+def dim_variance(emb: DataFrame) -> DataFrame:
+    """Per-dimension variance of the embedding corpus — the feature-
+    pruning / whitening diagnostic (dead dimensions carry no signal;
+    dominant ones distort unnormalized distances). Returns one row
+    per dimension: (dim, n_vecs, var_num, variance, vrank), vrank by
+    variance DESC (ties to the lower dim index).
+
+    Exactness: components quantize to q = round(x·2^16) and the
+    population-variance NUMERATOR n·Σq² − (Σq)² is exact int64 —
+    order-independent under partial aggregation, bit-identical
+    cross-engine; `variance` is one fixed-order double expression
+    over it. Overflow budget: |q| < 2^16 ⇒ n·Σq² < n²·2^32, int64-
+    safe through n ≈ 2^15.5·10^4 ≈ 10^8 vectors; past that, re-scale
+    or move the two sums to DECIMAL(38,0) (both engines widen).
+
+    Scale shape: one explode + one map-side-combined hash aggregate
+    on the DIMENSION key (64 groups); the rank window runs over the
+    64-row result — bounded, never data-sized."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(float(VAR_SCALE)))
+        .cast("long"),
+    )
+    rows = emb.select(
+        "vec_id", F.posexplode(q).alias("dim", "__q")
+    )
+    agg = rows.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("__q").cast("long").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).cast("long").alias("__ss"),
+    )
+    var_num = (
+        F.col("n_vecs") * F.col("__ss") - F.col("__s") * F.col("__s")
+    )
+    scored = agg.select(
+        "dim", "n_vecs", var_num.cast("long").alias("var_num")
+    ).withColumn(
+        "variance",
+        F.col("var_num").cast("double")
+        / (F.col("n_vecs").cast("double") * F.col("n_vecs").cast("double"))
+        / F.lit(float(VAR_SCALE) * float(VAR_SCALE)),
+    )
+    w = Window.orderBy(F.desc("var_num"), F.asc("dim"))
+    return scored.withColumn(
+        "vrank", F.row_number().over(w).cast("int")
+    )

@@ -277,3 +277,163 @@ EXT_ROUND14_QUERIES: dict = {
     "tfidf_topk_terms": (tfidf_topk_terms_q, _sql_tfidf_topk()),
     "dq_drift_ks": (dq_drift_ks_q, SQL_DQ_DRIFT_KS),
 }
+
+
+# =========================================================================
+# Round-14 second batch: G² feature scores, MIPS top-k, JL projection,
+# per-dimension variance, streaming blocklist twin
+# =========================================================================
+
+def g2_feature_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood feature selection
+    (operators/contingency.py g2_relation): the χ² pipeline's 2×2
+    contingency skeleton scored with G² = 2·Σ O·ln(O/E) — calibrated
+    at the small expected counts where Pearson χ² overshoots."""
+    from ..operators.contingency import g2_relation
+    from .registry_text import _docs as _text_docs
+    from .registry_text import _toks as _text_toks
+
+    return g2_relation(
+        _text_toks(spark, sf_dir), _text_docs(spark, sf_dir)
+    )
+
+
+def _g2_term_sql(o: str, row: str, col: str) -> str:
+    # one ln of the ratio per cell, mirroring functions/stats.py
+    # _g2_term (see the cancellation note there)
+    return (
+        f"CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE) * "
+        f"ln((CAST({o} AS DOUBLE) * CAST(n_docs AS DOUBLE)) "
+        f"/ (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE))) "
+        "ELSE 0.0 END"
+    )
+
+
+def _sql_g2() -> str:
+    from .oracle_common import CHI2_CTES, with_text_ctes
+
+    return with_text_ctes(CHI2_CTES) + (
+        " SELECT category, term, 2.0 * ("
+        + _g2_term_sql("a", "a + b", "a + c")
+        + " + " + _g2_term_sql("b", "a + b", "b + d")
+        + " + " + _g2_term_sql("c", "c + d", "a + c")
+        + " + " + _g2_term_sql("d", "c + d", "b + d")
+        + ") AS g2 FROM cells"
+    )
+
+
+def simsearch_mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (operators/simsearch.py
+    mips_topk): exact dot-product retrieval, the recommendation-
+    scorer objective where norm carries signal."""
+    from ..operators.simsearch import mips_topk
+    from .ext_common import _emb
+
+    return mips_topk(_emb(spark, sf_dir))
+
+
+def _sql_mips_topk() -> str:
+    from .ext_retrieval import _dot_sql
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ({_dot_sql('q.q_emb', 'e.embedding')}) AS ip
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, ip,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY ip DESC, vec_id ASC) AS INTEGER)
+    AS rank
+  FROM scored)
+SELECT query_id, vec_id, ip, rank FROM r WHERE rank <= 5
+"""
+
+
+def embed_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sketch to 8 components
+    (operators/simsearch.py jl_project), exact int64 fixed point."""
+    from ..operators.simsearch import jl_project
+    from .ext_common import _emb
+
+    return jl_project(_emb(spark, sf_dir))
+
+
+def _sql_jl_project() -> str:
+    from ..operators.simsearch import JL_DIM, JL_PLANES, JL_SCALE
+
+    unions = " UNION ALL ".join(
+        "SELECT vec_id, {j} AS out_dim, ({terms}) AS comp_fp FROM qv".format(
+            j=j,
+            terms=" + ".join(
+                f"qa[{d + 1}] * {s}" for d, s in enumerate(JL_PLANES[j])
+            ),
+        )
+        for j in range(JL_DIM)
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {float(JL_SCALE)}) AS BIGINT)"
+        ") AS qa FROM embeddings) " + unions
+    )
+
+
+def embed_dim_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension exact fixed-point variance + rank
+    (operators/simsearch.py dim_variance)."""
+    from ..operators.simsearch import dim_variance
+    from .ext_common import _emb
+
+    return dim_variance(_emb(spark, sf_dir))
+
+
+def _sql_dim_variance() -> str:
+    from ..operators.simsearch import VAR_SCALE
+
+    return f"""
+WITH r AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {float(VAR_SCALE)})
+                  AS BIGINT) AS q
+           FROM embeddings,
+                UNNEST(range(1, len(embedding) + 1)) AS rr(i)),
+a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM r GROUP BY dim),
+v AS (SELECT dim, n_vecs,
+             CAST(n_vecs * ss - s * s AS BIGINT) AS var_num FROM a)
+SELECT dim, n_vecs, var_num,
+  CAST(var_num AS DOUBLE)
+    / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))
+    / {float(VAR_SCALE) * float(VAR_SCALE)} AS variance,
+  CAST(row_number() OVER (ORDER BY var_num DESC, dim ASC) AS INTEGER)
+    AS vrank
+FROM v
+"""
+
+
+def stream_toxicity_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist screen — identical code path to the batch
+    operator (streaming/curation.py blocklist_screen_stream),
+    certified by the batch oracle."""
+    from ..streaming.curation import blocklist_screen_stream
+
+    return blocklist_screen_stream(spark, sf_dir)
+
+
+EXT_ROUND14_QUERIES.update(
+    {
+        "g2_feature_scores": (g2_feature_scores_q, _sql_g2()),
+        "simsearch_mips_topk": (simsearch_mips_topk_q, _sql_mips_topk()),
+        "embed_random_projection": (
+            embed_random_projection_q,
+            _sql_jl_project(),
+        ),
+        "embed_dim_variance": (embed_dim_variance_q, _sql_dim_variance()),
+        "stream_toxicity_screen": (
+            stream_toxicity_screen_q,
+            _sql_toxicity_screen(),
+        ),
+    }
+)

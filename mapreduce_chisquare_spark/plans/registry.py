@@ -141,8 +141,10 @@ _CERTIFY_WINDOW = [
 #
 # Round-15 window TODO: promote (a) the round-14 tail additions
 # FIRST (dedup_minhash_oph zonemap_prune graph_components_largestar
-# toxicity_screen tfidf_topk_terms dq_drift_ks — locally gated green
-# at sf0.001 + sf0.01 + sf0.1 in round 14), then (b) the 2 remaining
+# toxicity_screen tfidf_topk_terms dq_drift_ks g2_feature_scores
+# simsearch_mips_topk embed_random_projection embed_dim_variance
+# stream_toxicity_screen — all locally gated green at sf0.001 +
+# sf0.01 + sf0.1 in round 14), then (b) the 2 remaining
 # r8-era stale rows deferred from round 14 (q15_top_supplier
 # q17_small_qty_revenue — stable relational entries, code untouched
 # since r8), then (c) fill to 50 with the oldest r9 rows

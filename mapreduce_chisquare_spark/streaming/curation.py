@@ -178,3 +178,36 @@ def quality_model_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def blocklist_screen_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming twin of the blocklist safety screen — the SAME
+    operator function (operators/curation.py blocklist_screen) applied
+    to a readStream relation: it is one stateless projection + filter,
+    legal in append mode unchanged, so every micro-batch is screened
+    at scan speed and the batch oracle certifies the stream output
+    verbatim (the stream_gopher_screen discipline)."""
+    import uuid
+
+    from ..operators.curation import blocklist_screen
+
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    screened = blocklist_screen(stream)
+    name = "stream_blocklist_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            screened.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -336,3 +336,130 @@ def test_ks_two_sample_identical_distributions_zero(spark):
 
     r = ks_two_sample(df, "value", "side").collect()[0]
     assert r.ks_num == 0 and r.ks_stat == 0.0
+
+
+# =====================================================================
+# Round-14 second batch
+# =====================================================================
+
+def test_g2_matches_python_model(spark):
+    import math
+
+    toks = spark.createDataFrame(
+        [(1, "t1", "a"), (2, "t1", "a"), (3, "t1", "b"),
+         (4, "t2", "a"), (5, "t2", "b"), (6, "t2", "b")],
+        "doc_id long, term string, category string",
+    )
+    docs = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 7)],
+        "doc_id long, category string",
+    )
+    from mapreduce_chisquare_spark.operators.contingency import g2_relation
+
+    got = {
+        (r.category, r.term): r.g2 for r in g2_relation(toks, docs).collect()
+    }
+
+    def g2(a, b, c, d):
+        n = a + b + c + d
+        t = 0.0
+        for o, row, col in [
+            (a, a + b, a + c), (b, a + b, b + d),
+            (c, c + d, a + c), (d, c + d, b + d),
+        ]:
+            if o > 0:
+                t += o * math.log((o * float(n)) / (row * float(col)))
+        return 2.0 * t
+
+    # ("a","t1"): a=2 docs in cat a with t1, term total 3, cat a 3, n 6
+    assert got[("a", "t1")] == pytest.approx(g2(2, 1, 1, 2), abs=1e-12)
+    assert got[("b", "t2")] == pytest.approx(g2(2, 1, 1, 2), abs=1e-12)
+    # independence: term present in every doc of both cats -> G2 = 0
+    assert len(got) == 4
+
+
+def test_mips_ranks_by_norm_not_cosine(spark):
+    """A colinear-but-longer vector must beat a unit vector under
+    MIPS even though cosine ties them."""
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [0.9, 0.0], 0),   # short, colinear
+        (2, [5.0, 0.0], 0),   # long, colinear -> MIPS winner
+        (3, [0.0, 1.0], 0),   # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from mapreduce_chisquare_spark.operators.simsearch import mips_topk
+
+    got = [
+        (r.vec_id, r.rank)
+        for r in mips_topk(df, n_queries=1, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1), (1, 2), (3, 3)]
+
+
+def test_jl_project_matches_python_model(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        JL_PLANES,
+        JL_SCALE,
+        jl_project,
+    )
+
+    vecs = [
+        (7, [0.25 * ((i % 5) - 2) for i in range(64)], 0),
+        (8, [math.sin(i) / 3 for i in range(64)], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    import struct
+
+    def f32(x):  # model the float32 storage the engine reads
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    want = {}
+    for vid, emb, _ in vecs:
+        q = [
+            int(math.floor(f32(x) * JL_SCALE + 0.5))
+            if f32(x) >= 0
+            else -int(math.floor(-f32(x) * JL_SCALE + 0.5))
+            for x in emb
+        ]
+        for j in range(len(JL_PLANES)):
+            want[(vid, j)] = sum(
+                s * v for s, v in zip(JL_PLANES[j], q)
+            )
+    got = {
+        (r.vec_id, r.out_dim): r.comp_fp for r in jl_project(df).collect()
+    }
+    assert got == want
+
+
+def test_dim_variance_exact_and_ranked(spark):
+    rows = [
+        (1, [1.0, 0.5, 0.0], 0),
+        (2, [1.0, -0.5, 0.0], 0),
+        (3, [1.0, 0.25, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        VAR_SCALE,
+        dim_variance,
+    )
+
+    got = {r.dim: r for r in dim_variance(df).collect()}
+    # constant dims have exactly zero variance numerator
+    assert got[0].var_num == 0 and got[2].var_num == 0
+    q = [round(x * VAR_SCALE) for x in (0.5, -0.5, 0.25)]
+    want = 3 * sum(v * v for v in q) - sum(q) ** 2
+    assert got[1].var_num == want
+    assert got[1].vrank == 1  # highest variance
+    # zero-variance tie broken by dim index
+    assert (got[0].vrank, got[2].vrank) == (2, 3)
