@@ -168,7 +168,14 @@ def scan_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .fixtures import warc_documents
 
-    path = warc_documents(sf_dir)
+    return scan_warc_path(spark, warc_documents(sf_dir))
+
+
+def scan_warc_path(spark: SparkSession, path: str) -> DataFrame:
+    """The WARC recovery plan over any archive path — extracted so
+    the multi-hundred-MB executed-stress fixture (tests/
+    test_scale_stress.py) drives the identical code path the
+    registry entry certifies; semantics documented above."""
     raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
     sep = F.instr(F.col("value"), "\r\n\r\n")
     rec = raw.filter(F.length("value") > 0).select(

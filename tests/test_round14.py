@@ -463,3 +463,44 @@ def test_dim_variance_exact_and_ranked(spark):
     assert got[1].vrank == 1  # highest variance
     # zero-variance tie broken by dim index
     assert (got[0].vrank, got[2].vrank) == (2, 3)
+
+
+# =====================================================================
+# WARC source executed stress: a multi-hundred-MB archive must split
+# into multiple input partitions (the "splittable by construction"
+# claim of sources/readers.py, converted to a measured assertion)
+# =====================================================================
+
+def test_scan_warc_large_archive_splits(spark, tmp_path_factory):
+    import os
+
+    from mapreduce_chisquare_spark.sources.readers import scan_warc_path
+
+    d = tmp_path_factory.mktemp("warc_stress")
+    path = str(d / "big.warc")
+    body_words = ("alpha beta gamma delta epsilon zeta " * 120).strip()
+    n_records = 40_000  # ~4.4 KB/record -> ~180 MB total
+    with open(path, "wb") as f:
+        for i in range(n_records):
+            body = f"doc {i} {body_words}"
+            rec = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: https://ex.com/p{i}\r\n"
+                "WARC-Lang: en\r\n"
+                f"Content-Length: {len(body.encode())}\r\n"
+                "\r\n" + body + "\r\n\r\n"
+            )
+            f.write(rec.encode())
+    size_mb = os.path.getsize(path) / 1e6
+    assert size_mb > 150, size_mb  # > spark.sql.files.maxPartitionBytes
+
+    df = scan_warc_path(spark, path)
+    # the text read must plan MULTIPLE input partitions — a
+    # non-splittable reader would funnel the archive to one task
+    nparts = df.rdd.getNumPartitions()
+    assert nparts >= 2, (nparts, size_mb)
+    rows = df.count()
+    assert rows == n_records
+    got = df.filter("doc_id = 39999").collect()
+    assert len(got) == 1 and got[0].text.startswith("doc 39999 alpha")
