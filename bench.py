@@ -259,6 +259,9 @@ HEADLINE = [
     "g2_feature_scores",
     "embed_dim_variance",
     "embed_random_projection",
+    # round-14 third batch (first measurement = their baseline)
+    "dedup_simhash_pairs",
+    "er_sorted_neighborhood",
     # round-14 promotions out of BENCH_EXCLUDED_LIGHT: the round-13
     # dominance audit measured scan_warc at 3.4x its scan_json
     # representative (WARC header parse + Content-Length framing is
@@ -413,6 +416,9 @@ BENCH_EXCLUDED_LIGHT = [
     "tokenize_positions",
     "top_n_global",
     "vocab_topv",
+    # round-14: top-64 vocab (the benched vocab_oov's token-count agg)
+    # + a 64-row regression — dominated by the vocab_oov representative
+    "vocab_zipf_fit",
     "window_first_last",
     "window_lag",
     "window_moving_sum",

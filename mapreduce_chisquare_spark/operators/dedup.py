@@ -1188,3 +1188,79 @@ def ngram_containment(
             ).alias("jaccard"),
         )
     )
+
+
+SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit hash
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs(
+    tokens: DataFrame,
+    max_dist: int = SIMHASH_MAX_HAMMING,
+    bands: int = SIMHASH_BANDS,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup candidate pairs over the text SimHash by PIGEONHOLE
+    banding (Manku/Jain/Sarma, WWW 2007 — Google's web near-dup
+    detector): split the `bits`-bit hash into `bands` equal bands;
+    any pair within Hamming distance bands-1 (default 3) differs in
+    at most bands-1 bands, so it MUST agree exactly on >= 1 band —
+    candidates are band-equality joins, never all-pairs. Exact
+    bit_count verification filters the survivors. Returns
+    (doc_a, doc_b, hamming), hamming <= max_dist.
+
+    Scale shape: the simhash aggregate (one map-side hash agg), a
+    bucket-size-guarded band self-join (the
+    minhash band_candidate_pairs discipline — one (band, key)
+    exchange shared by guard window and join), and a row-local
+    xor+bit_count verify. max_dist > bands-1 raises: the pigeonhole
+    guarantee would silently break."""
+    if max_dist > bands - 1:
+        raise ValueError(
+            f"max_dist ({max_dist}) > bands-1 ({bands - 1}): pigeonhole "
+            "capture is only guaranteed for distances under the band "
+            "count — raise `bands` to widen the radius"
+        )
+    width = bits // bands
+    sig = simhash(tokens, bits)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    rel = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "simhash", "e.band", "e.key")
+    w = Window.partitionBy("band", "key")
+    guarded = (
+        rel.withColumn("sz", F.count("*").over(w))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= MAX_BUCKET))
+        .drop("sz")
+    )
+    a = guarded.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("__sa"),
+    )
+    b = guarded.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("__sb"),
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )

@@ -422,3 +422,80 @@ def blocking_pairs_lsh(
         .filter(dist <= F.lit(int(max_edit)))
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+SN_WINDOW = 12
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    coarse_start: int,
+    coarse_len: int,
+    window: int = SN_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order
+    records by (normalized name, id) and pair each record with its
+    `window - 1` successors — the classic complement to equality
+    blocking: a typo in the BLOCK KEY itself defeats equality blocks,
+    but the sorted order still places the pair adjacently while they
+    share a key prefix. Returns (id_a, id_b, gap, dist) for every
+    window pair: gap = rank distance (1..window-1), dist =
+    Levenshtein between the normalized names; id_a is the earlier
+    record in sort order.
+
+    Scale shape — global adjacency WITHOUT a global window: the total
+    order materializes as global position = coarse-bucket offset +
+    in-bucket rank (the two-level machinery of
+    quantile_bucketize_scalable / ks_two_sample). The coarse key is
+    substring(normalized_name, coarse_start, coarse_len) and MUST be
+    order-consistent with the sort (a prefix coarsening — documented
+    precondition); the only unpartitioned window runs over the
+    coarse-bucket relation (bounded by the key-prefix domain), the
+    per-record rank partitions by bucket, and neighbor pairing is ONE
+    equi-join on the position key (left side explodes delta
+    1..window-1) — no single-partition sort anywhere. window < 2
+    raises (no successor to pair with)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    nm = F.lower(F.trim(F.col(name_col)))
+    base = records.select(
+        F.col(id_col).alias("__id"),
+        nm.alias("__nm"),
+        F.substring(nm, coarse_start, coarse_len).alias("__ck"),
+    )
+    bucket = base.groupBy("__ck").agg(F.count("*").alias("__bn"))
+    wb = Window.orderBy("__ck").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boff = bucket.select(
+        "__ck", (F.sum("__bn").over(wb) - F.col("__bn")).alias("__off")
+    )
+    wi = Window.partitionBy("__ck").orderBy("__nm", "__id")
+    pos = base.join(boff, "__ck").select(
+        "__id",
+        "__nm",
+        (F.col("__off") + F.row_number().over(wi)).cast("long").alias("__p"),
+    )
+    left = pos.select(
+        "__id",
+        "__nm",
+        "__p",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("gap"),
+    ).withColumn("__pp", F.col("__p") + F.col("gap"))
+    right = pos.select(
+        F.col("__p").alias("__pp"),
+        F.col("__id").alias("__idb"),
+        F.col("__nm").alias("__nmb"),
+    )
+    return left.join(right, "__pp").select(
+        F.col("__id").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        F.col("gap").cast("int").alias("gap"),
+        F.levenshtein(F.col("__nm"), F.col("__nmb"))
+        .cast("int")
+        .alias("dist"),
+    )

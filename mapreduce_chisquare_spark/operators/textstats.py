@@ -1919,3 +1919,49 @@ def tfidf_topk_terms(
     return scored.withColumn(
         "trank", F.row_number().over(w).cast("int")
     ).filter(F.col("trank") <= k)
+
+
+ZIPF_V = 64
+ZIPF_SCALE = 1_048_576  # 2^20 fixed point for the log-log sums
+
+
+def vocab_zipf_fit(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = ZIPF_V
+) -> DataFrame:
+    """Zipf-law fit of the corpus frequency distribution: OLS slope of
+    ln(freq) on ln(rank) over the top `vocab_size` terms — the corpus-
+    health diagnostic (natural text fits slope ≈ -1; a corpus of
+    boilerplate or template spam bends the curve). Returns ONE row
+    (n_terms, slope, intercept); slope is the Zipf exponent.
+
+    Exactness: ln(rank) and ln(freq) quantize to 2^20 fixed point
+    BEFORE the OLS sums, so Σx, Σy, Σxy, Σx² are exact int64 over the
+    vocab_size rows (order-independent; the 2^20 scale cancels in the
+    slope). The only data-sized work is vocab_topv's one hash
+    aggregate + TakeOrdered; the regression runs over vocab_size rows.
+    """
+    v = vocab_topv(docs, text_col, vocab_size)
+    q = v.select(
+        F.floor(
+            F.log(F.col("vrank").cast("double")) * F.lit(float(ZIPF_SCALE))
+        ).cast("long").alias("xq"),
+        F.floor(
+            F.log(F.col("n_occurrences").cast("double"))
+            * F.lit(float(ZIPF_SCALE))
+        ).cast("long").alias("yq"),
+    )
+    agg = q.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = ((sy - slope * sx) / n) / F.lit(float(ZIPF_SCALE))
+    return agg.select(
+        "n_terms", slope.alias("slope"), intercept.alias("intercept")
+    )

@@ -437,3 +437,144 @@ EXT_ROUND14_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# Round-14 third batch: SimHash pigeonhole pairs, sorted-neighborhood
+# blocking, Zipf fit
+# =========================================================================
+
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs by pigeonhole banding
+    (operators/dedup.py simhash_pairs): 4 bands over the 32-bit hash
+    capture every pair within Hamming distance 3; exact bit_count
+    verification filters the survivors."""
+    from ..operators.dedup import simhash_pairs
+    from .ext_common import _toks
+
+    return simhash_pairs(_toks(spark, sf_dir).select("doc_id", "term"))
+
+
+def _sql_simhash_pairs() -> str:
+    from ..operators.dedup import (
+        MAX_BUCKET,
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+    )
+    from .ext_retrieval import _BIT_RECOMBINE, _BIT_SUMS, _HEX_SUM
+    from .oracle_common import with_text_ctes
+
+    width = 32 // SIMHASH_BANDS
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash // {2 ** (b * width)}) % {2 ** width} AS key FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return with_text_ctes(
+        f"hh AS (SELECT doc_id, ({_HEX_SUM}) AS h FROM toks), "
+        f"bs AS (SELECT doc_id, {_BIT_SUMS} FROM hh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {_BIT_RECOMBINE} AS simhash FROM bs), "
+        f"bands AS ({bands_sql}), "
+        "buckets AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING count(*) >= 2 AND count(*) <= {MAX_BUCKET}), "
+        "g AS (SELECT b.doc_id, b.simhash, b.band, b.key "
+        "FROM bands b JOIN buckets USING (band, key)), "
+        "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM g a JOIN g b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id)"
+    ) + (
+        f" SELECT doc_a, doc_b, hamming FROM pr "
+        f"WHERE hamming <= {SIMHASH_MAX_HAMMING}"
+    )
+
+
+def er_sorted_neighborhood_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/linkage.py
+    sorted_neighborhood_pairs) over the standard ER fixture (customer
+    + typo'd clones): window 12 covers the up-to-10 records that sort
+    between a clone (8-digit prefix) and its source; coarse key =
+    name digits 1..5 (order-consistent prefix)."""
+    from ..operators.linkage import sorted_neighborhood_pairs
+    from .registry_extensions import _er_records
+
+    return sorted_neighborhood_pairs(
+        _er_records(spark, sf_dir), "rid", "name",
+        coarse_start=10, coarse_len=5,
+    )
+
+
+def _sql_er_sorted_neighborhood() -> str:
+    from ..operators.linkage import SN_WINDOW
+    from .registry_extensions import _SQL_ER_RECS
+
+    return (
+        "WITH " + _SQL_ER_RECS + ", "
+        "p AS (SELECT rid, nm, CAST(row_number() OVER "
+        "(ORDER BY nm, rid) AS BIGINT) AS p FROM recs) "
+        "SELECT a.rid AS id_a, b.rid AS id_b, "
+        "CAST(b.p - a.p AS INTEGER) AS gap, "
+        "CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist "
+        f"FROM p a JOIN p b ON b.p > a.p AND b.p <= a.p + {SN_WINDOW - 1}"
+    )
+
+
+def vocab_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit over the top-64 vocabulary
+    (operators/textstats.py vocab_zipf_fit): exact fixed-point log-log
+    OLS, one row."""
+    from ..operators.textstats import vocab_zipf_fit
+
+    return vocab_zipf_fit(_docs(spark, sf_dir))
+
+
+def _sql_vocab_zipf() -> str:
+    from ..operators.textstats import ZIPF_SCALE, ZIPF_V
+
+    return rf"""
+WITH toks AS (SELECT doc_id, u.term FROM documents,
+  UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS u(term)),
+vc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM toks GROUP BY term),
+v AS (SELECT term, n_occurrences,
+        CAST(row_number() OVER (ORDER BY n_occurrences DESC, term ASC)
+             AS INTEGER) AS vrank
+      FROM vc ORDER BY n_occurrences DESC, term ASC LIMIT {ZIPF_V}),
+q AS (SELECT
+        CAST(floor(ln(CAST(vrank AS DOUBLE)) * {float(ZIPF_SCALE)})
+             AS BIGINT) AS xq,
+        CAST(floor(ln(CAST(n_occurrences AS DOUBLE)) * {float(ZIPF_SCALE)})
+             AS BIGINT) AS yq
+      FROM v),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM q)
+SELECT n_terms,
+  (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+  ((CAST(sy AS DOUBLE)
+    - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE))
+    / {float(ZIPF_SCALE)} AS intercept
+FROM a
+"""
+
+
+EXT_ROUND14_QUERIES.update(
+    {
+        "dedup_simhash_pairs": (dedup_simhash_pairs_q, _sql_simhash_pairs()),
+        "er_sorted_neighborhood": (
+            er_sorted_neighborhood_q,
+            _sql_er_sorted_neighborhood(),
+        ),
+        "vocab_zipf_fit": (vocab_zipf_fit_q, _sql_vocab_zipf()),
+    }
+)

@@ -504,3 +504,112 @@ def test_scan_warc_large_archive_splits(spark, tmp_path_factory):
     assert rows == n_records
     got = df.filter("doc_id = 39999").collect()
     assert len(got) == 1 and got[0].text.startswith("doc 39999 alpha")
+
+
+# =====================================================================
+# Round-14 third batch
+# =====================================================================
+
+def test_simhash_pairs_pigeonhole(spark):
+    from mapreduce_chisquare_spark.operators.dedup import simhash_pairs
+
+    # identical term sets -> hamming 0; one-term difference -> small
+    t = []
+    words = [f"w{i}" for i in range(40)]
+    for d, terms in [
+        (1, words), (2, words), (3, words[:-1] + ["zzz"]),
+        (4, [f"q{i}" for i in range(40)]),
+    ]:
+        t += [(d, w) for w in terms]
+    toks = spark.createDataFrame(t, "doc_id long, term string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(toks).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got
+    if (1, 3) in got:  # captured only while within the radius
+        assert 0 < got[(1, 3)] <= 3
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(toks, max_dist=4, bands=4)
+
+
+def test_sorted_neighborhood_positions_match_global_order(spark):
+    """The two-level (coarse offset + in-bucket rank) position must
+    reproduce the single global sort exactly: every adjacent pair in
+    the true order appears with gap 1."""
+    from mapreduce_chisquare_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"customer#{i:09d}") for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = sorted_neighborhood_pairs(
+        df, "rid", "name", coarse_start=10, coarse_len=5, window=3
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.gap for r in got}
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    for i in range(len(order) - 1):
+        assert pairs[(order[i][0], order[i + 1][0])] == 1
+        if i < len(order) - 2:
+            assert pairs[(order[i][0], order[i + 2][0])] == 2
+    assert len(got) == (59 + 58)
+
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(
+            df, "rid", "name", coarse_start=10, coarse_len=5, window=1
+        )
+
+
+def test_sorted_neighborhood_finds_cross_block_clone(spark):
+    """A clone whose BLOCK KEY is typo'd (equality blocking misses it)
+    still pairs with its source through the sorted order."""
+    from mapreduce_chisquare_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"customer#{i:09d}") for i in range(1, 21)]
+    rows.append((999, "customer#00000001"))  # 17-char clone of id 10's prefix class
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(
+            df, "rid", "name", coarse_start=10, coarse_len=5, window=12
+        ).collect()
+    }
+    # the clone sorts immediately before ids 10..19 ("customer#00000001x");
+    # window 12 must pair it with every one of them; dist 1 to each
+    for sid in range(10, 20):
+        assert got[(999, sid)] == 1
+
+
+def test_vocab_zipf_fit_matches_python_model(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.textstats import (
+        ZIPF_SCALE,
+        vocab_zipf_fit,
+    )
+
+    # planted Zipf-ish corpus: term ti appears ~100//(i+1) times
+    words = []
+    for i in range(20):
+        words += [f"t{i:02d}"] * (100 // (i + 1))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = vocab_zipf_fit(docs, vocab_size=20).collect()[0]
+    freqs = sorted(
+        ((100 // (i + 1), f"t{i:02d}") for i in range(20)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    xs = [math.floor(math.log(i + 1) * ZIPF_SCALE) for i in range(20)]
+    ys = [math.floor(math.log(f) * ZIPF_SCALE) for f, _ in freqs]
+    n = 20
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.n_terms == 20
+    assert r.slope == slope
+    assert -1.3 < r.slope < -0.7  # Zipf-shaped
