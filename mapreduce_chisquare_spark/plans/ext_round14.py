@@ -1,6 +1,13 @@
-"""Round-14 extension entries: OPH MinHash dedup, zone-map file
-skipping, large-star/small-star connected components, blocklist
-safety screen, per-doc tf-idf keywords, exact two-sample KS drift.
+"""Round-14 extension entries, three batches:
+
+1. OPH MinHash dedup, zone-map file skipping, large-star/small-star
+   connected components, blocklist safety screen, per-doc tf-idf
+   keywords, exact two-sample KS drift;
+2. G² (Dunning log-likelihood) feature scores, MIPS top-k,
+   Johnson-Lindenstrauss ±1 sketch, per-dimension exact variance,
+   streaming blocklist twin;
+3. SimHash pigeonhole candidate pairs, sorted-neighborhood ER
+   blocking, Zipf-exponent corpus fit.
 
 Registered by registry_extensions.py after the round-13 batch, so
 these sit at the registry tail for the round-15 certification window.
