@@ -310,6 +310,13 @@ BENCH_EXCLUDED_LIGHT = [
     # round-14: tokenize + row-local blocklist count — cost shape
     # dominated by the benched quality_gopher_rules screen
     "toxicity_screen",
+    # round-14: identical bigram skeleton to the benched
+    # collocations_pmi (one checkpointed pair-count exchange), only
+    # the final scoring expression differs
+    "collocations_g2",
+    # round-14: row-local cents-digit extraction + one 9-group agg —
+    # dominated by the benched dq_drift_psi events pass
+    "dq_benford",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

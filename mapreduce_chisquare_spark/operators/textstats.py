@@ -1965,3 +1965,56 @@ def vocab_zipf_fit(
     return agg.select(
         "n_terms", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def collocations_g2(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by Dunning's log-likelihood
+    ratio — G²'s ORIGINAL application (Dunning 1993 introduced it for
+    exactly this, because PMI over-ranks rare pairs even after a
+    min-count guard while G² stays calibrated at small expected
+    counts). The 2×2 table per bigram lives in the same consistent
+    position space as collocations_pmi: a = c(w1,w2), row = c_left(w1),
+    col = c_right(w2), N = total bigrams. Returns
+    (w1, w2, pair_cnt, g2) ordered by (g2 DESC, w1, w2).
+
+    Scale shape and float discipline: identical to collocations_pmi —
+    one corpus explode, ONE bigram-count exchange materialized once
+    (localCheckpoint, four consumers), vocab-sized marginals broadcast
+    back, TakeOrdered top-k; G² uses functions/stats.py g2_expr
+    (one ln per cell of the o·n/(row·col) ratio)."""
+    from ..functions.stats import g2_expr
+
+    words = _words(text_col)
+    bigrams = (
+        docs.select(words.alias("__w"))
+        .select(F.explode(bigram_structs("__w")).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("pair_cnt")
+    ).localCheckpoint()
+    left = bc.groupBy("w1").agg(F.sum("pair_cnt").cast("long").alias("lc"))
+    right = bc.groupBy("w2").agg(F.sum("pair_cnt").cast("long").alias("rc"))
+    total = bc.agg(F.sum("pair_cnt").cast("long").alias("nbi"))
+    a = F.col("pair_cnt")
+    b = F.col("lc") - a
+    c = F.col("rc") - a
+    d = F.col("nbi") - a - b - c
+    scored = (
+        bc.filter(F.col("pair_cnt") >= F.lit(int(min_count)))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "pair_cnt",
+            g2_expr(a, b, c, d, F.col("nbi")).alias("g2"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("g2"), F.asc("w1"), F.asc("w2")
+    ).limit(int(k))

@@ -1475,3 +1475,45 @@ def ks_two_sample(
             / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
         ).alias("ks_stat"),
     )
+
+
+def dq_benford(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Benford first-digit profile of a positive numeric column — the
+    classic fabricated-data / unit-mixing screen: natural multi-scale
+    quantities put digit d first with probability log10(1 + 1/d);
+    uniform or hand-entered data flattens the curve. Returns 9 rows
+    (digit, n, observed_p, expected_p).
+
+    Cross-engine exactness: the first digit comes from the CENTS
+    integer (round(value·100), the warehouse fixed-point convention)
+    rendered as a string — integer-to-string is identical on both
+    engines, where floor(v / 10^floor(log10 v)) flips at exact powers
+    of ten (log10(100) can evaluate just under 2). observed_p is one
+    division of exact counts; expected_p is ln(1+1/d)/ln(10) in the
+    same fixed order both sides.
+
+    Scale shape: row-local digit extraction + one 9-group map-side
+    hash aggregate; the total attaches as a 1-row broadcast."""
+    cents = F.round(F.col(value_col) * F.lit(100.0)).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("__c"))
+        .filter(F.col("__c") > 0)
+    )
+    agg = base.select(
+        F.substring(F.col("__c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = agg.agg(F.sum("n").cast("long").alias("__nt"))
+    return agg.join(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("__nt").cast("double")).alias(
+            "observed_p"
+        ),
+        (
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0))
+        ).alias("expected_p"),
+    )

@@ -7,7 +7,9 @@
    Johnson-Lindenstrauss ±1 sketch, per-dimension exact variance,
    streaming blocklist twin;
 3. SimHash pigeonhole candidate pairs, sorted-neighborhood ER
-   blocking, Zipf-exponent corpus fit.
+   blocking, Zipf-exponent corpus fit;
+4. G² bigram collocations (Dunning's original application), Benford
+   first-digit DQ profile.
 
 Registered by registry_extensions.py after the round-13 batch, so
 these sit at the registry tail for the round-15 certification window.
@@ -583,5 +585,96 @@ EXT_ROUND14_QUERIES.update(
             _sql_er_sorted_neighborhood(),
         ),
         "vocab_zipf_fit": (vocab_zipf_fit_q, _sql_vocab_zipf()),
+    }
+)
+
+
+# =========================================================================
+# Round-14 fourth batch: G² collocations (Dunning's original use),
+# Benford first-digit DQ profile
+# =========================================================================
+
+def collocations_g2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by Dunning's G²
+    (operators/textstats.py collocations_g2) — the statistic's
+    original application, on collocations_pmi's position space."""
+    from ..operators.textstats import collocations_g2
+
+    return collocations_g2(_t(spark, sf_dir, "documents"))
+
+
+def _sql_collocations_g2(min_count: int = 5, k: int = 50) -> str:
+    def term(o: str, row: str, col: str) -> str:
+        return (
+            f"CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE) * "
+            f"ln((CAST({o} AS DOUBLE) * CAST(nbi AS DOUBLE)) "
+            f"/ (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE))) "
+            "ELSE 0.0 END"
+        )
+
+    g2 = (
+        "2.0 * ("
+        + term("a", "a + b", "a + c") + " + "
+        + term("b", "a + b", "b + d") + " + "
+        + term("c", "c + d", "a + c") + " + "
+        + term("d", "c + d", "b + d") + ")"
+    )
+    return f"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+       FROM bg GROUP BY w1, w2),
+lc AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS lcnt
+       FROM bc GROUP BY w1),
+rc AS (SELECT w2, CAST(sum(pair_cnt) AS BIGINT) AS rcnt
+       FROM bc GROUP BY w2),
+nb AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS nbi FROM bc),
+cells AS (
+  SELECT w1, w2, pair_cnt,
+         pair_cnt AS a, lcnt - pair_cnt AS b, rcnt - pair_cnt AS c,
+         nbi - pair_cnt - (lcnt - pair_cnt) - (rcnt - pair_cnt) AS d,
+         nbi
+  FROM bc JOIN lc USING (w1) JOIN rc USING (w2), nb
+  WHERE pair_cnt >= {int(min_count)})
+SELECT w1, w2, pair_cnt, {g2} AS g2
+FROM cells
+ORDER BY g2 DESC, w1 ASC, w2 ASC
+LIMIT {int(k)}
+"""
+
+
+def dq_benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of the event values
+    (operators/warehouse.py dq_benford): digit from the cents integer
+    rendered as a string, so no log10 boundary flakiness."""
+    from ..operators.warehouse import dq_benford
+
+    return dq_benford(_events(spark, sf_dir))
+
+
+SQL_DQ_BENFORD = """
+WITH c AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        AS digit
+      FROM c WHERE cents > 0),
+a AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM a)
+SELECT digit, n,
+  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS observed_p,
+  ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected_p
+FROM a, t
+"""
+
+
+EXT_ROUND14_QUERIES.update(
+    {
+        "collocations_g2": (collocations_g2_q, _sql_collocations_g2()),
+        "dq_benford": (dq_benford_q, SQL_DQ_BENFORD),
     }
 )

@@ -613,3 +613,52 @@ def test_vocab_zipf_fit_matches_python_model(spark):
     assert r.n_terms == 20
     assert r.slope == slope
     assert -1.3 < r.slope < -0.7  # Zipf-shaped
+
+
+# =====================================================================
+# Round-14 fourth batch
+# =====================================================================
+
+def test_collocations_g2_ranks_planted_collocation(spark):
+    """A bigram that always co-occurs must out-rank independent
+    pairs under G2."""
+    from mapreduce_chisquare_spark.operators.textstats import (
+        collocations_g2,
+    )
+
+    # filler words rotate per doc so no filler bigram repeats enough
+    # to look like a collocation; "new york" always co-occurs
+    filler = ["fa", "fb", "fc", "fd", "fe", "ff", "fg"]
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "new york "
+                + " ".join(filler[(i + j) % 7] for j in range(0, 21, i % 5 + 1)),
+            )
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocations_g2(docs, min_count=5, k=5).collect()
+    assert (rows[0].w1, rows[0].w2) == ("new", "york")
+    assert rows[0].g2 > 0
+
+
+def test_dq_benford_exact_counts_and_expected(spark):
+    import math
+
+    from mapreduce_chisquare_spark.operators.warehouse import dq_benford
+
+    # values whose cents integers start with known digits
+    vals = [1.23, 1.99, 2.50, 9.01, 0.95, 0.0, None, -5.0]
+    df = spark.createDataFrame(
+        [(float(v),) if v is not None else (None,) for v in vals],
+        "value double",
+    )
+    got = {r.digit: r for r in dq_benford(df).collect()}
+    # cents: 123, 199, 250, 901, 95, 0 (dropped), None (dropped),
+    # -500 (dropped: cents > 0 guard)
+    assert {d: got[d].n for d in got} == {1: 2, 2: 1, 9: 2}
+    assert got[1].observed_p == 2 / 5
+    assert got[9].expected_p == math.log(1 + 1 / 9) / math.log(10)
