@@ -262,6 +262,8 @@ HEADLINE = [
     # round-14 third batch (first measurement = their baseline)
     "dedup_simhash_pairs",
     "er_sorted_neighborhood",
+    # round-14 fifth batch (first measurement = their baseline)
+    "pipeline_feature_store",
     # round-14 promotions out of BENCH_EXCLUDED_LIGHT: the round-13
     # dominance audit measured scan_warc at 3.4x its scan_json
     # representative (WARC header parse + Content-Length framing is
@@ -317,6 +319,9 @@ BENCH_EXCLUDED_LIGHT = [
     # round-14: row-local cents-digit extraction + one 9-group agg —
     # dominated by the benched dq_drift_psi events pass
     "dq_benford",
+    # round-14: one ranking window per small group key — the benched
+    # window_rank representative covers the sort-window cost shape
+    "window_cume_dist",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

@@ -9,7 +9,9 @@
 3. SimHash pigeonhole candidate pairs, sorted-neighborhood ER
    blocking, Zipf-exponent corpus fit;
 4. G² bigram collocations (Dunning's original application), Benford
-   first-digit DQ profile.
+   first-digit DQ profile;
+5. feature-store point-in-time enrichment (chained as-of joins),
+   ranking-window completion (percent_rank / cume_dist).
 
 Registered by registry_extensions.py after the round-13 batch, so
 these sit at the registry tail for the round-15 certification window.
@@ -676,5 +678,136 @@ EXT_ROUND14_QUERIES.update(
     {
         "collocations_g2": (collocations_g2_q, _sql_collocations_g2()),
         "dq_benford": (dq_benford_q, SQL_DQ_BENFORD),
+    }
+)
+
+
+# =========================================================================
+# Round-14 fifth batch: feature-store point-in-time join, ranking
+# window completion (percent_rank / cume_dist)
+# =========================================================================
+
+def pipeline_feature_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME enrichment (two chained
+    operators/asof.py asof_join calls — the composition every online
+    feature platform runs at training-set build time): each event
+    pulls, as of its timestamp, (a) the user's latest order total and
+    (b) the user's cumulative order count. Order dates shift +29
+    years into the event window so the as-of cut genuinely varies per
+    event (unshifted, every order predates every event and the cut is
+    trivially the per-user max). Returns (event_id, user_id,
+    asof_last_total, asof_order_cnt).
+
+    Scale shape: each asof_join is one union-merge window per key —
+    two shuffles total on the user key; feature tables pre-aggregate
+    to unique (key, ts) (max total on same-day ties; cumulative count
+    via a per-user window over the per-user-bounded order relation).
+    Training-set PIT correctness (no feature leakage from the future)
+    is exactly the right.ts <= left.ts contract asof_join certifies."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr("o_orderdate + INTERVAL 29 YEARS").alias("fts"),
+        "o_totalprice",
+    )
+    f1 = orders.groupBy("user_id", "fts").agg(
+        F.max("o_totalprice").alias("last_total")
+    )
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("fts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    f2 = f1.select(
+        "user_id",
+        "fts",
+        F.count("*").over(wc).cast("long").alias("order_cnt"),
+    )
+    step1 = asof_join(
+        ev, f1.withColumnRenamed("fts", "ts"), "user_id", "ts",
+        ["last_total"],
+    )
+    step2 = asof_join(
+        step1, f2.withColumnRenamed("fts", "ts"), "user_id", "ts",
+        ["order_cnt"],
+    )
+    return step2.select(
+        "event_id", "user_id",
+        F.col("asof_last_total").alias("asof_last_total"),
+        F.col("asof_order_cnt").alias("asof_order_cnt"),
+    )
+
+
+SQL_PIPELINE_FEATURE_STORE = """
+WITH o AS (SELECT o_custkey AS user_id,
+                  o_orderdate + INTERVAL 29 YEAR AS fts,
+                  o_totalprice
+           FROM orders),
+f1 AS (SELECT user_id, fts, max(o_totalprice) AS last_total
+       FROM o GROUP BY user_id, fts),
+f2 AS (SELECT user_id, fts,
+              CAST(count(*) OVER (PARTITION BY user_id ORDER BY fts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS order_cnt
+       FROM f1),
+e AS (SELECT event_id, user_id, ts FROM events),
+s1 AS (SELECT e.event_id, e.user_id, e.ts, f1.last_total
+       FROM e ASOF LEFT JOIN f1
+         ON e.user_id = f1.user_id AND f1.fts <= e.ts),
+s2 AS (SELECT s1.event_id, s1.user_id, s1.last_total, f2.order_cnt
+       FROM s1 ASOF LEFT JOIN f2
+         ON s1.user_id = f2.user_id AND f2.fts <= s1.ts)
+SELECT event_id, user_id, last_total AS asof_last_total,
+       order_cnt AS asof_order_cnt
+FROM s2
+"""
+
+
+def window_cume_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window completion: percent_rank and cume_dist of
+    l_quantity per (l_returnflag, l_linestatus), under a TOTAL order
+    (quantity, orderkey, linenumber) so neither engine sees ties.
+
+    Scale note: a ranking window sorts each partition — fine for
+    group keys of reasonable cardinality; a GLOBAL CDF at 100 TB uses
+    the two-level cumsum instead (ks_two_sample)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+SQL_WINDOW_CUME_DIST = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity,
+  percent_rank() OVER (PARTITION BY l_returnflag, l_linestatus
+    ORDER BY l_quantity, l_orderkey, l_linenumber) AS prank,
+  cume_dist() OVER (PARTITION BY l_returnflag, l_linestatus
+    ORDER BY l_quantity, l_orderkey, l_linenumber) AS cdist
+FROM lineitem
+"""
+
+
+EXT_ROUND14_QUERIES.update(
+    {
+        "pipeline_feature_store": (
+            pipeline_feature_store_q,
+            SQL_PIPELINE_FEATURE_STORE,
+        ),
+        "window_cume_dist": (window_cume_dist_q, SQL_WINDOW_CUME_DIST),
     }
 )

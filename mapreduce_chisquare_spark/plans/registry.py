@@ -144,7 +144,8 @@ _CERTIFY_WINDOW = [
 # toxicity_screen tfidf_topk_terms dq_drift_ks g2_feature_scores
 # simsearch_mips_topk embed_random_projection embed_dim_variance
 # stream_toxicity_screen dedup_simhash_pairs er_sorted_neighborhood
-# vocab_zipf_fit collocations_g2 dq_benford — all locally gated
+# vocab_zipf_fit collocations_g2 dq_benford pipeline_feature_store
+# window_cume_dist — all locally gated
 # green at sf0.001 +
 # sf0.01 + sf0.1 in round 14), then (b) the 2 remaining
 # r8-era stale rows deferred from round 14 (q15_top_supplier

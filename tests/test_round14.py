@@ -662,3 +662,69 @@ def test_dq_benford_exact_counts_and_expected(spark):
     assert {d: got[d].n for d in got} == {1: 2, 2: 1, 9: 2}
     assert got[1].observed_p == 2 / 5
     assert got[9].expected_p == math.log(1 + 1 / 9) / math.log(10)
+
+
+# =====================================================================
+# Round-14 fifth batch
+# =====================================================================
+
+def test_feature_store_pit_no_future_leakage(spark):
+    """An event must never see an order dated after it — the PIT
+    contract feature stores exist for."""
+    import datetime
+
+    from mapreduce_chisquare_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, datetime.datetime(2024, 1, 10)),
+            (2, 7, datetime.datetime(2024, 1, 20)),
+            (3, 8, datetime.datetime(2024, 1, 5)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    f = spark.createDataFrame(
+        [
+            (7, datetime.datetime(2024, 1, 8), 100.0),
+            (7, datetime.datetime(2024, 1, 15), 200.0),  # future for e1
+            (8, datetime.datetime(2024, 1, 9), 300.0),   # future for e3
+        ],
+        "user_id long, ts timestamp, last_total double",
+    )
+    got = {
+        r.event_id: r.asof_last_total
+        for r in asof_join(ev, f, "user_id", "ts", ["last_total"]).collect()
+    }
+    assert got == {1: 100.0, 2: 200.0, 3: None}
+
+
+def test_window_cume_dist_total_order(spark):
+    rows = [
+        (1, 1, "A", "F", 5.0),
+        (2, 1, "A", "F", 10.0),
+        (3, 1, "A", "F", 15.0),
+        (4, 1, "R", "F", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double",
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+
+    w = W.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    got = {
+        r.l_orderkey: (r.prank, r.cdist)
+        for r in df.select(
+            "l_orderkey",
+            F2.percent_rank().over(w).alias("prank"),
+            F2.cume_dist().over(w).alias("cdist"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 1 / 3)
+    assert got[2] == (0.5, 2 / 3)
+    assert got[3] == (1.0, 1.0)
+    assert got[4] == (0.0, 1.0)  # singleton group
