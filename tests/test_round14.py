@@ -728,3 +728,31 @@ def test_window_cume_dist_total_order(spark):
     assert got[2] == (0.5, 2 / 3)
     assert got[3] == (1.0, 1.0)
     assert got[4] == (0.0, 1.0)  # singleton group
+
+
+def test_ks_two_sample_shift_invariant_across_buckets(spark):
+    """KS is invariant under any common monotone shift; a fractional
+    shift MOVES every floor(value) coarse-bucket boundary, so equality
+    here pins the two-level cumsum against the bucketing itself."""
+    import hashlib
+
+    rows = []
+    for i in range(300):
+        u = int(hashlib.md5(f"k{i}".encode()).hexdigest()[:6], 16)
+        rows.append(((u % 977) / 7.0 + (3.0 if i % 2 else 0.0), i % 2))
+    df = spark.createDataFrame(rows, "value double, side int")
+    from pyspark.sql import functions as F2
+
+    from mapreduce_chisquare_spark.operators.warehouse import ks_two_sample
+
+    base = ks_two_sample(df, "value", "side").collect()[0]
+    shifted = ks_two_sample(
+        df.withColumn("value", F2.col("value") + F2.lit(7.37)),
+        "value",
+        "side",
+    ).collect()[0]
+    assert (base.ks_num, base.n_ref, base.n_cur) == (
+        shifted.ks_num,
+        shifted.n_ref,
+        shifted.n_cur,
+    )
