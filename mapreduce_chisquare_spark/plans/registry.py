@@ -71,90 +71,86 @@ except ImportError:
 # flagship additions (image_phash_decoded, similarity_join_minhash_shuffle),
 # and 39 r6-era stale re-certs — all 50 driver-green (CORRECTNESS_r11).
 #
-# Round-13 window (50) = the 27 remaining r7-era stale rows (their
-# last driver-green row is CORRECTNESS_r07 — 5 rounds stale; fast
-# scalars/joins first so a time-cut sweep certifies the maximum
-# prefix), + the 18 round-12 tail entries that have never had a
-# driver row (locally gated green at sf0.001 + sf0.01 in round 12,
-# and spot-verified by the round-12 judge), + 5 of the 47 r8-era
-# stale rows (core text family). After this window lands, the
-# never-certified count drops to 0 and the staleness floor is r8.
+# Round-15 window (50) = the 18 round-14 tail entries that have never
+# had a driver row (locally gated green at sf0.001 + sf0.01 + sf0.1 in
+# round 14, and independently oracle-verified 18/18 by the round-14
+# judge), + the 2 r8-era stale rows deferred from round 14
+# (q15_top_supplier q17_small_qty_revenue — code untouched since r8),
+# + 30 of the 50 r9-era stale rows (fast scalars/joins first so a
+# time-cut sweep certifies the maximum prefix; includes the 2 oldest
+# streaming rows per round-14 advice). After this window lands, the
+# never-certified count is 0 and the staleness floor rises to r9
+# (20 rows, queued for round 16).
 _CERTIFY_WINDOW = [
-    # round-13 tail — first driver signature due (locally gated green
-    # at sf0.001 + sf0.01 in round 13; scan_warc also at sf0.1)
-    "scan_warc",
-    "doc_chunk_overlap",
-    "quality_perplexity_buckets",
-    "dedup_bloom_screen",
-    "dedup_bloom_merge",
-    "stream_bloom_screen",
-    "simsearch_hard_negatives",
-    "quantile_bucketize_2level",
-    "robots_screen",
-    "image_phash_palette",
-    # r8-era stale re-certs (40 of 42; fast scalars/joins first so a
-    # time-cut sweep certifies the maximum prefix, heavy ts/graph last)
-    "count_term_cat",
-    "format_report",
-    "merged_dict",
-    "topk_per_group",
-    "q8_market_share",
-    "events_retention",
-    "dq_quantiles",
-    "basket_rules",
-    "distinct_sketch_kmv",
-    "distinct_sketch_kmv_merge",
-    "quality_gopher_rules",
-    "dsir_importance",
-    "c4_line_dedup",
-    "collocations_pmi",
-    "resample_interpolate",
-    "multimodal_av_probe",
-    "multimodal_decode",
-    "stream_gopher_screen",
-    "stream_quality_filter",
-    "bpe_pair_counts",
-    "bpe_merges",
-    "bpe_vocab",
-    "ts_acf",
-    "ts_changepoint",
-    "ts_seasonality",
-    "ts_forecast_ewma",
-    "ts_forecast_holt",
-    "ts_sax",
-    "ts_sax_group",
-    "ts_motif",
-    "ts_discord",
-    "ts_corr_topk",
-    "ts_similarity_refined",
-    "ts_similarity_sax_topk",
-    "ts_similarity_dtw_topk",
-    "skipgram_cooc",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_ppr",
-    "dedup_semantic",
+    # round-14 tail — first driver signature due
+    "dedup_minhash_oph",
+    "zonemap_prune",
+    "graph_components_largestar",
+    "toxicity_screen",
+    "tfidf_topk_terms",
+    "dq_drift_ks",
+    "g2_feature_scores",
+    "simsearch_mips_topk",
+    "embed_random_projection",
+    "embed_dim_variance",
+    "stream_toxicity_screen",
+    "dedup_simhash_pairs",
+    "er_sorted_neighborhood",
+    "vocab_zipf_fit",
+    "collocations_g2",
+    "dq_benford",
+    "pipeline_feature_store",
+    "window_cume_dist",
+    # r8-era stale re-certs (the last 2)
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    # r9-era stale re-certs (30 of 50; fast scalars/joins first,
+    # includes the 2 oldest streaming rows)
+    "count_term",
+    "count_cat",
+    "count_total",
+    "join_term_totals",
+    "join_cat_totals",
+    "q1_pricing_summary",
+    "window_lag",
+    "window_moving_sum",
+    "set_except",
+    "date_scalars",
+    "string_scalars",
+    "top_n_global",
+    "sql_correlated_subquery",
+    "agg_unpivot",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "window_ntile",
+    "q7_nation_volume",
+    "q19_discounted_revenue",
+    "set_intersect_all",
+    "set_except_all",
+    "embed_quantize",
+    "tfidf",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "stream_doc_chunk",
+    "stream_anomaly_screen",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-15 window TODO: promote (a) the round-14 tail additions
-# FIRST (dedup_minhash_oph zonemap_prune graph_components_largestar
-# toxicity_screen tfidf_topk_terms dq_drift_ks g2_feature_scores
-# simsearch_mips_topk embed_random_projection embed_dim_variance
-# stream_toxicity_screen dedup_simhash_pairs er_sorted_neighborhood
-# vocab_zipf_fit collocations_g2 dq_benford pipeline_feature_store
-# window_cume_dist — all locally gated
-# green at sf0.001 +
-# sf0.01 + sf0.1 in round 14), then (b) the 2 remaining
-# r8-era stale rows deferred from round 14 (q15_top_supplier
-# q17_small_qty_revenue — stable relational entries, code untouched
-# since r8), then (c) fill to 50 with the oldest r9 rows
-# (CORRECTNESS_r09 names, e.g. count_term count_cat count_total
-# join_term_totals join_cat_totals scan_csv agg_histogram ...).
-# After the round-14 window lands, the never-certified count is 0
-# and the staleness floor is r8 (2 rows).
+# Round-16 window TODO: promote (a) any round-15 tail additions
+# FIRST, then (b) the 20 remaining r9-era stale rows
+# (array_scalars join_bucketed ngram_counts join_bloom_prefilter
+# doc_chunk pack_sequences sink_orc_roundtrip rollup_multigrain
+# explode_outer_keywords simsearch_ivfpq ts_anomaly_zscore
+# dq_drift_psi image_phash image_neardup_pairs
+# similarity_join_embedding quality_model_score dq_quantiles_sketch
+# dq_quantiles_sketch_merge heavy_hitters_mg heavy_hitters_mg_merge),
+# then (c) fill to 50 with the oldest r10 rows. After the round-15
+# window lands, the staleness floor is r9 (20 rows).
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

@@ -69,6 +69,16 @@ def check_bench_partition() -> list[str]:
         problems.append("HEADLINE contains duplicates")
     if len(light) != len(bench.BENCH_EXCLUDED_LIGHT):
         problems.append("BENCH_EXCLUDED_LIGHT contains duplicates")
+    # Every benched (HEADLINE) query must carry a BASELINE.md row —
+    # without one the bench rerun harness has no regression bound and
+    # is blind to that query (the round-14 verdict's
+    # pipeline_feature_store finding, closed here for every future
+    # entry).
+    baselines = set(bench._load_baselines())
+    for name in sorted(head - baselines):
+        problems.append(
+            f"{name}: in HEADLINE but has no BASELINE.md regression row"
+        )
     return problems
 
 
