@@ -60,10 +60,13 @@ def g2_expr(a: Column, b: Column, c: Column, d: Column, n: Column) -> Column:
     χ² overshoots): G² = 2·Σ_cells O·ln(O/E) with E = row·col/n.
     Empty cells contribute 0 (x·ln x → 0).
 
-    Cross-engine exactness: each cell term is written as
-    O·(ln O + ln n − ln row − ln col) over exact int64 counts, in a
-    fixed left-to-right order the oracle mirrors, so results are
-    bit-identical doubles — same discipline as chi2_expr above."""
+    Cross-engine exactness: each cell term is written as ONE
+    ln of the single ratio O·n/(row·col) over exact int64 counts
+    (see _g2_term above — never the sum-of-four-logs form, whose
+    near-total cancellation amplifies the ≤1-ulp JVM-vs-libm ln()
+    disagreement), in a fixed left-to-right order the oracle
+    mirrors, so results are bit-identical doubles — same discipline
+    as chi2_expr above."""
     ab, cd = a + b, c + d
     ac, bd = a + c, b + d
     return F.lit(2.0) * (

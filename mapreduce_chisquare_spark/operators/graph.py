@@ -735,6 +735,7 @@ def connected_components_star(
     edges: DataFrame,
     max_iter: int = 20,
     stats: dict | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components by LARGE-STAR / SMALL-STAR alternation
     (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
@@ -761,6 +762,13 @@ def connected_components_star(
     Returns (node, component_id), component_id = the component's
     minimum node; any orderable node type works. Isolated nodes never
     appear in an edge relation and are (documented) absent.
+
+    Non-convergence is an ERROR by default: if max_iter rounds pass
+    without the edge set reaching a fixed point, the component ids
+    would be silently partial (wrong), so `strict=True` raises
+    RuntimeError instead of returning them. Pass `strict=False` (and
+    a `stats` dict, whose `converged` flag you must then check) only
+    for diagnostic runs.
     """
     e = (
         edges.select(F.col(edges.columns[0]).alias("src"),
@@ -819,6 +827,13 @@ def connected_components_star(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+    if strict and not converged:
+        raise RuntimeError(
+            "connected_components_star: edge set did not reach a fixed "
+            f"point within max_iter={max_iter} rounds — component ids "
+            "would be partially contracted (wrong). Raise max_iter, or "
+            "pass strict=False with a stats dict for diagnostics."
+        )
     sym = e.union(e.select("dst", "src").toDF("src", "dst"))
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.col("src")).alias("component_id")

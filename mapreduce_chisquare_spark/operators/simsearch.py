@@ -1539,9 +1539,13 @@ def dim_variance(emb: DataFrame) -> DataFrame:
     population-variance NUMERATOR n·Σq² − (Σq)² is exact int64 —
     order-independent under partial aggregation, bit-identical
     cross-engine; `variance` is one fixed-order double expression
-    over it. Overflow budget: |q| < 2^16 ⇒ n·Σq² < n²·2^32, int64-
-    safe through n ≈ 2^15.5·10^4 ≈ 10^8 vectors; past that, re-scale
-    or move the two sums to DECIMAL(38,0) (both engines widen).
+    over it. Overflow budget (worst case): |x| ≤ 1 ⇒ |q| ≤ 2^16 ⇒
+    n·Σq² ≤ n²·2^32, int64-safe only through n ≈ 2^15.5 ≈ 4.6e4
+    vectors; for unit-NORM vectors (Σ_j x_j² = 1 across dim=64) the
+    per-dimension Σq² averages n·2^32/64, stretching the budget to
+    n ≈ 2^18.5 ≈ 3.7e5. Past the bound that holds for YOUR data,
+    lower VAR_SCALE or move the two sums to DECIMAL(38,0) (both
+    engines widen) — do NOT trust int64 at corpus scale.
 
     Scale shape: one explode + one map-side-combined hash aggregate
     on the DIMENSION key (64 groups); the rank window runs over the

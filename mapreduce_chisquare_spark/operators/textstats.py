@@ -1810,9 +1810,15 @@ def quality_perplexity_buckets(
     is ORDER-INDEPENDENT — summing raw doubles and flooring at the
     end (the previous form) drifts with partition/accumulation order
     and can flip score_fp (and a doc's tier) at a floor boundary
-    cross-engine. The only remaining float op is ln() of a fixed
-    integer, evaluated once per distinct count on each engine; the
-    non-negative s_fp div n_tokens floor-division matches DuckDB //.
+    cross-engine. Residual risk (not eliminated, only shrunk): ln()
+    of a fixed integer is evaluated once per DISTINCT count on each
+    engine, and when ln(c)*1e6 lands within 1 ulp of an integer the
+    JVM-vs-libm ln() disagreement can still flip that one floor —
+    the exposure is per-distinct-count-value rather than per-doc-sum,
+    which is why no flip has been observed at any certified SF, but
+    bit-exactness is NOT guaranteed; quantize ln via a lookup table
+    or rational approximation if it ever must be. The non-negative
+    s_fp div n_tokens floor-division matches DuckDB //.
 
     Scale shape: thresholds come from the per-language DETERMINISTIC
     bottom-k rank sketch (sketches.rank_sketch_kept — the
@@ -1937,8 +1943,13 @@ def vocab_zipf_fit(
     Exactness: ln(rank) and ln(freq) quantize to 2^20 fixed point
     BEFORE the OLS sums, so Σx, Σy, Σxy, Σx² are exact int64 over the
     vocab_size rows (order-independent; the 2^20 scale cancels in the
-    slope). The only data-sized work is vocab_topv's one hash
-    aggregate + TakeOrdered; the regression runs over vocab_size rows.
+    slope). Same residual floor-boundary caveat as
+    quality_perplexity_buckets: floor(ln(k)·2^20) can still flip
+    cross-engine when ln(k)·2^20 sits within 1 ulp of an integer —
+    per-distinct-value exposure only, no flip observed at any
+    certified SF, but not a bit-exactness proof. The only data-sized
+    work is vocab_topv's one hash aggregate + TakeOrdered; the
+    regression runs over vocab_size rows.
     """
     v = vocab_topv(docs, text_col, vocab_size)
     q = v.select(

@@ -209,6 +209,27 @@ def test_connected_components_star_chain_rounds(spark):
     assert got == {i: 50 * (i // 50) for i in range(100)}
 
 
+def test_connected_components_star_nonconvergence_raises(spark):
+    """Partially-contracted component ids are WRONG ids; exhausting
+    max_iter without a fixed point must raise by default (round-14
+    advice), and strict=False must surface converged=False instead."""
+    import pytest
+
+    from mapreduce_chisquare_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(49)]  # diameter-49 chain
+    e = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_star(e, max_iter=1)
+    stats = {}
+    connected_components_star(
+        e, max_iter=1, stats=stats, strict=False
+    ).collect()
+    assert stats["converged"] is False
+
+
 def test_connected_components_star_two_node_and_selfloop(spark):
     from mapreduce_chisquare_spark.operators.graph import (
         connected_components_star,
