@@ -1445,28 +1445,37 @@ def ks_two_sample(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # bpre is coarse-bucket-sized (domain-bounded) — broadcast it so
+    # the only data-sized exchange on this path is pv's hash(cb) for
+    # the in-bucket window, not a shuffle join pair
     cum = (
-        pv.join(bpre, "cb")
+        pv.join(F.broadcast(bpre), "cb")
         .select(
+            "cb",
             "v",
+            "a",
+            "b",
             (F.col("pa") + F.sum("a").over(wi)).cast("long").alias("ca"),
             (F.col("pb") + F.sum("b").over(wi)).cast("long").alias("cbm"),
         )
     )
-    tot = per_v.agg(
-        F.sum("a").cast("long").alias("n_ref"),
-        F.sum("b").cast("long").alias("n_cur"),
+    # totals from the already-aggregated coarse relation (tiny), not a
+    # second aggregate over the distinct-value relation
+    tot = bucket.agg(
+        F.sum("ba").cast("long").alias("n_ref"),
+        F.sum("bb").cast("long").alias("n_cur"),
     )
-    scored = cum.join(F.broadcast(tot)).select(
-        "n_ref",
-        "n_cur",
-        F.abs(
-            F.col("ca") * F.col("n_cur") - F.col("cbm") * F.col("n_ref")
-        ).alias("d"),
+    mx = (
+        cum.join(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("ca") * F.col("n_cur")
+                - F.col("cbm") * F.col("n_ref")
+            ).alias("d")
+        )
+        .agg(F.max("d").cast("long").alias("ks_num"))
     )
-    return scored.groupBy("n_ref", "n_cur").agg(
-        F.max("d").cast("long").alias("ks_num")
-    ).select(
+    return mx.join(F.broadcast(tot)).select(
         "n_ref",
         "n_cur",
         "ks_num",
