@@ -401,57 +401,106 @@ def oph_band_keys(
     Scale shape: the per-shingle map work drops from O(k) multiply-mods
     to O(1) — at 100 TB the signature aggregate IS the map-side cost
     of the dedup pass, so OPH is the cheap screen for large k. The
-    aggregate is still one map-side-combinable HashAggregate (k min
-    buffers); densification is a row-local array expression over the
-    k-wide signature, zero extra exchanges. Bins with NO shingle
-    anywhere only occur for near-empty documents; a doc with zero
-    shingles has no row at all (same contract as shingles())."""
+    bin minima come from ONE map-side-combinable (doc, bin) hash
+    aggregate, and densification is ONE first(ignorenulls) window
+    pass over the doc-partitioned (grid ∪ bins ∪ bins+k) relation —
+    k + #non-empty-bins rows per doc, never k² work. (The first
+    implementation unrolled densification into k×k row-local coalesce
+    chains and paid k `when`s per SHINGLE in the aggregate; at k=128
+    that measured 26x SLOWER than the classic k-hash signature —
+    the round-15 SCALE.md row records the before/after.) Bins with NO
+    shingle anywhere only occur for near-empty documents; a doc with
+    zero shingles has no row at all (same contract as shingles())."""
     a0, b0 = hash_params(1)[0]
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "long"
     )
     h = (F.lit(a0) * base + F.lit(b0)) % F.lit(_MOD)
     withh = sh.select("doc_id", h.alias("__h"))
-    mins = withh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.when(F.col("__h") % F.lit(k) == j, F.col("__h"))
-            ).alias(f"b{j}")
-            for j in range(k)
-        ]
+    # true O(1)-per-shingle map side: one hash, one (doc, bin) min
+    binned = withh.groupBy(
+        "doc_id", (F.col("__h") % F.lit(k)).cast("int").alias("__bin")
+    ).agg(F.min("__h").cast("long").alias("__v"))
+    # grid: one row per (doc, j); bin rows appear at pos=bin and
+    # (cyclic wrap) pos=bin+k so every grid row finds its nearest
+    # non-empty bin to the RIGHT within the same doc partition
+    grid = (
+        binned.groupBy("doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__pos"),
+        )
+        .select(
+            "doc_id",
+            "__pos",
+            F.lit(None).cast("long").alias("__v"),
+            F.lit(1).alias("__isgrid"),
+        )
     )
-    # materialize the sparse signature array once; the k densified
-    # positions each probe it up to k times (higher-order/array
-    # expressions are interpreted — same reasoning as shingles())
-    sig = mins.select(
-        "doc_id", F.array(*[F.col(f"b{j}") for j in range(k)]).alias("__v")
+    bins2 = binned.select(
+        "doc_id", F.col("__bin").alias("__pos"), "__v",
+        F.lit(0).alias("__isgrid"),
+    ).union(
+        binned.select(
+            "doc_id", (F.col("__bin") + F.lit(k)).alias("__pos"), "__v",
+            F.lit(0).alias("__isgrid"),
+        )
     )
-    v = F.col("__v")
-    dens = sig.select(
-        "doc_id",
-        *[
-            F.coalesce(
-                *[
-                    (v[(j + t) % k] + F.lit(t * OPH_C)) % F.lit(_MOD)
-                    for t in range(k)
-                ]
-            ).alias(f"d{j}")
-            for j in range(k)
-        ],
+    u = grid.union(bins2)
+    # nearest non-empty bin at-or-right of j: first non-null value
+    # (with its position, for the rotation offset t) over the
+    # forward-looking window; grid rows sort BEFORE the bin row at
+    # the same pos (isgrid DESC) so t=0 self-hits are visible
+    wfwd = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("__pos").asc(), F.col("__isgrid").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hit = F.first(
+        F.when(
+            F.col("__v").isNotNull(),
+            F.struct(F.col("__pos").alias("p"), F.col("__v").alias("v")),
+        ),
+        ignorenulls=True,
+    ).over(wfwd)
+    dens = (
+        u.select("doc_id", "__pos", "__isgrid", hit.alias("__hit"))
+        .filter(F.col("__isgrid") == 1)
+        .select(
+            "doc_id",
+            F.col("__pos").alias("__j"),
+            (
+                (
+                    F.col("__hit.v")
+                    + (F.col("__hit.p") - F.col("__pos")).cast("long")
+                    * F.lit(OPH_C)
+                )
+                % F.lit(_MOD)
+            ).alias("__dv"),
+        )
     )
     rows = k // bands
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"d{b * rows + r}") for r in range(rows)]
-            ).alias("key"),
+    # band keys: partitionBy(doc_id) above already clusters
+    # (doc_id, band), so this aggregate adds no exchange
+    return (
+        dens.groupBy(
+            "doc_id",
+            (F.col("__j") / F.lit(rows)).cast("int").alias("band"),
         )
-        for b in range(bands)
-    ]
-    return dens.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", "e.band", "e.key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__j", "__dv"))
+                    ),
+                    lambda s: s["__dv"].cast("string"),
+                ),
+                "_",
+            ).alias("key")
+        )
+        .select("doc_id", "band", "key")
+    )
 
 
 def oph_candidate_pairs(
