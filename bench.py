@@ -272,6 +272,9 @@ HEADLINE = [
     # gets its own regression row
     "scan_warc",
     "doc_chunk_overlap",
+    # round-15 first batch (first measurement = their baseline)
+    "pii_screen",
+    "char_entropy_screen",
 ]
 
 # ---------------------------------------------------------------------------

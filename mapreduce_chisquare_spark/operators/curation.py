@@ -232,6 +232,140 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Typed PII detectors. Every pattern is written to evaluate
+# identically under Java regex (Spark) and RE2 (DuckDB oracle): no
+# backreferences, no lookaround, alternations ordered longest-first
+# so leftmost-first matching agrees, ASCII-only \b boundaries.
+PHONE_REGEX = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+SSN_REGEX = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_REGEX = rf"\b{_OCTET}(\.{_OCTET}){{3}}\b"
+CARD_CAND_REGEX = r"\b[0-9]{13,19}\b"
+
+
+def luhn_valid(s: F.Column) -> F.Column:
+    """Luhn mod-10 checksum over a digit string — exact integer
+    arithmetic only (doubling with 9-subtraction from the right), so
+    Spark and the DuckDB oracle cannot disagree. i counts from the
+    RIGHTMOST digit, 0-based; odd positions double."""
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 1,
+            F.when(
+                (F.ascii(F.substring(s, n - i, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(F.substring(s, n - i, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise(
+                (F.ascii(F.substring(s, n - i, F.lit(1))) - 48) * 2
+            ),
+        ).otherwise(F.ascii(F.substring(s, n - i, F.lit(1))) - 48),
+    )
+    return total % 10 == 0
+
+
+def pii_screen(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII census per document — the admission-control
+    counterpart of redact_pii (which rewrites text; this one counts
+    and flags so the curation pipeline can route documents to
+    redaction/quarantine). Detects emails, phone numbers, SSNs,
+    IPv4 addresses (octet-validated IN the regex — 999.1.2.3 is not
+    an address), and payment-card numbers (13-19 digit candidates
+    that pass the Luhn mod-10 check — a random long digit run is not
+    a card). Returns (doc_id, n_emails, n_phones, n_ssn, n_ipv4,
+    n_cards, pii_total, flagged).
+
+    Scale shape: map-side only — five regexp_extract_all projections
+    plus a row-local integer Luhn filter over the card candidates; no
+    shuffle, no UDF, runs at scan speed at 100 TB. Cross-engine: the
+    patterns are RE2-compatible (see the detector block above) and
+    the Luhn check is pure integer arithmetic."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_REGEX), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_REGEX), F.lit(0)))
+    n_ssn = F.size(F.regexp_extract_all(t, F.lit(SSN_REGEX), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(IPV4_REGEX), F.lit(0)))
+    n_cards = F.size(
+        F.filter(
+            F.regexp_extract_all(t, F.lit(CARD_CAND_REGEX), F.lit(0)),
+            luhn_valid,
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ssn.cast("int").alias("n_ssn"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_cards.cast("int").alias("n_cards"),
+    )
+    total = (
+        F.col("n_emails")
+        + F.col("n_phones")
+        + F.col("n_ssn")
+        + F.col("n_ipv4")
+        + F.col("n_cards")
+    )
+    return out.select(
+        "*",
+        total.cast("int").alias("pii_total"),
+        (total > 0).alias("flagged"),
+    )
+
+
+def pii_inject_expr(
+    id_col: F.Column | str = "doc_id", text_col: F.Column | str = "text"
+) -> F.Column:
+    """Deterministic PII test fixture (the corpus carries no natural
+    PII): appends a typed PII item per doc_id residue class, including
+    two NEGATIVE plants the validated detectors must reject — an
+    out-of-range IPv4 octet (999.1.2.3) and a Luhn-failing card
+    number. Mirrored verbatim in the oracle SQL; used by both the
+    batch registry query and the streaming twin so they certify the
+    identical text."""
+    did = F.col(id_col) if isinstance(id_col, str) else id_col
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = did.cast("string")
+
+    def w(mod: int, *parts: F.Column | str) -> F.Column:
+        cols = [F.lit(p) if isinstance(p, str) else p for p in parts]
+        return F.when(did % mod == 0, F.concat(*cols)).otherwise(F.lit(""))
+
+    return F.concat(
+        txt,
+        w(7, " contact user", s, "@mail.example.com"),
+        w(
+            11,
+            " call 555-",
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            "-",
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+        w(
+            13,
+            " ssn ",
+            (did % 900 + 100).cast("string"),
+            "-",
+            (did % 90 + 10).cast("string"),
+            "-",
+            (did % 9000 + 1000).cast("string"),
+        ),
+        w(
+            5,
+            " ip 10.",
+            (did % 256).cast("string"),
+            ".0.",
+            (did % 200 + 1).cast("string"),
+        ),
+        w(6, " ip 999.1.2.3"),
+        w(17, " card 4111111111111111"),
+        w(19, " card 4111111111111112"),
+        w(23, " amex 371449635398431"),
+    )
+
+
 def sample_per_source(docs: DataFrame, quota: int = 5) -> DataFrame:
     """Per-source quota sampling: keep at most `quota` documents per
     source, chosen by a deterministic content-free hash order

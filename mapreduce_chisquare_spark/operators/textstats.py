@@ -2029,3 +2029,65 @@ def collocations_g2(
     return scored.orderBy(
         F.desc("g2"), F.asc("w1"), F.asc("w2")
     ).limit(int(k))
+
+
+ENTROPY_LOW_FP = 1_500_000   # 1.5 nats: repeated-char / template junk
+ENTROPY_HIGH_FP = 4_300_000  # 4.3 nats: base64 / binary-ish gibberish
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap
+    gibberish screen that catches what token-level quality rules
+    miss: repeated-character padding and template boilerplate sit
+    far BELOW natural text (≈2.5-3.5 nats for English), while
+    base64 blobs and binary junk sit far ABOVE it. Returns
+    (doc_id, n_chars, ent_fp, entropy, bucket) with bucket in
+    ('low', 'normal', 'high'); empty documents produce no row (no
+    characters — same contract as shingles()).
+
+    Exactness: entropy = ln(n) − (Σ c·ln c)/n is computed in BIGINT
+    micro-nats with the per-distinct-count quantization discipline
+    (floor(ln(c)·1e6) BEFORE the per-doc sum — order-independent,
+    same residual 1-ulp floor-boundary caveat as
+    quality_perplexity_buckets); the double `entropy` is one final
+    division. The non-negative s_fp div n floor-division matches
+    DuckDB //.
+
+    Scale shape: one char explode (row per character — the same
+    volume class as tokenize), one map-side-combined (doc, char)
+    hash aggregate, then a per-doc aggregate whose input is the
+    distinct-(doc, char) relation (≤ alphabet × docs rows — far
+    below corpus size), so the only data-sized exchange is the
+    first aggregate's."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[\s\S]"), F.lit(0)
+            )
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    lc = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    doc = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum(F.col("c") * lc).cast("long").alias("__s_fp"),
+    )
+    ln_n = F.floor(
+        F.log(F.col("n_chars").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    ent_fp = (ln_n - F.expr("__s_fp div n_chars")).cast("long")
+    return doc.select(
+        "doc_id",
+        "n_chars",
+        ent_fp.alias("ent_fp"),
+        (ent_fp.cast("double") / F.lit(1e6)).alias("entropy"),
+        F.when(ent_fp < F.lit(ENTROPY_LOW_FP), F.lit("low"))
+        .when(ent_fp > F.lit(ENTROPY_HIGH_FP), F.lit("high"))
+        .otherwise(F.lit("normal"))
+        .alias("bucket"),
+    )

@@ -2612,3 +2612,7 @@ EXTENSION_QUERIES.update(EXT_ROUND13_QUERIES)
 from .ext_round14 import EXT_ROUND14_QUERIES  # noqa: E402
 
 EXTENSION_QUERIES.update(EXT_ROUND14_QUERIES)
+
+from .ext_round15 import EXT_ROUND15_QUERIES  # noqa: E402
+
+EXTENSION_QUERIES.update(EXT_ROUND15_QUERIES)

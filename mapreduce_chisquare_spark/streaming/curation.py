@@ -211,3 +211,37 @@ def blocklist_screen_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def pii_screen_stream(
+    spark: SparkSession, sf_dir: str, parts: int = 4
+) -> DataFrame:
+    """Streaming twin of the typed PII census — the SAME operator
+    function (operators/curation.py pii_screen) over the SAME
+    injected fixture expression (pii_inject_expr), applied to a
+    readStream relation: one stateless projection, legal in append
+    mode unchanged, so every micro-batch is screened at scan speed
+    and the batch oracle certifies the stream output verbatim (the
+    stream_gopher_screen discipline)."""
+    from ..operators.curation import pii_inject_expr, pii_screen
+
+    in_dir = docs_multifile_dir(sf_dir, parts)
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    screened = pii_screen(
+        stream.select("doc_id", pii_inject_expr().alias("text"))
+    )
+    name = "stream_pii_" + uuid.uuid4().hex[:8]
+    with state_partitions(spark):
+        q = (
+            screened.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
