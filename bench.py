@@ -275,6 +275,9 @@ HEADLINE = [
     # round-15 first batch (first measurement = their baseline)
     "pii_screen",
     "char_entropy_screen",
+    # round-15 second batch (first measurement = their baseline)
+    "embed_drift_centroid",
+    "simsearch_mmr_topk",
 ]
 
 # ---------------------------------------------------------------------------

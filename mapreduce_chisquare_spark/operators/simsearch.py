@@ -1578,3 +1578,183 @@ def dim_variance(emb: DataFrame) -> DataFrame:
     return scored.withColumn(
         "vrank", F.row_number().over(w).cast("int")
     )
+
+
+def centroid_drift(emb: DataFrame, side_col: Column | None = None) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices — the
+    vector counterpart of dq_drift_psi/ks: cosine similarity between
+    the per-slice mean vectors (centroids). A healthy re-embed or an
+    unchanged pipeline sits at cos ≈ 1; encoder swaps, language-mix
+    shifts, or ingestion bugs pull it down. Returns ONE row:
+    (n_ref, n_cur, cos_centroid, drift) with drift = 1 − cos.
+
+    Exactness: components quantize to q = round(x·2^16) (the
+    dim_variance convention); per-(dimension, side) sums are exact
+    int64, and the three quadratic reductions (dot, ‖a‖², ‖b‖²) run
+    in DECIMAL(38,0) — sa,sb ≤ n·2^16 ≈ 10 digits, products ≤ 20
+    digits, 64-term sums ≤ 22 digits, exact on both engines (the
+    oracle widens through HUGEINT). cos is then ONE fixed-order
+    double expression; cosine is scale-invariant, so dividing by n
+    is never needed and no float division precedes the final one.
+
+    Scale shape: one posexplode + one map-side-combined hash
+    aggregate on the DIMENSION key (64 groups, sa/sb per side via
+    conditional sums); the quadratic reduction runs over the 64-row
+    relation and the slice counts attach as a 1-row broadcast.
+    Nothing data-sized after the first aggregate."""
+    side = (
+        side_col if side_col is not None else (F.col("vec_id") % 2)
+    ).cast("long")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(float(VAR_SCALE)))
+        .cast("long"),
+    )
+    rows = emb.select(side.alias("__side"), F.posexplode(q).alias("dim", "__q"))
+    per_dim = rows.groupBy("dim").agg(
+        F.sum(F.when(F.col("__side") == 0, F.col("__q")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("__side") == 1, F.col("__q")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    dec = "decimal(38,0)"
+    red = per_dim.agg(
+        F.sum(F.col("sa").cast(dec) * F.col("sb").cast(dec))
+        .cast(dec)
+        .alias("__dot"),
+        F.sum(F.col("sa").cast(dec) * F.col("sa").cast(dec))
+        .cast(dec)
+        .alias("__aa"),
+        F.sum(F.col("sb").cast(dec) * F.col("sb").cast(dec))
+        .cast(dec)
+        .alias("__bb"),
+    )
+    counts = emb.groupBy().agg(
+        F.sum(F.when(side == 0, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(side == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__aa").cast("double"))
+        * F.sqrt(F.col("__bb").cast("double"))
+    )
+    return (
+        red.join(F.broadcast(counts))
+        .select(
+            "n_ref",
+            "n_cur",
+            cos.alias("cos_centroid"),
+            (F.lit(1.0) - cos).alias("drift"),
+        )
+    )
+
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 16
+
+
+def mmr_topk(
+    emb: DataFrame,
+    n_queries: int = 4,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = 5,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily select k results per query
+    maximizing λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s) — the
+    standard redundancy-suppressing reranker for retrieval and RAG
+    context packing (plain top-k returns k near-copies when the
+    corpus has near-dups; MMR spends the budget on coverage).
+    Returns (query_id, vec_id, cos, mmr_score, step), step = 1..k in
+    selection order; ties break on vec_id ASC.
+
+    Scale shape: stage 1 is the broadcast-query corpus scan +
+    WindowGroupLimit shortlist (cosine_topk — the only data-sized
+    work); the greedy loop then runs k bounded relational rounds
+    over the (queries × shortlist) relation and its pairwise-sim
+    self-join (≤ q·m² rows, localCheckpointed once) — never the
+    corpus, no collects. The sequential k-step dependence is
+    inherent to MMR; at 100 TB the corpus cost is stage 1 and the
+    loop is queries-sized."""
+    sl = cosine_topk(emb, n_queries=n_queries, k=shortlist).select(
+        "query_id", "vec_id", "cos"
+    ).localCheckpoint()
+    vecs = emb.select("vec_id", "embedding")
+    sl_emb = sl.join(vecs, "vec_id").select(
+        "query_id", "vec_id", "cos", "embedding"
+    )
+    a = sl_emb.select(
+        "query_id",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = sl_emb.select(
+        "query_id",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    one_minus = F.lit(1.0 - float(lam))
+    lam = F.lit(float(lam))
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_score"), F.asc("vec_id")
+    )
+    # step 1: pure relevance
+    selected = (
+        sl.select(
+            "query_id", "vec_id", "cos", (lam * F.col("cos")).alias("mmr_score")
+        )
+        .withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("step", F.lit(1))
+    )
+    for step in range(2, k + 1):
+        remaining = sl.join(
+            selected.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        penal = (
+            remaining.join(
+                pairs.join(
+                    selected.select(
+                        "query_id", F.col("vec_id").alias("vb")
+                    ),
+                    ["query_id", "vb"],
+                ).select("query_id", F.col("va").alias("vec_id"), "sim"),
+                ["query_id", "vec_id"],
+            )
+            .groupBy("query_id", "vec_id")
+            .agg(F.max("sim").alias("__maxsim"))
+        )
+        scored = remaining.join(penal, ["query_id", "vec_id"]).select(
+            "query_id",
+            "vec_id",
+            "cos",
+            (lam * F.col("cos") - one_minus * F.col("__maxsim")).alias(
+                "mmr_score"
+            ),
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wpick))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("step", F.lit(step))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "query_id", "vec_id", "cos", "mmr_score", F.col("step").cast("int")
+    )

@@ -143,3 +143,120 @@ EXT_ROUND15_QUERIES.update(
         "char_entropy_screen": (char_entropy_q, _sql_char_entropy()),
     }
 )
+
+
+# =========================================================================
+# Embedding centroid drift (operators/simsearch.py centroid_drift)
+# =========================================================================
+
+def embed_drift_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-cosine drift between the even/odd vec_id slices of
+    the embedding corpus (operators/simsearch.py centroid_drift)."""
+    from ..operators.simsearch import centroid_drift
+    from .ext_common import _emb
+
+    return centroid_drift(_emb(spark, sf_dir))
+
+
+def _sql_embed_drift() -> str:
+    from ..operators.simsearch import VAR_SCALE
+
+    cos = (
+        "CAST(red.dot AS DOUBLE) / (sqrt(CAST(red.aa AS DOUBLE)) * "
+        "sqrt(CAST(red.bb AS DOUBLE)))"
+    )
+    return f"""
+WITH r AS (SELECT vec_id % 2 AS side, rr.i AS i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * {float(VAR_SCALE)})
+      AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS rr(i)),
+a AS (SELECT
+    CAST(sum(CASE WHEN side = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN side = 1 THEN q ELSE 0 END) AS BIGINT) AS sb
+  FROM r GROUP BY i),
+red AS (SELECT
+    CAST(sum(CAST(sa AS HUGEINT) * sb) AS HUGEINT) AS dot,
+    CAST(sum(CAST(sa AS HUGEINT) * sa) AS HUGEINT) AS aa,
+    CAST(sum(CAST(sb AS HUGEINT) * sb) AS HUGEINT) AS bb
+  FROM a),
+c AS (SELECT
+    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ref,
+    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_cur
+  FROM embeddings)
+SELECT c.n_ref, c.n_cur, {cos} AS cos_centroid, 1.0 - ({cos}) AS drift
+FROM red CROSS JOIN c
+"""
+
+
+# =========================================================================
+# MMR diversified top-k (operators/simsearch.py mmr_topk)
+# =========================================================================
+
+def simsearch_mmr_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 for 4 query
+    vectors over a 16-deep cosine shortlist (operators/simsearch.py
+    mmr_topk)."""
+    from ..operators.simsearch import mmr_topk
+    from .ext_common import _emb
+
+    return mmr_topk(_emb(spark, sf_dir))
+
+
+def _sql_mmr_topk(nq: int = 4, m: int = 16, k: int = 5) -> str:
+    from ..operators.simsearch import MMR_LAMBDA
+    from .ext_retrieval import _cos_sql
+
+    lam = repr(MMR_LAMBDA)
+    om = repr(1.0 - MMR_LAMBDA)  # same double Spark computes
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {nq}),
+scored AS (SELECT q.query_id, e.vec_id,
+    {_cos_sql('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+sl AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+  SELECT query_id, vec_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+  FROM scored) WHERE r <= {m}),
+sle AS (SELECT sl.query_id, sl.vec_id, sl.cos, e.embedding
+  FROM sl JOIN embeddings e USING (vec_id)),
+ps AS MATERIALIZED (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+    {_cos_sql('a.embedding', 'b.embedding')} AS sim
+  FROM sle a JOIN sle b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+s1 AS (SELECT query_id, vec_id, cos, {lam} * cos AS mmr_score, 1 AS step
+  FROM (SELECT query_id, vec_id, cos, row_number() OVER (
+      PARTITION BY query_id ORDER BY {lam} * cos DESC, vec_id ASC) AS rn
+    FROM sl) WHERE rn = 1)"""
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{j}" for j in range(1, i)
+        )
+        sql += f""",
+sel{i} AS ({sel}),
+rem{i} AS (SELECT sl.* FROM sl ANTI JOIN sel{i} USING (query_id, vec_id)),
+pen{i} AS (SELECT ps.query_id, ps.va AS vec_id, max(ps.sim) AS maxsim
+  FROM ps JOIN sel{i} s ON ps.query_id = s.query_id AND ps.vb = s.vec_id
+  GROUP BY ps.query_id, ps.va),
+s{i} AS (SELECT query_id, vec_id, cos, mmr_score, {i} AS step FROM (
+  SELECT r.query_id, r.vec_id, r.cos,
+    {lam} * r.cos - {om} * p.maxsim AS mmr_score,
+    row_number() OVER (PARTITION BY r.query_id
+      ORDER BY {lam} * r.cos - {om} * p.maxsim DESC, r.vec_id ASC) AS rn
+  FROM rem{i} r JOIN pen{i} p USING (query_id, vec_id)) WHERE rn = 1)"""
+    final = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, cos, mmr_score, "
+        f"CAST(step AS INTEGER) AS step FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    return sql + " " + final
+
+
+EXT_ROUND15_QUERIES.update(
+    {
+        "embed_drift_centroid": (embed_drift_centroid_q, _sql_embed_drift()),
+        "simsearch_mmr_topk": (simsearch_mmr_topk_q, _sql_mmr_topk()),
+    }
+)

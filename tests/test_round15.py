@@ -104,3 +104,122 @@ def test_char_entropy_empty_doc_absent(spark):
         [(1, ""), (2, None), (3, "xy")], "doc_id long, text string"
     )
     assert [r.doc_id for r in char_entropy(df).collect()] == [3]
+
+
+def _toy_emb(spark):
+    # 8 vectors in 4 dims; vecs 4..7 are the corpus for queries 0..3
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.0, 1.0, 0.0, 0.0], "a"),
+        (2, [0.0, 0.0, 1.0, 0.0], "b"),
+        (3, [0.0, 0.0, 0.0, 1.0], "b"),
+        (4, [0.9, 0.1, 0.0, 0.0], "a"),
+        (5, [0.89, 0.11, 0.0, 0.0], "a"),
+        (6, [0.5, 0.5, 0.0, 0.0], "b"),
+        (7, [0.1, 0.9, 0.0, 0.0], "b"),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+
+def test_mmr_prefers_diversity(spark):
+    """With two near-identical top hits, plain top-k takes both;
+    MMR's step 2 must skip the near-copy of the step-1 pick."""
+    from mapreduce_chisquare_spark.operators.simsearch import mmr_topk
+
+    got = {
+        (r.query_id, r.step): r.vec_id
+        for r in mmr_topk(
+            _toy_emb(spark), n_queries=1, shortlist=4, k=3, lam=0.3
+        ).collect()
+    }
+    # query 0 = [1,0,0,0]: relevance order is 4, 5, 6, 7; at the
+    # diversity-heavy lam=0.3 MMR keeps 4 then must jump past 5
+    # (cos(4,5) ~ 1) to a more diverse pick (at lam=0.7 relevance
+    # legitimately wins - checked by the model-parity test)
+    assert got[(0, 1)] == 4
+    assert got[(0, 2)] in (6, 7) and got[(0, 2)] != 5
+
+
+def test_mmr_model_parity(spark):
+    """Exact greedy-model parity on the toy corpus (lambda=0.7)."""
+    import math
+
+    from mapreduce_chisquare_spark.operators.simsearch import mmr_topk
+
+    rows = _toy_emb(spark).collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        num = aa = bb = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+            aa += x * x
+            bb += y * y
+        return num / (math.sqrt(aa) * math.sqrt(bb))
+
+    def model(qid, shortlist, k, lam=0.7):
+        cand = sorted(
+            ((cos(vecs[qid], vecs[v]), v) for v in vecs if v != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:shortlist]
+        sel, out = [], []
+        for step in range(1, k + 1):
+            best = None
+            for c, v in cand:
+                if v in sel:
+                    continue
+                score = (
+                    lam * c
+                    if not sel
+                    else lam * c
+                    - (1.0 - lam) * max(cos(vecs[v], vecs[s]) for s in sel)
+                )
+                if best is None or score > best[0] or (
+                    score == best[0] and v < best[1]
+                ):
+                    best = (score, v)
+            sel.append(best[1])
+            out.append((step, best[1], best[0]))
+        return out
+
+    got = sorted(
+        (r.query_id, r.step, r.vec_id, r.mmr_score)
+        for r in mmr_topk(
+            _toy_emb(spark), n_queries=2, shortlist=6, k=4
+        ).collect()
+    )
+    want = sorted(
+        (q, step, v, s)
+        for q in (0, 1)
+        for step, v, s in model(q, 6, 4)
+    )
+    assert [(q, st, v) for q, st, v, _ in got] == [
+        (q, st, v) for q, st, v, _ in want
+    ]
+    for (_, _, _, a), (_, _, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-12
+
+
+def test_centroid_drift_identical_slices(spark):
+    """Slices with IDENTICAL vectors must read cos = 1, drift = 0
+    exactly (integer sums make the two centroids equal)."""
+    from mapreduce_chisquare_spark.operators.simsearch import centroid_drift
+
+    rows = [(i, [0.5, -0.25, 0.125, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = centroid_drift(df).collect()[0]
+    assert (r.n_ref, r.n_cur) == (5, 5)
+    assert r.cos_centroid == 1.0 and r.drift == 0.0
+
+
+def test_centroid_drift_orthogonal_slices(spark):
+    from mapreduce_chisquare_spark.operators.simsearch import centroid_drift
+
+    rows = [
+        (i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = centroid_drift(df).collect()[0]
+    assert r.cos_centroid == 0.0 and r.drift == 1.0
