@@ -278,6 +278,8 @@ HEADLINE = [
     # round-15 second batch (first measurement = their baseline)
     "embed_drift_centroid",
     "simsearch_mmr_topk",
+    # round-15 third batch (first measurement = their baseline)
+    "ngram_novelty",
 ]
 
 # ---------------------------------------------------------------------------
@@ -328,6 +330,13 @@ BENCH_EXCLUDED_LIGHT = [
     # round-14: one ranking window per small group key — the benched
     # window_rank representative covers the sort-window cost shape
     "window_cume_dist",
+    # round-15: RANGE-frame variant of the benched window_moving_sum
+    # cost shape (same one-exchange key window, different frame kind)
+    "window_range_between",
+    # round-15: one (group, value) hash count + a rank window over
+    # the distinct-value relation — dominated by the benched
+    # distinct_agg / topk_per_group shapes
+    "agg_mode_exact",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

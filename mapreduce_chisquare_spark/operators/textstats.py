@@ -2091,3 +2091,60 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("normal"))
         .alias("bucket"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty under the doc_id ingestion order:
+    the fraction of a doc's DISTINCT n-grams whose FIRST corpus
+    occurrence (min doc_id) is this doc — the curriculum/freshness
+    curve a training-data pipeline watches to see when a source
+    stops contributing new content (novelty decays toward 0 as the
+    corpus saturates; a flat-high curve means the stream is still
+    fresh). Returns (doc_id, n_grams, n_novel, novelty); documents
+    with fewer than n tokens have no grams and produce no row (same
+    contract as shingles()).
+
+    Exactness: counts are exact integers over the distinct
+    (doc, gram) relation; novelty is ONE division of exact counts.
+
+    Scale shape: gram explode (the ngram_counts volume class) → one
+    distinct on (doc, gram) (map-side combinable) → min(doc_id) per
+    gram over the distinct relation → one gram-keyed join back + a
+    per-doc aggregate. Every post-explode relation is
+    distinct-gram-sized, not corpus-token-sized; nothing quadratic,
+    no windows."""
+    parts = ", ".join(f"element_at(__w, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+    dg = (
+        docs.select("doc_id", _words(text_col).alias("__w"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("ngram"))
+        .distinct()
+    )
+    first = dg.groupBy("ngram").agg(F.min("doc_id").alias("__first"))
+    novel = F.sum(
+        F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        dg.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -260,3 +260,141 @@ EXT_ROUND15_QUERIES.update(
         "simsearch_mmr_topk": (simsearch_mmr_topk_q, _sql_mmr_topk()),
     }
 )
+
+
+# =========================================================================
+# Round-15 third batch: n-gram novelty curve, RANGE-frame window,
+# exact per-group mode
+# =========================================================================
+
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty under doc_id order
+    (operators/textstats.py ngram_novelty)."""
+    from ..operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
+SQL_NGRAM_NOVELTY = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+      AS arr
+  FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(arr) >= 3 THEN
+      list_transform(range(1, len(arr) - 1),
+                     i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+    ELSE [] END) AS ngram
+  FROM w),
+g AS (SELECT DISTINCT doc_id, ngram FROM g0),
+f AS (SELECT ngram, min(doc_id) AS fd FROM g GROUP BY ngram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS novelty
+FROM g JOIN f USING (ngram) GROUP BY g.doc_id
+"""
+
+
+def window_range_between_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the benched ROWS frames): per order,
+    the customer's rolling 30-day order-value sum — RANGE BETWEEN 30
+    PRECEDING AND CURRENT ROW over the epoch-day ordering key, so
+    same-day orders share one frame (the semantic ROWS frames cannot
+    express). Exact cents integers; one exchange on o_custkey."""
+    from pyspark.sql import Window
+    from .ext_round14 import _t
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("__cents").over(w).cast("long").alias("sum_30d_cents"),
+    )
+
+
+SQL_WINDOW_RANGE_BETWEEN = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+      AS day,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, o_custkey, day,
+  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS sum_30d_cents
+FROM o
+"""
+
+
+def agg_mode_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with deterministic tie-break (count DESC,
+    value ASC): the most frequent l_quantity per (returnflag,
+    linestatus). One (group, value) hash count + a rank window over
+    the distinct-value relation — never a data-sized window."""
+    from pyspark.sql import Window
+    from .ext_round14 import _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = li.groupBy("l_returnflag", "l_linestatus", "qty").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("cnt"), F.asc("qty")
+    )
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+SQL_AGG_MODE_EXACT = """
+WITH per AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_linestatus, qty)
+SELECT l_returnflag, l_linestatus, qty AS mode_quantity,
+  cnt AS mode_count
+FROM (SELECT per.*, row_number() OVER (
+    PARTITION BY l_returnflag, l_linestatus
+    ORDER BY cnt DESC, qty ASC) AS rn FROM per)
+WHERE rn = 1
+"""
+
+
+EXT_ROUND15_QUERIES.update(
+    {
+        "ngram_novelty": (ngram_novelty_q, SQL_NGRAM_NOVELTY),
+        "window_range_between": (
+            window_range_between_q,
+            SQL_WINDOW_RANGE_BETWEEN,
+        ),
+        "agg_mode_exact": (agg_mode_exact_q, SQL_AGG_MODE_EXACT),
+    }
+)

@@ -223,3 +223,84 @@ def test_centroid_drift_orthogonal_slices(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     r = centroid_drift(df).collect()[0]
     assert r.cos_centroid == 0.0 and r.drift == 1.0
+
+
+def test_ngram_novelty_model(spark):
+    """First doc is all-novel; an exact repeat is zero-novel; a
+    half-overlap doc scores the exact fraction."""
+    from mapreduce_chisquare_spark.operators.textstats import ngram_novelty
+
+    docs = [
+        (1, "a b c d"),        # grams: abc, bcd -> both novel
+        (2, "a b c d"),        # exact repeat -> 0 novel
+        (3, "b c d e"),        # grams: bcd (seen), cde (novel)
+        (4, "x y"),            # too short -> no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (2, 2, 1.0)
+    assert (got[2].n_grams, got[2].n_novel, got[2].novelty) == (2, 0, 0.0)
+    assert (got[3].n_grams, got[3].n_novel, got[3].novelty) == (2, 1, 0.5)
+
+
+def test_window_range_vs_rows_semantics(spark):
+    """RANGE frame must include ALL same-day rows and value-distant
+    rows within 30 days — the case a ROWS frame cannot express."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 100, 0, 10),
+        (2, 100, 0, 20),   # same day as order 1: shared frame
+        (3, 100, 25, 5),   # within 30 days of day 0
+        (4, 100, 60, 7),   # outside every earlier frame
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, day long, cents long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    got = {
+        r.o_orderkey: r.s
+        for r in df.select(
+            "o_orderkey", F.sum("cents").over(w).alias("s")
+        ).collect()
+    }
+    # same-day orders 1,2 BOTH see 10+20; order 3 sees all of day 0
+    assert got[1] == 30 and got[2] == 30
+    assert got[3] == 35
+    assert got[4] == 7
+
+
+def test_agg_mode_exact_tiebreak(spark):
+    """Equal-count modes must resolve to the SMALLEST value."""
+    from mapreduce_chisquare_spark.plans.ext_round15 import agg_mode_exact_q
+
+    # build via the registry entry's own skeleton on a toy relation
+    df = spark.createDataFrame(
+        [("A", "F", 5.0), ("A", "F", 5.0), ("A", "F", 3.0), ("A", "F", 3.0),
+         ("N", "O", 9.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    from pyspark.sql import Window
+
+    per = df.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).groupBy("l_returnflag", "l_linestatus", "qty").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("cnt"), F.asc("qty")
+    )
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.qty, r.cnt)
+        for r in per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got[("A", "F")] == (3, 2)  # tie 5 vs 3 -> smaller value
+    assert got[("N", "O")] == (9, 1)
