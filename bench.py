@@ -280,6 +280,9 @@ HEADLINE = [
     "simsearch_mmr_topk",
     # round-15 third batch (first measurement = their baseline)
     "ngram_novelty",
+    # round-15 fourth batch (first measurement = their baseline)
+    "embed_standardize",
+    "source_dedup_rate",
 ]
 
 # ---------------------------------------------------------------------------
@@ -337,6 +340,12 @@ BENCH_EXCLUDED_LIGHT = [
     # the distinct-value relation — dominated by the benched
     # distinct_agg / topk_per_group shapes
     "agg_mode_exact",
+    # round-15: the user-keyed ranking window is the cost, and the
+    # benched events_attribution rides the identical exchange
+    "events_path_topk",
+    # round-15: edge derivation is a strict prefix of the benched
+    # graph_triangles plan (same co-order build, no orientation pass)
+    "graph_degree_distribution",
     "agg_approx_distinct",
     "agg_approx_distinct_grouped",
     "agg_approx_percentile",

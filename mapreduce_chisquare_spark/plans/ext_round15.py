@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as cu
-from .ext_common import _docs
+from ..sources.readers import scan_parquet
+from .ext_common import _docs, _events
 
 EXT_ROUND15_QUERIES: dict = {}
 
@@ -396,5 +397,210 @@ EXT_ROUND15_QUERIES.update(
             SQL_WINDOW_RANGE_BETWEEN,
         ),
         "agg_mode_exact": (agg_mode_exact_q, SQL_AGG_MODE_EXACT),
+    }
+)
+
+
+# =========================================================================
+# Round-15 fourth batch: embedding standardization, per-source dup
+# rate, top event paths, degree distribution
+# =========================================================================
+
+def embed_standardize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score whitening, long form
+    (operators/simsearch.py standardize_dims)."""
+    from ..operators.simsearch import standardize_dims
+    from .ext_common import _emb
+
+    return standardize_dims(_emb(spark, sf_dir))
+
+
+def _sql_embed_standardize() -> str:
+    from ..operators.simsearch import VAR_SCALE
+
+    return f"""
+WITH r AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * {float(VAR_SCALE)})
+      AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS rr(i)),
+st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+  FROM r GROUP BY dim)
+SELECT r.vec_id, r.dim,
+  CASE WHEN st.n * st.ss - st.s * st.s > 0 THEN
+    CAST(st.n * r.q - st.s AS DOUBLE)
+      / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+  ELSE 0.0 END AS z
+FROM r JOIN st USING (dim)
+"""
+
+
+def source_dedup_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the corpus-health report
+    that tells a curation pipeline WHICH feed is flooding it with
+    copies (dedup_exact finds the groups; this attributes them).
+    (source, n_docs, n_dup_docs, dup_rate): a doc counts as dup when
+    its text hash occurs >= 2 times corpus-wide (cross-source dupes
+    count in every source involved — attribution, not survivorship).
+    One hash aggregate + one hash-keyed join + a source-keyed
+    aggregate; all map-side-combinable."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    hc = d.groupBy(F.md5("text").alias("__h")).agg(
+        F.count("*").alias("__cnt")
+    )
+    j = d.select("source", F.md5("text").alias("__h")).join(hc, "__h")
+    dup = F.sum(F.when(F.col("__cnt") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            dup.alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_SOURCE_DEDUP_RATE = """
+WITH d AS (SELECT source, md5(text) AS h FROM documents
+           WHERE text IS NOT NULL),
+hc AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY h)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN hc.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_docs,
+  CAST(sum(CASE WHEN hc.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM d JOIN hc USING (h) GROUP BY d.source
+"""
+
+
+def events_path_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening event paths: each user's first 3 event types
+    under the total (ts, event_id) order, joined with '>' — the
+    onboarding-funnel census (which openings are common; where do
+    journeys start). One user-keyed ranking window (the
+    events_attribution exchange shape) + one path count +
+    TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 3
+    )
+    paths = (
+        firsts.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SQL_EVENTS_PATH_TOPK = """
+WITH r AS (
+  SELECT user_id, event_type, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+"""
+
+
+def graph_degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the support-2 co-order part graph (the
+    graph_triangles fixture, planted K4 included): (deg, n_nodes) —
+    the first diagnostic run on any production graph (hub detection,
+    power-law sanity, join-skew forecasting for the heavier graph
+    passes). Edge derivation as in graph_triangles; then one degree
+    aggregate + one histogram aggregate, both map-side-combinable."""
+    from .registry_analytics import _TRI_PLANT
+
+    li = scan_parquet(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_partkey").alias("p_key"),
+    )
+    plant = spark.createDataFrame(_TRI_PLANT, "o_key long, p_key long")
+    dop = op.union(plant).distinct()
+    a = dop.select(F.col("o_key"), F.col("p_key").alias("lo"))
+    b = dop.select(F.col("o_key"), F.col("p_key").alias("hi"))
+    edges = (
+        a.join(b, "o_key")
+        .filter(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+    )
+    nodes = edges.select(F.col("lo").alias("node")).union(
+        edges.select(F.col("hi").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy(F.asc("deg"))
+    )
+
+
+def _sql_degree_distribution() -> str:
+    from .registry_analytics import _TRI_PLANT
+
+    plant_rows = ", ".join(f"({o}, {p})" for o, p in _TRI_PLANT)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT o_key, p_key FROM (
+    SELECT l_orderkey AS o_key, l_partkey AS p_key FROM lineitem
+    UNION ALL
+    SELECT * FROM (VALUES {plant_rows}) v(o_key, p_key))),
+edges AS (
+  SELECT a.p_key AS lo, b.p_key AS hi
+  FROM op a JOIN op b ON a.o_key = b.o_key AND a.p_key < b.p_key
+  GROUP BY a.p_key, b.p_key
+  HAVING count(*) >= 2),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges)
+  GROUP BY node)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY deg ORDER BY deg ASC
+"""
+
+
+EXT_ROUND15_QUERIES.update(
+    {
+        "embed_standardize": (embed_standardize_q, _sql_embed_standardize()),
+        "source_dedup_rate": (source_dedup_rate_q, SQL_SOURCE_DEDUP_RATE),
+        "events_path_topk": (events_path_topk_q, SQL_EVENTS_PATH_TOPK),
+        "graph_degree_distribution": (
+            graph_degree_distribution_q,
+            _sql_degree_distribution(),
+        ),
     }
 )

@@ -304,3 +304,114 @@ def test_agg_mode_exact_tiebreak(spark):
     }
     assert got[("A", "F")] == (3, 2)  # tie 5 vs 3 -> smaller value
     assert got[("N", "O")] == (9, 1)
+
+
+def test_standardize_dims_model(spark):
+    """Exact z parity with the integer model; constant dim -> 0."""
+    import math
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        VAR_SCALE,
+        standardize_dims,
+    )
+
+    rows = [
+        (1, [0.5, 1.0]),
+        (2, [-0.5, 1.0]),
+        (3, [0.25, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.dim): r.z for r in standardize_dims(df).collect()}
+    q = {v: [round(x * VAR_SCALE) for x in emb] for v, emb in rows}
+    for d in (0, 1):
+        qs = [q[v][d] for v in (1, 2, 3)]
+        n, s, ss = len(qs), sum(qs), sum(x * x for x in qs)
+        rad = n * ss - s * s
+        for v in (1, 2, 3):
+            want = (
+                (n * q[v][d] - s) / math.sqrt(rad) if rad > 0 else 0.0
+            )
+            assert got[(v, d)] == want, (v, d, got[(v, d)], want)
+    # dim 1 is constant -> exactly 0 everywhere
+    assert all(got[(v, 1)] == 0.0 for v in (1, 2, 3))
+
+
+def test_source_dedup_rate_planted(spark):
+    from mapreduce_chisquare_spark.plans.ext_round15 import (
+        source_dedup_rate_q,
+    )
+
+    # exercise via the operator skeleton on a toy relation
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "feedA"),
+            (2, "same text", "feedA"),
+            (3, "unique one", "feedA"),
+            (4, "same text", "feedB"),  # cross-source dup counts in B too
+            (5, None, "feedB"),         # NULL text excluded entirely
+        ],
+        "doc_id long, text string, source string",
+    )
+    hc = df.filter(F.col("text").isNotNull()).groupBy(
+        F.md5("text").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    j = (
+        df.filter(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("h"))
+        .join(hc, "h")
+    )
+    got = {
+        r.source: (r.n, r.d)
+        for r in j.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("d"),
+        )
+        .collect()
+    }
+    assert got == {"feedA": (3, 2), "feedB": (1, 1)}
+
+
+def test_events_path_first3_order(spark):
+    """Paths must follow the total (ts, event_id) order and cut at 3."""
+    from pyspark.sql import Window
+
+    rows = [
+        (10, 1, 100, "view"), (11, 2, 100, "click"), (12, 3, 100, "buy"),
+        (13, 4, 100, "view"),                      # 4th event ignored
+        (20, 5, 200, "click"), (21, 5, 200, "view"),  # tie ts -> id order
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    got = {
+        r.user_id: r.path
+        for r in firsts.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .collect()
+    }
+    assert got[100] == "view>click>buy"
+    assert got[200] == "click>view"  # ts tie broken by event_id asc
+
+
+def test_degree_distribution_planted_k4(spark, sf_dir):
+    """The planted K4 guarantees at least 4 nodes of degree >= 3."""
+    from mapreduce_chisquare_spark.plans.ext_round15 import (
+        graph_degree_distribution_q,
+    )
+
+    rows = graph_degree_distribution_q(spark, sf_dir).collect()
+    assert sum(r.n_nodes for r in rows if r.deg >= 3) >= 4
+    assert all(r.deg >= 1 for r in rows)
