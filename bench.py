@@ -283,6 +283,7 @@ HEADLINE = [
     # round-15 fourth batch (first measurement = their baseline)
     "embed_standardize",
     "source_dedup_rate",
+    "dq_profile_columns",
 ]
 
 # ---------------------------------------------------------------------------

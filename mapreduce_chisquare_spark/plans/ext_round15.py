@@ -604,3 +604,78 @@ EXT_ROUND15_QUERIES.update(
         ),
     }
 )
+
+
+# =========================================================================
+# One-pass column profiler (dq family)
+# =========================================================================
+
+def dq_profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the events stream — the
+    schema-health report (null rates, exact cardinalities) a pipeline
+    runs before trusting a new feed. The corpus has no natural NULLs,
+    so the fixture nullifies value on event_id % 9 == 0 and props on
+    event_id % 7 == 0 (mirrored in the oracle) — the null-count gate
+    certifies on real NULLs. Returns one row per column:
+    (column, n_rows, n_nulls, n_distinct).
+
+    Scale shape: ONE aggregate pass computes every column's
+    null/distinct stats (Spark expands the multi-distinct into one
+    expand + aggregate — still a single scan), then a row-local
+    stack() unpivots the 1-row result; nothing else touches data."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 9 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 7 != 0, F.col("props")).alias("props"),
+    )
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"__nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+SQL_DQ_PROFILE_COLUMNS = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+    CASE WHEN event_id % 9 <> 0 THEN value END AS value,
+    CASE WHEN event_id % 7 <> 0 THEN props END AS props
+  FROM events),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) - count(event_id) AS BIGINT) AS nn_event_id,
+    CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+    CAST(count(*) - count(user_id) AS BIGINT) AS nn_user_id,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+    CAST(count(*) - count(event_type) AS BIGINT) AS nn_event_type,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+    CAST(count(*) - count(value) AS BIGINT) AS nn_value,
+    CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+    CAST(count(*) - count(props) AS BIGINT) AS nn_props,
+    CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+  FROM ev)
+SELECT 'event_id' AS "column", n AS n_rows, nn_event_id AS n_nulls,
+       nd_event_id AS n_distinct FROM a
+UNION ALL SELECT 'user_id', n, nn_user_id, nd_user_id FROM a
+UNION ALL SELECT 'event_type', n, nn_event_type, nd_event_type FROM a
+UNION ALL SELECT 'value', n, nn_value, nd_value FROM a
+UNION ALL SELECT 'props', n, nn_props, nd_props FROM a
+"""
+
+
+EXT_ROUND15_QUERIES.update(
+    {
+        "dq_profile_columns": (dq_profile_columns_q, SQL_DQ_PROFILE_COLUMNS),
+    }
+)

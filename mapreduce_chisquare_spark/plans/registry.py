@@ -141,8 +141,13 @@ _CERTIFY_WINDOW = [
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-16 window TODO: promote (a) any round-15 tail additions
-# FIRST, then (b) the 20 remaining r9-era stale rows
+# Round-16 window TODO: promote (a) the round-15 tail additions
+# FIRST (pii_screen stream_pii_screen char_entropy_screen
+# embed_drift_centroid simsearch_mmr_topk ngram_novelty
+# window_range_between agg_mode_exact embed_standardize
+# source_dedup_rate events_path_topk graph_degree_distribution —
+# all locally gated green at sf0.001 + sf0.01 + sf0.1 in round 15),
+# then (b) the 20 remaining r9-era stale rows
 # (array_scalars join_bucketed ngram_counts join_bloom_prefilter
 # doc_chunk pack_sequences sink_orc_roundtrip rollup_multigrain
 # explode_outer_keywords simsearch_ivfpq ts_anomaly_zscore

@@ -415,3 +415,21 @@ def test_degree_distribution_planted_k4(spark, sf_dir):
     rows = graph_degree_distribution_q(spark, sf_dir).collect()
     assert sum(r.n_nodes for r in rows if r.deg >= 3) >= 4
     assert all(r.deg >= 1 for r in rows)
+
+
+def test_dq_profile_columns_planted_nulls(spark, sf_dir):
+    from mapreduce_chisquare_spark.plans.ext_round15 import (
+        dq_profile_columns_q,
+    )
+
+    rows = {r.column: r for r in dq_profile_columns_q(spark, sf_dir).collect()}
+    assert set(rows) == {"event_id", "user_id", "event_type", "value",
+                         "props"}
+    n = rows["event_id"].n_rows
+    assert all(r.n_rows == n for r in rows.values())
+    # key column: no nulls, all distinct
+    assert rows["event_id"].n_nulls == 0
+    assert rows["event_id"].n_distinct == n
+    # planted nulls: every 9th value, every 7th props
+    assert rows["value"].n_nulls == (n + 8) // 9
+    assert rows["props"].n_nulls == (n + 6) // 7
