@@ -344,6 +344,10 @@ BENCH_EXCLUDED_LIGHT = [
     # round-15: the user-keyed ranking window is the cost, and the
     # benched events_attribution rides the identical exchange
     "events_path_topk",
+    # round-15: metric aggregates over q·k shortlist rows riding the
+    # benched simsearch_topk / simsearch_lsh_topk index probes
+    "rank_eval_ndcg",
+    "rank_eval_recall",
     # round-15: edge derivation is a strict prefix of the benched
     # graph_triangles plan (same co-order build, no orientation pass)
     "graph_degree_distribution",

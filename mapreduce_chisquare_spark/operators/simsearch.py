@@ -25,6 +25,7 @@ time — identical literals are embedded in the oracle SQL.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1798,4 +1799,104 @@ def standardize_dims(emb: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return rows.join(F.broadcast(stats), "dim").select(
         "vec_id", "dim", z.alias("z")
+    )
+
+
+NDCG_K = 5
+# Integer nano-gains: W_i = round(1e9 / log2(i + 1)). Python computes
+# the literals ONCE; Spark and the oracle consume the identical
+# integers, so the DCG sum is an exact, order-independent int64 and
+# cross-engine log2() ulp differences cannot exist by construction.
+NDCG_W = [round(1e9 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+NDCG_CUM = [0]
+for _w in NDCG_W:
+    NDCG_CUM.append(NDCG_CUM[-1] + _w)
+
+
+def ndcg_at_k(
+    emb: DataFrame, n_queries: int = 8, k: int = NDCG_K
+) -> DataFrame:
+    """NDCG@k of the exact cosine ranking against label-match
+    relevance (corpus label == query label) — the standard graded
+    ranking metric, here with binary gains. Returns
+    (query_id, n_rel, dcg_fp, ndcg); dcg_fp is the exact integer
+    nano-gain sum, ndcg ONE division by the ideal prefix sum
+    (NDCG_CUM[n_rel]; 0 when the shortlist holds no relevant item).
+
+    Scale shape: rides cosine_topk (broadcast queries + one corpus
+    scan + WindowGroupLimit); the label joins are
+    shortlist-sized/broadcast and the metric aggregate runs over
+    q·k rows."""
+    tk = cosine_topk(emb, n_queries=n_queries, k=k)
+    labels = emb.select("vec_id", "label")
+    qlab = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    rel = (F.col("label") == F.col("q_label")).cast("long")
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in NDCG_W]), F.col("rank")
+    ).cast("long")
+    per = (
+        tk.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select("query_id", rel.alias("__rel"), (rel * w).alias("__gain"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("__rel").cast("long").alias("n_rel"),
+            F.sum("__gain").cast("long").alias("dcg_fp"),
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(x) for x in NDCG_CUM]),
+        (F.col("n_rel") + 1).cast("int"),
+    ).cast("long")
+    return per.select(
+        "query_id",
+        "n_rel",
+        "dcg_fp",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("dcg_fp").cast("double") / idcg.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+def recall_at_k(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN shortlist against the exact
+    cosine ground truth — THE acceptance metric for every
+    approximate tier in the ANN ladder (a fast index that recalls
+    0.4 is not an index). Returns (query_id, n_hit, recall) with
+    recall = |ANN@k ∩ exact@k| / k; queries whose hyperplane bucket
+    is a singleton recall 0 (disclosed — that IS the quality signal
+    at this bucket granularity).
+
+    Scale shape: two shortlist plans (each broadcast-query corpus
+    scans with WindowGroupLimit cuts) + a q·k-row join — the metric
+    costs two index probes, nothing more."""
+    exact = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    ann = lsh_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
     )

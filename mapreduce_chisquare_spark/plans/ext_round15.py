@@ -679,3 +679,79 @@ EXT_ROUND15_QUERIES.update(
         "dq_profile_columns": (dq_profile_columns_q, SQL_DQ_PROFILE_COLUMNS),
     }
 )
+
+
+# =========================================================================
+# Retrieval evaluation: NDCG@5 and ANN recall@5
+# =========================================================================
+
+def rank_eval_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the exact ranking vs label-match relevance
+    (operators/simsearch.py ndcg_at_k)."""
+    from ..operators.simsearch import ndcg_at_k
+    from .ext_common import _emb
+
+    return ndcg_at_k(_emb(spark, sf_dir))
+
+
+def _sql_rank_eval_ndcg() -> str:
+    from ..operators.simsearch import NDCG_CUM, NDCG_W
+    from .ext_retrieval import SQL_SIMSEARCH_TOPK
+
+    wcase = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(NDCG_W)
+    )
+    cumcase = " ".join(
+        f"WHEN {i} THEN {c}" for i, c in enumerate(NDCG_CUM) if i > 0
+    )
+    return f"""
+WITH tk AS ({SQL_SIMSEARCH_TOPK}),
+ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings
+       WHERE vec_id < 8),
+j AS (SELECT tk.query_id,
+    CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END AS rel,
+    tk.rank
+  FROM tk JOIN embeddings l USING (vec_id) JOIN ql USING (query_id)),
+a AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+    CAST(sum(rel * CASE rank {wcase} END) AS BIGINT) AS dcg_fp
+  FROM j GROUP BY query_id)
+SELECT query_id, n_rel, dcg_fp,
+  CASE WHEN n_rel > 0 THEN CAST(dcg_fp AS DOUBLE)
+    / CAST(CASE n_rel {cumcase} END AS DOUBLE) ELSE 0.0 END AS ndcg
+FROM a
+"""
+
+
+def rank_eval_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5: LSH shortlist vs exact ground truth
+    (operators/simsearch.py recall_at_k)."""
+    from ..operators.simsearch import recall_at_k
+    from .ext_common import _emb
+
+    return recall_at_k(_emb(spark, sf_dir))
+
+
+def _sql_rank_eval_recall(k: int = 5) -> str:
+    from .ext_retrieval import SQL_SIMSEARCH_LSH_TOPK, SQL_SIMSEARCH_TOPK
+
+    return f"""
+WITH ex AS ({SQL_SIMSEARCH_TOPK}),
+ann AS ({SQL_SIMSEARCH_LSH_TOPK}),
+h AS (SELECT ann.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM ann JOIN ex ON ann.query_id = ex.query_id
+    AND ann.vec_id = ex.vec_id
+  GROUP BY ann.query_id),
+qs AS (SELECT DISTINCT query_id FROM ex)
+SELECT qs.query_id,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {float(k)} AS recall
+FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+"""
+
+
+EXT_ROUND15_QUERIES.update(
+    {
+        "rank_eval_ndcg": (rank_eval_ndcg_q, _sql_rank_eval_ndcg()),
+        "rank_eval_recall": (rank_eval_recall_q, _sql_rank_eval_recall()),
+    }
+)

@@ -145,7 +145,8 @@ _CERTIFY_WINDOW = [
 # FIRST (pii_screen stream_pii_screen char_entropy_screen
 # embed_drift_centroid simsearch_mmr_topk ngram_novelty
 # window_range_between agg_mode_exact embed_standardize
-# source_dedup_rate events_path_topk graph_degree_distribution —
+# source_dedup_rate events_path_topk graph_degree_distribution
+# dq_profile_columns rank_eval_ndcg rank_eval_recall —
 # all locally gated green at sf0.001 + sf0.01 + sf0.1 in round 15),
 # then (b) the 20 remaining r9-era stale rows
 # (array_scalars join_bucketed ngram_counts join_bloom_prefilter

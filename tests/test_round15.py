@@ -433,3 +433,49 @@ def test_dq_profile_columns_planted_nulls(spark, sf_dir):
     # planted nulls: every 9th value, every 7th props
     assert rows["value"].n_nulls == (n + 8) // 9
     assert rows["props"].n_nulls == (n + 6) // 7
+
+
+def test_ndcg_model(spark):
+    """NDCG parity with the textbook formula on a crafted ranking:
+    relevant items at ranks 1 and 3 of 5."""
+    import math as _m
+
+    from mapreduce_chisquare_spark.operators.simsearch import (
+        NDCG_CUM,
+        NDCG_W,
+        ndcg_at_k,
+    )
+
+    # query 0 = [1,0,0,0] with label "x": corpus ordered by cosine
+    # puts labels x, y, x, y, y at ranks 1..5
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (10, [0.99, 0.01], "x"),
+        (11, [0.98, 0.02], "y"),
+        (12, [0.97, 0.03], "x"),
+        (13, [0.96, 0.04], "y"),
+        (14, [0.95, 0.05], "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    r = ndcg_at_k(df, n_queries=1, k=5).collect()[0]
+    assert r.n_rel == 2
+    want_dcg = NDCG_W[0] + NDCG_W[2]
+    assert r.dcg_fp == want_dcg
+    assert r.ndcg == want_dcg / NDCG_CUM[2]
+    # sanity vs the float formula
+    f = (1 / _m.log2(2) + 1 / _m.log2(4)) / (1 / _m.log2(2) + 1 / _m.log2(3))
+    assert abs(r.ndcg - f) < 1e-6
+
+
+def test_recall_at_k_bounds(spark, sf_dir):
+    from mapreduce_chisquare_spark.plans.ext_round15 import (
+        rank_eval_recall_q,
+    )
+
+    rows = rank_eval_recall_q(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hit <= 5
+        assert r.recall == r.n_hit / 5.0
