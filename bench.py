@@ -337,10 +337,6 @@ BENCH_EXCLUDED_LIGHT = [
     # round-15: RANGE-frame variant of the benched window_moving_sum
     # cost shape (same one-exchange key window, different frame kind)
     "window_range_between",
-    # round-15: one (group, value) hash count + a rank window over
-    # the distinct-value relation — dominated by the benched
-    # distinct_agg / topk_per_group shapes
-    "agg_mode_exact",
     # round-15: the user-keyed ranking window is the cost, and the
     # benched events_attribution rides the identical exchange
     "events_path_topk",

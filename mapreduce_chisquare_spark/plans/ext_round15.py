@@ -344,51 +344,6 @@ FROM o
 """
 
 
-def agg_mode_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group mode with deterministic tie-break (count DESC,
-    value ASC): the most frequent l_quantity per (returnflag,
-    linestatus). One (group, value) hash count + a rank window over
-    the distinct-value relation — never a data-sized window."""
-    from pyspark.sql import Window
-    from .ext_round14 import _t
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_linestatus",
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    per = li.groupBy("l_returnflag", "l_linestatus", "qty").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        F.desc("cnt"), F.asc("qty")
-    )
-    return (
-        per.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.col("qty").alias("mode_quantity"),
-            F.col("cnt").alias("mode_count"),
-        )
-    )
-
-
-SQL_AGG_MODE_EXACT = """
-WITH per AS (
-  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
-    CAST(count(*) AS BIGINT) AS cnt
-  FROM lineitem GROUP BY l_returnflag, l_linestatus, qty)
-SELECT l_returnflag, l_linestatus, qty AS mode_quantity,
-  cnt AS mode_count
-FROM (SELECT per.*, row_number() OVER (
-    PARTITION BY l_returnflag, l_linestatus
-    ORDER BY cnt DESC, qty ASC) AS rn FROM per)
-WHERE rn = 1
-"""
-
-
 EXT_ROUND15_QUERIES.update(
     {
         "ngram_novelty": (ngram_novelty_q, SQL_NGRAM_NOVELTY),
@@ -396,7 +351,6 @@ EXT_ROUND15_QUERIES.update(
             window_range_between_q,
             SQL_WINDOW_RANGE_BETWEEN,
         ),
-        "agg_mode_exact": (agg_mode_exact_q, SQL_AGG_MODE_EXACT),
     }
 )
 

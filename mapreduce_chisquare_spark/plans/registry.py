@@ -144,7 +144,7 @@ _CERTIFY_WINDOW = [
 # Round-16 window TODO: promote (a) the round-15 tail additions
 # FIRST (pii_screen stream_pii_screen char_entropy_screen
 # embed_drift_centroid simsearch_mmr_topk ngram_novelty
-# window_range_between agg_mode_exact embed_standardize
+# window_range_between embed_standardize
 # source_dedup_rate events_path_topk graph_degree_distribution
 # dq_profile_columns rank_eval_ndcg rank_eval_recall —
 # all locally gated green at sf0.001 + sf0.01 + sf0.1 in round 15),

@@ -275,37 +275,6 @@ def test_window_range_vs_rows_semantics(spark):
     assert got[4] == 7
 
 
-def test_agg_mode_exact_tiebreak(spark):
-    """Equal-count modes must resolve to the SMALLEST value."""
-    from mapreduce_chisquare_spark.plans.ext_round15 import agg_mode_exact_q
-
-    # build via the registry entry's own skeleton on a toy relation
-    df = spark.createDataFrame(
-        [("A", "F", 5.0), ("A", "F", 5.0), ("A", "F", 3.0), ("A", "F", 3.0),
-         ("N", "O", 9.0)],
-        "l_returnflag string, l_linestatus string, l_quantity double",
-    )
-    from pyspark.sql import Window
-
-    per = df.select(
-        "l_returnflag", "l_linestatus",
-        F.col("l_quantity").cast("long").alias("qty"),
-    ).groupBy("l_returnflag", "l_linestatus", "qty").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        F.desc("cnt"), F.asc("qty")
-    )
-    got = {
-        (r.l_returnflag, r.l_linestatus): (r.qty, r.cnt)
-        for r in per.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .collect()
-    }
-    assert got[("A", "F")] == (3, 2)  # tie 5 vs 3 -> smaller value
-    assert got[("N", "O")] == (9, 1)
-
-
 def test_standardize_dims_model(spark):
     """Exact z parity with the integer model; constant dim -> 0."""
     import math
