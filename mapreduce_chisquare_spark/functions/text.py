@@ -65,7 +65,11 @@ def terms_with_multiplicity(
         & (F.length(t) <= MAX_TOKEN_LEN)
         & ~F.array_contains(stop_arr, t),
     )
-    return nonempty_documents(docs, text_col, cat_col).select(
+    from ..operators.spread import spread_for_kernel
+
+    return spread_for_kernel(
+        nonempty_documents(docs, text_col, cat_col), id_col
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.col(cat_col).alias("category"),
         F.explode(toks).alias("term"),
@@ -80,9 +84,20 @@ def tokens_relation(
     cat_col: str = "category",
 ) -> DataFrame:
     """Exploded tokens(doc_id, category, term) — the engine's canonical
-    post-tokenization relation (SURVEY.md §1.2)."""
+    post-tokenization relation (SURVEY.md §1.2).
+
+    The filtered input is spread to the session parallelism floor
+    before the tokenize/explode projection (operators/spread.py —
+    conditional, a no-op both at cluster scale and on streaming
+    plans): a small single-row-group scan otherwise tokenizes the
+    whole corpus, and partially aggregates everything downstream of
+    it, on one core."""
+    from ..operators.spread import spread_for_kernel
+
     return (
-        nonempty_documents(docs, text_col, cat_col)
+        spread_for_kernel(
+            nonempty_documents(docs, text_col, cat_col), id_col
+        )
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(cat_col).alias("category"),

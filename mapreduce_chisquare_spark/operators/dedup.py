@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import DELIM_REGEX
+from .spread import spread_for_kernel
 
 NUM_HASHES = 16
 NUM_BANDS = 8  # rows per band = NUM_HASHES // NUM_BANDS = 2
@@ -68,8 +69,18 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
     functions are interpreted (no codegen/CSE), so inlining the
     split+filter there re-tokenizes the document per element_at —
     measured 4x slower at sf0.1.
+
+    The input is spread to the session's parallelism floor
+    (operators/spread.py — a no-op at cluster scale) BEFORE the
+    tokenize/shingle/hash projections: a small single-row-group scan
+    otherwise runs the whole k-hash MinHash aggregation on one core,
+    and the hash(doc_id) spread doubles as the distribution the
+    downstream groupBy(doc_id) signature aggregate needs, so it
+    REPLACES that exchange rather than adding one.
     """
-    base = docs.select("doc_id", _word_array(F.col(text_col)).alias("__arr"))
+    base = spread_for_kernel(docs.select("doc_id", F.col(text_col)), "doc_id").select(
+        "doc_id", _word_array(F.col(text_col)).alias("__arr")
+    )
     arr = F.col("__arr")
     sh = F.when(
         F.size(arr) >= n,
@@ -915,8 +926,11 @@ def ngram_positions(
     """(doc_id, start, end, gram): every n-token window with its
     0-based token offsets (end exclusive). Map-side: tokenize once in
     its own projection (interpreted HOFs get no CSE — the shingles
-    lesson above), then one explode carrying only the three scalars."""
-    base = docs.select("doc_id", _word_array(F.col(text_col)).alias("__arr"))
+    lesson above), then one explode carrying only the three scalars.
+    Input spread to the parallelism floor like shingles()."""
+    base = spread_for_kernel(docs.select("doc_id", F.col(text_col)), "doc_id").select(
+        "doc_id", _word_array(F.col(text_col)).alias("__arr")
+    )
     arr = F.col("__arr")
     wins = F.when(
         F.size(arr) >= n,

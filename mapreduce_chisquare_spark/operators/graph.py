@@ -18,13 +18,19 @@ Triangle counting is integer throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12  # ranks are integer multiples of 1e-12
 PR_ITERATIONS = 10
 PR_DAMP_NUM = 85  # d = 85/100
 PR_DAMP_DEN = 100
+# Materialize the |V|-row rank state every K rounds instead of every
+# round: within the window the 1-row dangling broadcast duplicates
+# only narrow recompute above a ReusedExchange, and each skipped
+# checkpoint saves one full materialization action per round. K=2
+# keeps the plan window small enough that analysis cost stays flat.
+PR_CHECKPOINT_EVERY = 2
 
 # Diagnostic: iterations the last pagerank()/personalized_pagerank()
 # call actually executed (== `iterations` unless tol stopped it
@@ -58,10 +64,19 @@ def pagerank(
     DISK_ONLY persist) and re-joined per iteration; each iteration is
     the canonical two exchanges (contrib join on src, incoming agg on
     dst) over |E|, plus one 1-row dangling aggregate broadcast back —
-    never a driver-side rank table. Rank state is |V| rows,
-    checkpointed per round to truncate lineage (the
-    dedup_components discipline). Build-time freeze: N and the node
-    set reflect the edges at call time.
+    never a driver-side rank table. Round-15 restructure (guide §2.4
+    — remove shuffles outright): the out-degree is FOLDED INTO THE
+    RANK STATE once before the loop, so the per-round ranks⨝outdeg
+    contrib join and the ranks⟕outdeg anti-join for the dangling sum
+    both disappear (2 of the 4 per-round joins; the dangling sum is
+    now a filter over the state relation already in hand). State is
+    |V| rows, localCheckpoint-ed every CHECKPOINT_EVERY rounds
+    instead of every round — lineage within the window stays bounded
+    (the 1-row dangling broadcast duplicates at most one window of
+    narrow recompute above a reused exchange), and each skipped
+    checkpoint saves a full |V|-row materialization action.
+    Build-time freeze: N and the node set reflect the edges at call
+    time.
 
     Early exit: with `tol` set, iteration stops once
     max_v |r'(v) - r(v)| <= tol * scale — one extra 1-row max
@@ -86,25 +101,27 @@ def pagerank(
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank_fp")
         )
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
     )
     base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
-    ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
-    ).localCheckpoint()
+    # deg folded into the rank state once (NULL deg = sink node):
+    # the loop never joins outdeg again.
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node", "deg", F.lit(scale // n).cast("long").alias("r")
+        )
+        .localCheckpoint()
+    )
     tol_fp = None if tol is None else int(tol * scale)
     LAST_PR_ITERATIONS = 0
-    for _ in range(int(iterations)):
-        prev = ranks
-        contrib = (
-            ranks.join(outdeg, "node")
-            .select(
-                F.col("node").alias("src"),
-                F.expr("r div deg").alias("contrib"),
-            )
+    iters = int(iterations)
+    for i in range(iters):
+        prev = state
+        contrib = state.filter(F.col("deg").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("r div deg").alias("contrib"),
         )
         incoming = (
             e.join(contrib, "src")
@@ -112,15 +129,17 @@ def pagerank(
             .agg(F.sum("contrib").cast("long").alias("s"))
         )
         dang = (
-            ranks.join(outdeg, "node", "left_anti")
+            state.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
             .select(F.expr(f"sr div CAST({int(n)} AS BIGINT)").alias("ds"))
         )
-        ranks = (
-            nodes.join(incoming, "node", "left")
+        state = (
+            prev.select("node", "deg")
+            .join(incoming, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -129,12 +148,20 @@ def pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
         )
+        # checkpoint on the interval, at tol rounds (the delta read
+        # needs materialized prev+cur anyway), and always on the
+        # final round
+        if (
+            tol_fp is not None
+            or (i + 1) % PR_CHECKPOINT_EVERY == 0
+            or i == iters - 1
+        ):
+            state = state.localCheckpoint()
         LAST_PR_ITERATIONS += 1
         if tol_fp is not None:
             delta = (
-                ranks.join(
+                state.join(
                     prev.select("node", F.col("r").alias("r_prev")),
                     "node",
                 )
@@ -148,7 +175,7 @@ def pagerank(
             )
             if delta <= tol_fp:
                 break
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+    return state.select("node", F.col("r").alias("rank_fp"))
 
 
 def triangle_counts(
@@ -294,25 +321,31 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     ns = len(seeds)
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
     )
     base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
     is_seed = F.col("node").isin(seeds)
-    ranks = nodes.select(
-        "node",
-        F.when(is_seed, F.lit(scale // ns))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("r"),
-    ).localCheckpoint()
+    # deg folded into the rank state once (the pagerank() round-15
+    # restructure): no per-round outdeg joins.
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.when(is_seed, F.lit(scale // ns))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+        .localCheckpoint()
+    )
     tol_fp = None if tol is None else int(tol * scale)
     LAST_PR_ITERATIONS = 0
-    for _ in range(int(iterations)):
-        prev = ranks
-        contrib = ranks.join(outdeg, "node").select(
+    iters = int(iterations)
+    for i in range(iters):
+        prev = state
+        contrib = state.filter(F.col("deg").isNotNull()).select(
             F.col("node").alias("src"),
             F.expr("r div deg").alias("contrib"),
         )
@@ -322,15 +355,17 @@ def personalized_pagerank(
             .agg(F.sum("contrib").cast("long").alias("s"))
         )
         dang = (
-            ranks.join(outdeg, "node", "left_anti")
+            state.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
             .select(F.expr(f"sr div CAST({ns} AS BIGINT)").alias("ds"))
         )
-        ranks = (
-            nodes.join(incoming, "node", "left")
+        state = (
+            prev.select("node", "deg")
+            .join(incoming, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "deg",
                 (
                     F.when(
                         is_seed,
@@ -343,12 +378,17 @@ def personalized_pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
         )
+        if (
+            tol_fp is not None
+            or (i + 1) % PR_CHECKPOINT_EVERY == 0
+            or i == iters - 1
+        ):
+            state = state.localCheckpoint()
         LAST_PR_ITERATIONS += 1
         if tol_fp is not None:
             delta = (
-                ranks.join(
+                state.join(
                     prev.select("node", F.col("r").alias("r_prev")),
                     "node",
                 )
@@ -362,7 +402,7 @@ def personalized_pagerank(
             )
             if delta <= tol_fp:
                 break
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+    return state.select("node", F.col("r").alias("rank_fp"))
 
 
 def basket_rules(
@@ -465,10 +505,15 @@ def label_propagation(
     Scale shape: the symmetrized edge relation materializes once
     (localCheckpoint; bucketed layout at cluster scale) and each
     round is the canonical pair — one join carrying (node, lbl) over
-    |E|, one (node, lbl) count aggregate, one per-node window argmax
-    on the SAME node partitioning. Label state is |V| rows,
-    checkpointed per round to truncate lineage. No driver state; the
-    round count, not |V|, bounds the chain."""
+    |E|, one (node, lbl) count aggregate, then a per-node argmax as
+    ONE more map-side-combinable aggregate: min(struct(-c, lbl))
+    picks (most frequent, then smallest) exactly like the row_number
+    window this replaced (round 15 — the window needed the same
+    exchange but added a per-partition sort and ranked every
+    (node, lbl) row; the min-struct partial-aggregates before the
+    shuffle instead). Label state is |V| rows, checkpointed per
+    round to truncate lineage. No driver state; the round count, not
+    |V|, bounds the chain."""
     sym = (
         edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .union(
@@ -484,16 +529,21 @@ def label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(int(iterations)):
         nb = sym.join(
             labels.select(F.col("node").alias("b"), "lbl"), "b"
         ).select(F.col("a").alias("node"), "lbl")
         cnt = nb.groupBy("node", "lbl").agg(F.count("*").alias("c"))
         labels = (
-            cnt.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.l").alias("lbl"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
@@ -663,9 +713,17 @@ def hits(
     re-joined per half-step; each half-step is the canonical two
     exchanges (mass join on one endpoint, aggregate on the other)
     plus a 1-row L1-total broadcast — the pagerank dangling-mass
-    pattern. State is |V| rows, localCheckpoint-ed per round to
-    truncate lineage. Nodes with no incoming (or outgoing) edges
-    carry authority (hub) 0 — kept in the output, not dropped."""
+    pattern. Round-15 restructure (guide §2.4): zero-mass nodes stay
+    IMPLICIT through the loop — a node absent from the mass relation
+    contributes nothing to the next push and nothing to the L1 total,
+    exactly like an explicit 0 row — so the per-half |V|-row
+    nodes⟕raw join (16 joins at 8 iterations) is gone; the full node
+    set is re-attached ONCE at the end with COALESCE(·, 0). State is
+    localCheckpoint-ed every PR_CHECKPOINT_EVERY rounds (not every
+    round): within the window the 1-row totals broadcast duplicates
+    only narrow recompute above a reused aggregate exchange. Nodes
+    with no incoming (or outgoing) edges carry authority (hub) 0 —
+    kept in the output, not dropped."""
     if int(iterations) < 1:
         raise ValueError("iterations must be >= 1")
     e = edges.select("src", "dst").distinct().localCheckpoint()
@@ -690,11 +748,9 @@ def hits(
         mass: DataFrame, out_key: str, in_key: str, checkpoint: bool
     ) -> DataFrame:
         """One half-step: push `mass` along out_key→in_key edges,
-        aggregate at the receiving endpoint, L1-renormalize. Only
-        the h half materializes (one localCheckpoint per FULL
-        iteration — the a half's lineage is two joins deep and gets
-        truncated when h lands, so checkpointing it too would just
-        double the |V|-row materializations)."""
+        aggregate at the receiving endpoint, L1-renormalize.
+        Zero-mass nodes are implicit (absent rows push 0 and sum to
+        0); the node set re-attaches once in the final select."""
         raw = (
             e.join(
                 mass.select(F.col("node").alias(out_key), "m"), out_key
@@ -709,25 +765,37 @@ def hits(
                 F.expr(f"t div CAST({int(scale)} AS BIGINT)"), F.lit(1)
             ).cast("long").alias("d")
         )
-        out = (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "node",
-                F.expr("COALESCE(raw, CAST(0 AS BIGINT)) div d")
-                .cast("long")
-                .alias("m"),
-            )
+        out = raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr("raw div d").cast("long").alias("m"),
         )
         return out.localCheckpoint() if checkpoint else out
 
     a = None
-    for i in range(int(iterations)):
-        a = _half(h, "src", "dst", checkpoint=(i == int(iterations) - 1))
-        h = _half(a, "dst", "src", checkpoint=True)
+    iters = int(iterations)
+    for i in range(iters):
+        last = i == iters - 1
+        a = _half(h, "src", "dst", checkpoint=last)
+        h = _half(
+            a,
+            "dst",
+            "src",
+            checkpoint=last or (i + 1) % PR_CHECKPOINT_EVERY == 0,
+        )
     return (
-        h.select("node", F.col("m").alias("hub_fp"))
-        .join(a.select("node", F.col("m").alias("auth_fp")), "node")
+        nodes.join(h.select("node", F.col("m").alias("hub_fp")), "node", "left")
+        .join(
+            a.select("node", F.col("m").alias("auth_fp")), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("hub_fp"), F.lit(0).cast("long")).alias(
+                "hub_fp"
+            ),
+            F.coalesce(F.col("auth_fp"), F.lit(0).cast("long")).alias(
+                "auth_fp"
+            ),
+        )
     )
 
 
@@ -815,10 +883,18 @@ def connected_components_star(
     for _ in range(max_iter):
         rounds += 1
         stepped = _small_star(_large_star(e)).localCheckpoint()
-        # bounded convergence check: both relations are edge-set-sized
-        # and shrinking; two anti-join counts, no collect
+        # bounded convergence check: both relations are DISTINCT edge
+        # sets, so the symmetric difference is exactly the keys whose
+        # +1/-1 tags don't cancel — ONE aggregate job instead of the
+        # two exceptAll counts this used per round (round-15, guide
+        # §2.4: the two relations are scanned once each, one exchange)
         changed = (
-            stepped.exceptAll(e).count() + e.exceptAll(stepped).count()
+            stepped.select("src", "dst", F.lit(1).alias("__t"))
+            .unionAll(e.select("src", "dst", F.lit(-1).alias("__t")))
+            .groupBy("src", "dst")
+            .agg(F.sum("__t").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .count()
         )
         e = stepped
         if changed == 0:

@@ -375,10 +375,16 @@ def blocking_pairs_lsh(
     n_buckets * max_bucket^2. The distance runs JVM-side
     (whole-stage codegen levenshtein) on bucket-local pairs only."""
     from .dedup import lsh_bands, minhash_signatures
+    from .spread import spread_for_kernel
 
-    r = records.select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(F.trim(F.col(name_col))).alias("nm"),
+    # parallelism floor before the gram explode + k-hash aggregate
+    # (operators/spread.py — no-op at cluster scale)
+    r = spread_for_kernel(
+        records.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.trim(F.col(name_col))).alias("nm"),
+        ),
+        "doc_id",
     )
     grams = r.select(
         "doc_id",

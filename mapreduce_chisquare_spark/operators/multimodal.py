@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread_for_kernel
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -624,7 +626,7 @@ def av_probe_documents(docs: DataFrame) -> DataFrame:
     than a stub. Both mapInPandas stages are Arrow-batched; the probe
     reads only headers, never media payloads, so per-row cost is
     O(container structure) at any payload size."""
-    media = docs.select("doc_id").mapInPandas(
+    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
         av_synth_batch, AV_MEDIA_SCHEMA
     )
     return media.mapInPandas(av_probe_batch, AV_PROBE_SCHEMA)
@@ -990,9 +992,10 @@ def synth_png_batch(batches: Iterator) -> Iterator:
 
 def synth_png_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real PNG bytes per document id —
-    narrow mapInPandas, no shuffle; the binary column stays columnar
+    narrow mapInPandas over the spread doc_id relation (parallelism
+    floor, operators/spread.py); the binary column stays columnar
     exactly as a parquet-stored media column would."""
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_png_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1053,7 +1056,7 @@ def synth_png_palette_batch(batches: Iterator) -> Iterator:
 
 def synth_png_palette_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real palette-PNG bytes per doc id."""
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_png_palette_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1331,8 +1334,8 @@ def synth_gif_batch(batches: Iterator) -> Iterator:
 
 def synth_gif_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real GIF bytes per document id —
-    same narrow no-shuffle shape as synth_png_documents."""
-    return docs.select("doc_id").mapInPandas(
+    same narrow spread-kernel shape as synth_png_documents."""
+    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_gif_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1777,8 +1780,8 @@ def synth_jpeg_batch(batches: Iterator) -> Iterator:
 
 def synth_jpeg_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real JPEG bytes per document id —
-    same narrow no-shuffle shape as synth_png_documents."""
-    return docs.select("doc_id").mapInPandas(
+    same narrow spread-kernel shape as synth_png_documents."""
+    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_jpeg_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1872,9 +1875,16 @@ def decode_wav_samples(blob: bytes):
         raise ValueError("WAV without fmt/data chunks")
     if bits == 16:
         n = len(data) // block
-        samples = [
-            struct.unpack_from("<h", data, i * block)[0] for i in range(n)
-        ]
+        if block == 2:
+            # mono fast path: ONE bulk unpack instead of n
+            # unpack_from calls (round 15 — same values, ~10x less
+            # per-sample Python overhead)
+            samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+        else:
+            samples = [
+                struct.unpack_from("<h", data, i * block)[0]
+                for i in range(n)
+            ]
     elif bits == 8:
         n = len(data) // block
         samples = [data[i * block] - 128 for i in range(n)]
@@ -1914,39 +1924,103 @@ def synth_wav_pcm(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-AUDIO_FRAMES_SCHEMA = T.StructType(
+AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame", T.ArrayType(T.IntegerType())),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zcr", T.IntegerType()),
     ]
 )
 
 
-def wav_frame_batch(batches: Iterator) -> Iterator:
-    """Arrow-batched REAL audio decode: WAV payloads -> one row per
-    20 ms frame carrying the raw int samples. Feature math (energy,
-    zero crossings) happens JVM-side downstream — this stage only
-    decodes and frames."""
+def wav_features_batch(batches: Iterator) -> Iterator:
+    """Arrow-batched REAL audio decode + per-frame features fused in
+    one kernel (round 15, guide §4.2): WAV payloads -> (doc_id,
+    frame_idx, energy, zcr) with the math vectorized in numpy —
+    energy = Σ|s| (int64, exact), zcr = #(s[i]·s[i+1] < 0) within
+    the frame. Replaces the interpreted aggregate/zip_with array
+    lambdas the JVM evaluated per sample, and only 4 scalars per
+    frame cross the Arrow boundary instead of the 160-sample
+    array."""
+    import numpy as np
     import pandas as pd  # local import: executors only
 
     for pdf in batches:
-        doc_ids, idxs, frames = [], [], []
+        doc_ids, idxs, energies, zcrs = [], [], [], []
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
             _sr, _ch, samples = decode_wav_samples(blob)
-            for f in range(len(samples) // AUDIO_FRAME):
-                doc_ids.append(doc_id)
-                idxs.append(f)
-                frames.append(
-                    samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
-                )
+            nf = len(samples) // AUDIO_FRAME
+            if nf == 0:
+                continue
+            s = np.asarray(
+                samples[: nf * AUDIO_FRAME], dtype=np.int64
+            ).reshape(nf, AUDIO_FRAME)
+            en = np.abs(s).sum(axis=1)
+            zc = ((s[:, :-1] * s[:, 1:]) < 0).sum(axis=1)
+            doc_ids.extend([doc_id] * nf)
+            idxs.extend(range(nf))
+            energies.extend(en.tolist())
+            zcrs.extend(zc.tolist())
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),
-                "frame": frames,
+                "energy": pd.Series(energies, dtype="int64"),
+                "zcr": pd.Series(zcrs, dtype="int32"),
             }
         )
+
+
+def wav_block_means_batch(k: int):
+    """Arrow-batched REAL audio decode + per-frame block means fused
+    in one kernel (round 15, guide §4.2): WAV payloads -> (doc_id,
+    frame_idx, means array of AUDIO_FRAME/k ints). The mean is the
+    TRUNCATING div (toward zero — Spark `div` semantics, spelled as
+    sign·(|sum| div k) so negative frame sums round identically),
+    vectorized in numpy with exact int64 sums."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd  # local import: executors only
+
+        kk = int(k)
+        bpf = AUDIO_FRAME // kk
+        for pdf in batches:
+            doc_ids, idxs, means = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                _sr, _ch, samples = decode_wav_samples(blob)
+                nf = len(samples) // AUDIO_FRAME
+                if nf == 0:
+                    continue
+                s = np.asarray(
+                    samples[: nf * AUDIO_FRAME], dtype=np.int64
+                ).reshape(nf * bpf, kk)
+                sums = s.sum(axis=1)
+                m = (np.sign(sums) * (np.abs(sums) // kk)).reshape(
+                    nf, bpf
+                )
+                doc_ids.extend([doc_id] * nf)
+                idxs.extend(range(nf))
+                means.extend(m.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "means": means,
+                }
+            )
+
+    return run
+
+
+AUDIO_MEANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("means", T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def synth_wav_batch(batches: Iterator) -> Iterator:
@@ -1968,30 +2042,20 @@ def audio_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, frame_idx, energy, zcr): the classic integer audio
     fingerprint — per 20 ms frame, total absolute amplitude and the
     zero-crossing count (sign products < 0 between neighbours) — over
-    samples recovered from REAL WAV bytes. Decode is one narrow
-    Arrow-batched stage; the feature math runs JVM-side as array
-    expressions (aggregate / zip_with over the frame column), so the
-    hot arithmetic is codegen, not Python. Zero exchanges end to end;
-    at 100 TB the cost model is the per-blob PCM decode, partitioned
-    like any other binary column."""
-    media = docs.select("doc_id").mapInPandas(
+    samples recovered from REAL WAV bytes. Round-15 shape (guide
+    §4.2): decode AND the feature math run fused in one Arrow-batched
+    kernel with the arithmetic vectorized in numpy (exact int64 — the
+    previous JVM form evaluated interpreted aggregate/zip_with
+    lambdas per sample, ~170 lambda invocations per frame), and only
+    4 scalars per frame cross the Python boundary instead of the
+    160-sample array. The only exchange is the small-input
+    parallelism floor on the doc_id relation (inert at scale —
+    operators/spread.py); at 100 TB the cost model is the per-blob
+    PCM decode, partitioned like any other binary column."""
+    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_wav_batch, PNG_MEDIA_SCHEMA
     )
-    frames = media.mapInPandas(wav_frame_batch, AUDIO_FRAMES_SCHEMA)
-    energy = F.expr(
-        "aggregate(frame, 0L, (acc, s) -> acc + abs(CAST(s AS BIGINT)))"
-    )
-    zcr = F.expr(
-        "size(filter(zip_with(slice(frame, 1, size(frame) - 1), "
-        "slice(frame, 2, size(frame) - 1), (a, b) -> a * b), "
-        "p -> p < 0))"
-    )
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        energy.cast("long").alias("energy"),
-        zcr.cast("int").alias("zcr"),
-    )
+    return media.mapInPandas(wav_features_batch, AUDIO_FEATURES_SCHEMA)
 
 
 # Video frame extraction: real AVI containers with uncompressed
@@ -2248,33 +2312,61 @@ def audio_energy_segments(
 
 THUMB_T = 4  # thumbnail grid: THUMB_T x THUMB_T block means
 
-GRAY_FLAT_SCHEMA = T.StructType(
+THUMB_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("w", T.IntegerType()),
-        T.StructField("h", T.IntegerType()),
-        T.StructField("gray", T.ArrayType(T.IntegerType())),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("thumb", T.StringType()),
     ]
 )
 
 
-def gray_flat_batch(batches: Iterator) -> Iterator:
-    """mapInPandas kernel: (doc_id, payload binary) -> (doc_id, w, h,
-    gray row-major flat array) via the real pixel decoders — the
-    full-resolution companion of imagehash.decoded_pixel_batch (which
-    point-samples); resize-family operators need every pixel."""
-    import pandas as pd  # local import: executors only
+def thumb_batch(t: int):
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, w, h, thumb
+    CSV) — decode + block means fused in ONE Arrow stage. The means
+    are exact integer arithmetic in numpy: per-cell pixel sums via
+    bincount over the (r*t div h)*t + (c*t div w) cell lattice
+    (float64 accumulate is exact — sums are integers < 2^53), then
+    the truncating div as int64 floor division (pixels are
+    non-negative, so floor == Spark/DuckDB `div`)."""
 
-    for pdf in batches:
-        ws, hs, flats = [], [], []
-        for blob in pdf["payload"]:
-            w, h, rows = decode_image_pixels(blob)
-            ws.append(w)
-            hs.append(h)
-            flats.append([v for row in rows for v in row])
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "w": ws, "h": hs, "gray": flats}
-        )
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd  # local import: executors only
+
+        tt = int(t)
+        for pdf in batches:
+            ws, hs, thumbs = [], [], []
+            for blob in pdf["payload"]:
+                w, h, rows = decode_image_pixels(blob)
+                arr = np.frombuffer(
+                    b"".join(bytes(r) for r in rows), dtype=np.uint8
+                ).reshape(h, w)
+                ri = (np.arange(h, dtype=np.int64) * tt) // h
+                ci = (np.arange(w, dtype=np.int64) * tt) // w
+                cid = (ri[:, None] * tt + ci[None, :]).ravel()
+                sums = np.bincount(
+                    cid, weights=arr.ravel(), minlength=tt * tt
+                ).astype(np.int64)
+                counts = np.bincount(cid, minlength=tt * tt)
+                cells = [
+                    str(sums[k] // counts[k]) if counts[k] else ""
+                    for k in range(tt * tt)
+                ]
+                ws.append(w)
+                hs.append(h)
+                thumbs.append(",".join(cells))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "w": pd.Series(ws, dtype="int64"),
+                    "h": pd.Series(hs, dtype="int64"),
+                    "thumb": thumbs,
+                }
+            )
+
+    return run
 
 
 def image_thumbnail_decoded(
@@ -2290,12 +2382,15 @@ def image_thumbnail_decoded(
     scalar the driver canonicalizer and the DuckDB twin both hash
     directly.
 
-    Scale shape: ONE narrow Arrow-batched decode stage (mapInPandas
-    — per-blob cost is the scaling model, embarrassingly parallel),
-    then the block means are pure JVM array expressions
-    (filter/aggregate over the flat grid) inside whole-stage codegen
-    — zero exchanges end to end, the audio_fingerprint posture. The
-    mean is integer `div`, so engines cannot drift.
+    Scale shape (round-15 rewrite, guide §4.2): decode AND block
+    means run fused inside ONE Arrow-batched mapInPandas stage with
+    the means vectorized in numpy (bincount over the cell lattice),
+    so only (doc_id, w, h, t*t CSV) crosses the Python boundary —
+    the previous form shipped the full w*h gray array back to the
+    JVM and then evaluated t*t interpreted aggregate(filter(
+    sequence(...)))  lambdas PER CELL, i.e. 16 interpreted passes
+    over every pixel of every image. Arithmetic is unchanged and
+    exact (integer sums, truncating div), so engines cannot drift.
 
     Small-image contract: when w < t or h < t, some of the t*t grid
     cells receive no pixels (pixel (r, c) maps to cell (r*t div h,
@@ -2303,43 +2398,8 @@ def image_thumbnail_decoded(
     an explicit '' placeholder so the CSV always has exactly t*t
     comma-separated fields and cell positions stay fixed — they are
     never silently dropped."""
-    px = media.select("doc_id", "payload").mapInPandas(
-        gray_flat_batch, GRAY_FLAT_SCHEMA
-    )
-    cells = []
-    for i in range(int(t)):
-        for j in range(int(t)):
-            cells.append(
-                F.expr(
-                    f"aggregate(filter(sequence(0, w * h - 1), "
-                    f"k -> ((k div w) * {int(t)}) div h = {i} "
-                    f"AND ((k % w) * {int(t)}) div w = {j}), "
-                    f"named_struct('s', CAST(0 AS BIGINT), "
-                    f"'n', CAST(0 AS BIGINT)), "
-                    f"(acc, k) -> named_struct("
-                    f"'s', acc.s + CAST(gray[k] AS BIGINT), "
-                    f"'n', acc.n + CAST(1 AS BIGINT)), "
-                    f"acc -> CASE WHEN acc.n = 0 THEN NULL "
-                    f"ELSE acc.s div acc.n END)"
-                ).cast("long").alias(f"m{i}_{j}")
-            )
-    grid = px.select("doc_id", "w", "h", *cells)
-    return grid.select(
-        "doc_id",
-        F.col("w").cast("long").alias("w"),
-        F.col("h").cast("long").alias("h"),
-        # concat_ws silently drops NULLs — coalesce each cell to the
-        # '' placeholder so the t*t field positions stay fixed
-        F.concat_ws(
-            ",",
-            *[
-                F.coalesce(
-                    F.col(f"m{i}_{j}").cast("string"), F.lit("")
-                )
-                for i in range(int(t))
-                for j in range(int(t))
-            ],
-        ).alias("thumb"),
+    return media.select("doc_id", "payload").mapInPandas(
+        thumb_batch(int(t)), THUMB_SCHEMA
     )
 
 
@@ -2358,26 +2418,28 @@ def audio_downsample(docs: DataFrame, k: int = AUDIO_DS_FACTOR) -> DataFrame:
     the truncating div matches Spark `div`, and the DuckDB twin
     spells the same truncation with the sign-split identity.
 
-    Scale shape: decode is the shared one-stage Arrow frame path
-    (wav_frame_batch); the per-frame block means are JVM array
-    expressions (AUDIO_FRAME = 160 is a multiple of k, so blocks
-    never straddle frames) and the explode emits 20 ints per frame
-    — zero exchanges end to end, the audio_fingerprint posture."""
+    Scale shape (round-15 rewrite, guide §4.2): decode and the
+    per-frame block means run fused in one Arrow kernel
+    (wav_block_means_batch — exact int64 sums, truncating div spelled
+    sign-split so it matches Spark `div` on negative sums;
+    AUDIO_FRAME = 160 is a multiple of k, so blocks never straddle
+    frames); the explode to one row per output sample stays JVM-side.
+    The previous form shipped every raw sample to the JVM and
+    evaluated an interpreted aggregate(slice(...)) lambda per block.
+    One exchange: the small-input parallelism floor
+    (operators/spread.py)."""
     assert AUDIO_FRAME % k == 0, "blocks must tile the frame"
-    media = docs.select("doc_id").mapInPandas(
+    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
         synth_wav_batch, PNG_MEDIA_SCHEMA
     )
-    frames = media.mapInPandas(wav_frame_batch, AUDIO_FRAMES_SCHEMA)
-    per_block = F.expr(
-        f"transform(sequence(0, size(frame) div {int(k)} - 1), "
-        f"j -> aggregate(slice(frame, j * {int(k)} + 1, {int(k)}), "
-        f"CAST(0 AS BIGINT), (acc, s) -> acc + s) div {int(k)})"
+    frames = media.mapInPandas(
+        wav_block_means_batch(int(k)), AUDIO_MEANS_SCHEMA
     )
     blocks_per_frame = AUDIO_FRAME // int(k)
     out = frames.select(
         "doc_id",
         "frame_idx",
-        F.posexplode(per_block).alias("j", "v"),
+        F.posexplode(F.col("means")).alias("j", "v"),
     )
     return out.select(
         "doc_id",

@@ -645,8 +645,15 @@ def winnowing_fingerprint(
     only the final explode to rows fans out. Documents shorter than
     `gram` chars fingerprint as the fold of their whole codepoint
     array. Codepoints (not bytes): both engines index substrings and
-    ascii() by character, so non-ASCII text hashes identically."""
-    base = docs.select(
+    ascii() by character, so non-ASCII text hashes identically.
+    Input spread to the session parallelism floor first
+    (operators/spread.py — no-op at cluster scale) so the per-char
+    hash projections use every core on a single-row-group scan."""
+    from ..operators.spread import spread_for_kernel
+
+    base = spread_for_kernel(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select(
         "doc_id", F.lower(F.col(text_col)).alias("__t")
     )
     t = F.col("__t")

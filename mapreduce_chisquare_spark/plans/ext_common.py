@@ -19,6 +19,7 @@ from ..operators.multimodal import (
     decode_documents,
     sample_frames,
 )
+from ..operators.spread import spread_for_kernel
 from ..sources.readers import scan_parquet
 from ..streaming.windows import tumbling_counts_stream
 from .oracle_common import CHI2_CTES, SQL_DELIM, SQL_STOPWORDS, with_text_ctes
@@ -36,7 +37,13 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scan_parquet(spark, sf_dir, "embeddings")
+    # Spread to the session parallelism floor (operators/spread.py,
+    # no-op at cluster scale): every consumer runs per-row vector
+    # math (dots/argmax/quantize) over the 64-dim embedding column,
+    # and a single-row-group scan would pin all of it to one core.
+    return spread_for_kernel(
+        scan_parquet(spark, sf_dir, "embeddings"), "vec_id"
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -441,6 +441,7 @@ EXTENSION_QUERIES = {
 # =========================================================================
 
 from ..operators import imagehash as ih  # noqa: E402
+from ..operators.spread import spread_for_kernel  # noqa: E402
 from ..operators.curation import (  # noqa: E402
     QM_BIAS_MILLI,
     QM_BUCKETS,
@@ -1877,7 +1878,7 @@ def image_neardup_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
     )
-    media = d.unionByName(clones).mapInPandas(
+    media = spread_for_kernel(d.unionByName(clones)).mapInPandas(
         mm.synth_png_clone_batch, mm.PNG_MEDIA_SCHEMA
     )
     return ih.image_neardup_pairs(ih.image_phash_decoded(media))
@@ -2018,9 +2019,9 @@ def video_frame_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the frame formula directly; equality certifies
     the container walk, the bottom-up BGR decode, and the per-frame
     fan-out."""
-    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA
-    )
+    media = spread_for_kernel(
+        _docs(spark, sf_dir).select("doc_id")
+    ).mapInPandas(mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA)
     return ih.video_frame_phash(media)
 
 
@@ -2083,7 +2084,7 @@ def video_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
     )
-    media = d.unionByName(clones).mapInPandas(
+    media = spread_for_kernel(d.unionByName(clones)).mapInPandas(
         mm.synth_avi_clone_batch, mm.PNG_MEDIA_SCHEMA
     )
     return ih.video_neardup_pairs(ih.video_frame_phash(media))
@@ -2229,9 +2230,9 @@ def video_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the frame dHashes, exact popcount-of-XOR distance,
     cut where >= SHOT_THRESHOLD of 64 bits flip. The oracle restates
     the frame formula, the band hash, and the same lag algebra."""
-    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
-        mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA
-    )
+    media = spread_for_kernel(
+        _docs(spark, sf_dir).select("doc_id")
+    ).mapInPandas(mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA)
     return ih.video_shot_boundaries(media)
 
 
@@ -2440,7 +2441,9 @@ def embed_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 BIGINTs, bit-identical across engines — the DuckDB twin
     unrolls the same 5 integer rounds as chained CTEs."""
     return ss.embed_power_iteration(
-        scan_parquet(spark, sf_dir, "embeddings")
+        spread_for_kernel(
+            scan_parquet(spark, sf_dir, "embeddings"), "vec_id"
+        )
     )
 
 
