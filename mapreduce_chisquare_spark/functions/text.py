@@ -65,11 +65,7 @@ def terms_with_multiplicity(
         & (F.length(t) <= MAX_TOKEN_LEN)
         & ~F.array_contains(stop_arr, t),
     )
-    from ..operators.spread import spread_for_kernel
-
-    return spread_for_kernel(
-        nonempty_documents(docs, text_col, cat_col), id_col
-    ).select(
+    return nonempty_documents(docs, text_col, cat_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(cat_col).alias("category"),
         F.explode(toks).alias("term"),
@@ -86,18 +82,16 @@ def tokens_relation(
     """Exploded tokens(doc_id, category, term) — the engine's canonical
     post-tokenization relation (SURVEY.md §1.2).
 
-    The filtered input is spread to the session parallelism floor
-    before the tokenize/explode projection (operators/spread.py —
-    conditional, a no-op both at cluster scale and on streaming
-    plans): a small single-row-group scan otherwise tokenizes the
-    whole corpus, and partially aggregates everything downstream of
-    it, on one core."""
-    from ..operators.spread import spread_for_kernel
-
+    Round-15 measurement note: a spread_for_kernel parallelism floor
+    was TRIED here and reverted — tokenize+explode over the 5k-doc
+    fixture costs ~0.2 s single-core, less than the added exchange +
+    stage overhead, and spreading the map side multiplies the
+    partial-aggregate rows every token consumer ships (32 partial
+    vocabularies instead of 1). The floor stays only on paths whose
+    per-row kernel cost dominates (media synth/decode, k-hash
+    MinHash)."""
     return (
-        spread_for_kernel(
-            nonempty_documents(docs, text_col, cat_col), id_col
-        )
+        nonempty_documents(docs, text_col, cat_col)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(cat_col).alias("category"),

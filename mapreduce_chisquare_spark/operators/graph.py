@@ -25,12 +25,14 @@ PR_SCALE = 10**12  # ranks are integer multiples of 1e-12
 PR_ITERATIONS = 10
 PR_DAMP_NUM = 85  # d = 85/100
 PR_DAMP_DEN = 100
-# Materialize the |V|-row rank state every K rounds instead of every
-# round: within the window the 1-row dangling broadcast duplicates
-# only narrow recompute above a ReusedExchange, and each skipped
-# checkpoint saves one full materialization action per round. K=2
-# keeps the plan window small enough that analysis cost stays flat.
-PR_CHECKPOINT_EVERY = 2
+# hits() checkpoint cadence. Round-15 measurement: K=1 (materialize
+# the mass relation every full iteration). K=2 was tried — the
+# skipped materialization makes the next round's 1-row L1-total
+# broadcast subtrees recompute the un-checkpointed half-steps and
+# measured SLOWER (pagerank's variant of the same experiment was
+# slower at both K values, so pagerank/personalized_pagerank keep
+# their original per-round-checkpoint body unchanged).
+PR_CHECKPOINT_EVERY = 1
 
 # Diagnostic: iterations the last pagerank()/personalized_pagerank()
 # call actually executed (== `iterations` unless tol stopped it
@@ -64,19 +66,10 @@ def pagerank(
     DISK_ONLY persist) and re-joined per iteration; each iteration is
     the canonical two exchanges (contrib join on src, incoming agg on
     dst) over |E|, plus one 1-row dangling aggregate broadcast back —
-    never a driver-side rank table. Round-15 restructure (guide §2.4
-    — remove shuffles outright): the out-degree is FOLDED INTO THE
-    RANK STATE once before the loop, so the per-round ranks⨝outdeg
-    contrib join and the ranks⟕outdeg anti-join for the dangling sum
-    both disappear (2 of the 4 per-round joins; the dangling sum is
-    now a filter over the state relation already in hand). State is
-    |V| rows, localCheckpoint-ed every CHECKPOINT_EVERY rounds
-    instead of every round — lineage within the window stays bounded
-    (the 1-row dangling broadcast duplicates at most one window of
-    narrow recompute above a reused exchange), and each skipped
-    checkpoint saves a full |V|-row materialization action.
-    Build-time freeze: N and the node set reflect the edges at call
-    time.
+    never a driver-side rank table. Rank state is |V| rows,
+    checkpointed per round to truncate lineage (the
+    dedup_components discipline). Build-time freeze: N and the node
+    set reflect the edges at call time.
 
     Early exit: with `tol` set, iteration stops once
     max_v |r'(v) - r(v)| <= tol * scale — one extra 1-row max
@@ -101,27 +94,25 @@ def pagerank(
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank_fp")
         )
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
-    )
-    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
-    # deg folded into the rank state once (NULL deg = sink node):
-    # the loop never joins outdeg again.
-    state = (
-        nodes.join(outdeg, "node", "left")
-        .select(
-            "node", "deg", F.lit(scale // n).cast("long").alias("r")
-        )
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
         .localCheckpoint()
     )
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    ).localCheckpoint()
     tol_fp = None if tol is None else int(tol * scale)
     LAST_PR_ITERATIONS = 0
-    iters = int(iterations)
-    for i in range(iters):
-        prev = state
-        contrib = state.filter(F.col("deg").isNotNull()).select(
-            F.col("node").alias("src"),
-            F.expr("r div deg").alias("contrib"),
+    for _ in range(int(iterations)):
+        prev = ranks
+        contrib = (
+            ranks.join(outdeg, "node")
+            .select(
+                F.col("node").alias("src"),
+                F.expr("r div deg").alias("contrib"),
+            )
         )
         incoming = (
             e.join(contrib, "src")
@@ -129,17 +120,15 @@ def pagerank(
             .agg(F.sum("contrib").cast("long").alias("s"))
         )
         dang = (
-            state.filter(F.col("deg").isNull())
+            ranks.join(outdeg, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
             .select(F.expr(f"sr div CAST({int(n)} AS BIGINT)").alias("ds"))
         )
-        state = (
-            prev.select("node", "deg")
-            .join(incoming, "node", "left")
+        ranks = (
+            nodes.join(incoming, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                "deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -148,20 +137,12 @@ def pagerank(
                     )
                 ).cast("long").alias("r"),
             )
+            .localCheckpoint()
         )
-        # checkpoint on the interval, at tol rounds (the delta read
-        # needs materialized prev+cur anyway), and always on the
-        # final round
-        if (
-            tol_fp is not None
-            or (i + 1) % PR_CHECKPOINT_EVERY == 0
-            or i == iters - 1
-        ):
-            state = state.localCheckpoint()
         LAST_PR_ITERATIONS += 1
         if tol_fp is not None:
             delta = (
-                state.join(
+                ranks.join(
                     prev.select("node", F.col("r").alias("r_prev")),
                     "node",
                 )
@@ -175,7 +156,7 @@ def pagerank(
             )
             if delta <= tol_fp:
                 break
-    return state.select("node", F.col("r").alias("rank_fp"))
+    return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
 def triangle_counts(
@@ -321,31 +302,25 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     ns = len(seeds)
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
     is_seed = F.col("node").isin(seeds)
-    # deg folded into the rank state once (the pagerank() round-15
-    # restructure): no per-round outdeg joins.
-    state = (
-        nodes.join(outdeg, "node", "left")
-        .select(
-            "node",
-            "deg",
-            F.when(is_seed, F.lit(scale // ns))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("r"),
-        )
-        .localCheckpoint()
-    )
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(scale // ns))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    ).localCheckpoint()
     tol_fp = None if tol is None else int(tol * scale)
     LAST_PR_ITERATIONS = 0
-    iters = int(iterations)
-    for i in range(iters):
-        prev = state
-        contrib = state.filter(F.col("deg").isNotNull()).select(
+    for _ in range(int(iterations)):
+        prev = ranks
+        contrib = ranks.join(outdeg, "node").select(
             F.col("node").alias("src"),
             F.expr("r div deg").alias("contrib"),
         )
@@ -355,17 +330,15 @@ def personalized_pagerank(
             .agg(F.sum("contrib").cast("long").alias("s"))
         )
         dang = (
-            state.filter(F.col("deg").isNull())
+            ranks.join(outdeg, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"))
             .select(F.expr(f"sr div CAST({ns} AS BIGINT)").alias("ds"))
         )
-        state = (
-            prev.select("node", "deg")
-            .join(incoming, "node", "left")
+        ranks = (
+            nodes.join(incoming, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                "deg",
                 (
                     F.when(
                         is_seed,
@@ -378,17 +351,12 @@ def personalized_pagerank(
                     )
                 ).cast("long").alias("r"),
             )
+            .localCheckpoint()
         )
-        if (
-            tol_fp is not None
-            or (i + 1) % PR_CHECKPOINT_EVERY == 0
-            or i == iters - 1
-        ):
-            state = state.localCheckpoint()
         LAST_PR_ITERATIONS += 1
         if tol_fp is not None:
             delta = (
-                state.join(
+                ranks.join(
                     prev.select("node", F.col("r").alias("r_prev")),
                     "node",
                 )
@@ -402,7 +370,7 @@ def personalized_pagerank(
             )
             if delta <= tol_fp:
                 break
-    return state.select("node", F.col("r").alias("rank_fp"))
+    return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
 def basket_rules(
@@ -505,15 +473,13 @@ def label_propagation(
     Scale shape: the symmetrized edge relation materializes once
     (localCheckpoint; bucketed layout at cluster scale) and each
     round is the canonical pair — one join carrying (node, lbl) over
-    |E|, one (node, lbl) count aggregate, then a per-node argmax as
-    ONE more map-side-combinable aggregate: min(struct(-c, lbl))
-    picks (most frequent, then smallest) exactly like the row_number
-    window this replaced (round 15 — the window needed the same
-    exchange but added a per-partition sort and ranked every
-    (node, lbl) row; the min-struct partial-aggregates before the
-    shuffle instead). Label state is |V| rows, checkpointed per
-    round to truncate lineage. No driver state; the round count, not
-    |V|, bounds the chain."""
+    |E|, one (node, lbl) count aggregate, one per-node window argmax
+    on the SAME node partitioning. (A min(struct(-c, lbl)) aggregate
+    argmax was TRIED in round 15 and reverted: a struct-typed agg
+    buffer forces ObjectHashAggregate and measured slower than the
+    WindowGroupLimit-eligible row_number form.) Label state is |V|
+    rows, checkpointed per round to truncate lineage. No driver
+    state; the round count, not |V|, bounds the chain."""
     sym = (
         edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .union(
@@ -529,21 +495,18 @@ def label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(int(iterations)):
         nb = sym.join(
             labels.select(F.col("node").alias("b"), "lbl"), "b"
         ).select(F.col("a").alias("node"), "lbl")
         cnt = nb.groupBy("node", "lbl").agg(F.count("*").alias("c"))
         labels = (
-            cnt.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
-                    )
-                ).alias("__m")
-            )
-            .select("node", F.col("__m.l").alias("lbl"))
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))

@@ -626,7 +626,11 @@ def av_probe_documents(docs: DataFrame) -> DataFrame:
     than a stub. Both mapInPandas stages are Arrow-batched; the probe
     reads only headers, never media payloads, so per-row cost is
     O(container structure) at any payload size."""
-    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    # No spread floor here (round-15 measurement): the probe reads
+    # container headers only and the minimal synth containers are
+    # cheap — the whole pipeline is ~0.25 s single-core, below the
+    # exchange overhead a spread would add.
+    media = docs.select("doc_id").mapInPandas(
         av_synth_batch, AV_MEDIA_SCHEMA
     )
     return media.mapInPandas(av_probe_batch, AV_PROBE_SCHEMA)

@@ -285,7 +285,18 @@ def kmeans_centroids(
     filtered by an upstream dedup, ids starting at an offset — the
     old form silently found fewer (or zero) seeds than k, collapsing
     the fit and defeating auto_n_centroids' bounded-cluster rule.
-    Raises on an empty corpus rather than fitting zero centroids."""
+    Raises on an empty corpus rather than fitting zero centroids.
+
+    The fit input is spread to the session parallelism floor
+    (operators/spread.py — no-op at cluster scale): `iters` full
+    Arrow argmax-assignment passes run over it, the one place the
+    embeddings table's per-row cost is multiplied enough to beat the
+    exchange overhead."""
+    from .spread import spread_for_kernel
+
+    emb = spread_for_kernel(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
     rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -523,11 +534,18 @@ def semantic_dedup(
     (min id, max cos) is order-independent exactly.
     Freeze-at-build semantics (the select_token_budget pattern): the
     assignment materializes when this function runs."""
+    from .spread import spread_for_kernel
+
     if cents is None:  # `or` would silently refit on an explicit []
         if n_centroids is None:
             n_centroids = auto_n_centroids(emb.count())
         cents = kmeans_centroids(emb, n_centroids)
-    asg = with_centroid_assignment(emb, cents).localCheckpoint()
+    # spread before the assignment + Σ(cluster)² pairwise stage —
+    # the corpus-sized work of this operator (no-op at cluster scale)
+    asg = with_centroid_assignment(
+        spread_for_kernel(emb.select("vec_id", "embedding"), "vec_id"),
+        cents,
+    ).localCheckpoint()
     a = asg.select(
         "centroid_id",
         F.col("vec_id").alias("a_id"),
@@ -1381,15 +1399,49 @@ def embed_power_iteration(
     v = [PI_VSCALE] * 64
 
     def _u_relation(v_now: list[int]) -> DataFrame:
-        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v_now])
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        """One round's u_j = Σ_i q_ij·(q_i·v) as an Arrow kernel +
+        64-row final sum (round 15, guide §4.2): the per-partition
+        Qᵀ(Qv) product runs as ONE numpy int64 matmul pair per batch
+        — every operation is int64 addition/multiplication, which is
+        associative and exact under the SAME overflow budget the
+        docstring states, so the result is bit-identical to the
+        previous interpreted zip_with-fold + posexplode form (which
+        evaluated ~dim² interpreted lambda calls per row and exploded
+        dim× the corpus into the aggregate)."""
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        varr = np.asarray(v_now, dtype=np.int64)
+        out_schema = T.StructType(
+            [
+                T.StructField("dim", T.IntegerType()),
+                T.StructField("pu", T.LongType()),
+            ]
         )
-        ex = q.select(dot.alias("dot"), F.posexplode("q").alias("dim", "x"))
-        return ex.groupBy("dim").agg(
-            F.sum(F.col("x") * F.col("dot")).cast("long").alias("u")
+
+        def partial_u(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["q"]]
+                )
+                dot = Q @ varr  # n-vector, exact int64
+                pu = Q.T @ dot  # dim-vector of partial sums
+                yield pd.DataFrame(
+                    {
+                        "dim": np.arange(len(pu), dtype=np.int32),
+                        "pu": pu,
+                    }
+                )
+
+        return (
+            q.mapInPandas(partial_u, out_schema)
+            .groupBy("dim")
+            .agg(F.sum("pu").cast("long").alias("u"))
         )
 
     for _ in range(int(iterations) - 1):

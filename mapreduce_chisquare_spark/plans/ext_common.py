@@ -19,7 +19,6 @@ from ..operators.multimodal import (
     decode_documents,
     sample_frames,
 )
-from ..operators.spread import spread_for_kernel
 from ..sources.readers import scan_parquet
 from ..streaming.windows import tumbling_counts_stream
 from .oracle_common import CHI2_CTES, SQL_DELIM, SQL_STOPWORDS, with_text_ctes
@@ -37,13 +36,14 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spread to the session parallelism floor (operators/spread.py,
-    # no-op at cluster scale): every consumer runs per-row vector
-    # math (dots/argmax/quantize) over the 64-dim embedding column,
-    # and a single-row-group scan would pin all of it to one core.
-    return spread_for_kernel(
-        scan_parquet(spark, sf_dir, "embeddings"), "vec_id"
-    )
+    # Round-15 measurement note: a blanket spread_for_kernel floor
+    # here was TRIED and reverted — the 2000-row embeddings table's
+    # per-query vector math is tens of ms, below the exchange+probe
+    # overhead, and the shared feeder charged that overhead to ~20
+    # queries. The floor lives inside the genuinely CPU-bound
+    # consumers instead (kmeans fit / semantic_dedup /
+    # embed_power_iteration).
+    return scan_parquet(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
