@@ -383,8 +383,16 @@ def band_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     b = guarded.select(
         "band", "key", F.col("doc_id").alias("doc_b")
     )
+    # hint("merge"): the two sides are IDENTICAL plans, so the
+    # sort-merge self-join reuses ONE exchange (the guard window's,
+    # whose sort order it also inherits) via runtime ReusedExchange.
+    # Left to the planner, the build side auto-broadcasts at small
+    # sizes and the broadcast subtree RECOMPUTES the whole signature
+    # lineage (round 16 §3.1 finding — a BroadcastExchange cannot
+    # reuse a shuffle exchange); at data scale the broadcast is
+    # ineligible anyway, so SMJ is also the 100 TB plan.
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("merge"), ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands"))
@@ -1184,8 +1192,11 @@ def winnowing_pairs(
     )
     a = guarded.select("fp", F.col("doc_id").alias("doc_a"))
     b = guarded.select("fp", F.col("doc_id").alias("doc_b"))
+    # hint("merge"): identical-plan self-join — force SMJ so the
+    # guard exchange is reused instead of the build side recomputing
+    # the fingerprint lineage under a broadcast (round 16 §3.1)
     return (
-        a.join(b, "fp")
+        a.join(b.hint("merge"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
@@ -1314,8 +1325,11 @@ def simhash_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("__sb"),
     )
+    # hint("merge"): identical-plan self-join — reuse the guard
+    # exchange instead of recomputing the simhash aggregate under a
+    # broadcast build side (round 16 §3.1)
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("merge"), ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",

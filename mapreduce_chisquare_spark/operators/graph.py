@@ -784,9 +784,11 @@ def connected_components_star(
     hash-agg) -> join the min back onto the adjacency (one shuffle on
     the node key) -> emit re-hung edges. Lineage truncates per round
     (localCheckpoint); convergence = the round's edge set equals the
-    previous one (two bounded set-difference counts on the
-    edge relation — star-contracted edge sets shrink toward one edge
-    per non-root node, so late rounds get cheaper). High-degree skew
+    previous one, checked with ONE +1/-1 tag-sum aggregate over the
+    union of the two (distinct) edge sets — the symmetric difference
+    is exactly the keys whose tags don't cancel (round 15, guide
+    §2.4; star-contracted edge sets shrink toward one edge per
+    non-root node, so late rounds get cheaper). High-degree skew
     is the algorithm's own medicine: large-star re-hangs a heavy
     node's neighbors onto its min neighbor, splitting the star.
 

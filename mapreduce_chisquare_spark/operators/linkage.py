@@ -420,8 +420,11 @@ def blocking_pairs_lsh(
         F.col("nm").alias("nm_b"),
     )
     dist = F.levenshtein(F.col("nm_a"), F.col("nm_b"))
+    # hint("merge"): identical-plan self-join — reuse the guard
+    # exchange instead of recomputing the gram/minhash lineage under
+    # a broadcast build side (round 16 §3.1)
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("merge"), ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "nm_a", "nm_b")
         .distinct()

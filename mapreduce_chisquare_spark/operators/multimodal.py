@@ -999,7 +999,7 @@ def synth_png_documents(docs: DataFrame) -> DataFrame:
     narrow mapInPandas over the spread doc_id relation (parallelism
     floor, operators/spread.py); the binary column stays columnar
     exactly as a parquet-stored media column would."""
-    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_png_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1060,7 +1060,7 @@ def synth_png_palette_batch(batches: Iterator) -> Iterator:
 
 def synth_png_palette_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real palette-PNG bytes per doc id."""
-    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_png_palette_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1339,7 +1339,7 @@ def synth_gif_batch(batches: Iterator) -> Iterator:
 def synth_gif_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real GIF bytes per document id —
     same narrow spread-kernel shape as synth_png_documents."""
-    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_gif_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -1785,7 +1785,7 @@ def synth_jpeg_batch(batches: Iterator) -> Iterator:
 def synth_jpeg_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary) of real JPEG bytes per document id —
     same narrow spread-kernel shape as synth_png_documents."""
-    return spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    return spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_jpeg_batch, PNG_MEDIA_SCHEMA
     )
 
@@ -2056,7 +2056,7 @@ def audio_fingerprint(docs: DataFrame) -> DataFrame:
     parallelism floor on the doc_id relation (inert at scale —
     operators/spread.py); at 100 TB the cost model is the per-blob
     PCM decode, partitioned like any other binary column."""
-    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    media = spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_wav_batch, PNG_MEDIA_SCHEMA
     )
     return media.mapInPandas(wav_features_batch, AUDIO_FEATURES_SCHEMA)
@@ -2433,7 +2433,7 @@ def audio_downsample(docs: DataFrame, k: int = AUDIO_DS_FACTOR) -> DataFrame:
     One exchange: the small-input parallelism floor
     (operators/spread.py)."""
     assert AUDIO_FRAME % k == 0, "blocks must tile the frame"
-    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
+    media = spread_for_kernel(docs.select("doc_id"), "doc_id").mapInPandas(
         synth_wav_batch, PNG_MEDIA_SCHEMA
     )
     frames = media.mapInPandas(

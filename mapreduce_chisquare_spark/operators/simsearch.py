@@ -1426,9 +1426,32 @@ def embed_power_iteration(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                Q = np.stack(
-                    [np.asarray(a, dtype=np.int64) for a in pdf["q"]]
-                )
+                # fail loud on malformed embeddings (the decoders'
+                # convention): np.stack would otherwise raise an
+                # opaque shape error on ragged/NULL rows. Cheap
+                # checks only — one len() per row, no element scan
+                # (a NULL element arrives as a float NaN array and
+                # is caught by the int64 cast below).
+                bad = [
+                    i
+                    for i, a in enumerate(pdf["q"])
+                    if a is None or len(a) != 64
+                ]
+                if bad:
+                    raise ValueError(
+                        "embed_power_iteration: embedding rows must "
+                        "be 64-element non-NULL arrays; row index "
+                        f"{bad[0]} of this batch is NULL or ragged"
+                    )
+                try:
+                    Q = np.stack(
+                        [np.asarray(a, dtype=np.int64) for a in pdf["q"]]
+                    )
+                except (TypeError, ValueError) as exc:
+                    raise ValueError(
+                        "embed_power_iteration: embedding rows must "
+                        f"be int-valued with no NULL elements: {exc}"
+                    ) from None
                 dot = Q @ varr  # n-vector, exact int64
                 pu = Q.T @ dot  # dim-vector of partial sums
                 yield pd.DataFrame(
@@ -1725,12 +1748,19 @@ def mmr_topk(
 
     Scale shape: stage 1 is the broadcast-query corpus scan +
     WindowGroupLimit shortlist (cosine_topk — the only data-sized
-    work); the greedy loop then runs k bounded relational rounds
-    over the (queries × shortlist) relation and its pairwise-sim
-    self-join (≤ q·m² rows, localCheckpointed once) — never the
-    corpus, no collects. The sequential k-step dependence is
-    inherent to MMR; at 100 TB the corpus cost is stage 1 and the
-    loop is queries-sized."""
+    work) plus the pairwise-sim self-join of the shortlist (≤ q·m²
+    rows); both relations are BOUNDED BY CONSTRUCTION (q and m are
+    constructor constants, never data-sized), so the greedy k-step
+    selection runs on the driver over the two collected relations —
+    at 100 TB the corpus cost is stage 1 and the selection is a
+    constant-size in-memory argmax. (Round 16, guide §1/§7.1: the
+    previous k−1 relational rounds — 3 joins + a window + a
+    localCheckpoint each over ≤64-row state — were pure AQE/job
+    orchestration, ~7 driver actions per call; this form runs 3.)
+    Scores are bit-identical: the driver applies the SAME IEEE-double
+    expression λ·cos − (1−λ)·maxsim to the Spark-computed cos/sim
+    values, with (1−λ) evaluated in Python exactly as the previous
+    F.lit(1.0 - lam) literal was."""
     sl = cosine_topk(emb, n_queries=n_queries, k=shortlist).select(
         "query_id", "vec_id", "cos"
     ).localCheckpoint()
@@ -1757,60 +1787,62 @@ def mmr_topk(
             "vb",
             cosine(F.col("ea"), F.col("eb")).alias("sim"),
         )
-        .localCheckpoint()
     )
-    one_minus = F.lit(1.0 - float(lam))
-    lam = F.lit(float(lam))
-    wpick = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr_score"), F.asc("vec_id")
+    lam = float(lam)
+    one_minus = 1.0 - lam  # same literal the relational form used
+    sl_rows = sl.collect()
+    sim: dict = {}
+    for r in pairs.collect():
+        sim[(r["query_id"], r["va"], r["vb"])] = r["sim"]
+    by_q: dict = {}
+    for r in sl_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cos"])
+        )
+    out_rows = []
+    for qid in by_q:
+        cands = by_q[qid]
+        picked: list = []  # vec_ids in selection order
+        for step in range(1, int(k) + 1):
+            best = None
+            for vid, cos in cands:
+                if vid in picked:
+                    continue
+                if step == 1:
+                    score = lam * cos
+                else:
+                    ms = None
+                    for p in picked:
+                        s = sim.get((qid, vid, p))
+                        if s is not None and (ms is None or s > ms):
+                            ms = s
+                    if ms is None:
+                        continue  # no pair row: drop, as the inner
+                        # join in the relational form did
+                    score = lam * cos - one_minus * ms
+                # argmax with (mmr_score DESC, vec_id ASC) tie order
+                if best is None or score > best[0] or (
+                    score == best[0] and vid < best[1]
+                ):
+                    best = (score, vid, cos)
+            if best is None:
+                break
+            picked.append(best[1])
+            out_rows.append((qid, best[1], best[2], best[0], step))
+
+    from pyspark.sql import types as T
+
+    f = {x.name: x for x in sl.schema.fields}
+    out_schema = T.StructType(
+        [
+            f["query_id"],
+            f["vec_id"],
+            f["cos"],
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("step", T.IntegerType()),
+        ]
     )
-    # step 1: pure relevance
-    selected = (
-        sl.select(
-            "query_id", "vec_id", "cos", (lam * F.col("cos")).alias("mmr_score")
-        )
-        .withColumn("__rn", F.row_number().over(wpick))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("step", F.lit(1))
-    )
-    for step in range(2, k + 1):
-        remaining = sl.join(
-            selected.select("query_id", "vec_id"),
-            ["query_id", "vec_id"],
-            "left_anti",
-        )
-        penal = (
-            remaining.join(
-                pairs.join(
-                    selected.select(
-                        "query_id", F.col("vec_id").alias("vb")
-                    ),
-                    ["query_id", "vb"],
-                ).select("query_id", F.col("va").alias("vec_id"), "sim"),
-                ["query_id", "vec_id"],
-            )
-            .groupBy("query_id", "vec_id")
-            .agg(F.max("sim").alias("__maxsim"))
-        )
-        scored = remaining.join(penal, ["query_id", "vec_id"]).select(
-            "query_id",
-            "vec_id",
-            "cos",
-            (lam * F.col("cos") - one_minus * F.col("__maxsim")).alias(
-                "mmr_score"
-            ),
-        )
-        pick = (
-            scored.withColumn("__rn", F.row_number().over(wpick))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .withColumn("step", F.lit(step))
-        )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected.select(
-        "query_id", "vec_id", "cos", "mmr_score", F.col("step").cast("int")
-    )
+    return emb.sparkSession.createDataFrame(out_rows, out_schema)
 
 
 def standardize_dims(emb: DataFrame) -> DataFrame:

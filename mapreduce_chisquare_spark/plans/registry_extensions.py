@@ -1878,7 +1878,7 @@ def image_neardup_decoded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
     )
-    media = spread_for_kernel(d.unionByName(clones)).mapInPandas(
+    media = spread_for_kernel(d.unionByName(clones), "doc_id").mapInPandas(
         mm.synth_png_clone_batch, mm.PNG_MEDIA_SCHEMA
     )
     return ih.image_neardup_pairs(ih.image_phash_decoded(media))
@@ -2020,7 +2020,7 @@ def video_frame_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the container walk, the bottom-up BGR decode, and the per-frame
     fan-out."""
     media = spread_for_kernel(
-        _docs(spark, sf_dir).select("doc_id")
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
     ).mapInPandas(mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA)
     return ih.video_frame_phash(media)
 
@@ -2084,7 +2084,7 @@ def video_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + F.lit(mm.PHASH_CLONE_OFFSET)).alias("doc_id")
     )
-    media = spread_for_kernel(d.unionByName(clones)).mapInPandas(
+    media = spread_for_kernel(d.unionByName(clones), "doc_id").mapInPandas(
         mm.synth_avi_clone_batch, mm.PNG_MEDIA_SCHEMA
     )
     return ih.video_neardup_pairs(ih.video_frame_phash(media))
@@ -2231,7 +2231,7 @@ def video_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut where >= SHOT_THRESHOLD of 64 bits flip. The oracle restates
     the frame formula, the band hash, and the same lag algebra."""
     media = spread_for_kernel(
-        _docs(spark, sf_dir).select("doc_id")
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
     ).mapInPandas(mm.synth_avi_batch, mm.PNG_MEDIA_SCHEMA)
     return ih.video_shot_boundaries(media)
 

@@ -44,16 +44,16 @@ def test_flagship_has_no_python_eval(flagship_plan):
 def test_flagship_shuffle_budget(spark, sf_dir, flagship_plan):
     # 3 main-lineage data exchanges ((term,category) agg, term window,
     # category window) + the df_c exchange, its N-branch replan (which
-    # dedupes to a ReusedExchange at runtime — asserted below), the
-    # 1-row N sum, and (round 15) the tokens_relation parallelism-
-    # floor repartitions of the two document lineages (operators/
-    # spread.py — inert at cluster scale). More means the window-sum
-    # J1 rewrite regressed into a self-join or an extra shuffle crept
-    # in.
+    # dedupes to a ReusedExchange at runtime — asserted below), and
+    # the 1-row N sum. More means the window-sum J1 rewrite regressed
+    # into a self-join or an extra shuffle crept in. (Round 15
+    # temporarily raised this to 8 for a tokens_relation parallelism-
+    # floor experiment that was REVERTED after measurement; round 16
+    # restores the tight bound — re-measured at exactly 6.)
     import re
 
     data_exchanges = len(re.findall(r"\(\d+\) Exchange", flagship_plan))
-    assert data_exchanges <= 8, flagship_plan
+    assert data_exchanges <= 6, flagship_plan
 
 
 def test_flagship_runtime_plan_scans_corpus_once_per_branch(spark, sf_dir):
