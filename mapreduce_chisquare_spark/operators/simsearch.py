@@ -604,7 +604,16 @@ def ivf_topk(
         cents = kmeans_centroids(emb, n_centroids)
     with_c = with_centroid_assignment(emb, cents)
     if nprobe <= 1:
-        q = with_c.filter(F.col("vec_id") < n_queries).select(
+        # assign the QUERY rows separately, with the vec_id filter
+        # BELOW the kernel: the Arrow assignment UDF is opaque to
+        # predicate pushdown, so filtering with_c would run the
+        # whole corpus through the quantizer a second time just to
+        # keep n_queries rows (round 16, guide §4.1 column/row
+        # discipline). Assignment is row-local, so the rows are
+        # bit-identical either way.
+        q = with_centroid_assignment(
+            emb.filter(F.col("vec_id") < n_queries), cents
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             "centroid_id",
@@ -1006,7 +1015,13 @@ def ivfpq_topk(
         _pq_encode_arrow(books)(F.col("embedding")).alias("codes"),
     )
     if nprobe <= 1:
-        probe = asg.filter(F.col("vec_id") < n_queries).select(
+        # filter BELOW the assignment kernel (see ivf_topk): the
+        # probe side otherwise re-runs the quantizer over the whole
+        # corpus to keep n_queries rows — at 100 TB, the difference
+        # between scanning n_queries rows and the corpus
+        probe = with_centroid_assignment(
+            emb.filter(F.col("vec_id") < n_queries), cents, use_arrow
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             "centroid_id",

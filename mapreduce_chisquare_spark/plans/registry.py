@@ -71,92 +71,86 @@ except ImportError:
 # flagship additions (image_phash_decoded, similarity_join_minhash_shuffle),
 # and 39 r6-era stale re-certs — all 50 driver-green (CORRECTNESS_r11).
 #
-# Round-15 window (50) = the 18 round-14 tail entries that have never
-# had a driver row (locally gated green at sf0.001 + sf0.01 + sf0.1 in
-# round 14, and independently oracle-verified 18/18 by the round-14
-# judge), + the 2 r8-era stale rows deferred from round 14
-# (q15_top_supplier q17_small_qty_revenue — code untouched since r8),
-# + 30 of the 50 r9-era stale rows (fast scalars/joins first so a
-# time-cut sweep certifies the maximum prefix; includes the 2 oldest
-# streaming rows per round-14 advice). After this window lands, the
-# never-certified count is 0 and the staleness floor rises to r9
-# (20 rows, queued for round 16).
+# Round-15 window history: the 18 round-14 tail entries + 2 r8-era +
+# 30 r9-era stale re-certs — all 50 driver-green (CORRECTNESS_r15),
+# zero overlap with the r14 window by design. Cumulative distinct
+# driver-green after r15: 100 of ~334.
+#
+# Round-16 window (50) — this is OPTIMIZATION round 2, so the window
+# leads with driver-side coverage for the optimization work (the
+# round-15 verdict's item 7: weight the rotation toward touched
+# queries): (a) the 14 round-15 tail additions that have never had a
+# driver row; (b) the queries whose plans this round's optimizations
+# changed (band-bucket self-join merge hints + their CC/pipeline
+# consumers, the MMR driver-greedy rewrite [in (a)], the IVF probe-
+# side filter pushdown, the image_phash sampling spread) — all
+# locally oracle-green at sf0.001 + sf0.01 post-change; (c) fill to
+# 50 with r9-era stale rows from the standing TODO. After this
+# window lands the staleness floor is r9 (~11 rows remain on it).
 _CERTIFY_WINDOW = [
-    # round-14 tail — first driver signature due
-    "dedup_minhash_oph",
-    "zonemap_prune",
-    "graph_components_largestar",
-    "toxicity_screen",
-    "tfidf_topk_terms",
-    "dq_drift_ks",
-    "g2_feature_scores",
-    "simsearch_mips_topk",
-    "embed_random_projection",
-    "embed_dim_variance",
-    "stream_toxicity_screen",
+    # (a) round-15 tail — first driver signature due
+    "pii_screen",
+    "stream_pii_screen",
+    "char_entropy_screen",
+    "embed_drift_centroid",
+    "simsearch_mmr_topk",
+    "ngram_novelty",
+    "window_range_between",
+    "embed_standardize",
+    "source_dedup_rate",
+    "events_path_topk",
+    "graph_degree_distribution",
+    "dq_profile_columns",
+    "rank_eval_ndcg",
+    "rank_eval_recall",
+    # (b) round-16 touched plans — re-cert on the optimized shapes
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_k128",
+    "winnowing_pairs",
     "dedup_simhash_pairs",
-    "er_sorted_neighborhood",
-    "vocab_zipf_fit",
-    "collocations_g2",
-    "dq_benford",
-    "pipeline_feature_store",
-    "window_cume_dist",
-    # r8-era stale re-certs (the last 2)
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    # r9-era stale re-certs (30 of 50; fast scalars/joins first,
-    # includes the 2 oldest streaming rows)
-    "count_term",
-    "count_cat",
-    "count_total",
-    "join_term_totals",
-    "join_cat_totals",
-    "q1_pricing_summary",
-    "window_lag",
-    "window_moving_sum",
-    "set_except",
-    "date_scalars",
-    "string_scalars",
-    "top_n_global",
-    "sql_correlated_subquery",
-    "agg_unpivot",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "window_ntile",
-    "q7_nation_volume",
-    "q19_discounted_revenue",
-    "set_intersect_all",
-    "set_except_all",
-    "embed_quantize",
-    "tfidf",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "stream_doc_chunk",
-    "stream_anomaly_screen",
+    "image_neardup_pairs",
+    "image_neardup_decoded",
+    "video_neardup",
+    "er_blocking_lsh",
+    "er_clusters_lsh",
+    "er_clusters",
+    "er_blocking_pairs",
+    "pipeline_dedup_corpus",
+    "dedup_keep_best",
+    "image_dedup_components",
+    "dedup_jaccard_estimate",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "split_no_leakage",
+    "similarity_join_minhash",
+    "simsearch_ivfpq",
+    "simsearch_ivf_topk",
+    "simsearch_ivfpq_nprobe2",
+    "simsearch_ivf_assign",
+    "image_phash",
+    "embed_power_iteration",
+    "dedup_incremental",
+    "dedup_spans",
+    # (c) r9-era stale re-certs
+    "array_scalars",
+    "join_bucketed",
+    "ngram_counts",
+    "join_bloom_prefilter",
+    "doc_chunk",
+    "pack_sequences",
+    "sink_orc_roundtrip",
+    "rollup_multigrain",
+    "explode_outer_keywords",
 ]
 
 # Register NEW queries at the registry TAIL, then promote them into
 # the next round's _CERTIFY_WINDOW.
 #
-# Round-16 window TODO: promote (a) the round-15 tail additions
-# FIRST (pii_screen stream_pii_screen char_entropy_screen
-# embed_drift_centroid simsearch_mmr_topk ngram_novelty
-# window_range_between embed_standardize
-# source_dedup_rate events_path_topk graph_degree_distribution
-# dq_profile_columns rank_eval_ndcg rank_eval_recall —
-# all locally gated green at sf0.001 + sf0.01 + sf0.1 in round 15),
-# then (b) the 20 remaining r9-era stale rows
-# (array_scalars join_bucketed ngram_counts join_bloom_prefilter
-# doc_chunk pack_sequences sink_orc_roundtrip rollup_multigrain
-# explode_outer_keywords simsearch_ivfpq ts_anomaly_zscore
-# dq_drift_psi image_phash image_neardup_pairs
-# similarity_join_embedding quality_model_score dq_quantiles_sketch
-# dq_quantiles_sketch_merge heavy_hitters_mg heavy_hitters_mg_merge),
-# then (c) fill to 50 with the oldest r10 rows. After the round-15
-# window lands, the staleness floor is r9 (20 rows).
+# Round-17 window TODO: the remaining r9-era stale rows
+# (ts_anomaly_zscore dq_drift_psi similarity_join_embedding
+# quality_model_score dq_quantiles_sketch dq_quantiles_sketch_merge
+# heavy_hitters_mg heavy_hitters_mg_merge), then the oldest r10/r11
+# rows, keeping ~130 never-certified registry entries rotating in.
 _DEFER_TO_NEXT_ROTATION: list = []
 
 assert len(_CERTIFY_WINDOW) == 50, len(_CERTIFY_WINDOW)

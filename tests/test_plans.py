@@ -93,6 +93,32 @@ def test_minhash_reuses_bucket_stage_at_runtime(spark, sf_dir):
     assert "ReusedExchange" in executed or "ReusedQueryStage" in executed
 
 
+def test_band_self_join_is_sort_merge_single_scan(spark, sf_dir):
+    # Round 16: the guarded band self-join is hint("merge")-pinned to
+    # SortMergeJoin so its two identical-plan sides dedupe to ONE
+    # exchange at runtime. Left to the planner, the small build side
+    # auto-broadcasts and the broadcast subtree RECOMPUTES the whole
+    # shingle->signature lineage (a BroadcastExchange cannot reuse a
+    # shuffle exchange): the executed plan then scans the corpus
+    # twice. Assert the pinned strategy and the single corpus scan.
+    df = REGISTRY["dedup_minhash_lsh_k128"][0](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    executed = executed.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in executed
+    assert executed.count("Scan parquet") == 1, executed
+
+
+def test_ivf_probe_filter_reaches_scan(spark, sf_dir):
+    # Round 16: the query/probe side of the IVF ladder filters
+    # vec_id < n_queries BELOW the Arrow assignment kernel (the UDF
+    # is opaque to pushdown, so filtering above it re-runs the
+    # quantizer over the whole corpus). The probe lineage's parquet
+    # scan must carry the pushed vec_id predicate.
+    p = plan_text(REGISTRY["simsearch_ivfpq"][0](spark, sf_dir))
+    assert "LessThan(vec_id," in p, p
+
+
 def test_anti_join_is_broadcast(spark, sf_dir):
     p = plan_text(REGISTRY["anti_join_stopwords"][0](spark, sf_dir))
     assert "LeftAnti" in p and "Broadcast" in p
