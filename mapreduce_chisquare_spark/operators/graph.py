@@ -25,14 +25,15 @@ PR_SCALE = 10**12  # ranks are integer multiples of 1e-12
 PR_ITERATIONS = 10
 PR_DAMP_NUM = 85  # d = 85/100
 PR_DAMP_DEN = 100
-# hits() checkpoint cadence. Round-15 measurement: K=1 (materialize
-# the mass relation every full iteration). K=2 was tried — the
-# skipped materialization makes the next round's 1-row L1-total
-# broadcast subtrees recompute the un-checkpointed half-steps and
-# measured SLOWER (pagerank's variant of the same experiment was
-# slower at both K values, so pagerank/personalized_pagerank keep
-# their original per-round-checkpoint body unchanged).
-PR_CHECKPOINT_EVERY = 1
+# Checkpoint cadence history: round 15 measured K=1 (materialize the
+# mass relation every full iteration) as the only safe cadence — K=2
+# made the next round's broadcast subtrees recompute un-checkpointed
+# half-steps and was SLOWER. Round 16 moved hits() to per-HALF raw
+# checkpoints with driver-collected L1 totals (see hits docstring),
+# which removed the broadcast subtrees entirely, so the K knob is
+# gone; pagerank/personalized_pagerank keep their original
+# per-round-checkpoint bodies (the same collected-scalar restructure
+# measured parity-to-worse there — OPTIMIZATION_r16.md).
 
 # Diagnostic: iterations the last pagerank()/personalized_pagerank()
 # call actually executed (== `iterations` unless tol stopped it
@@ -674,19 +675,26 @@ def hits(
 
     Scale shape: the deduped edge relation is materialized ONCE and
     re-joined per half-step; each half-step is the canonical two
-    exchanges (mass join on one endpoint, aggregate on the other)
-    plus a 1-row L1-total broadcast — the pagerank dangling-mass
-    pattern. Round-15 restructure (guide §2.4): zero-mass nodes stay
-    IMPLICIT through the loop — a node absent from the mass relation
+    exchanges (mass join on one endpoint, aggregate on the other).
+    Round-15 restructure (guide §2.4): zero-mass nodes stay IMPLICIT
+    through the loop — a node absent from the mass relation
     contributes nothing to the next push and nothing to the L1 total,
     exactly like an explicit 0 row — so the per-half |V|-row
     nodes⟕raw join (16 joins at 8 iterations) is gone; the full node
-    set is re-attached ONCE at the end with COALESCE(·, 0). State is
-    localCheckpoint-ed every PR_CHECKPOINT_EVERY rounds (not every
-    round): within the window the 1-row totals broadcast duplicates
-    only narrow recompute above a reused aggregate exchange. Nodes
-    with no incoming (or outgoing) edges carry authority (hub) 0 —
-    kept in the output, not dropped."""
+    set is re-attached ONCE at the end with COALESCE(·, 0).
+
+    Round-16 restructure (guide §1/§7.1, measured A/B in
+    OPTIMIZATION_r16.md): each half-step checkpoints the RAW
+    (pre-renorm) aggregate and computes its 1-row L1 total as a
+    driver-collected scalar off the checkpointed rows — control-plane
+    only, never data-sized (§5) — so the renorm becomes a NARROW
+    literal-divisor projection over the checkpoint instead of a
+    crossJoin against a broadcast 1-row subtree. The previous shape
+    stacked two half-steps and two broadcast-total subtrees into one
+    AQE job per round; materializing at the raw aggregate instead
+    measured 14.1 → 10.6 s at sf0.1 (bit-identical output asserted).
+    Nodes with no incoming (or outgoing) edges carry authority (hub)
+    0 — kept in the output, not dropped."""
     if int(iterations) < 1:
         raise ValueError("iterations must be >= 1")
     e = edges.select("src", "dst").distinct().localCheckpoint()
@@ -703,48 +711,41 @@ def hits(
             F.lit(0).cast("long").alias("hub_fp"),
             F.lit(0).cast("long").alias("auth_fp"),
         )
+    # narrow over the nodes checkpoint — needs no materialization of
+    # its own before the first half-step consumes it
     h = nodes.select(
         "node", F.lit(int(scale) // n).cast("long").alias("m")
-    ).localCheckpoint()
+    )
 
-    def _half(
-        mass: DataFrame, out_key: str, in_key: str, checkpoint: bool
-    ) -> DataFrame:
+    def _half(mass: DataFrame, out_key: str, in_key: str) -> DataFrame:
         """One half-step: push `mass` along out_key→in_key edges,
-        aggregate at the receiving endpoint, L1-renormalize.
-        Zero-mass nodes are implicit (absent rows push 0 and sum to
-        0); the node set re-attaches once in the final select."""
+        aggregate at the receiving endpoint (checkpointed), then
+        L1-renormalize as a narrow projection with the collected
+        1-row total as a literal divisor. Zero-mass nodes are
+        implicit (absent rows push 0 and sum to 0); the node set
+        re-attaches once in the final select."""
         raw = (
             e.join(
                 mass.select(F.col("node").alias(out_key), "m"), out_key
             )
             .groupBy(F.col(in_key).alias("node"))
             .agg(F.sum("m").cast("long").alias("raw"))
+            .localCheckpoint()
         )
         total = raw.agg(
             F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t")
-        ).select(
-            F.greatest(
-                F.expr(f"t div CAST({int(scale)} AS BIGINT)"), F.lit(1)
-            ).cast("long").alias("d")
-        )
-        out = raw.crossJoin(F.broadcast(total)).select(
+        ).collect()[0]["t"]
+        d = max(total // int(scale), 1)
+        return raw.select(
             "node",
-            F.expr("raw div d").cast("long").alias("m"),
+            F.expr(f"raw div CAST({d} AS BIGINT)").cast("long").alias("m"),
         )
-        return out.localCheckpoint() if checkpoint else out
 
     a = None
     iters = int(iterations)
-    for i in range(iters):
-        last = i == iters - 1
-        a = _half(h, "src", "dst", checkpoint=last)
-        h = _half(
-            a,
-            "dst",
-            "src",
-            checkpoint=last or (i + 1) % PR_CHECKPOINT_EVERY == 0,
-        )
+    for _ in range(iters):
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
     return (
         nodes.join(h.select("node", F.col("m").alias("hub_fp")), "node", "left")
         .join(

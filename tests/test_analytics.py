@@ -37,6 +37,7 @@ def _py_pagerank(edges, iterations=10, scale=PR_SCALE):
     return r
 
 
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_pagerank_matches_python_reference_bit_for_bit(spark):
     """Hub-and-sink graph: C1,C2,C3 all cite S1; C1 also cites S2;
     S1/S2 are sinks (dangling mass exercised every round). Every rank
@@ -66,6 +67,7 @@ def test_pagerank_uniform_cycle_is_uniform(spark):
     assert ranks == _py_pagerank(edges)
 
 
+@pytest.mark.slow  # ~29s multi-variant convergence sweep; full tier
 def test_pagerank_tol_early_exit_on_converged_graph(spark):
     """Round-11 option (round-10 verdict #7): tol stops iteration when
     max |delta r| <= tol*scale. A directed cycle is at its fixed point

@@ -1213,6 +1213,7 @@ def _recall_at_k(ann_rows, exact_rows, k=5):
     return sum(per_q) / len(per_q)
 
 
+@pytest.mark.slow  # ~25s full-ladder recall sweep; full tier
 def test_ann_ladder_recall_with_planted_ground_truth(spark):
     """Retrieval QUALITY of the PQ/IVFPQ ladder against exact search
     on a corpus with planted structure (oracle parity only proves

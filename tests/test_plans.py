@@ -430,12 +430,18 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
 
 
 def test_image_phash_is_pure_projection(spark, sf_dir):
-    """The fingerprint is row-local: no Exchange, no Python eval, and
-    the parquet scan prunes to (doc_id, text)."""
+    """The fingerprint is row-local: no Python eval, the parquet scan
+    prunes to (doc_id, text), and the only Exchange permitted is the
+    round-16 parallelism floor below the 72-substring sampling
+    projection (operators/spread.py — conditional, so 0 exchanges at
+    cluster scale / on many-partition inputs, 1 here), carrying the
+    narrow (doc_id, text) relation and hash-keyed on doc_id."""
     import re
 
     p = plan_text(REGISTRY["image_phash"][0](spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "doc_id" in m.group(1), m.group(0)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
         assert marker not in p
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

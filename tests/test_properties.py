@@ -61,6 +61,7 @@ def test_chi2_nonnegative_and_bounded_topk(spark, corpus):
 
 @given(corpus=corpus_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 20s+ property sweep; full tier
 def test_duplication_invariance(spark, corpus):
     """Doubling every document doubles each contingency cell and N;
     χ² = N(AD-BC)²/((A+B)(A+C)(B+D)(C+D)) is degree-5/degree-4 in the
@@ -89,6 +90,7 @@ def test_chi2_zero_under_independence(spark):
 
 @given(corpus=corpus_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 20s+ property sweep; full tier
 def test_merged_dict_is_union_of_report_terms(spark, corpus):
     top = chi_square_top_terms(_df(spark, corpus), stopwords=[], k=2)
     terms = sorted({r.term for r in top.collect()})
@@ -325,6 +327,7 @@ _src_counts = st.lists(
 
 @given(counts=_src_counts, budget=st.integers(min_value=1, max_value=60))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 20s+ property sweep; full tier
 def test_source_temperature_invariants(spark, counts, budget):
     """For any source-size profile: every source is represented, no
     source yields more docs than it has, positions are dense 1..n per
@@ -506,6 +509,7 @@ _span_corpus = st.lists(
 
 @given(corpus=_span_corpus)
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_repeated_spans_match_bruteforce(spark, corpus):
     """repeated_spans must equal the exhaustive reference: mark every
     n-gram window whose gram occurs in a DIFFERENT document (intra-doc
@@ -563,6 +567,7 @@ def test_repeated_spans_match_bruteforce(spark, corpus):
 
 @given(corpus=_span_corpus)
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_cut_spans_matches_bruteforce(spark, corpus):
     """cut_spans(docs, repeated_spans(docs)) must equal the python
     reference: remove every token covered by a cross-doc repeated
@@ -802,6 +807,7 @@ def test_lm_bigram_matches_python_reference(spark, texts):
 
 @given(texts=st.lists(textdoc, min_size=2, max_size=5))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_jaccard_estimate_matches_python_reference(spark, texts):
     """The signature-agreement estimate is deterministic integer math
     — the Spark value must EQUAL the python replication, not just
@@ -980,6 +986,7 @@ vec_strategy = st.dictionaries(
 
 @given(vecs=vec_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_semantic_dedup_matches_python_reference(spark, vecs):
     """The distributed SemDeDup verdicts equal a literal python
     transcription of the keep-rule for every generated corpus (fixed
@@ -1273,6 +1280,7 @@ _url_strategy = st.builds(
 
 @given(urls=st.lists(_url_strategy, min_size=1, max_size=12))
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 20s+ property sweep; full tier
 def test_canonicalize_url_idempotent(spark, urls):
     """canon(canon(u)) == canon(u): the canonical form is a fixed
     point — every normalization rule (case, www., default port,
@@ -1317,6 +1325,7 @@ def test_canonicalize_url_idempotent(spark, urls):
                     max_size=15, unique=True),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_bloom_screen_never_false_negative(spark, stored, probes):
     """Soundness law: every probe whose key IS stored must be
     flagged, whatever the corpus — false positives are allowed,

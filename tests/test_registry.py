@@ -51,6 +51,9 @@ def test_entry_smoke(spark):
     assert df.columns == ["category", "term", "chi2", "rank"]
 
 
+@pytest.mark.slow  # ~9 min: the full registry-vs-DuckDB sweep — the
+# driver's own oracle gate and scripts/check_oracle cover the same
+# ground; runs in the full tier (pytest -m "")
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     fn = entry_mod.queries()[name]
@@ -103,6 +106,7 @@ def test_certification_window_leads_registry_order():
     assert not missing, f"window names absent from registry: {missing}"
 
 
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_oracle_sql_never_widens_to_hugeint(duck):
     """DuckDB widens sum(BIGINT) — including windowed sums — to
     HUGEINT (int128), which the driver's canonicalizer hashes

@@ -184,6 +184,7 @@ def _mk_emb(spark, vecs: dict):
     )
 
 
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_reranked_scorer_parity_and_shortlist_subset(spark):
     """(a) the Arrow weighted scorer and the interpreted expression
     form produce bit-identical wcos; (b) the reranked output is a
@@ -744,6 +745,7 @@ _rec_strategy = hst.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # 10s+ reference/brute-force sweep; full tier
 def test_blocking_pairs_matches_python_model(spark, recs):
     """blocking_pairs == the brute-force Python model on random
     records: every same-block unordered pair within Levenshtein 2 of

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_chisquare_spark.operators import multimodal as mm
@@ -497,6 +498,7 @@ def test_dq_freshness_staleness_is_data_derived(spark):
 # stream_url_screen
 # ---------------------------------------------------------------------
 
+@pytest.mark.slow  # ~2.5 min of streaming trigger wall-clock
 def test_stream_url_screen_classifies_against_static_index(
     spark, sf_dir
 ):

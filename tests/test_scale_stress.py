@@ -34,6 +34,9 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+# the whole module is multi-minute scale/stress sweeps — full tier only
+pytestmark = pytest.mark.slow
+
 from mapreduce_chisquare_spark.operators.dedup import (
     MAX_BUCKET,
     NUM_BANDS,
